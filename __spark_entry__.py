@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (reference entry point B, the
+videos_with_tags 3-way join + distinct group-concat, SURVEY.md §3) on
+sf0.001. ``queries()``/``oracle_sql()`` expose every implemented operator
+from SURVEY.md §2 with its DuckDB oracle; both are maintained in
+``mariadb_postgres_migration_spark.fixture_queries`` (core relational
+surface) and ``mariadb_postgres_migration_spark.extension_queries``
+(LLM-pipeline extensions), this module just re-exports the registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mariadb_postgres_migration_spark import fixture_queries as _fq
+
+try:  # extensions land incrementally; the core registry must not break
+    from mariadb_postgres_migration_spark import extension_queries as _xq  # noqa: F401
+except ImportError:  # pragma: no cover
+    _xq = None
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _fq.REGISTRY["op18_flagship_group_concat"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _fq.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _fq.oracle_sql()

@@ -1,0 +1,558 @@
+"""Oracle-paired operator queries over the driver fixture tables.
+
+Every SURVEY.md §2 operator (OP-nn) is demonstrated as a query over the
+TPC-H-ish fixture tables (/root/repo/TESTDATA.md) with a semantically
+equivalent DuckDB SQL oracle. The driver hash-compares results
+order-insensitively after sorting columns by name, so the registry obeys
+hash-stability rules:
+
+* every computed column is aliased identically in Spark and SQL;
+* timestamps never cross the boundary raw — they are converted with
+  ``unix_micros`` (Spark) / ``epoch_us`` (DuckDB) to int64;
+* computed integers are cast to long/BIGINT on the Spark side (DuckDB
+  ``length``/``count`` return BIGINT);
+* doubles are either raw pass-throughs (bit-identical in both engines) or
+  ratios/sums rounded where accumulation order could differ;
+* regex/caret helpers are wrapped in ``coalesce(..., '')`` so no-match
+  behavior agrees.
+
+Where an operator is a side effect (OP-04 sink, OP-06 sequence fixup, OP-07
+clustered write, OP-32 DAG) it is exercised in tests/ instead and noted here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import caret_count
+from .operators.aggregates import group_concat_distinct, max_id
+from .operators.threading import resolve_backrefs
+from .sources.parquet import read_parquet_table
+
+SEP = ",,,"  # reference tag_select_separator (config.json:15)
+PASSWORD_PLACEHOLDER = "not set yet"  # reference config.json:14
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids covered
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, *ops: str):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.1 scans
+# --------------------------------------------------------------------------
+
+@register("op01_full_scan", "SELECT n_nationkey, n_name, n_regionkey FROM nation", "OP-01")
+def op01_full_scan(spark, sf_dir):
+    """OP-01 (queries.mjs:4-5): full-table scan, lazy + schema-pinned."""
+    return _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "op02_projected_scan",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "OP-02",
+)
+def op02_projected_scan(spark, sf_dir):
+    """OP-02 (queries.mjs:6-7): projected scan; Catalyst prunes the parquet
+    read schema to exactly these columns (check: ReadSchema in explain)."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "op03_sorted_scan",
+    """SELECT event_id, user_id, event_type FROM events ORDER BY user_id, event_id""",
+    "OP-03",
+)
+def op03_sorted_scan(spark, sf_dir):
+    """OP-03 (queries.mjs:3): two-key sorted scan. In-engine the ordering
+    requirement normally lives in a window spec; a global sort is a range
+    shuffle here."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy("user_id", "event_id")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "op05_conflict_dedup",
+    "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+    "OP-05",
+)
+def op05_conflict_dedup(spark, sf_dir):
+    """OP-05 (index.mjs:55 ``ON CONFLICT DO NOTHING``): the queryable core is
+    key-dedup before append; map-side partial distinct + one shuffle."""
+    return _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters / repairs
+# --------------------------------------------------------------------------
+
+@register(
+    "op08_rename_projection",
+    """SELECT event_id AS id, user_id AS from_user, event_type AS title,
+              epoch_us(ts) AS created_at_us
+       FROM events""",
+    "OP-08",
+)
+def op08_rename_projection(spark, sf_dir):
+    """OP-08 (column_sets.mjs:73-91): declarative rename projection
+    (from→from_user, subject→title analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("from_user"),
+        F.col("event_type").alias("title"),
+        F.unix_micros("ts").alias("created_at_us"),
+    )
+
+
+@register(
+    "op09_constant_substitution",
+    f"""SELECT c_custkey, c_name AS username, '{PASSWORD_PLACEHOLDER}' AS password
+        FROM customer""",
+    "OP-09",
+)
+def op09_constant_substitution(spark, sf_dir):
+    """OP-09 (index.mjs:24): overwrite a column with a config constant."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("username"),
+        F.lit(PASSWORD_PLACEHOLDER).alias("password"),
+    )
+
+
+@register(
+    "op10_equality_filter",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "OP-10",
+)
+def op10_equality_filter(spark, sf_dir):
+    """OP-10 (index.mjs:97): equality filter; pushed into the parquet scan
+    (check: PushedFilters in explain)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "op11_regex_prefix_predicate",
+    r"""SELECT event_id,
+               CAST(length(coalesce(regexp_extract(
+                   repeat('^', CAST(event_id % 4 AS INT)) || event_type,
+                   '^(\^+)', 1), '')) AS BIGINT) AS caret_n
+        FROM events
+        WHERE length(coalesce(regexp_extract(
+                  repeat('^', CAST(event_id % 4 AS INT)) || event_type,
+                  '^(\^+)', 1), '')) > 0""",
+    "OP-11", "OP-23",
+)
+def op11_regex_prefix_predicate(spark, sf_dir):
+    """OP-11/OP-23 (index.mjs:62): leading-caret regex predicate + extract,
+    on synthesized caret-prefixed content (fixtures carry no carets)."""
+    e = _t(spark, sf_dir, "events")
+    content = F.concat(
+        F.repeat(F.lit("^"), (F.col("event_id") % 4).cast("int")), F.col("event_type")
+    )
+    n = F.coalesce(caret_count(content), F.lit(0)).cast("long")
+    return e.select("event_id", n.alias("caret_n")).filter(F.col("caret_n") > 0)
+
+
+@register(
+    "op12_coalesce_columns",
+    """SELECT event_id,
+              coalesce(CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_id END,
+                       user_id) AS resolved_id
+       FROM events""",
+    "OP-12",
+)
+def op12_coalesce_columns(spark, sf_dir):
+    """OP-12 (index.mjs:106 ``v.id || v.video_id``): first-non-null across
+    two id shapes (one synthesized nullable)."""
+    e = _t(spark, sf_dir, "events")
+    maybe = F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(F.col("event_id"))
+    return e.select("event_id", F.coalesce(maybe, F.col("user_id")).alias("resolved_id"))
+
+
+@register(
+    "op13_null_default_repair",
+    """SELECT event_id,
+              coalesce(CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END,
+                       -1) AS user_or_default
+       FROM events""",
+    "OP-13",
+)
+def op13_null_default_repair(spark, sf_dir):
+    """OP-13 (column_sets.mjs:67-70): NULL → sink-default repair, default
+    modeled as a concrete value (SURVEY §7.2)."""
+    e = _t(spark, sf_dir, "events")
+    nulled = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    return e.select("event_id", F.coalesce(nulled, F.lit(-1)).alias("user_or_default"))
+
+
+@register(
+    "op14_timestamp_repair",
+    """SELECT event_id,
+              epoch_us(try_strptime(
+                  CASE WHEN event_id % 7 = 0 THEN '0000-00-00 00:00:00'
+                       WHEN event_id % 11 = 0 THEN 'not a timestamp'
+                       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+                  '%Y-%m-%d %H:%M:%S')) AS repaired_us
+       FROM events""",
+    "OP-14", "OP-25",
+)
+def op14_timestamp_repair(spark, sf_dir):
+    """OP-14/OP-25 (column_sets.mjs:10-17): ts_default_fallback — MySQL
+    zero-dates and garbage strings parse to NULL (the sink default), valid
+    strings round-trip. ``try_to_timestamp`` keeps this ANSI-safe."""
+    e = _t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("0000-00-00 00:00:00"))
+        .when(F.col("event_id") % 11 == 0, F.lit("not a timestamp"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    )
+    repaired = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss"))
+    return e.select("event_id", F.unix_micros(repaired).alias("repaired_us"))
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+@register(
+    "op15_three_way_join",
+    """SELECT o.o_orderkey, l.l_linenumber, p.p_name, l.l_quantity
+       FROM orders o, lineitem l, part p
+       WHERE o.o_orderkey = l.l_orderkey AND l.l_partkey = p.p_partkey""",
+    "OP-15",
+)
+def op15_three_way_join(spark, sf_dir):
+    """OP-15 (queries.mjs:8-11): 3-way inner equi-join, comma-join + WHERE in
+    the reference; declarative joins here so Catalyst broadcast-selects the
+    part dim and AQE handles runtime skew."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .select("o_orderkey", "l_linenumber", "p_name", "l_quantity")
+    )
+
+
+@register(
+    "op16_broadcast_lookup_join",
+    """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'""",
+    "OP-16",
+)
+def op16_broadcast_lookup_join(spark, sf_dir):
+    """OP-16 (index.mjs:96-110): the JS Map build/probe as an explicit
+    broadcast hash join; inner semantics silently drop probe rows with no
+    build match, exactly like ``Map.get`` → undefined."""
+    from .operators.joins import broadcast_lookup
+
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    return broadcast_lookup(o, c, on="o_custkey").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "op17_dict_lookup_join",
+    """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "OP-17",
+)
+def op17_dict_lookup_join(spark, sf_dir):
+    """OP-17 (index.mjs:41-45): dictionary lookup as a broadcast map-side
+    join — the tag→normalized Map generalized to any small dim."""
+    from .operators.joins import broadcast_lookup
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), F.col("r_name").alias("region_name")
+    )
+    return broadcast_lookup(n, r, on="n_regionkey").select(
+        "n_nationkey", "n_name", "region_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation (incl. the flagship) + §2.6
+# --------------------------------------------------------------------------
+
+@register(
+    "op18_flagship_group_concat",
+    f"""SELECT o.o_orderkey, o.o_orderstatus,
+               array_to_string(list_sort(list_distinct(list(p.p_brand))), '{SEP}') AS tags,
+               CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_tags
+        FROM orders o, lineitem l, part p
+        WHERE o.o_orderkey = l.l_orderkey AND l.l_partkey = p.p_partkey
+        GROUP BY o.o_orderkey, o.o_orderstatus""",
+    "OP-15", "OP-18",
+)
+def op18_flagship_group_concat(spark, sf_dir):
+    """Flagship (entry point B): the reference's videos_with_tags query
+    (queries.mjs:8-11) — 3-way join + GROUP_CONCAT(DISTINCT … SEPARATOR ',,,')
+    — re-expressed as join → shuffle agg with a deterministic sorted set.
+    MySQL's unspecified element order becomes ``array_sort`` (SURVEY §7.3)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .select("o_orderkey", "o_orderstatus", "p_brand")
+    )
+    return joined.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("p_brand")), SEP).alias("tags"),
+        F.countDistinct("p_brand").cast("long").alias("n_tags"),
+    )
+
+
+@register(
+    "op19_max_id",
+    "SELECT CAST(max(o_orderkey) + 1 AS BIGINT) AS next_id FROM orders",
+    "OP-19", "OP-06",
+)
+def op19_max_id(spark, sf_dir):
+    """OP-19/OP-06 (queries.mjs:15, index.mjs:120-126): top-1 id as max();
+    +1 is the sequence-restart value the sink post-hook would apply."""
+    return max_id(_t(spark, sf_dir, "orders"), "o_orderkey").select(
+        (F.col("max_id") + 1).cast("long").alias("next_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 the window showpiece
+# --------------------------------------------------------------------------
+
+_OP20_ORACLE = r"""
+WITH comments AS (
+    SELECT event_id AS id,
+           user_id AS video_id,
+           repeat('^', CAST(event_id % 4 AS INT)) AS content,
+           epoch_us(ts) AS created_us,
+           CASE WHEN event_id % 10 = 0
+                THEN epoch_us(ts) + (event_id % 3) * 3600000000
+                ELSE NULL END AS deleted_us
+    FROM events
+), walked AS (
+    SELECT id, video_id, created_us,
+           CAST(length(coalesce(regexp_extract(content, '^(\^+)', 1), '')) AS BIGINT) AS n,
+           list(struct_pack(bid := id, bdel := deleted_us))
+               OVER (PARTITION BY video_id ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+    FROM comments
+)
+SELECT id,
+       CASE WHEN n >= 1 THEN
+           list_reverse(list_filter(prev,
+               p -> p.bdel IS NULL OR p.bdel >= created_us))[CAST(n AS INT)].bid
+       ELSE NULL END AS response_to
+FROM walked
+"""
+
+
+@register("op20_backref_threading", _OP20_ORACLE, "OP-20", "OP-26")
+def op20_backref_threading(spark, sf_dir):
+    """OP-20 (index.mjs:62-78): temporal-skip backref resolution on
+    events-as-comments (id=event_id, partition=user_id, synthesized caret
+    prefixes, 10% deletions including the deleted_at==created_at strict-``>``
+    edge). Pure window + higher-order functions — no Python in the loop.
+    Timestamps are walked as int64 micros so Spark and the oracle compare
+    identical scalars."""
+    e = _t(spark, sf_dir, "events")
+    comments = e.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("video_id"),
+        F.repeat(F.lit("^"), (F.col("event_id") % 4).cast("int")).alias("content"),
+        F.unix_micros("ts").alias("created_us"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.unix_micros("ts") + (F.col("event_id") % 3) * 3600000000,
+        ).alias("deleted_us"),
+    )
+    resolved = resolve_backrefs(
+        comments,
+        partition_col="video_id",
+        order_col="id",
+        content_col="content",
+        created_col="created_us",
+        deleted_col="deleted_us",
+        out_col="response_to",
+    )
+    return resolved.select("id", F.col("response_to").cast("long").alias("response_to"))
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions
+# --------------------------------------------------------------------------
+
+@register(
+    "op21_29_split_transform",
+    """SELECT p_partkey,
+              array_to_string(list_transform(string_split(p_type, ' '),
+                                             w -> upper(w)), '|') AS words_upper,
+              CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words
+       FROM part""",
+    "OP-21", "OP-28", "OP-29",
+)
+def op21_29_split_transform(spark, sf_dir):
+    """OP-21/28/29 (index.mjs:36-45): split by separator, per-element
+    transform (higher-order, JVM-side), rejoin."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.transform(words, lambda w: F.upper(w)), "|").alias("words_upper"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "op22_substring_truncate",
+    """SELECT p_partkey, substring(p_name, 1, 10) AS name_trunc FROM part""",
+    "OP-22",
+)
+def op22_substring_truncate(spark, sf_dir):
+    """OP-22 (index.mjs:51-52): varchar(30)-style truncation (here 10)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", F.substring("p_name", 1, 10).alias("name_trunc"))
+
+
+@register(
+    "op23_regex_extract",
+    """SELECT p_partkey,
+              coalesce(regexp_extract(p_type, '^([a-z]+)', 1), '') AS first_word
+       FROM part""",
+    "OP-23",
+)
+def op23_regex_extract(spark, sf_dir):
+    """OP-23 (index.mjs:62): regex group extraction."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.coalesce(F.regexp_extract("p_type", r"^([a-z]+)", 1), F.lit("")).alias(
+            "first_word"
+        ),
+    )
+
+
+@register(
+    "op24_json_parse",
+    """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+    "OP-24",
+)
+def op24_json_parse(spark, sf_dir):
+    """OP-24 (index.mjs:25): JSON text → typed value; malformed → NULL."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+    )
+
+
+@register(
+    "op26_ts_compare_filter",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_late
+       FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+       GROUP BY user_id""",
+    "OP-26",
+)
+def op26_ts_compare_filter(spark, sf_dir):
+    """OP-26 (index.mjs:71-72): native timestamp comparison, pushed to scan."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_late"))
+    )
+
+
+@register(
+    "op27_int_parse",
+    """SELECT event_id, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS round_trip
+       FROM events""",
+    "OP-27",
+)
+def op27_int_parse(spark, sf_dir):
+    """OP-27 (index.mjs:99,122): parseInt — string→long, NULL on garbage
+    (try_cast keeps ANSI mode non-throwing)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.col("event_id").cast("string").try_cast("long").alias("round_trip")
+    )
+
+
+@register(
+    "op28_explode_wordcount",
+    """SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+       FROM part, UNNEST(string_split(p_type, ' ')) AS t(w)
+       GROUP BY w""",
+    "OP-28",
+)
+def op28_explode_wordcount(spark, sf_dir):
+    """OP-28 (index.mjs:37 array flatten): explode + count — the canonical
+    flatten-then-aggregate; partial agg keeps the shuffle narrow."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "op30_concat",
+    """SELECT p_partkey, p_brand || '#' || p_type AS brand_type FROM part""",
+    "OP-30",
+)
+def op30_concat(spark, sf_dir):
+    """OP-30: string concatenation."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.concat_ws("#", "p_brand", "p_type").alias("brand_type")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

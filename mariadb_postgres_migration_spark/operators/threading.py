@@ -1,0 +1,137 @@
+"""OP-20: temporal-skip backref resolution (comment threading) — the
+reference's most intricate operator (/root/reference/src/index.mjs:62-78).
+
+Semantics (SURVEY.md §2.5): within each ``partition_col`` group ordered by
+``order_col``, a row whose ``content`` starts with N carets gets
+``response_to`` = id of the Nth preceding row that was *still alive when this
+row was created* — a predecessor is skipped iff its ``deleted_at`` is
+non-null AND strictly less than this row's ``created_at``
+(strict ``>`` on the referrer side, index.mjs:71-72: a predecessor deleted at
+exactly ``created_at`` is NOT skipped). If fewer than N alive predecessors
+exist in the partition, ``response_to`` stays NULL (the JS walk breaks at the
+partition edge, index.mjs:68).
+
+Two implementations:
+
+* :func:`resolve_backrefs` — pure built-ins: a window ``collect_list`` of
+  (id, deleted_at) structs over the preceding frame, then higher-order
+  ``filter``/``reverse``/``try_element_at``. No Python in the loop; whole
+  plan stays JVM-side. ``max_lookback`` bounds the frame: the window list is
+  O(frame) memory per row, so unbounded is O(p²) state on a p-row partition —
+  fine for real comment threads (p ~ thousands), pathological at 100 TB if a
+  single key owns millions of rows. With a bound L the cost is O(p·L) and the
+  semantics become "Nth alive predecessor among the last L" (exact whenever
+  N + #skipped ≤ L).
+
+* :func:`resolve_backrefs_grouped` — exact-unbounded semantics at O(p)
+  memory via ``applyInPandas``: one sequential pass per group, the direct
+  distributed analog of the reference's single-threaded walk. Use when
+  unbounded fidelity matters and per-key row counts exceed what the window
+  frame should hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import caret_count
+
+
+def resolve_backrefs(
+    df: DataFrame,
+    partition_col: str = "video_id",
+    order_col: str = "id",
+    content_col: str = "content",
+    created_col: str = "created_at",
+    deleted_col: str = "deleted_at",
+    out_col: str = "response_to",
+    max_lookback: int | None = None,
+) -> DataFrame:
+    """Window + higher-order-function formulation (no UDF)."""
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    frame = (
+        w.rowsBetween(Window.unboundedPreceding, -1)
+        if max_lookback is None
+        else w.rowsBetween(-max_lookback, -1)
+    )
+    prev = F.collect_list(
+        F.struct(F.col(order_col).alias("bid"), F.col(deleted_col).alias("bdel"))
+    ).over(frame)
+    n = caret_count(F.col(content_col))
+    # keep a predecessor unless deleted strictly before this row's creation
+    alive = F.filter(
+        prev, lambda p: p["bdel"].isNull() | (p["bdel"] >= F.col(created_col))
+    )
+    resolved = F.when(
+        n >= 1, F.try_element_at(F.reverse(alive), n.cast("int"))["bid"]
+    ).otherwise(F.lit(None).cast("long"))
+    return df.withColumn(out_col, resolved)
+
+
+def resolve_backrefs_grouped(
+    df: DataFrame,
+    partition_col: str = "video_id",
+    order_col: str = "id",
+    content_col: str = "content",
+    created_col: str = "created_at",
+    deleted_col: str = "deleted_at",
+    out_col: str = "response_to",
+) -> DataFrame:
+    """Exact-unbounded semantics via one Arrow-batched pass per group.
+
+    ``applyInPandas`` shuffles by ``partition_col`` then streams each group
+    through :func:`_walk_pandas` — O(group) memory, no quadratic window
+    state. The group is the unit of parallelism; a pathologically hot key is
+    the same bottleneck the reference's global sequential walk had, minus
+    every other key running concurrently.
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+
+    out_schema = df.schema.add(out_col, "long")
+    cols = list(df.columns)
+
+    def _walk_pandas(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf[out_col] = resolve_backrefs_py(
+            pdf[order_col].tolist(),
+            pdf[content_col].tolist(),
+            pdf[created_col].tolist(),
+            pdf[deleted_col].tolist(),
+        )
+        pdf[out_col] = pdf[out_col].astype("Int64")
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(partition_col).applyInPandas(_walk_pandas, schema=out_schema)
+
+
+def resolve_backrefs_py(ids, contents, createds, deleteds):
+    """Single-partition reference semantics in pure Python.
+
+    Independent re-implementation of the walk specified by SURVEY.md §2.5
+    (behavior of index.mjs:62-78), used by :func:`resolve_backrefs_grouped`
+    per group and by the property tests as the ground truth: for row i with
+    N leading carets, scan predecessors j = i-1, i-2, …; skip j if
+    deleted_at[j] is set and created_at[i] > deleted_at[j]; the Nth
+    non-skipped j supplies its id; running out of predecessors leaves None.
+    """
+    out = []
+    for i, content in enumerate(contents):
+        n = 0
+        if content:
+            while n < len(content) and content[n] == "^":
+                n += 1
+        if n == 0:
+            out.append(None)
+            continue
+        remaining, target = n, None
+        for j in range(i - 1, -1, -1):
+            dj = deleteds[j]
+            if dj is not None and createds[i] > dj:
+                continue  # deleted before row i existed: invisible to it
+            remaining -= 1
+            if remaining == 0:
+                target = ids[j]
+                break
+        out.append(target)
+    return out

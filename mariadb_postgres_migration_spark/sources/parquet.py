@@ -1,0 +1,82 @@
+"""Parquet source/sink (OP-01..04, OP-07 analogs on file storage).
+
+The reference's scans are full-table SELECTs materialized in heap
+(/root/reference/src/index.mjs:22,33,61,85 — its core anti-pattern). Here a
+"scan" is a lazy DataFrame over parquet: Catalyst prunes columns and pushes
+predicates into the scan (verify with ``df.explain`` → ``PushedFilters`` /
+``ReadSchema``), so a 2-column projection over 100 TB reads 2 columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import FIXTURE_SCHEMAS
+
+
+def _ensure_read_conf(spark: SparkSession) -> None:
+    """Runtime confs the fixture scans require, set defensively because the
+    driver harness owns its own session:
+
+    * ``nanosAsLong`` — events.parquet stores timestamp[ns], which Spark's
+      parquet reader otherwise rejects (PARQUET_TYPE_ILLEGAL); as long nanos
+      we convert losslessly ourselves.
+    * session timezone UTC — timestamp↔epoch conversions must agree with the
+      timezone-naive DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def read_parquet_table(
+    spark: SparkSession, sf_dir: str, name: str, *, pin_schema: bool = True
+) -> DataFrame:
+    """OP-01 full scan: lazy parquet scan with a pinned schema.
+
+    ``pin_schema`` guards against silent schema drift between scale factors;
+    the pinned StructType must be a (name, type)-compatible subset of the
+    footer schema or Spark errors at read. ``events.ts`` arrives as int64
+    nanoseconds and is normalized here to TimestampType (microsecond floor,
+    UTC) so downstream operators see a real timestamp column.
+    """
+    _ensure_read_conf(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.read
+    if pin_schema and name in FIXTURE_SCHEMAS:
+        reader = reader.schema(FIXTURE_SCHEMAS[name])
+    df = reader.parquet(path)
+    if name == "events":
+        # integer div keeps full precision (ns longs overflow double math)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_fixture_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    names = names or tuple(FIXTURE_SCHEMAS)
+    return {n: read_parquet_table(spark, sf_dir, n) for n in names}
+
+
+def write_clustered_parquet(
+    df: DataFrame, path: str, cluster_by: list[str], *, num_partitions: int | None = None
+) -> None:
+    """OP-07 physical clustering (reference ``CLUSTER t USING t_pkey``,
+    /root/reference/src/queries.mjs:17, index.mjs:128-132).
+
+    Postgres CLUSTER rewrites the table in index order; the Spark-native
+    analog is a range-partitioned, within-partition-sorted write: range
+    partitioning gives globally ordered files (file i < file j for i < j),
+    which at 100 TB enables min/max-statistics file skipping on the cluster
+    key — the same locality benefit CLUSTER buys Postgres.
+    """
+    cols = [df[c] for c in cluster_by]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
