@@ -1,0 +1,474 @@
+"""Oracle-paired LLM-data-pipeline queries (SURVEY.md §2.10, driver
+north-star): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (brute-force + IVF), text analysis
+(tokens / quality / lang-id / fingerprints / winnowing), multimodal column
+plumbing, and time-window aggregation in batch + Structured Streaming form.
+
+Oracle SQL here is largely GENERATED from the same constants the Spark
+operators use (seeds, band layout, stopword/marker lists, thresholds) so the
+two sides cannot drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_text
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textanalysis as T
+from .operators import windows as W
+from .operators.multimodal import attach_payload, decode_payloads
+from .registry import _t, register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror dedup.tokens_col / doc_shingles exactly)
+# ---------------------------------------------------------------------------
+
+NORM_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS_CTE = (
+    f"normtext AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),\n"
+    "toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM normtext)"
+)
+# word 3-grams, distinct per doc (k=3 ⇒ positions 1..len(w)-2)
+_DS_CTE = (
+    "ds AS (SELECT DISTINCT doc_id, sh FROM toks, "
+    "UNNEST(list_transform(range(1, len(w)-1), "
+    "i -> array_to_string(w[i:i+2], ' '))) AS u(sh))"
+)
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM {src} x JOIN {src} y USING (sh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2{cand_join})
+SELECT doc_a, doc_b, i / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {threshold}
+"""
+
+JACCARD_THRESHOLD = 0.5
+MAX_DOC_FREQ = 100
+COSINE_DUP_THRESHOLD = 0.4
+
+
+# ---------------------------------------------------------------------------
+# OP-31 normalize (the reference's Rust subprocess, as a pandas UDF)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op31_normalize_text",
+    f"SELECT doc_id, {NORM_SQL} AS normalized FROM documents",
+    "OP-31",
+)
+def op31_normalize_text(spark, sf_dir):
+    """OP-31 (normalize_tags.mjs:1-21): the external line-protocol subprocess
+    replaced by an Arrow-vectorized pandas UDF (NFKC + casefold + collapse).
+    On the ASCII fixture corpus this coincides with the SQL-expressible
+    lower/trim/collapse subset (SURVEY §7.5), making it oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_text(F.col("text")).alias("normalized"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-01/02 dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "x01_dedup_exact",
+    """SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY text""",
+    "EXT-01", "OP-05",
+)
+def x01_dedup_exact(spark, sf_dir):
+    """EXT-01: exact dedup, deterministic min-id representative."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), ["text"])
+
+
+@register(
+    "x02_dedup_ngram_jaccard",
+    "WITH "
+    + _TOKS_CTE
+    + ",\n"
+    + _DS_CTE
+    + ",\n"
+    + f"rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= {MAX_DOC_FREQ}),\n"
+    + "dsf AS (SELECT ds.doc_id, ds.sh FROM ds JOIN rare USING (sh)),"
+    + _JACCARD_TAIL.format(src="dsf", cand_join="", threshold=JACCARD_THRESHOLD),
+    "EXT-02",
+)
+def x02_dedup_ngram_jaccard(spark, sf_dir):
+    """EXT-02 exact tier: word-3-gram Jaccard ≥ 0.5 via inverted-index
+    self-join with a stop-shingle document-frequency cap (scale guard,
+    applied identically in the oracle)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=MAX_DOC_FREQ,
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5(sh || '#{i}')) AS mh{i}" for i in range(D.NUM_HASHES)
+    )
+    n_bands = D.NUM_HASHES // D.BAND_ROWS
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"mh{i}" for i in range(b * D.BAND_ROWS, (b + 1) * D.BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""WITH {_TOKS_CTE},
+{_DS_CTE},
+sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y USING (band_key)
+         WHERE x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM ds x JOIN ds y USING (sh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+interc AS (SELECT inter.* FROM inter JOIN cand USING (doc_a, doc_b))
+SELECT doc_a, doc_b, i / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM interc JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}"""
+
+
+@register("x03_dedup_minhash_lsh", _minhash_sql(), "EXT-02")
+def x03_dedup_minhash_lsh(spark, sf_dir):
+    """EXT-02 scale tier: banded MinHash-LSH candidates (md5-hex min
+    signatures — engine-portable, so the oracle computes byte-identical
+    bands) verified with exact Jaccard."""
+    return D.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for b in range(D.SIMHASH_BITS):
+        j, kbit = b // 4 + 1, b % 4
+        tok_bit = (
+            f"((((strpos('{D.HEX}', substr(md5(tok), {j}, 1)) - 1) // {2 ** kbit}) % 2) * 2 - 1)"
+        )
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(w2, tok -> {tok_bit})) > 0 "
+            f"THEN {2 ** b} ELSE 0 END)"
+        )
+    total = "\n         + ".join(terms)
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + ",\ntd AS (SELECT doc_id, list_distinct(w) AS w2 FROM toks)\n"
+        + f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM td"
+    )
+
+
+@register("x04_dedup_simhash", _simhash_sql(), "EXT-02")
+def x04_dedup_simhash(spark, sf_dir):
+    """EXT-02 signature tier: 16-bit SimHash from md5 nibbles; equal
+    signatures = near-dup candidates."""
+    return D.simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x05_dedup_embedding_cosine",
+    f"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= {COSINE_DUP_THRESHOLD}""",
+    "EXT-02", "EXT-03",
+)
+def x05_dedup_embedding_cosine(spark, sf_dir):
+    """EXT-02 embedding tier: cosine near-dup pairs (double-fold dot
+    product; rounded before thresholding on both sides)."""
+    return S.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-03 similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "x06_knn_bruteforce",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id % 50 = 0),
+       scored AS (SELECT q_id, e.vec_id AS n_id,
+                         round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])), 6) AS score
+                  FROM q, embeddings e WHERE e.vec_id <> q_id),
+       ranked AS (SELECT q_id, n_id, score,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY score DESC, n_id) AS rk
+                  FROM scored)
+       SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+       FROM ranked WHERE rk <= 5""",
+    "EXT-03",
+)
+def x06_knn_bruteforce(spark, sf_dir):
+    """EXT-03 baseline: exact cosine top-5 for probe vectors (vec_id%50=0).
+    Probe set broadcasts; corpus streams once; grouped top-k via
+    row_number."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@register("x07_knn_ivf", None, "EXT-03")
+def x07_knn_ivf(spark, sf_dir):
+    """EXT-03 scale tier: IVF — centroids = vec_id%25=0 sample, nprobe=2.
+    Approximate by design → no SQL oracle (rows-only here); recall vs the
+    brute-force ground truth is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        k=5,
+        nprobe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-05 text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "x08_token_stats",
+    "WITH "
+    + _TOKS_CTE
+    + r""",
+       sub AS (SELECT doc_id,
+                      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS n_sub,
+                      length(text) AS n_chars
+               FROM documents)
+       SELECT toks.doc_id,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              CAST(n_sub AS BIGINT) AS n_subtokens,
+              CAST(n_chars AS BIGINT) AS n_chars
+       FROM toks JOIN sub ON toks.doc_id = sub.doc_id""",
+    "EXT-05",
+)
+def x08_token_stats(spark, sf_dir):
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + f""",
+        m AS (SELECT toks.doc_id,
+                     CAST(len(w) AS DOUBLE) AS n_tok,
+                     CAST(len(list_filter(w, t -> list_contains([{stoplist}], t))) AS DOUBLE) AS n_stop,
+                     CAST(length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(length(d.text) AS DOUBLE) AS n_chars
+              FROM toks JOIN documents d ON toks.doc_id = d.doc_id),
+        r AS (SELECT doc_id,
+                     CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS mean_tok_len
+              FROM m)
+        SELECT doc_id, round(stop_ratio, 4) AS stop_ratio,
+               round(punct_ratio, 4) AS punct_ratio,
+               round(stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.4
+                     + least(mean_tok_len / 10.0, 1.0) * 0.2, 4) AS quality
+        FROM r"""
+    )
+
+
+@register("x09_quality_score", _quality_sql(), "EXT-05")
+def x09_quality_score(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    langs = list(T.LANG_MARKERS)
+    score_cols = ",\n                 ".join(
+        "CAST(len(list_filter(w, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        + f"], t))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} > s_{other}" for other in langs[:i]]
+        conds += [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + f""",
+        sc AS (SELECT doc_id,
+                 {score_cols}
+               FROM toks)
+        SELECT doc_id, {case} AS lang_pred FROM sc"""
+    )
+
+
+@register("x10_lang_id", _lang_id_sql(), "EXT-05")
+def x10_lang_id(spark, sf_dir):
+    """Heuristic marker-word language ID (argmax, first-lang tie-break)."""
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x11_fingerprint_md5",
+    f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
+    "EXT-05",
+)
+def x11_fingerprint_md5(spark, sf_dir):
+    return T.fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x12_winnow_fingerprints",
+    "WITH "
+    + _TOKS_CTE
+    + """,
+       grams AS (SELECT doc_id,
+                        list_transform(range(1, len(w) - 1),
+                                       i -> md5(array_to_string(w[i:i+2], ' '))) AS g
+                 FROM toks),
+       mins AS (SELECT doc_id,
+                       CASE WHEN len(g) >= 4
+                            THEN list_transform(range(1, len(g) - 2),
+                                                i -> list_aggregate(g[i:i+3], 'min'))
+                            ELSE g END AS m
+                FROM grams)
+       SELECT DISTINCT doc_id, fp FROM mins, UNNEST(list_distinct(m)) AS u(fp)""",
+    "EXT-05",
+)
+def x12_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (k=3-gram md5, window-4 min)."""
+    return T.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
+# ---------------------------------------------------------------------------
+# EXT-04 multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "x13_multimodal_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              'image/fake' AS mime,
+              md5(text) AS payload_md5
+       FROM documents""",
+    "EXT-04",
+)
+def x13_multimodal_meta(spark, sf_dir):
+    """EXT-04: binary payload column + typed metadata; metadata-only reads
+    prune the payload chunk entirely (verify via ReadSchema)."""
+    mm = attach_payload(_t(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "x14_multimodal_decode",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(CASE WHEN length(text) = 0 THEN 0
+                        ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
+              CAST(16 + (CASE WHEN length(text) = 0 THEN 0
+                              ELSE ascii(substr(text, 1, 1)) END) % 64 AS BIGINT) AS fake_width,
+              CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS fake_height,
+              'image/fake' AS mime
+       FROM documents""",
+    "EXT-04",
+)
+def x14_multimodal_decode(spark, sf_dir):
+    """EXT-04: Arrow-batched decode via mapInPandas (codec stubbed —
+    deterministic fake from payload bytes; see operators/multimodal.py)."""
+    return decode_payloads(attach_payload(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# EXT-06/07 window aggregation (batch form; streaming in streaming/jobs.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x15_window_tumbling",
+    """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1""",
+    "EXT-06",
+)
+def x15_window_tumbling(spark, sf_dir):
+    return W.tumbling_window_agg(_t(spark, sf_dir, "events"), width_s=600)
+
+
+@register(
+    "x16_window_sliding",
+    """SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM (
+           SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws, value FROM events
+           UNION ALL
+           SELECT (epoch_us(ts) // 300000000) * 300000000 - 300000000 AS ws, value
+           FROM events
+       ) GROUP BY ws""",
+    "EXT-06",
+)
+def x16_window_sliding(spark, sf_dir):
+    return W.sliding_window_agg(_t(spark, sf_dir, "events"), width_s=600, slide_s=300)
+
+
+@register(
+    "x17_window_session",
+    """WITH marked AS (
+           SELECT user_id, ts, epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+       sess AS (
+           SELECT user_id, us,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+           FROM marked)
+       SELECT user_id, session_id,
+              min(us) AS session_start_us, max(us) AS session_end_us,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM sess GROUP BY user_id, session_id""",
+    "EXT-07",
+)
+def x17_window_session(spark, sf_dir):
+    return W.session_window_agg(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+@register(
+    "x18_stream_tumbling",
+    """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1""",
+    "EXT-06", "EXT-08",
+)
+def x18_stream_tumbling(spark, sf_dir):
+    """EXT-06/08 via REAL Structured Streaming: readStream over the events
+    parquet, watermark + tumbling window agg, availableNow trigger, memory
+    sink — a full replay emits exactly the batch result, which is what the
+    oracle checks."""
+    from .streaming.jobs import run_tumbling_stream
+
+    return run_tumbling_stream(spark, sf_dir, width_s=600)

@@ -23,40 +23,14 @@ clustered write, OP-32 DAG) it is exercised in tests/ instead and noted here.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import caret_count
-from .operators.aggregates import group_concat_distinct, max_id
+from .operators.aggregates import max_id
 from .operators.threading import resolve_backrefs
-from .sources.parquet import read_parquet_table
-
-SEP = ",,,"  # reference tag_select_separator (config.json:15)
-PASSWORD_PLACEHOLDER = "not set yet"  # reference config.json:14
-
-
-@dataclass
-class QueryDef:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → rows-only check
-    ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids covered
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def register(name: str, oracle: str | None, *ops: str):
-    def deco(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet_table(spark, sf_dir, name)
+from .registry import PASSWORD_PLACEHOLDER, REGISTRY, SEP, _t, register
 
 
 # --------------------------------------------------------------------------
@@ -337,9 +311,17 @@ def op18_flagship_group_concat(spark, sf_dir):
         .join(p, l.l_partkey == p.p_partkey)
         .select("o_orderkey", "o_orderstatus", "p_brand")
     )
+    # one collect_set serves both outputs: a separate countDistinct would
+    # force a multi-aggregate expand plan (2× shuffle volume) for a value
+    # that equals size(set)
+    tags_set = F.array_sort(F.collect_set("p_brand"))
     return joined.groupBy("o_orderkey", "o_orderstatus").agg(
-        F.array_join(F.array_sort(F.collect_set("p_brand")), SEP).alias("tags"),
-        F.countDistinct("p_brand").cast("long").alias("n_tags"),
+        tags_set.alias("__set")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.array_join("__set", SEP).alias("tags"),
+        F.size("__set").cast("long").alias("n_tags"),
     )
 
 
@@ -550,9 +532,3 @@ def op30_concat(spark, sf_dir):
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

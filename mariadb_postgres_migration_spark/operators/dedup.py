@@ -1,0 +1,244 @@
+"""Deduplication operators (SURVEY.md §2.10 EXT-01/02; driver north-star
+"LLM-data-pipeline dedup").
+
+Scale design (100 TB corpus):
+
+* Exact dedup is a hash-groupBy on the content key — one shuffle; with
+  AQE skew handling a hot duplicate cluster splits at runtime.
+* N-gram Jaccard is exact pairwise similarity but only materializes pairs
+  that SHARE a shingle, via an inverted-index self-join. A document-
+  frequency cap on shingles (``max_doc_freq``) drops stop-shingles that
+  would otherwise contribute O(df²) candidate pairs — the standard
+  pair-explosion guard; the cap is part of the operator contract so the
+  oracle applies the identical cap.
+* MinHash/LSH replaces the all-shared-shingle join with a banded signature
+  join: candidates = documents agreeing on ALL rows of ≥1 band. Hashes are
+  md5-hex strings (lexicographic min) so signatures are engine-portable —
+  the DuckDB oracle computes byte-identical signatures, which Spark's own
+  seeded MinHashLSH cannot offer.
+* SimHash packs a 16-bit signature from per-token md5 nibbles; near-dups
+  collide on the exact signature.
+
+All hot paths are JVM built-ins (split/transform/explode/groupBy) — no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text_native
+
+HEX = "0123456789abcdef"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens of the natively-normalized text."""
+    return F.split(normalize_text_native(F.col(text_col)), " ")
+
+
+def shingles_expr(tokens: Column, k: int) -> Column:
+    """Distinct word k-grams. Guarded: Spark's ``sequence(1, n)`` DESCENDS
+    when n < 1, so short docs explicitly yield an empty array (DuckDB's
+    ``range`` is empty there — semantics must agree)."""
+    n = F.size(tokens) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(tokens, i, k), " ")
+    )
+    return F.when(n >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows, distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(tokens_col(text_col), k)).alias("sh"),
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """EXT-01: exact dedup — keep the min-id representative per key group.
+
+    Deterministic (unlike ``dropDuplicates``, which keeps an arbitrary row)
+    and therefore oracle-checkable; one shuffle on the key.
+    """
+    return docs.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_copies")
+    )
+
+
+def _pair_jaccard(ds: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
+    to a candidate pair set). ``ds`` is the (doc_id, sh) inverted index."""
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"])
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """EXT-02 (exact tier): near-duplicate pairs by word-k-gram Jaccard.
+
+    ``max_doc_freq`` is the stop-shingle cap (see module docstring); pairs
+    whose every shared shingle is dropped simply can't be emitted, which is
+    the documented approximation at scale.
+    """
+    ds = doc_shingles(docs, id_col, text_col, k)
+    if max_doc_freq is not None:
+        rare = (
+            ds.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        ds = ds.join(rare, "sh")
+    return _pair_jaccard(ds).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 12
+BAND_ROWS = 3  # 4 bands × 3 rows
+
+
+def minhash_signatures(ds: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min(md5(shingle ∥ '#i')) as a
+    hex string — lexicographic min is engine-portable (md5 is md5
+    everywhere), unlike seeded integer permutations."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Banded LSH: docs agreeing on every row of ≥1 band become candidates.
+    The band key is a concat of the band's minhash strings; a self-join per
+    band + distinct across bands. At scale each band join is a plain
+    shuffle join on a short string key."""
+    n_bands = num_hashes // band_rows
+    bands = None
+    for b in range(n_bands):
+        cols = [f"mh{i}" for i in range(b * band_rows, (b + 1) * band_rows)]
+        band = sig.select(
+            "doc_id", F.concat_ws("|", F.lit(str(b)), *cols).alias("band_key")
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    return (
+        a.join(b_, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXT-02 (scale tier): LSH candidates → exact Jaccard verification.
+
+    At 100 TB the all-shared-shingle join of :func:`ngram_jaccard_pairs` is
+    the bottleneck; this replaces it with O(bands) narrow joins and only
+    verifies the candidate set.
+    """
+    ds = doc_shingles(docs, id_col, text_col, k)
+    cand = lsh_candidate_pairs(minhash_signatures(ds))
+    return _pair_jaccard(ds, candidates=cand).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_signature(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
+    """16-bit SimHash over distinct tokens using md5 nibbles.
+
+    bit b of token t = (strpos(HEX, md5(t)[b/4]) - 1) >> (b%4) & 1, written
+    with ``div``/``%`` so DuckDB reproduces it exactly; signature bit b is 1
+    iff Σ_t (2·bit−1) > 0.
+    """
+    toks = F.array_distinct(tokens)
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        j, kbit = b // 4 + 1, b % 4
+        contrib = F.aggregate(
+            F.transform(
+                toks,
+                lambda t: (
+                    (
+                        (
+                            F.instr(F.lit(HEX), F.substring(F.md5(t), j, 1)) - 1
+                        ).cast("long")
+                        / F.lit(2**kbit)
+                    ).cast("long")
+                    % 2
+                )
+                * 2
+                - 1,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return total
+
+
+def simhash_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-02 (signature tier): (doc_id, simhash). Near-dups = equal
+    signatures (group on simhash); hamming-≤k variants pivot the signature
+    into band columns exactly like LSH."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_signature(tokens_col(text_col)).alias("simhash"),
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 EXT-03).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+against a full scan of the corpus; exact, oracle-checkable, and the recall
+ground truth. Scale path: IVF-style partitioning — assign every vector to
+its nearest centroid, search only ``nprobe`` nearest cells; turns a 100 TB
+full scan into a targeted read of ~nprobe/ncells of the corpus (with an
+explicit, measured recall trade-off — see tests/test_similarity.py).
+
+Numeric determinism: dot products fold left-to-right in DOUBLE via
+``zip_with`` + ``aggregate`` (Spark) so the DuckDB oracle (double-cast
+``list_cosine_similarity``) agrees to ~1e-14; scores are rounded before
+ranking and ties broken by id, making top-k reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product in double."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self excluded).
+
+    The query side is broadcast (it is small by construction — a batch of
+    probes); the corpus side streams, so the plan is a single pass over the
+    corpus regardless of its size, followed by a grouped top-k (window
+    row_number, one shuffle on query id).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), score_decimals).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """EXT-02 (embedding tier): all pairs with cosine ≥ threshold.
+
+    All-pairs is O(n²) — correct as an oracle-checkable baseline at test
+    scale; the 100 TB path is :func:`ivf_assign`-bucketed (compare only
+    within a cell and its ``nprobe`` neighbors) or LSH over random
+    hyperplanes (same banding machinery as dedup.lsh_candidate_pairs).
+    """
+    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — the scale path
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties → min
+    centroid id). Centroids broadcast; one pass over the corpus. Writing the
+    result partitioned by ``cell`` gives the partition-pruned read pattern
+    IVF exists for."""
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("v_id"), F.col(vec_col).alias("vec")
+    ).crossJoin(cent).select(
+        "v_id",
+        "vec",
+        "cell",
+        F.round(cosine(F.col("vec"), F.col("c_vec")), 6).alias("c_score"),
+    )
+    w = Window.partitionBy("v_id").orderBy(F.desc("c_score"), F.asc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("v_id", "vec", "cell")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: search only the ``nprobe`` cells nearest to each
+    query. Recall vs :func:`knn_bruteforce` is property-tested; the win is
+    that the candidate join touches ~nprobe/ncells of the corpus."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_cells_scored = q.crossJoin(cent).select(
+        "q_id",
+        "q_vec",
+        "cell",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("c_score"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_score"), F.asc("cell"))
+    probe = (
+        q_cells_scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+    cand = probe.join(assigned, "cell").filter(F.col("q_id") != F.col("v_id"))
+    scored = cand.select(
+        "q_id",
+        F.col("v_id").alias("n_id"),
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
+    )

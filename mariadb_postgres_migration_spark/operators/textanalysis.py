@@ -1,0 +1,145 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10
+EXT-05): token statistics, quality scoring, heuristic language ID, and
+document fingerprinting (exact md5 + winnowing). All JVM built-ins; every
+formula is written with engine-portable primitives (int ratios, fixed
+evaluation order) so the DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text_native
+from .dedup import tokens_col
+
+#: Stopword sample for quality scoring (fixed, shared with oracles).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: Marker words per language for heuristic language ID. Deterministic
+#: tie-break: first language in this order wins (chained >= comparisons).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword proxy
+    (runs of letters / digits / single punctuation), both pure regex."""
+    toks = tokens_col(text_col)
+    bpe_ish = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bpe_ish).cast("long").alias("n_subtokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality heuristics: stopword ratio, punctuation ratio, mean token
+    length, and a composite score. Ratios are int/int divisions (exact in
+    IEEE double for our magnitudes) evaluated in a fixed order; the
+    composite is rounded to 4dp for cross-engine hash stability."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", "")).cast(
+        "double"
+    )
+    n_chars = F.length(F.col(text_col)).cast("double")
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.4 + F.least(
+        mean_tok_len / 10.0, F.lit(1.0)
+    ) * 0.2
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))).cast("long")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens_col(text_col)
+    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-word hit counts per language, argmax
+    with chained >= (first language in LANG_MARKERS order wins ties);
+    'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    langs = list(scores)
+    pred = F.lit("und")
+    # build the chain backwards so earlier langs take precedence on ties
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0
+        for other in langs[:i]:  # must strictly beat every earlier language
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1 :]:  # and be >= every later one
+            cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+def fingerprint_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-content fingerprint: md5 of the normalized text — the engine's
+    portable stand-in for a rolling hash when the unit is the whole doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text_native(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): per position, hash the word
+    k-gram; keep the window-min hash of each sliding window; distinct mins
+    are the document's fingerprints. Expressed as posexplode + a sliding
+    min via higher-order slice — no Python, no window-function shuffle
+    (the array never leaves its row)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks) - (k - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_windows = F.size(grams) - (window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        ),
+    ).otherwise(grams)  # shorter than one window: every gram is a fingerprint
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(mins)).alias("fp")
+    )

@@ -1,0 +1,62 @@
+"""Central query registry: name → (Spark callable, DuckDB oracle SQL).
+
+Query modules (fixture_queries, analytics_queries, extension_queries)
+register into ``REGISTRY`` at import; ``__spark_entry__`` re-exports it as
+the driver contract. See fixture_queries docstring for the hash-stability
+rules every registered query must obey.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.parquet import read_parquet_table
+
+SEP = ",,,"  # reference tag_select_separator (config.json:15)
+PASSWORD_PLACEHOLDER = "not set yet"  # reference config.json:14
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids covered
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, *ops: str):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def load_all_query_modules() -> None:
+    """Import every query module for its registration side effects."""
+    from . import fixture_queries  # noqa: F401
+    from . import analytics_queries  # noqa: F401
+
+    try:
+        from . import extension_queries  # noqa: F401
+    except ImportError:  # extensions land incrementally
+        pass
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all_query_modules()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all_query_modules()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

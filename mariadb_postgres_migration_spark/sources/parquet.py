@@ -10,11 +10,44 @@ predicates into the scan (verify with ``df.explain`` → ``PushedFilters`` /
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import FIXTURE_SCHEMAS
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    The driver harness builds its own plain SparkSession and puts the repo
+    on the *driver's* sys.path only; cloudpickle serializes our pandas-UDF /
+    applyInPandas functions by reference to this package, so the workers
+    must be able to import it. A zip of the package shipped once per
+    SparkContext makes every UDF importable everywhere (works identically on
+    a real cluster — this is the standard deploy path for Python deps).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_mps_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mps_pkg_{os.path.basename(pkg_dir)}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._mps_pkg_shipped = True
 
 
 def _ensure_read_conf(spark: SparkSession) -> None:
@@ -29,6 +62,7 @@ def _ensure_read_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_package_on_workers(spark)
 
 
 def read_parquet_table(

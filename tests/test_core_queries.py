@@ -3,8 +3,10 @@ driver's CORRECTNESS gate, at sf0.001 for speed; the driver runs sf0.01)."""
 
 import pytest
 
-from mariadb_postgres_migration_spark.fixture_queries import REGISTRY
+from mariadb_postgres_migration_spark.registry import REGISTRY, load_all_query_modules
 from tests.oracle import compare, duck_connection
+
+load_all_query_modules()
 
 
 @pytest.fixture(scope="module")
