@@ -33,9 +33,39 @@ from ..functions.text import normalize_text_native
 HEX = "0123456789abcdef"
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition a tiny scan up to the session's core count before heavy
+    per-row compute (shingling/hashing). A small parquet fixture is one row
+    group → ONE task, serializing everything downstream. At 100 TB scans
+    arrive as thousands of splits and this is a no-op; it only fires when
+    the input has fewer partitions than cores, i.e. when the shuffle it adds
+    is trivially small. Scoped to compute-heavy operators on purpose — a
+    blanket floor in the reader measurably hurt join-heavy queries (extra
+    round-robin shuffle on every input defeats broadcast planning)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text_col: str = "text") -> Column:
     """Whitespace tokens of the natively-normalized text."""
     return F.split(normalize_text_native(F.col(text_col)), " ")
+
+
+def materialize(df: DataFrame, expr: Column, name: str) -> DataFrame:
+    """Evaluation barrier: bind ``expr`` to a column attribute.
+
+    A lambda body in a higher-order function re-evaluates any outer
+    expression tree it references once PER ARRAY ELEMENT (e.g.
+    ``transform(sequence(1, n), i -> slice(toks, i, k))`` recomputes the
+    whole normalize+split behind ``toks`` n times per row — O(n²) work), and
+    Catalyst's CollapseProject re-inlines a plain projection, so a separate
+    ``select`` is not a fix. Wrapping the expression in a one-element
+    ``explode(array(...))`` puts a Generate node between producer and
+    consumer: the expression is evaluated exactly once per row and consumers
+    read a bound attribute. Row-local — no shuffle, scale-free."""
+    return df.withColumn(name, F.explode(F.array(expr)))
 
 
 def shingles_expr(tokens: Column, k: int) -> Column:
@@ -55,9 +85,35 @@ def doc_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """(doc_id, shingle) inverted-index rows, distinct per doc."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(tokens_col(text_col), k)).alias("sh"),
+    toked = materialize(
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("doc_id"), text_col),
+        tokens_col(text_col),
+        "__toks",
+    )
+    return toked.select(
+        "doc_id", F.explode(shingles_expr(F.col("__toks"), k)).alias("sh")
+    )
+
+
+def _pair_combinations(ids: Column) -> Column:
+    """All i<j element pairs of a sorted id array, as (doc_a, doc_b) structs —
+    the posting-list pair generator. Guarded: ``sequence`` DESCENDS when
+    end < start, so singleton lists must yield an empty array explicitly."""
+    n = F.size(ids)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("doc_a"),
+                    F.element_at(ids, j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<doc_a:long,doc_b:long>>")
     )
 
 
@@ -74,20 +130,38 @@ def exact_dedup(
     )
 
 
-def _pair_jaccard(ds: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    ds: DataFrame,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Exact Jaccard for doc pairs sharing ≥1 shingle (optionally restricted
-    to a candidate pair set). ``ds`` is the (doc_id, sh) inverted index."""
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    to a candidate pair set). ``ds`` is the (doc_id, sh) inverted index.
+
+    Posting-list formulation: ONE groupBy(sh) builds each shingle's sorted
+    doc list; candidate pairs come from in-row array combinations, so the
+    expensive shingling subtree is evaluated once instead of appearing under
+    both sides of a self-join plus two size joins (a naive a⋈b-on-sh plan
+    re-evaluates it ~8×). ``max_doc_freq`` caps posting-list length (the
+    stop-shingle guard — drops O(df²) pair explosions); per-doc sizes are
+    derived from the SAME capped posting lists so the Jaccard denominator
+    matches the oracle's post-cap index exactly."""
+    grouped = ds.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
         inter = inter.join(candidates, ["doc_a", "doc_b"])
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -119,15 +193,9 @@ def ngram_jaccard_pairs(
     the documented approximation at scale.
     """
     ds = doc_shingles(docs, id_col, text_col, k)
-    if max_doc_freq is not None:
-        rare = (
-            ds.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        ds = ds.join(rare, "sh")
-    return _pair_jaccard(ds).filter(F.col("jaccard") >= threshold)
+    return _pair_jaccard(ds, max_doc_freq=max_doc_freq).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -153,23 +221,28 @@ def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:
     """Banded LSH: docs agreeing on every row of ≥1 band become candidates.
-    The band key is a concat of the band's minhash strings; a self-join per
-    band + distinct across bands. At scale each band join is a plain
-    shuffle join on a short string key."""
+    The band key is a concat of the band's minhash strings. Bands are
+    emitted by ONE in-row array explode (a per-band union would re-evaluate
+    the whole signature subtree n_bands times), and the per-band self-join
+    is the posting-list pair generator — one groupBy(band_key) instead of a
+    self-join that recomputes signatures under both sides."""
     n_bands = num_hashes // band_rows
-    bands = None
-    for b in range(n_bands):
-        cols = [f"mh{i}" for i in range(b * band_rows, (b + 1) * band_rows)]
-        band = sig.select(
-            "doc_id", F.concat_ws("|", F.lit(str(b)), *cols).alias("band_key")
-        )
-        bands = band if bands is None else bands.unionByName(band)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
-    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{i}") for i in range(b * band_rows, (b + 1) * band_rows)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
     return (
-        a.join(b_, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -238,7 +311,11 @@ def simhash_docs(
     """EXT-02 (signature tier): (doc_id, simhash). Near-dups = equal
     signatures (group on simhash); hamming-≤k variants pivot the signature
     into band columns exactly like LSH."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_signature(tokens_col(text_col)).alias("simhash"),
+    toked = materialize(
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("doc_id"), text_col),
+        tokens_col(text_col),
+        "__toks",
+    )
+    return toked.select(
+        "doc_id", simhash_signature(F.col("__toks")).alias("simhash")
     )

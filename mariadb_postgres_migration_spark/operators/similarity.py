@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import ensure_min_parallelism
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -62,7 +64,9 @@ def knn_bruteforce(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("q_id") != F.col("n_id"))
@@ -95,6 +99,7 @@ def embedding_near_dup_pairs(
     within a cell and its ``nprobe`` neighbors) or LSH over random
     hyperplanes (same banding machinery as dedup.lsh_candidate_pairs).
     """
+    corpus = ensure_min_parallelism(corpus)
     a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
@@ -126,7 +131,7 @@ def ivf_assign(
     cent = F.broadcast(
         centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
     )
-    scored = corpus.select(
+    scored = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("v_id"), F.col(vec_col).alias("vec")
     ).crossJoin(cent).select(
         "v_id",

@@ -11,7 +11,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text_native
-from .dedup import tokens_col
+from .dedup import ensure_min_parallelism, materialize, tokens_col
+
+
+def _with_tokens(
+    docs: DataFrame, id_col: str, text_col: str, extra: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, __toks[, text]) with tokenization evaluated once per row —
+    see dedup.materialize for why a barrier is required before any
+    higher-order function over the token array."""
+    cols = [F.col(id_col).alias("doc_id")] + [F.col(c) for c in (extra or [text_col])]
+    return materialize(
+        ensure_min_parallelism(docs).select(*cols), tokens_col(text_col), "__toks"
+    )
 
 #: Stopword sample for quality scoring (fixed, shared with oracles).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -29,12 +41,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword proxy
     (runs of letters / digits / single punctuation), both pure regex."""
-    toks = tokens_col(text_col)
+    docs = _with_tokens(docs, id_col, text_col)
+    toks = F.col("__toks")
     bpe_ish = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
     )
     return docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(bpe_ish).cast("long").alias("n_subtokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
@@ -46,7 +59,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     length, and a composite score. Ratios are int/int divisions (exact in
     IEEE double for our magnitudes) evaluated in a fixed order; the
     composite is rounded to 4dp for cross-engine hash stability."""
-    toks = tokens_col(text_col)
+    docs = _with_tokens(docs, id_col, text_col)
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("double")
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
@@ -64,7 +78,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         mean_tok_len / 10.0, F.lit(1.0)
     ) * 0.2
     return docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col("doc_id"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(score, 4).alias("quality"),
@@ -76,8 +90,7 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))).cast("long")
 
 
-def lang_scores(text_col: str = "text") -> dict[str, Column]:
-    toks = tokens_col(text_col)
+def lang_scores(toks: Column) -> dict[str, Column]:
     return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
 
 
@@ -85,7 +98,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """Heuristic language ID: marker-word hit counts per language, argmax
     with chained >= (first language in LANG_MARKERS order wins ties);
     'und' when nothing matches."""
-    scores = lang_scores(text_col)
+    docs = _with_tokens(docs, id_col, text_col)
+    scores = lang_scores(F.col("__toks"))
     langs = list(scores)
     pred = F.lit("und")
     # build the chain backwards so earlier langs take precedence on ties
@@ -97,7 +111,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         for other in langs[i + 1 :]:  # and be >= every later one
             cond = cond & (scores[lang] >= scores[other])
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+    return docs.select(F.col("doc_id"), pred.alias("lang_pred"))
 
 
 def fingerprint_md5(
@@ -120,18 +134,22 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD'03): per position, hash the word
     k-gram; keep the window-min hash of each sliding window; distinct mins
-    are the document's fingerprints. Expressed as posexplode + a sliding
-    min via higher-order slice — no Python, no window-function shuffle
-    (the array never leaves its row)."""
-    toks = tokens_col(text_col)
+    are the document's fingerprints. Both the token and gram arrays sit
+    behind materialize barriers (see dedup.materialize) so the pipeline is
+    linear per row — no Python, no window-function shuffle (the array never
+    leaves its row)."""
+    toked = _with_tokens(docs, id_col, text_col)
+    toks = F.col("__toks")
     n = F.size(toks) - (k - 1)
-    grams = F.when(
+    grams_expr = F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    grammed = materialize(toked.select("doc_id", grams_expr.alias("__g0")), F.col("__g0"), "__grams").drop("__g0")
+    grams = F.col("__grams")
     n_windows = F.size(grams) - (window - 1)
     mins = F.when(
         n_windows >= 1,
@@ -140,6 +158,6 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(grams, i, window)),
         ),
     ).otherwise(grams)  # shorter than one window: every gram is a fingerprint
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(mins)).alias("fp")
+    return grammed.select(
+        F.col("doc_id"), F.explode(F.array_distinct(mins)).alias("fp")
     )
