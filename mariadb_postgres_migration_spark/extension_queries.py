@@ -472,3 +472,53 @@ def x18_stream_tumbling(spark, sf_dir):
     from .streaming.jobs import run_tumbling_stream
 
     return run_tumbling_stream(spark, sf_dir, width_s=600)
+
+
+@register(
+    "x19_stream_session",
+    """WITH marked AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events),
+       sess AS (
+           SELECT user_id, us,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_id
+           FROM marked)
+       SELECT user_id, min(us) AS session_start_us,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM sess GROUP BY user_id, session_id""",
+    "EXT-07", "EXT-08",
+)
+def x19_stream_session(spark, sf_dir):
+    """EXT-07 via REAL Structured Streaming: native ``session_window`` with
+    a watermark, availableNow replay, memory sink. Note the gap boundary:
+    ``session_window`` windows are end-EXCLUSIVE ([start, last+gap)), so an
+    event at exactly ``gap`` after its predecessor starts a NEW session —
+    the oracle's break condition is ``>=`` where the batch lag-based
+    formulation (x17) uses ``>``."""
+    from .streaming.jobs import run_session_window_stream
+
+    return run_session_window_stream(spark, sf_dir, gap_s=1800)
+
+
+@register(
+    "x20_stream_dedup",
+    """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_unique_types
+       FROM events GROUP BY user_id""",
+    "EXT-09",
+)
+def x20_stream_dedup(spark, sf_dir):
+    """EXT-09: stateful streaming dedup via ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type). The bounded replay lands in one micro-batch
+    (single file source), where the dedup state sees every row, so the
+    retained set equals batch-distinct — the oracle-checkable invariant.
+    (Across micro-batches the operator only guarantees dedup within the
+    watermark horizon — that weaker contract is the point of the operator:
+    bounded state on an unbounded stream.)"""
+    from .streaming.jobs import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)

@@ -81,10 +81,12 @@ def repair_timestamp(col: Column, default: Column | None = None) -> Column:
     DEFAULT, a valid one is kept.
 
     Spark has no "column default" value (SURVEY.md §7.2); ``default`` is the
-    engine-side stand-in (NULL unless given). ``try_to_timestamp`` returns
-    NULL on malformed input instead of raising under ANSI mode.
+    engine-side stand-in (NULL unless given). ``try_cast`` returns NULL on
+    malformed input instead of raising under ANSI mode, and is identity when
+    the column is already TimestampType — the repair composes with sources
+    that deliver either strings or real timestamps.
     """
-    parsed = F.try_to_timestamp(col)
+    parsed = col.try_cast("timestamp")
     if default is None:
         return parsed
     return F.when(col.isNull(), F.lit(None).cast("timestamp")).otherwise(

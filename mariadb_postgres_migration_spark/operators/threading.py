@@ -88,7 +88,12 @@ def resolve_backrefs_grouped(
     """
     import pandas as pd  # local import: executors need it, driver may not
 
-    out_schema = df.schema.add(out_col, "long")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # build a FRESH StructType: df.schema returns the DataFrame's cached
+    # schema object and StructType.add mutates in place — appending to it
+    # would corrupt df's own schema and break resolution downstream
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
     cols = list(df.columns)
 
     def _walk_pandas(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -1,0 +1,120 @@
+"""Property-based OP-20 test (SURVEY §5.5): the window+HOF formulation and
+the applyInPandas formulation must both match the pure-Python transcription
+of the reference walk (index.mjs:64-78) on randomized comment threads,
+including deletion interleavings and the strict-> tie case.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mariadb_postgres_migration_spark.operators.threading import (
+    resolve_backrefs,
+    resolve_backrefs_grouped,
+    resolve_backrefs_py,
+)
+
+BASE = datetime(2020, 1, 1)
+
+
+@st.composite
+def threads(draw):
+    """A small multi-video comment set with adversarial timing: created_at
+    ticks with id; deleted_at drawn to land before/at/after later rows'
+    creation times (the exact-tie case occurs with real probability because
+    offsets share the same minute grid)."""
+    n = draw(st.integers(min_value=1, max_value=24))
+    rows = []
+    for i in range(1, n + 1):
+        video = draw(st.integers(min_value=1, max_value=3))
+        carets = draw(
+            st.one_of(st.just(0), st.just(0), st.integers(min_value=1, max_value=6))
+        )
+        content = "^" * carets + ("x" if draw(st.booleans()) else "")
+        created = BASE + timedelta(minutes=i)
+        if draw(st.booleans()) and draw(st.booleans()):  # ~25% deleted
+            del_min = draw(st.integers(min_value=0, max_value=n + 2))
+            deleted = BASE + timedelta(minutes=del_min)
+        else:
+            deleted = None
+        rows.append((i, video, content, created, deleted))
+    return rows
+
+
+def _expected(rows):
+    out = {}
+    by_video: dict[int, list] = {}
+    for r in sorted(rows):
+        by_video.setdefault(r[1], []).append(r)
+    for video, group in by_video.items():
+        resp = resolve_backrefs_py(
+            [r[0] for r in group],
+            [r[2] for r in group],
+            [r[3] for r in group],
+            [r[4] for r in group],
+        )
+        for r, v in zip(group, resp):
+            out[r[0]] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def make_df(spark):
+    def _make(rows):
+        return spark.createDataFrame(
+            rows, "id long, video_id long, content string, created_at timestamp, deleted_at timestamp"
+        )
+
+    return _make
+
+
+@given(rows=threads())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hof_matches_reference_walk(make_df, rows):
+    df = make_df(rows)
+    got = {
+        r["id"]: r["response_to"]
+        for r in resolve_backrefs(df, order_col="id").collect()
+    }
+    assert got == _expected(rows)
+
+
+def test_grouped_matches_hof_on_fixture(spark, make_df):
+    """The applyInPandas tier agrees with the HOF tier on a dense example
+    (one spark job instead of per-example: the Python walk is already the
+    property-tested ground truth above)."""
+    rows = []
+    i = 1
+    for video in (1, 2):
+        for j in range(40):
+            content = "^" * (j % 5) + "t"
+            created = BASE + timedelta(minutes=i)
+            deleted = BASE + timedelta(minutes=i + (j % 7)) if j % 3 == 0 else None
+            rows.append((i, video, content, created, deleted))
+            i += 1
+    df = make_df(rows)
+    hof = {r["id"]: r["response_to"] for r in resolve_backrefs(df).collect()}
+    grouped = {
+        r["id"]: r["response_to"] for r in resolve_backrefs_grouped(df).collect()
+    }
+    assert hof == grouped == _expected(rows)
+
+
+def test_bounded_lookback_exact_when_deep_enough(spark, make_df):
+    """max_lookback=L matches unbounded whenever N + #skipped ≤ L."""
+    rows = [(i, 1, "^" * min(i - 1, 3) + "c", BASE + timedelta(minutes=i), None) for i in range(1, 30)]
+    df = make_df(rows)
+    unbounded = {r["id"]: r["response_to"] for r in resolve_backrefs(df).collect()}
+    bounded = {
+        r["id"]: r["response_to"]
+        for r in resolve_backrefs(df, max_lookback=10).collect()
+    }
+    assert unbounded == bounded
