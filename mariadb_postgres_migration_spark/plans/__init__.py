@@ -1,0 +1,8 @@
+from .inspect import (  # noqa: F401
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    pushed_filters,
+    python_eval_count,
+    read_schema_columns,
+)

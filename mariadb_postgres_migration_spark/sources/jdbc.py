@@ -1,0 +1,185 @@
+"""JDBC source/sink (OP-01..06): the production path of the engine.
+
+The reference reads MariaDB over a unix socket and writes PostgreSQL through
+one giant multi-row INSERT per table (/root/reference/src/index.mjs:22-27 —
+both full-table materializations). Here both ends are Spark JDBC relations:
+
+* reads are PARTITIONED (``partitionColumn``/``numPartitions``) so a 100 TB
+  table arrives as parallel range scans instead of one cursor, with
+  predicate/projection pushdown into the source engine;
+* writes are batched appends (``batchsize``) from every executor
+  concurrently — the reference's single-statement write is its scaling
+  ceiling, this is the fix;
+* upsert (OP-05 ``ON CONFLICT DO NOTHING``, index.mjs:55) has no native
+  Spark JDBC mode; :func:`write_jdbc_upsert` implements the documented
+  portable strategy (anti-join against current sink keys, then append).
+  True conflict-race safety needs a sink-side staging table + MERGE, noted
+  in the docstring — at migration scale the anti-join form is exact because
+  the pipeline is the only writer.
+
+No JDBC engine exists in the test environment; everything here is exercised
+through option-plumbing unit tests (tests/test_jdbc.py) and documented
+against the fixture-parquet equivalents the oracle checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class JdbcSource:
+    """Connection + scan-shape options for one JDBC table read.
+
+    ``zero_date_to_null`` appends MySQL's ``zeroDateTimeBehavior`` so
+    ``0000-00-00`` arrives as NULL instead of failing the read — the JDBC
+    layer's half of OP-14 (SURVEY §1.3); the repair expression owns the
+    string-typed cases.
+    """
+
+    url: str
+    table: str
+    user: str = ""
+    password: str = ""
+    driver: str | None = None
+    partition_column: str | None = None
+    num_partitions: int = 32
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    fetch_size: int = 10_000
+    zero_date_to_null: bool = True
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        url = self.url
+        if self.zero_date_to_null and url.startswith("jdbc:mysql"):
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}zeroDateTimeBehavior=convertToNull"
+        opts = {
+            "url": url,
+            "dbtable": self.table,
+            "user": self.user,
+            "password": self.password,
+            "fetchsize": str(self.fetch_size),
+            # let the source engine evaluate pushed filters (default, but
+            # explicit: this is the scan-reduction contract)
+            "pushDownPredicate": "true",
+        }
+        if self.driver:
+            opts["driver"] = self.driver
+        if self.partition_column:
+            opts["partitionColumn"] = self.partition_column
+            opts["numPartitions"] = str(self.num_partitions)
+            if self.lower_bound is not None:
+                opts["lowerBound"] = str(self.lower_bound)
+            if self.upper_bound is not None:
+                opts["upperBound"] = str(self.upper_bound)
+        opts.update(self.extra)
+        return opts
+
+
+def read_jdbc_table(spark: SparkSession, src: JdbcSource) -> DataFrame:
+    """OP-01/02/03: a lazy partitioned JDBC scan. Column pruning and filter
+    pushdown reach the remote engine via Catalyst (SURVEY §4); sorted scans
+    need no ORDER BY here — window specs carry ordering (OP-03)."""
+    return spark.read.format("jdbc").options(**src.options()).load()
+
+
+def autorange_bounds(
+    spark: SparkSession, src: JdbcSource, id_col: str = "id"
+) -> JdbcSource:
+    """Fill lower/upper partition bounds with one min/max probe query —
+    the idiomatic way to range-partition a JDBC read when bounds are not
+    known ahead of time. One tiny single-row query, never a full scan."""
+    from dataclasses import replace
+
+    probe = replace(src, partition_column=None)
+    bounds_sql = f"(SELECT MIN({id_col}) AS lo, MAX({id_col}) AS hi FROM {src.table}) b"
+    probe = replace(probe, table=bounds_sql)
+    row = read_jdbc_table(spark, probe).collect()[0]
+    return replace(
+        src,
+        partition_column=id_col,
+        lower_bound=int(row["lo"] or 0),
+        upper_bound=int(row["hi"] or 1),
+    )
+
+
+@dataclass(frozen=True)
+class JdbcSink:
+    url: str
+    table: str
+    user: str = ""
+    password: str = ""
+    driver: str | None = None
+    batch_size: int = 10_000
+    isolation_level: str = "READ_COMMITTED"
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        opts = {
+            "url": self.url,
+            "dbtable": self.table,
+            "user": self.user,
+            "password": self.password,
+            "batchsize": str(self.batch_size),
+            "isolationLevel": self.isolation_level,
+        }
+        if self.driver:
+            opts["driver"] = self.driver
+        opts.update(self.extra)
+        return opts
+
+
+def write_jdbc_append(df: DataFrame, sink: JdbcSink) -> None:
+    """OP-04: batched executor-parallel INSERTs (vs the reference's one
+    unbounded statement, index.mjs:27). FK phase ordering (OP-32) is the
+    caller's concern, exactly as in the reference."""
+    df.write.format("jdbc").options(**sink.options()).mode("append").save()
+
+
+def write_jdbc_upsert(
+    df: DataFrame, sink: JdbcSink, keys: list[str], spark: SparkSession
+) -> None:
+    """OP-05 ``ON CONFLICT DO NOTHING``: dedup within the batch, then
+    anti-join against the sink's CURRENT keys, then plain append.
+
+    Exact when this pipeline is the sink's only writer (the migration
+    scenario). Under concurrent writers the race window needs sink-side
+    enforcement — staging table + ``INSERT … ON CONFLICT`` / MERGE executed
+    by the DBA hook, same place the reference ran its ALTER SEQUENCE."""
+    deduped = df.dropDuplicates(keys)
+    existing = (
+        spark.read.format("jdbc")
+        .options(**{**sink.options(), "dbtable": sink.table})
+        .load()
+        .select(*keys)
+    )
+    fresh = deduped.join(existing, on=keys, how="left_anti")
+    write_jdbc_append(fresh, sink)
+
+
+def sequence_restart_sql(table: str, next_value: int, id_col: str = "id") -> str:
+    """OP-06: the post-load sequence fixup statement the reference executes
+    (queries.mjs:16). The engine computes ``next_value`` (pipeline.
+    sequence_restarts) and hands the DDL to the sink-side hook — Spark has
+    no sequences to restart."""
+    return f"ALTER SEQUENCE {table}_{id_col}_seq RESTART WITH {next_value}"
+
+
+def cluster_sql(table: str) -> str:
+    """OP-07 (JDBC side): Postgres CLUSTER DDL (queries.mjs:17). The
+    lakehouse analog is sources.parquet.write_clustered_parquet."""
+    return f"CLUSTER {table} USING {table}_pkey"
+
+
+def with_write_order(df: DataFrame, cluster_by: list[str]) -> DataFrame:
+    """OP-07 for JDBC sinks: range-repartition + in-partition sort so rows
+    ARRIVE in cluster order — insertion order is physical order for a fresh
+    table, making the sink-side CLUSTER a no-op (or unnecessary)."""
+    return df.repartitionByRange(*[F.col(c) for c in cluster_by]).sortWithinPartitions(
+        *cluster_by
+    )

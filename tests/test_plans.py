@@ -1,0 +1,87 @@
+"""Plan-quality contract tests (SURVEY §4): pushdown, pruning, broadcast,
+and JVM-only hot paths, pinned per headline query. A failure here means the
+plan regressed even if results are still correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from mariadb_postgres_migration_spark.plans import (
+    broadcast_join_count,
+    pushed_filters,
+    python_eval_count,
+    read_schema_columns,
+)
+from mariadb_postgres_migration_spark.registry import REGISTRY, load_all_query_modules
+
+load_all_query_modules()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def _run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return _run
+
+
+def test_projected_scan_prunes_columns(q):
+    """OP-02: a two-column projection must read two columns, not the table."""
+    cols = read_schema_columns(q("op02_projected_scan"))
+    assert cols and len(cols) <= 3, f"scan reads {cols} — projection not pruned"
+
+
+def test_filter_pushdown_reaches_scan(q):
+    """OP-10: the equality filter must appear in PushedFilters."""
+    filters = " ".join(pushed_filters(q("op10_equality_filter")))
+    assert filters, "no filters reached the parquet scan"
+
+
+def test_q6_filters_pushed_and_pruned(q):
+    """q6 is a pure scan-side query: filters at the scan, ≤4 columns read."""
+    df = q("q6_forecast_revenue")
+    assert pushed_filters(df), "q6 predicates did not push down"
+    assert len(read_schema_columns(df)) <= 4
+
+
+def test_broadcast_join_small_dims(q):
+    """OP-16 and q5's region/nation dims must broadcast, not shuffle."""
+    assert broadcast_join_count(q("op16_broadcast_lookup_join")) >= 1
+    assert broadcast_join_count(q("q5_local_supplier_volume")) >= 2
+
+
+def test_threading_is_jvm_only(q):
+    """OP-20's HOF formulation must contain NO Python operator."""
+    assert python_eval_count(q("op20_backref_threading")) == 0
+
+
+def test_dedup_paths_are_jvm_only(q):
+    """EXT-01/02 hot paths: shingling/minhash/jaccard all JVM-side."""
+    for name in (
+        "x01_dedup_exact",
+        "x02_dedup_ngram_jaccard",
+        "x03_dedup_minhash_lsh",
+        "x04_dedup_simhash",
+    ):
+        assert python_eval_count(q(name)) == 0, f"{name} fell off the JVM path"
+
+
+def test_knn_jvm_only_and_query_side_broadcast(q):
+    """The probe batch broadcasts; the corpus streams through a single
+    pass (BroadcastNestedLoopJoin — the right shape for a cross join with
+    a tiny side)."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("x06_knn_bruteforce")
+    assert python_eval_count(df) == 0
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def test_udf_tier_is_arrow_not_row(q):
+    """OP-31 normalize is the sanctioned Python tier — it must be the
+    Arrow-vectorized form, never row-at-a-time BatchEvalPython."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("op31_normalize_text"))
+    assert "ArrowEvalPython" in text
+    assert "BatchEvalPython" not in text
