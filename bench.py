@@ -24,13 +24,18 @@ HEADLINE = [
     "op18_flagship_group_concat",
     "op20_backref_threading",
     "op15_three_way_join",
+    "op31_normalize_text",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "w1_topk_per_group",
     "x02_dedup_ngram_jaccard",
+    "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash",
     "x06_knn_bruteforce",
+    "x09_quality_score",
+    "x12_winnow_fingerprints",
     "x15_window_tumbling",
 ]
 

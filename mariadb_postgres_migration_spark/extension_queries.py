@@ -223,11 +223,54 @@ def x06_knn_bruteforce(spark, sf_dir):
     return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
-@register("x07_knn_ivf", None, "EXT-03")
+@register(
+    "x07_knn_ivf",
+    """WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+                    WHERE vec_id % 25 = 0),
+       assigned AS (
+           SELECT v_id, vec, cell FROM (
+               SELECT e.vec_id AS v_id, e.embedding AS vec, c.cell,
+                      row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(c.cv AS DOUBLE[])), 6) DESC, c.cell) AS rk
+               FROM embeddings e, cent c)
+           WHERE rk = 1),
+       q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+             WHERE vec_id % 50 = 0),
+       probe AS (
+           SELECT q_id, qv, cell FROM (
+               SELECT q.q_id, q.qv, c.cell,
+                      row_number() OVER (
+                          PARTITION BY q.q_id
+                          ORDER BY round(list_cosine_similarity(
+                              CAST(q.qv AS DOUBLE[]),
+                              CAST(c.cv AS DOUBLE[])), 6) DESC, c.cell) AS rk
+               FROM q, cent c)
+           WHERE rk <= 2),
+       scored AS (
+           SELECT p.q_id, a.v_id AS n_id,
+                  round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                               CAST(a.vec AS DOUBLE[])), 6) AS score
+           FROM probe p JOIN assigned a USING (cell)
+           WHERE p.q_id <> a.v_id),
+       ranked AS (
+           SELECT q_id, n_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, n_id) AS rk
+           FROM scored)
+       SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+       FROM ranked WHERE rk <= 5""",
+    "EXT-03",
+)
 def x07_knn_ivf(spark, sf_dir):
     """EXT-03 scale tier: IVF — centroids = vec_id%25=0 sample, nprobe=2.
-    Approximate by design → no SQL oracle (rows-only here); recall vs the
-    brute-force ground truth is asserted in tests/test_similarity.py."""
+    Approximate relative to brute force, but DETERMINISTIC given the
+    centroid set (assignment and probe ties break on cell id, ranking ties
+    on neighbor id), so the full cell→probe→rank pipeline has an exact SQL
+    oracle; recall vs x06 ground truth is additionally asserted in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.knn_ivf(
         emb,

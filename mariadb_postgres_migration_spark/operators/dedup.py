@@ -117,6 +117,22 @@ def _pair_combinations(ids: Column) -> Column:
     )
 
 
+def doc_shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh_set, n_sh): per-doc distinct shingle ARRAY — the row-local
+    form of the inverted index, for candidate-pair verification where the
+    pair set is already known and exploding would be waste."""
+    toked = materialize(
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("doc_id"), text_col),
+        tokens_col(text_col),
+        "__toks",
+    )
+    return toked.select(
+        "doc_id", shingles_expr(F.col("__toks"), k).alias("sh_set")
+    ).withColumn("n_sh", F.size("sh_set"))
+
+
 def exact_dedup(
     docs: DataFrame, key_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
@@ -258,11 +274,33 @@ def minhash_dedup_pairs(
 
     At 100 TB the all-shared-shingle join of :func:`ngram_jaccard_pairs` is
     the bottleneck; this replaces it with O(bands) narrow joins and only
-    verifies the candidate set.
+    verifies the candidate set — by joining the (few) candidate pairs
+    against per-doc shingle ARRAYS and intersecting in-row, so no pair
+    explosion and no posting-list aggregation happens at all in the
+    verification tier.
     """
     ds = doc_shingles(docs, id_col, text_col, k)
     cand = lsh_candidate_pairs(minhash_signatures(ds))
-    return _pair_jaccard(ds, candidates=cand).filter(F.col("jaccard") >= threshold)
+    sets = doc_shingle_sets(docs, id_col, text_col, k)
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("na")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"), F.col("n_sh").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("na") + F.col("nb") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,22 @@
+"""EXT-03 recall test: the IVF approximate path must recover most of the
+brute-force ground truth (measured 0.96 on the clustered-Gaussian fixtures;
+0.8 asserted to keep headroom for fixture regeneration)."""
+
+from pyspark.sql import functions as F
+
+from mariadb_postgres_migration_spark.operators import similarity as S
+from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = {(r["q_id"], r["n_id"]) for r in S.knn_bruteforce(emb, queries, k=5).collect()}
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in S.knn_ivf(emb, queries, centroids, k=5, nprobe=2).collect()
+    }
+    assert truth, "empty ground truth"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"IVF recall collapsed: {recall:.3f}"
