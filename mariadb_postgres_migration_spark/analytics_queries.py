@@ -330,3 +330,74 @@ def set3_except_anti(spark, sf_dir):
 def g1_rollup_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# temporal joins (§2.3 "not present" list — engine surface; see
+# operators/joins.py for the scale strategies)
+# --------------------------------------------------------------------------
+
+@register(
+    "j1_asof_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+       m AS (SELECT p.event_id, c.ts AS cts, c.value AS cval,
+                    row_number() OVER (PARTITION BY p.event_id
+                                       ORDER BY c.ts DESC) AS rk
+             FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+       SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+              epoch_us(m.cts) AS click_ts_us, m.cval AS click_value
+       FROM p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (event_id)""",
+    "EXT-JOIN",
+)
+def j1_asof_join(spark, sf_dir):
+    """As-of join: each purchase gets the user's latest click at-or-before
+    it (NULLs when none). Union + single-shuffle window — never an
+    inequality join (operators/joins.as_of_join)."""
+    from .operators.joins import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = as_of_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["ts", "value"], suffix="_c"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_c").alias("click_ts_us"),
+        F.col("value_c").alias("click_value"),
+    )
+
+
+@register(
+    "j2_interval_join",
+    """SELECT s.event_id AS signup_id, e.event_id AS event_id,
+              e.event_type, epoch_us(e.ts) AS ts_us
+       FROM events s JOIN events e
+         ON s.user_id = e.user_id
+        AND epoch_us(e.ts) >= epoch_us(s.ts) + 1000000
+        AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+       WHERE s.event_type = 'signup'""",
+    "EXT-JOIN",
+)
+def j2_interval_join(spark, sf_dir):
+    """Interval join: every event within (1s, 1h] after a signup by the
+    same user. Bucketed equi-join, not an inequality nested-loop
+    (operators/joins.interval_join)."""
+    from .operators.joins import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    others = e.select("event_id", "user_id", "event_type", "ts")
+    return interval_join(
+        signups, others, ["user_id"], "s_ts", "ts", 1.0, 3600.0
+    ).select(
+        "signup_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )

@@ -11,7 +11,7 @@ degrades to a sort-merge shuffle of the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,3 +91,101 @@ def dict_apply_to_array(
         )
     )
     return df.drop(array_col).join(regrouped, on=row_key, how="left")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join (backward): each left row gets the LATEST right row with
+    ``right_ts <= left_ts`` for the same key, or NULLs if none exists
+    (left-join semantics). Not in the reference (SURVEY §2.3 notes the gap);
+    standard in time-series engines.
+
+    Scale strategy: NOT an inequality join (those explode into O(n·m)
+    candidate pairs or a nested-loop). Both sides union into one stream,
+    shuffle ONCE on the key, sort by (ts, side) within partitions, and a
+    running ``last(ignorenulls)`` window carries the most recent right
+    payload forward into each left row. Cost: one shuffle + one sort,
+    identical to a groupBy over the combined data — at 100 TB this is the
+    difference between feasible and not. Right rows at exactly ``left_ts``
+    count (side orders right before left on ties → ``<=``).
+    """
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    payload_dt = right.select(payload.alias("__r")).schema["__r"].dataType
+    l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(payload_dt).alias("__r"),
+    )
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
+        payload.alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_right = [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return matched.filter(F.col("__side") == 1).select(*out_left, *out_right)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """Range/interval join: pairs where
+    ``left_ts + lower_s <= right_ts <= left_ts + upper_s`` on the same key.
+
+    Scale strategy: bucketize time with bucket width = interval length, so
+    every qualifying pair shares one of TWO adjacent buckets; the left side
+    emits both bucket keys (a 2× dup, not O(range)), the join is a plain
+    equi-join on (key, bucket), and the exact range predicate filters the
+    few off-by-one candidates. Turns an inequality join Catalyst would run
+    as nested-loop into one shuffle join.
+    """
+    width_us = max(int((upper_s - lower_s) * 1_000_000), 1)
+    lo_us = int(lower_s * 1_000_000)
+    hi_us = int(upper_s * 1_000_000)
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                ((l_us + lo_us) / width_us).cast("long"),
+                ((l_us + lo_us) / width_us).cast("long") + 1,
+            )
+        ),
+    )
+    r = right.withColumn("__bucket", (r_us / width_us).cast("long"))
+    lo_bound = F.unix_micros(F.col(left_ts)) + lo_us
+    hi_bound = F.unix_micros(F.col(left_ts)) + hi_us
+    return (
+        l.join(r, [*key_cols, "__bucket"])
+        .filter(
+            (F.unix_micros(F.col(right_ts)) >= lo_bound)
+            & (F.unix_micros(F.col(right_ts)) <= hi_bound)
+        )
+        .drop("__bucket")
+    )
