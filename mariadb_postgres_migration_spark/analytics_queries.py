@@ -375,6 +375,122 @@ def j1_asof_join(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority_exists",
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+       GROUP BY o.o_orderpriority""",
+    "EXT-AGG",
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the probe
+    side never duplicates (no distinct needed), and the filter on lineitem
+    is pushed below the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+             FROM customer c LEFT JOIN orders o
+               ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+             GROUP BY c.c_custkey)
+       GROUP BY c_count""",
+    "EXT-AGG",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer join preserving customers with no orders,
+    then a two-level aggregation. The second groupBy is on a tiny domain —
+    AQE coalesces its shuffle to a handful of partitions."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_cap
+             FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_cap""",
+    "EXT-AGG",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    per-part aggregate joined back. The per-part avg table is |part|-sized
+    → broadcast; lineitem is scanned twice but both scans prune to 3
+    columns (at 100 TB prefer one scan + window over l_partkey ONLY if
+    lineitem is already partitioned by part — the double scan avoids a full
+    sort-shuffle of the fact table)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    caps = l.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(F.broadcast(caps.withColumnRenamed("l_partkey", "cap_partkey")),
+              F.col("l_partkey") == F.col("cap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicate_join",
+    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30)""",
+    "EXT-AGG",
+)
+def q19_disjunctive_predicate_join(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across both
+    join sides. Catalyst extracts the common join key (equi-join survives)
+    and pushes the brand IN-list / quantity range down to the scans as
+    partial filters from the OR."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "j2_interval_join",
     """SELECT s.event_id AS signup_id, e.event_id AS event_id,
               e.event_type, epoch_us(e.ts) AS ts_us
@@ -400,4 +516,95 @@ def j2_interval_join(spark, sf_dir):
         signups, others, ["user_id"], "s_ts", "ts", 1.0, 3600.0
     ).select(
         "signup_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping sets / cube (SURVEY §2.4 "not present" list — engine surface)
+# --------------------------------------------------------------------------
+
+@register(
+    "g2_cube_counts",
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "EXT-AGG",
+)
+def g2_cube_counts(spark, sf_dir):
+    """CUBE: all 4 grouping-set combinations in ONE pass — Spark expands
+    grouping sets inside the aggregate (Expand node), not as a union of 4
+    scans."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "g3_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "EXT-AGG",
+)
+def g3_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two disjoint rollup dimensions, one scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (SURVEY §2.4 — distribution statistics surface)
+# --------------------------------------------------------------------------
+
+@register(
+    "p1_percentiles_by_flag",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+              round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+       FROM lineitem GROUP BY l_returnflag""",
+    "EXT-AGG",
+)
+def p1_percentiles_by_flag(spark, sf_dir):
+    """Exact continuous-interpolation percentiles per group. Exact
+    percentile needs the group's values together — one shuffle on a 3-value
+    key; at 100 TB switch to approx_percentile (t-digest sketch, map-side
+    mergeable) and accept the documented error bound."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# skew-resistant aggregation (SURVEY §4 100 TB notes — salting)
+# --------------------------------------------------------------------------
+
+@register(
+    "t1_salted_skew_agg",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY event_type""",
+    "EXT-AGG",
+)
+def t1_salted_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation for hot keys: phase 1 aggregates on
+    (key, salt) spreading each hot key over 16 reducers, phase 2 merges the
+    16 partials per key. On a 5-value key at 100 TB a plain groupBy would
+    route everything to 5 reducers; hash partial aggregation already blunts
+    that for algebraic aggs — salting is the general form that also covers
+    collect_list/percentile-style holistic aggs. Result is key-only, so the
+    salt never leaks into the output."""
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("psum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
     )

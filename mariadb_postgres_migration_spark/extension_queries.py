@@ -109,9 +109,11 @@ def x02_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_sql() -> str:
-    mins = ",\n       ".join(
-        f"min(md5(sh || '#{i}')) AS mh{i}" for i in range(D.NUM_HASHES)
-    )
+    def mh(i: int) -> str:
+        seed, off = D.mh_seed_chunk(i)
+        return f"min(substr(md5(sh || '#{seed}'), {off}, {D.CHUNK_LEN})) AS mh{i}"
+
+    mins = ",\n       ".join(mh(i) for i in range(D.NUM_HASHES))
     n_bands = D.NUM_HASHES // D.BAND_ROWS
     band_selects = []
     for b in range(n_bands):

@@ -13,11 +13,25 @@ Scale design (100 TB corpus):
   oracle applies the identical cap.
 * MinHash/LSH replaces the all-shared-shingle join with a banded signature
   join: candidates = documents agreeing on ALL rows of ≥1 band. Hashes are
-  md5-hex strings (lexicographic min) so signatures are engine-portable —
+  md5-hex substrings (lexicographic min) so signatures are engine-portable —
   the DuckDB oracle computes byte-identical signatures, which Spark's own
-  seeded MinHashLSH cannot offer.
-* SimHash packs a 16-bit signature from per-token md5 nibbles; near-dups
-  collide on the exact signature.
+  seeded MinHashLSH cannot offer. The 12 hash functions are 8-hex-char
+  (32-bit) disjoint chunks of 3 seeded md5s — md5's 128 output bits are
+  independent, so slicing one wide hash into k narrow ones is the standard
+  way to pay 1 hash invocation for 4 hash functions. Signatures are
+  row-local (min over the doc's own shingle array), so they are computed
+  IN-ROW over the shingle-set table — no explode and no extra shuffle; the
+  shingle-set table itself is computed once and persisted, feeding
+  signatures, banding, and candidate verification from one pass.
+* SimHash packs a 16-bit signature from per-token md5 nibbles: ONE md5 per
+  token, its first 4 hex nibbles packed into a small int, then 16 integer
+  bit-ballots — near-dups collide on the exact signature.
+
+Expression-tree size is a first-class concern here: these operators are
+where naive construction (k aggregates each re-hashing every token, a
+shuffle per signature row) produces generated code past the JIT's huge-
+method limits, degrading whole stages to interpreted execution. Every
+rewrite above was measured, not guessed (bench.py).
 
 All hot paths are JVM built-ins (split/transform/explode/groupBy) — no
 Python UDFs.
@@ -161,10 +175,15 @@ def _pair_jaccard(
     re-evaluates it ~8×). ``max_doc_freq`` caps posting-list length (the
     stop-shingle guard — drops O(df²) pair explosions); per-doc sizes are
     derived from the SAME capped posting lists so the Jaccard denominator
-    matches the oracle's post-cap index exactly."""
+    matches the oracle's post-cap index exactly.
+
+    ``grouped`` (the capped posting lists) feeds three consumers — pair
+    generation and both size lookups — so it is persisted: one shingling
+    pass + one shuffle total, then narrow reads."""
     grouped = ds.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    grouped = grouped.persist()
     inter = (
         grouped.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -220,17 +239,61 @@ def ngram_jaccard_pairs(
 
 NUM_HASHES = 12
 BAND_ROWS = 3  # 4 bands × 3 rows
+CHUNKS_PER_MD5 = 4  # 32 hex chars → 4 disjoint 8-char (32-bit) hash fns
+CHUNK_LEN = 8
+
+
+def mh_seed_chunk(i: int) -> tuple[int, int]:
+    """Hash function i = chunk ``i % 4`` of md5 seeded with ``i // 4``:
+    1-based hex offset = 1 + 8·chunk. Shared by the Spark side and the
+    oracle-SQL generator so the two cannot drift."""
+    seed, chunk = divmod(i, CHUNKS_PER_MD5)
+    return seed, 1 + CHUNK_LEN * chunk
 
 
 def minhash_signatures(ds: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min(md5(shingle ∥ '#i')) as a
-    hex string — lexicographic min is engine-portable (md5 is md5
-    everywhere), unlike seeded integer permutations."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    """Per-doc MinHash signature from (doc_id, sh) inverted-index rows: for
+    hash fn i, min over shingles of an 8-hex-char md5 chunk (lexicographic
+    min on fixed-width hex is engine-portable, unlike seeded integer
+    permutations). Aggregation form — one shuffle; prefer the in-row form
+    inside :func:`minhash_dedup_pairs` when the shingle SET table is already
+    materialized."""
+    aggs = []
+    for i in range(num_hashes):
+        seed, off = mh_seed_chunk(i)
+        aggs.append(
+            F.min(
+                F.substring(F.md5(F.concat(F.col("sh"), F.lit(f"#{seed}"))), off, CHUNK_LEN)
+            ).alias(f"mh{i}")
+        )
     return ds.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_inrow(sets: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Row-local MinHash over the per-doc shingle ARRAY: zero shuffles.
+
+    The seeded md5 array is materialized once per seed (barrier — see
+    :func:`materialize`), then each of its 4 chunk-hash minima is a cheap
+    substring pass; total hash work is 3 md5 per shingle for 12 hash fns.
+    Docs with no shingles are dropped (no signature ⇒ no bands), matching
+    the aggregation form where such docs have no inverted-index rows."""
+    n_seeds = (num_hashes + CHUNKS_PER_MD5 - 1) // CHUNKS_PER_MD5
+    s = sets.filter(F.col("n_sh") >= 1)
+    for seed in range(n_seeds):
+        s = materialize(
+            s,
+            F.expr(f"transform(sh_set, x -> md5(concat(x, '#{seed}')))"),
+            f"__h{seed}",
+        )
+    mh = []
+    for i in range(num_hashes):
+        seed, off = mh_seed_chunk(i)
+        mh.append(
+            F.expr(
+                f"array_min(transform(__h{seed}, h -> substring(h, {off}, {CHUNK_LEN})))"
+            ).alias(f"mh{i}")
+        )
+    return s.select("doc_id", *mh)
 
 
 def lsh_candidate_pairs(
@@ -278,10 +341,15 @@ def minhash_dedup_pairs(
     against per-doc shingle ARRAYS and intersecting in-row, so no pair
     explosion and no posting-list aggregation happens at all in the
     verification tier.
+
+    The shingle-set table is the ONLY scan of the corpus: computed once,
+    persisted (memory, disk spill), and read three times (signatures,
+    verify-left, verify-right). Signatures are in-row
+    (:func:`minhash_signatures_inrow`) so candidate generation's sole
+    shuffle is the narrow band-key groupBy.
     """
-    ds = doc_shingles(docs, id_col, text_col, k)
-    cand = lsh_candidate_pairs(minhash_signatures(ds))
-    sets = doc_shingle_sets(docs, id_col, text_col, k)
+    sets = doc_shingle_sets(docs, id_col, text_col, k).persist()
+    cand = lsh_candidate_pairs(minhash_signatures_inrow(sets))
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("na")
     )
@@ -310,37 +378,32 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 16
 
 
-def simhash_signature(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
-    """16-bit SimHash over distinct tokens using md5 nibbles.
+def simhash_vals_sql(toks_col: str, bits: int = SIMHASH_BITS) -> str:
+    """Per-distinct-token packed hash: first ``bits/4`` hex nibbles of ONE
+    md5, little-endian nibble order, so bit b of the packed int equals the
+    oracle's ``(strpos(HEX, md5[b/4+1]) - 1) >> (b%4) & 1``."""
+    nib = (bits + 3) // 4
+    val = " + ".join(
+        f"(instr('{HEX}', substring(h, {j + 1}, 1)) - 1) * {16 ** j}"
+        for j in range(nib)
+    )
+    return (
+        f"transform(transform(array_distinct({toks_col}), "
+        f"t -> substring(md5(t), 1, {nib})), h -> {val})"
+    )
 
-    bit b of token t = (strpos(HEX, md5(t)[b/4]) - 1) >> (b%4) & 1, written
-    with ``div``/``%`` so DuckDB reproduces it exactly; signature bit b is 1
-    iff Σ_t (2·bit−1) > 0.
-    """
-    toks = F.array_distinct(tokens)
-    total = F.lit(0).cast("long")
-    for b in range(bits):
-        j, kbit = b // 4 + 1, b % 4
-        contrib = F.aggregate(
-            F.transform(
-                toks,
-                lambda t: (
-                    (
-                        (
-                            F.instr(F.lit(HEX), F.substring(F.md5(t), j, 1)) - 1
-                        ).cast("long")
-                        / F.lit(2**kbit)
-                    ).cast("long")
-                    % 2
-                )
-                * 2
-                - 1,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        total = total + F.when(contrib > 0, F.lit(2**b)).otherwise(F.lit(0))
-    return total
+
+def simhash_sig_sql(vals_col: str, bits: int = SIMHASH_BITS) -> str:
+    """Signature from packed per-token hashes: bit b of the signature is 1
+    iff the ±1 ballot Σ_t (2·bit_b(t)−1) is positive. 16 integer array
+    passes — no hashing, tiny generated code (vs the naive 16-aggregates-
+    each-re-hashing-every-token tree that blows past JIT method limits)."""
+    terms = " + ".join(
+        f"(CASE WHEN aggregate({vals_col}, 0L, (a, v) -> "
+        f"a + ((v div {2 ** b}) % 2) * 2 - 1) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
 
 
 def simhash_docs(
@@ -348,12 +411,15 @@ def simhash_docs(
 ) -> DataFrame:
     """EXT-02 (signature tier): (doc_id, simhash). Near-dups = equal
     signatures (group on simhash); hamming-≤k variants pivot the signature
-    into band columns exactly like LSH."""
+    into band columns exactly like LSH. One md5 per distinct token; the
+    packed-hash array sits behind a barrier so the 16 bit-ballots read a
+    bound attribute instead of re-hashing."""
     toked = materialize(
         ensure_min_parallelism(docs).select(F.col(id_col).alias("doc_id"), text_col),
         tokens_col(text_col),
         "__toks",
     )
-    return toked.select(
-        "doc_id", simhash_signature(F.col("__toks")).alias("simhash")
+    withvals = materialize(toked, F.expr(simhash_vals_sql("__toks")), "__vals")
+    return withvals.select(
+        "doc_id", F.expr(simhash_sig_sql("__vals")).alias("simhash")
     )
