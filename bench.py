@@ -35,7 +35,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicate_join",
+    "j1_asof_join",
+    "j2_interval_join",
     "w1_topk_per_group",
+    "p1_percentiles_by_flag",
     "x02_dedup_ngram_jaccard",
     "x03_dedup_minhash_lsh",
     "x04_dedup_simhash",

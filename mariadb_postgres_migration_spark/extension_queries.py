@@ -567,3 +567,58 @@ def x20_stream_dedup(spark, sf_dir):
     from .streaming.jobs import run_stream_dedup
 
     return run_stream_dedup(spark, sf_dir)
+
+@register(
+    "x21_stream_sliding",
+    """SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM (
+           SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws, value FROM events
+           UNION ALL
+           SELECT (epoch_us(ts) // 300000000) * 300000000 - 300000000 AS ws, value
+           FROM events
+       ) GROUP BY ws""",
+    "EXT-06", "EXT-08",
+)
+def x21_stream_sliding(spark, sf_dir):
+    """EXT-06 via REAL Structured Streaming: watermarked sliding window
+    (600s width, 300s slide) — full replay equals the batch sliding agg."""
+    from .streaming.jobs import run_sliding_stream
+
+    return run_sliding_stream(spark, sf_dir, width_s=600, slide_s=300)
+
+
+@register(
+    "x22_stream_stream_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        AND epoch_us(c.ts) <= epoch_us(p.ts)
+       WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    "EXT-08", "EXT-09",
+)
+def x22_stream_stream_join(spark, sf_dir):
+    """EXT-08/09: stream-stream inner join with watermarks + event-time
+    range condition (bounded state); purchases × same-user clicks within
+    the trailing 30 minutes."""
+    from .streaming.jobs import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir, lookback_s=1800)
+
+
+@register(
+    "x23_stream_stateful_seq",
+    """SELECT user_id, event_id,
+              CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT) AS seq
+       FROM events""",
+    "EXT-09",
+)
+def x23_stream_stateful_seq(spark, sf_dir):
+    """EXT-09: custom stateful operator (applyInPandasWithState) — per-user
+    monotone sequence numbers carried in explicit group state."""
+    from .streaming.jobs import run_stateful_seq_stream
+
+    return run_stateful_seq_stream(spark, sf_dir)

@@ -113,3 +113,111 @@ def run_stream_dedup(
     )
     counted = deduped.groupBy("user_id").agg(F.count("*").alias("n_unique_types"))
     return _run_to_memory(counted, "complete")
+
+def run_sliding_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    width_s: int = 600,
+    slide_s: int = 300,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """EXT-06: watermarked SLIDING window — each event lands in
+    width/slide overlapping windows; Spark expands the assignment inside
+    the aggregate (no self-union of the stream)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{width_s} seconds", f"{slide_s} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_s: int = 1800,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """EXT-08/09: stream-stream inner join — each purchase pairs with the
+    same user's clicks in the preceding ``lookback_s`` seconds. Both sides
+    carry watermarks and the join has an event-time range condition, which
+    is what lets Spark expire buffered state (without it, stream-stream
+    join state grows forever). Bounded availableNow replay emits exactly
+    the batch interval-join result."""
+    events = read_events_stream(spark, sf_dir)
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = joined.select(
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    return _run_to_memory(out, "append")
+
+
+def run_stateful_seq_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "60 minutes"
+) -> DataFrame:
+    """EXT-09: CUSTOM stateful operator via ``applyInPandasWithState`` —
+    a per-user monotone sequence number that survives across micro-batches
+    (the state is the count so far; each batch's rows are ordered by
+    (ts, event_id) and numbered from it). This is the extension point for
+    operators Spark lacks natively — e.g. a streamed OP-20 comment-threading
+    would keep the per-video alive-comment list in exactly this state slot.
+    On a bounded single-batch replay the output equals batch
+    ``row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)``,
+    which is the oracle form."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def assign_seq(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        seq = list(range(n + 1, n + 1 + len(rows)))
+        state.update((n + len(rows),))
+        yield pd.DataFrame(
+            {"user_id": rows["user_id"], "event_id": rows["event_id"], "seq": seq}
+        )
+
+    res = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assign_seq,
+            "user_id BIGINT, event_id BIGINT, seq BIGINT",
+            "n BIGINT",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(res, "append")
