@@ -622,3 +622,55 @@ def x23_stream_stateful_seq(spark, sf_dir):
     from .streaming.jobs import run_stateful_seq_stream
 
     return run_stateful_seq_stream(spark, sf_dir)
+
+def _op20_stream_oracle() -> str:
+    from .fixture_queries import _OP20_ORACLE
+
+    return _OP20_ORACLE
+
+
+@register("x24_stream_threading", _op20_stream_oracle(), "OP-20", "EXT-09")
+def x24_stream_threading(spark, sf_dir):
+    """EXT-09: the reference's OP-20 threading walk as a STREAMING stateful
+    operator (applyInPandasWithState; per-video state = prior ids +
+    deletion times). Bounded replay equals the batch op20 oracle."""
+    from .streaming.jobs import run_stream_threading
+
+    return run_stream_threading(spark, sf_dir)
+
+
+def _hyperplane_sql() -> str:
+    from .operators.similarity import N_PLANES, hyperplane_signs
+
+    signs = hyperplane_signs()
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(str(s) for s in signs[p])
+        + f"]) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+                FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b
+             WHERE vec_id % 50 = 0),
+       scored AS (SELECT q_id, c.vec_id AS n_id,
+                         round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])), 6) AS score
+                  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+       ranked AS (SELECT q_id, n_id, score,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY score DESC, n_id) AS rk
+                  FROM scored)
+       SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+       FROM ranked WHERE rk <= 5"""
+
+
+@register("x25_knn_hyperplane_lsh", _hyperplane_sql(), "EXT-03")
+def x25_knn_hyperplane_lsh(spark, sf_dir):
+    """EXT-03 LSH tier: signed-random-projection buckets (8 deterministic
+    md5-parity hyperplanes, shared literally with the oracle), candidates =
+    same bucket, exact cosine rank within."""
+    from .operators.similarity import knn_hyperplane_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_hyperplane_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)

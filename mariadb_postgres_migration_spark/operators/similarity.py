@@ -188,3 +188,86 @@ def knn_ivf(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
     )
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (SRP) LSH — the other scale path
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def hyperplane_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix: sign(p, d) from the parity of the
+    first md5 nibble of ``"{p}_{d}"``. Computed driver-side ONCE and embedded
+    as literals in both the Spark plan and the oracle SQL — the portable
+    alternative to engine-seeded RNG (same trick as the md5 MinHash)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def with_hyperplane_bucket(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "bucket"
+) -> DataFrame:
+    """Signed-random-projection bucket: bit p = (v · h_p > 0), bucket =
+    Σ 2^p·bit_p. One in-row pass computes all 16 dots (2-D literal sign
+    matrix + transform), materialized behind a barrier so the 16 bit tests
+    read a bound attribute. Row-local — no shuffle; vectors landing in the
+    same cell are cosine-near candidates. Plane count sets the recall/cost point: 8 planes = 256 cells (~1/256 of the corpus per probe); more planes shrink candidate sets and recall together."""
+    from .dedup import materialize
+
+    signs = hyperplane_signs()
+    signs2d = "array(" + ",".join(
+        "array(" + ",".join(f"{s}D" for s in row) + ")" for row in signs
+    ) + ")"
+    dots = (
+        f"transform({signs2d}, s -> aggregate(zip_with("
+        f"cast({vec_col} as array<double>), s, (x, y) -> x * y), "
+        f"cast(0 as double), (a, x) -> a + x))"
+    )
+    df = materialize(df, F.expr(dots), "__dots")
+    bucket = " + ".join(
+        f"(CASE WHEN element_at(__dots, {p + 1}) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(len(signs))
+    )
+    return df.withColumn(out_col, F.expr(f"CAST({bucket} AS BIGINT)")).drop("__dots")
+
+
+def knn_hyperplane_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """EXT-03 (LSH tier): top-k among SAME-BUCKET candidates only. The join
+    is a plain equi-join on the bucket — at 100 TB the corpus is
+    written partitioned by bucket and a probe reads ~1/2^planes of it; recall
+    is tunable via fewer planes or multi-probe (flipping low-|dot| bits).
+    Probes with an empty bucket return < k rows (documented recall trade)."""
+    c = with_hyperplane_bucket(corpus, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    q = with_hyperplane_bucket(probes, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
+    )

@@ -221,3 +221,67 @@ def run_stateful_seq_stream(
         )
     )
     return _run_to_memory(res, "append")
+
+def run_stream_threading(
+    spark: SparkSession, sf_dir: str, watermark: str = "60 minutes"
+) -> DataFrame:
+    """EXT-09: STREAMED OP-20 — the reference's comment-threading walk
+    (index.mjs:62-78) as a stateful streaming operator. Per video, group
+    state carries the (id, deleted_us) of every comment seen so far; each
+    micro-batch's new comments resolve their caret backrefs against
+    state + batch via the same pure-Python walk the property tests pin
+    (operators/threading.resolve_backrefs_py). Prior comments' content and
+    creation times don't matter to later rows (only their id/deleted_us do)
+    — that's what makes the state O(comments) small instead of
+    O(full rows). deleted_us=NULL is carried as -1 (state array slots are
+    non-null longs). Comments are synthesized from events exactly like the
+    batch op20 query, so a bounded replay matches the batch oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.threading import resolve_backrefs_py
+
+    events = read_events_stream(spark, sf_dir)
+    comments = events.select(
+        F.col("ts"),
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("video_id"),
+        F.repeat(F.lit("^"), (F.col("event_id") % 4).cast("int")).alias("content"),
+        F.unix_micros("ts").alias("created_us"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.unix_micros("ts") + (F.col("event_id") % 3) * 3600000000,
+        ).alias("deleted_us"),
+    )
+
+    def thread_group(key, pdf_iter, state):
+        prior_ids, prior_dels = state.get if state.exists else ([], [])
+        prior_ids, prior_dels = list(prior_ids), list(prior_dels)
+        rows = pd.concat(list(pdf_iter)).sort_values("id")
+        ids = [int(i) for i in rows["id"]]
+        dels = [None if pd.isna(d) else int(d) for d in rows["deleted_us"]]
+        resp = resolve_backrefs_py(
+            prior_ids + ids,
+            [""] * len(prior_ids) + rows["content"].tolist(),
+            [0] * len(prior_ids) + [int(c) for c in rows["created_us"]],
+            [None if d == -1 else d for d in prior_dels] + dels,
+        )[len(prior_ids):]
+        state.update(
+            (prior_ids + ids, prior_dels + [-1 if d is None else d for d in dels])
+        )
+        yield pd.DataFrame(
+            {"id": ids, "response_to": pd.array(resp, dtype="Int64")}
+        )
+
+    res = (
+        comments.withWatermark("ts", watermark)
+        .groupBy("video_id")
+        .applyInPandasWithState(
+            thread_group,
+            "id BIGINT, response_to BIGINT",
+            "ids ARRAY<BIGINT>, dels ARRAY<BIGINT>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(res, "append")
