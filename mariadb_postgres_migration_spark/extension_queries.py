@@ -674,3 +674,27 @@ def x25_knn_hyperplane_lsh(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_hyperplane_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+def _features_sql() -> str:
+    from .operators.multimodal import N_FEATURES
+
+    cols = ",\n              ".join(
+        f"CASE WHEN length(text) >= {i} THEN CAST(ascii(substr(text, {i}, 1)) AS DOUBLE)"
+        f" ELSE 0.0 END AS f{i - 1}"
+        for i in range(1, N_FEATURES + 1)
+    )
+    return f"SELECT doc_id,\n              {cols}\n       FROM documents"
+
+
+@register("x26_multimodal_features", _features_sql(), "EXT-04")
+def x26_multimodal_features(spark, sf_dir):
+    """EXT-04: payload → fixed-width feature vector via mapInPandas
+    (deterministic stub = first 8 payload bytes, so it IS oracle-checked;
+    a real model call swaps in per Arrow batch). Features surfaced as
+    scalar columns for the cross-engine hash."""
+    from .operators.multimodal import N_FEATURES, attach_payload, extract_features
+
+    feats = extract_features(attach_payload(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(N_FEATURES)]
+    )

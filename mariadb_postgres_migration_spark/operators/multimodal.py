@@ -21,6 +21,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -104,3 +105,124 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def _resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB codec: deterministic fake "resize" — truncate/cycle the payload
+    to width*height bytes (a real implementation decodes, resamples, and
+    re-encodes via PIL; not installed here)."""
+    if not payload:
+        return bytes(width * height)
+    reps = (width * height + len(payload) - 1) // len(payload)
+    return (payload * reps)[: width * height]
+
+
+def resize_payloads(
+    multimodal: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """EXT-04: batch resize over ``mapInPandas`` — the payload column goes
+    IN and a new payload comes OUT, so this is the template for any
+    payload→payload transform (transcode, crop, re-encode). Binary stays
+    Arrow-batched end to end; nothing widens to strings."""
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                _resize_image_stub(
+                    bytes(p) if p is not None else b"", width, height
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "mime": ["image/fake-resized"] * len(pdf),
+                }
+            )
+
+    return multimodal.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 64
+
+
+def sample_frames(
+    multimodal: DataFrame, every_n: int = 4, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
+    """EXT-04: frame sampling — a payload→MANY-rows transform (one row per
+    kept frame), the video analog of explode. The stub treats the payload
+    as fixed-size ``frame_bytes`` chunks and keeps every ``every_n``-th (a
+    real implementation seeks keyframes via ffmpeg). mapInPandas may emit
+    more output rows than input rows, which is exactly what frame
+    extraction needs — no collect, no driver involvement."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fno in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    nos.append(fno)
+                    frames.append(b[fno * frame_bytes : (fno + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return multimodal.mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+N_FEATURES = 8
+
+
+def extract_features(multimodal: DataFrame) -> DataFrame:
+    """EXT-04: payload → fixed-width float feature vector (the embedding
+    hand-off point for similarity search). The stub features are the first
+    8 payload bytes as doubles (zero-padded) — deterministic and therefore
+    SQL-expressible, so unlike the codec stubs this one IS oracle-checked
+    (x26). A real extractor swaps in a model call per Arrow batch."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                v = [float(x) for x in b[:N_FEATURES]]
+                feats.append(v + [0.0] * (N_FEATURES - len(v)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return multimodal.mapInPandas(_feats, schema=schema)
