@@ -70,7 +70,13 @@ def main() -> int:
         t0 = time.time()
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        elapsed = time.time() - t0
+        # Operators legitimately persist() multi-consumer intermediates but
+        # only for the query's own lifetime; dropping them between runs keeps
+        # 44 executions from accumulating into a full storage pool whose GC
+        # dominates later timings. JIT/codegen warmth is unaffected.
+        spark.catalog.clearCache()
+        return elapsed
 
     # session warmup: pay JVM/Arrow startup once
     REGISTRY["op01_full_scan"].fn(spark, sf_dir).write.format("noop").mode(
