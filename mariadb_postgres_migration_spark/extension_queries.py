@@ -698,3 +698,39 @@ def x26_multimodal_features(spark, sf_dir):
     return feats.select(
         "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(N_FEATURES)]
     )
+
+
+def _cc_sql() -> str:
+    return f"""WITH RECURSIVE {_TOKS_CTE},
+{_DS_CTE},
+rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= {MAX_DOC_FREQ}),
+dsf AS (SELECT ds.doc_id, ds.sh FROM ds JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsf GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM dsf x JOIN dsf y USING (sh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes na ON doc_a = na.doc_id
+                     JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT doc_id, doc_id AS n FROM documents
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS rep,
+       (doc_id = min(n)) AS keep
+FROM reach GROUP BY doc_id"""
+
+
+@register("x27_dedup_connected_components", _cc_sql(), "EXT-02")
+def x27_dedup_connected_components(spark, sf_dir):
+    """EXT-02 cluster tier: near-dup pairs (same shingle-Jaccard spec as
+    x02) → connected components by iterative min-label propagation →
+    keep-one decision per document. Oracle = DuckDB recursive CTE computing
+    min-reachable-id, byte-identical semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b")
+    return D.dedup_keep_one(docs, pairs)

@@ -423,3 +423,82 @@ def simhash_docs(
     return withvals.select(
         "doc_id", F.expr(simhash_sig_sql("__vals")).alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components → keep-one representative
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """EXT-02 (cluster tier): (doc_id, comp) from undirected near-dup
+    ``(doc_a, doc_b)`` pairs; ``comp`` is the min doc_id reachable, so it
+    doubles as the canonical representative.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels. Rounds needed = component
+    diameter — for near-dup clusters (dense cliques plus short chains) that
+    is small and independent of corpus size, which is what makes the loop
+    viable at 100 TB: each round is ONE shuffle join + ONE groupBy over the
+    edge list, and ``localCheckpoint`` truncates lineage so plan depth stays
+    constant instead of growing per round (the classic iterative-Spark
+    failure mode). Convergence is detected with a LIMIT-1 probe, not a full
+    count. For adversarial long-chain graphs the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") halves
+    rounds to O(log n); near-dup graphs don't need it.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "comp"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_one(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """EXT-02 end-to-end dedup decision: every document mapped to its
+    cluster representative (``rep``) with ``keep`` = is-the-representative.
+    Singletons (no near-dup edge) keep themselves via the left-join
+    coalesce — no giant node list is ever built for them, so the iterative
+    part only pays for documents that actually have duplicates."""
+    comp = connected_components(pairs).withColumnRenamed("comp", "rep")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", F.col("doc_id")).alias("rep"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("rep"))
+    )
