@@ -53,3 +53,25 @@ def test_extract_features_shape(spark, sf_dir):
     row = out.first()
     assert len(row["features"]) == 8
     assert out.count() == mm.count()
+
+
+def test_metadata_scan_prunes_payload_column(spark, sf_dir, tmp_path):
+    """The 100 TB claim: payload lives in its own parquet column chunk, so
+    metadata-only queries must not read it. Written-to-disk round trip —
+    pruning over a computed column would prove nothing."""
+    from mariadb_postgres_migration_spark.plans import read_schema_columns
+
+    path = str(tmp_path / "mm.parquet")
+    _mm(spark, sf_dir).write.mode("overwrite").parquet(path)
+    meta_only = spark.read.parquet(path).select("doc_id", F.col("meta.n_bytes"))
+    cols = read_schema_columns(meta_only)
+    assert "payload" not in " ".join(cols), f"payload read for metadata query: {cols}"
+
+
+def test_feature_extract_is_arrow_batched(spark, sf_dir):
+    """EXT-04 Python tier must be Arrow mapInPandas, never row-at-a-time."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(extract_features(_mm(spark, sf_dir)))
+    assert "MapInPandas" in text
+    assert "BatchEvalPython" not in text

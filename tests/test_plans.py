@@ -85,3 +85,9 @@ def test_udf_tier_is_arrow_not_row(q):
     text = formatted_plan(q("op31_normalize_text"))
     assert "ArrowEvalPython" in text
     assert "BatchEvalPython" not in text
+
+
+def test_hyperplane_lsh_bucket_is_jvm_only(q):
+    """x25: the random-hyperplane bucket key is row-local JVM expressions;
+    Python anywhere in candidate generation would gate the scale path."""
+    assert python_eval_count(q("x25_knn_hyperplane_lsh")) == 0
