@@ -51,3 +51,47 @@ def test_empty_pairs_all_kept(spark):
     docs = _docs(spark, [7, 8])
     out = dedup_keep_one(docs, _pairs(spark, [])).collect()
     assert all(r.keep and r.rep == r.doc_id for r in out)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per node
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_match_union_find(spark, edges):
+    got = {
+        r.doc_id: r.comp
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    assert got == _union_find(edges)
