@@ -608,3 +608,217 @@ def t1_salted_skew_agg(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style breadth: multi-nation flow, returned-items top-k, promo share,
+# large-volume orders, idle-customer anti-join
+# --------------------------------------------------------------------------
+
+def _decimal_revenue():
+    """Exact-decimal l_extendedprice·(1−l_discount): decimal add/multiply is
+    associative, so the sum is identical under ANY accumulation order —
+    where a double sum over a thousand groups lands on cent-rounding
+    boundaries differently per engine. Cast back to double at the edge."""
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+@register(
+    "q7_nation_volume_flow",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                AS revenue
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       WHERE sn.n_name <> cn.n_name
+         AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""",
+    "EXT-AGG", "EXT-JOIN",
+)
+def q7_nation_volume_flow(spark, sf_dir):
+    """TPC-H Q7 shape: the nation dim joins twice under different roles
+    (supplier side / customer side) — both broadcast, so the only shuffles
+    are lineitem⋈orders and the final agg. The cross-nation inequality is a
+    post-broadcast filter, never a join condition that would force a
+    nested loop."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_decimal_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_item_revenue",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE l.l_returnflag = 'R'
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+    "EXT-TOPK", "EXT-AGG",
+)
+def q10_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: who cost us the most in returns last quarter.
+    Selective filters push to both fact scans; top-20 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads, never a global sort). Tie-break on c_custkey keeps the LIMIT
+    cutoff deterministic across engines."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_decimal_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                                     THEN l.l_extendedprice * (1 - l.l_discount)
+                                     ELSE 0 END)
+                    / sum(l.l_extendedprice * (1 - l.l_discount)), 3) AS promo_pct
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "EXT-AGG",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio in one pass — both
+    sums share one scan/join, so Catalyst plans a single hash aggregate
+    (never two jobs diffed driver-side). part broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 3).alias("promo_pct"))
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """SELECT c.c_custkey, o.o_orderkey,
+              epoch_us(o.o_orderdate) AS o_orderdate_us,
+              round(o.o_totalprice, 2) AS o_totalprice,
+              round(sum(l.l_quantity), 2) AS sum_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       HAVING sum(l.l_quantity) > 300""",
+    "EXT-AGG",
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a fact aggregate. The quantity rollup
+    happens BEFORE the customer join — the join input shrinks from every
+    lineitem to the handful of qualifying orders, so customer meets a
+    few-row broadcast side instead of a fact-sized shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q22_idle_high_balance",
+    """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+              round(sum(c.c_acctbal), 2) AS total_bal
+       FROM customer c
+       WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+       GROUP BY c.c_mktsegment""",
+    "EXT-AGG", "EXT-SET",
+)
+def q22_idle_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global avg broadcasts as a
+    1-row cross join) + anti-join against recent orders — the gone-idle
+    high-balance segment. The anti-join's build side is pre-filtered by
+    date at the scan; no correlated per-row subquery ever executes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
