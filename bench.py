@@ -35,8 +35,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume_flow",
+    "q10_returned_item_revenue",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
     "q19_disjunctive_predicate_join",
     "j1_asof_join",
     "j2_interval_join",

@@ -91,3 +91,23 @@ def test_hyperplane_lsh_bucket_is_jvm_only(q):
     """x25: the random-hyperplane bucket key is row-local JVM expressions;
     Python anywhere in candidate generation would gate the scale path."""
     assert python_eval_count(q("x25_knn_hyperplane_lsh")) == 0
+
+
+def test_q7_dims_broadcast_and_inequality_is_filter(q):
+    """q7: both nation roles broadcast; the cross-nation inequality must be
+    a filter, never a nested-loop join condition."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("q7_nation_volume_flow")
+    assert broadcast_join_count(df) >= 2
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+def test_q22_anti_join_no_correlated_subquery(q):
+    """q22: the NOT EXISTS plans as one anti-join; the scalar avg is a
+    broadcast, and the date filter reaches the orders scan."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("q22_idle_high_balance"))
+    assert "LeftAnti" in text
+    assert pushed_filters(q("q22_idle_high_balance"))
