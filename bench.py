@@ -29,6 +29,7 @@ from mariadb_postgres_migration_spark.session import get_session
 HEADLINE = [
     "op18_flagship_group_concat",
     "op20_backref_threading",
+    "op20_backref_threading_hof",
     "op15_three_way_join",
     "op31_normalize_text",
     "q1_pricing_summary",
@@ -45,14 +46,20 @@ HEADLINE = [
     "j2_interval_join",
     "w1_topk_per_group",
     "p1_percentiles_by_flag",
+    "p2_percentile_disc_distributed",
     "x02_dedup_ngram_jaccard",
     "x03_dedup_minhash_lsh",
     "x04_dedup_simhash",
+    "x05_dedup_embedding_cosine",
     "x06_knn_bruteforce",
+    "x07_knn_ivf",
+    "x25_knn_hyperplane_lsh",
     "x09_quality_score",
+    "x08_11_text_profile",
     "x12_winnow_fingerprints",
     "x15_window_tumbling",
     "x27_dedup_connected_components",
+    "x28_term_doc_freq",
 ]
 
 
@@ -84,9 +91,17 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.time() - t0
         # Operators legitimately persist() multi-consumer intermediates but
-        # only for the query's own lifetime; dropping them between runs keeps
-        # 44 executions from accumulating into a full storage pool whose GC
-        # dominates later timings. JIT/codegen warmth is unaffected.
+        # only for the query's own lifetime; ownership of those handles is
+        # ours once the action completes (dedup.release_cached_intermediates)
+        # — draining them keeps dozens of executions from accumulating into a
+        # full storage pool whose GC dominates later timings. clearCache
+        # stays as the backstop for anything persisted outside that registry.
+        # JIT/codegen warmth is unaffected.
+        from mariadb_postgres_migration_spark.operators.dedup import (
+            release_cached_intermediates,
+        )
+
+        release_cached_intermediates()
         spark.catalog.clearCache()
         return elapsed
 

@@ -111,6 +111,7 @@ def q3_shipping_priority(spark, sf_dir):
          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
        GROUP BY n.n_name""",
     "EXT-AGG",
+    tier=1,
 )
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: snowflake join (2 big, 4 dim tables). The dims
@@ -144,16 +145,15 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
-@register(
-    "q6_forecast_revenue",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+_Q6_SQL = """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          AND l_discount BETWEEN 0.03 AND 0.07
-         AND l_quantity < 24""",
-    "EXT-AGG",
-)
+         AND l_quantity < 24"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL, "EXT-AGG", tier=1)
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan+filter+scalar agg — measures predicate
     pushdown and codegen; no shuffle at all (single-row result)."""
@@ -206,6 +206,7 @@ def w1_topk_per_group(spark, sf_dir):
                                                      ORDER BY event_id) AS gap_us
        FROM events""",
     "EXT-WINDOW",
+    tier=1,
 )
 def w2_lag_event_gap(spark, sf_dir):
     """Analytic lag(): inter-event gap per user — OP-20 is a generalized
@@ -226,6 +227,7 @@ def w2_lag_event_gap(spark, sf_dir):
                     2) AS running_value
        FROM events""",
     "EXT-WINDOW",
+    tier=1,
 )
 def w3_running_total(spark, sf_dir):
     """Explicit frame spec: running sum per user. Deterministic accumulation
@@ -246,6 +248,7 @@ def w3_running_total(spark, sf_dir):
     """SELECT o_orderkey, o_totalprice FROM orders
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
     "EXT-TOPK",
+    tier=1,
 )
 def s1_global_sort_limit(spark, sf_dir):
     """Global top-25: planned as TakeOrderedAndProject (per-partition heap +
@@ -263,13 +266,20 @@ def s1_global_sort_limit(spark, sf_dir):
 # §2.7 set operations
 # --------------------------------------------------------------------------
 
-@register(
-    "set1_union_distinct",
-    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+_SET1_SQL = """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
        UNION
-       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
-    "EXT-SET",
-)
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'"""
+
+_SET2_SQL = """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'"""
+
+_SET3_SQL = """SELECT c_custkey AS custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS custkey FROM orders"""
+
+
+@register("set1_union_distinct", _SET1_SQL, "EXT-SET", tier=1)
 def set1_union_distinct(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -282,13 +292,7 @@ def set1_union_distinct(spark, sf_dir):
     return a.union(b).distinct()
 
 
-@register(
-    "set2_intersect",
-    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-       INTERSECT
-       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
-    "EXT-SET",
-)
+@register("set2_intersect", _SET2_SQL, "EXT-SET", tier=1)
 def set2_intersect(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -301,13 +305,7 @@ def set2_intersect(spark, sf_dir):
     return a.intersect(b)
 
 
-@register(
-    "set3_except_anti",
-    """SELECT c_custkey AS custkey FROM customer
-       EXCEPT
-       SELECT o_custkey AS custkey FROM orders""",
-    "EXT-SET", "OP-05",
-)
+@register("set3_except_anti", _SET3_SQL, "EXT-SET", "OP-05", tier=1)
 def set3_except_anti(spark, sf_dir):
     """EXCEPT — also the engine-level formulation of OP-05's
     ``ON CONFLICT DO NOTHING`` (anti-semijoin against sink keys,
@@ -326,6 +324,7 @@ def set3_except_anti(spark, sf_dir):
     """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "EXT-AGG",
+    tier=1,
 )
 def g1_rollup_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -337,9 +336,7 @@ def g1_rollup_counts(spark, sf_dir):
 # operators/joins.py for the scale strategies)
 # --------------------------------------------------------------------------
 
-@register(
-    "j1_asof_join",
-    """WITH p AS (SELECT event_id, user_id, ts FROM events
+_J1_SQL = """WITH p AS (SELECT event_id, user_id, ts FROM events
                  WHERE event_type = 'purchase'),
        c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
        m AS (SELECT p.event_id, c.ts AS cts, c.value AS cval,
@@ -348,9 +345,10 @@ def g1_rollup_counts(spark, sf_dir):
              FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
               epoch_us(m.cts) AS click_ts_us, m.cval AS click_value
-       FROM p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (event_id)""",
-    "EXT-JOIN",
-)
+       FROM p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (event_id)"""
+
+
+@register("j1_asof_join", _J1_SQL, "EXT-JOIN", tier=1)
 def j1_asof_join(spark, sf_dir):
     """As-of join: each purchase gets the user's latest click at-or-before
     it (NULLs when none). Union + single-shuffle window — never an
@@ -384,6 +382,7 @@ def j1_asof_join(spark, sf_dir):
                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
        GROUP BY o.o_orderpriority""",
     "EXT-AGG",
+    tier=1,
 )
 def q4_order_priority_exists(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the probe
@@ -426,16 +425,15 @@ def q13_customer_distribution(spark, sf_dir):
     )
 
 
-@register(
-    "q17_small_quantity_revenue",
-    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+_Q17_SQL = """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
        FROM lineitem l
        JOIN part p ON p.p_partkey = l.l_partkey
        JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_cap
              FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
-       WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_cap""",
-    "EXT-AGG",
-)
+       WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_cap"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL, "EXT-AGG", tier=1)
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
     per-part aggregate joined back. The per-part avg table is |part|-sized
@@ -457,15 +455,14 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "q19_disjunctive_predicate_join",
-    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+_Q19_SQL = """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
        WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
           OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
-          OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30)""",
-    "EXT-AGG",
-)
+          OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30)"""
+
+
+@register("q19_disjunctive_predicate_join", _Q19_SQL, "EXT-AGG", tier=1)
 def q19_disjunctive_predicate_join(spark, sf_dir):
     """TPC-H Q19 shape: disjunction of conjunctive predicates across both
     join sides. Catalyst extracts the common join key (equi-join survives)
@@ -490,17 +487,16 @@ def q19_disjunctive_predicate_join(spark, sf_dir):
     )
 
 
-@register(
-    "j2_interval_join",
-    """SELECT s.event_id AS signup_id, e.event_id AS event_id,
+_J2_SQL = """SELECT s.event_id AS signup_id, e.event_id AS event_id,
               e.event_type, epoch_us(e.ts) AS ts_us
        FROM events s JOIN events e
          ON s.user_id = e.user_id
         AND epoch_us(e.ts) >= epoch_us(s.ts) + 1000000
         AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
-       WHERE s.event_type = 'signup'""",
-    "EXT-JOIN",
-)
+       WHERE s.event_type = 'signup'"""
+
+
+@register("j2_interval_join", _J2_SQL, "EXT-JOIN", tier=1)
 def j2_interval_join(spark, sf_dir):
     """Interval join: every event within (1s, 1h] after a signup by the
     same user. Bucketed equi-join, not an inequality nested-loop
@@ -529,6 +525,7 @@ def j2_interval_join(spark, sf_dir):
               round(sum(o_totalprice), 2) AS total
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "EXT-AGG",
+    tier=1,
 )
 def g2_cube_counts(spark, sf_dir):
     """CUBE: all 4 grouping-set combinations in ONE pass — Spark expands
@@ -546,6 +543,7 @@ def g2_cube_counts(spark, sf_dir):
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
     "EXT-AGG",
+    tier=1,
 )
 def g3_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (two disjoint rollup dimensions, one scan)."""
@@ -567,6 +565,7 @@ def g3_grouping_sets(spark, sf_dir):
               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
        FROM lineitem GROUP BY l_returnflag""",
     "EXT-AGG",
+    tier=1,
 )
 def p1_percentiles_by_flag(spark, sf_dir):
     """Exact continuous-interpolation percentiles per group. Exact
@@ -718,17 +717,16 @@ def q10_returned_item_revenue(spark, sf_dir):
     )
 
 
-@register(
-    "q14_promo_revenue_share",
-    """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+_Q14_SQL = """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
                                      THEN l.l_extendedprice * (1 - l.l_discount)
                                      ELSE 0 END)
                     / sum(l.l_extendedprice * (1 - l.l_discount)), 3) AS promo_pct
        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-         AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
-    "EXT-AGG",
-)
+         AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""
+
+
+@register("q14_promo_revenue_share", _Q14_SQL, "EXT-AGG", tier=1)
 def q14_promo_revenue_share(spark, sf_dir):
     """TPC-H Q14 shape: conditional-aggregate ratio in one pass — both
     sums share one scan/join, so Catalyst plans a single hash aggregate
@@ -822,3 +820,225 @@ def q22_idle_high_balance(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-window consolidations: single-registration suites that carry several
+# independent query shapes into the driver's verified window. Each folded
+# shape also stays registered standalone (tier=1 breadth tail) for focused
+# plan pins and local oracle checks.
+# --------------------------------------------------------------------------
+
+@register(
+    "q_scalar_suite",
+    f"""SELECT (SELECT revenue FROM ({_Q6_SQL})) AS q6_revenue,
+               (SELECT promo_pct FROM ({_Q14_SQL})) AS promo_pct,
+               (SELECT avg_yearly FROM ({_Q17_SQL})) AS avg_yearly,
+               (SELECT revenue FROM ({_Q19_SQL})) AS q19_revenue""",
+    "EXT-AGG",
+)
+def q_scalar_suite(spark, sf_dir):
+    """Four single-row TPC-H shapes (Q6 scan-agg, Q14 conditional-ratio,
+    Q17 decorrelated scalar subquery, Q19 disjunctive-predicate join) joined
+    as 1-row cross products — one driver-verified registration, four
+    independent plans. Each sub-plan is exactly the standalone tier-1 query;
+    the cross join of singletons adds nothing to any of them."""
+    return (
+        q6_forecast_revenue(spark, sf_dir)
+        .select(F.col("revenue").alias("q6_revenue"))
+        .crossJoin(q14_promo_revenue_share(spark, sf_dir))
+        .crossJoin(q17_small_quantity_revenue(spark, sf_dir))
+        .crossJoin(
+            q19_disjunctive_predicate_join(spark, sf_dir).select(
+                F.col("revenue").alias("q19_revenue")
+            )
+        )
+    )
+
+
+@register(
+    "w2_3_window_analytics",
+    """SELECT event_id, user_id,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY event_id) AS gap_us,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    2) AS running_value
+       FROM events""",
+    "EXT-WINDOW",
+)
+def w2_3_window_analytics(spark, sf_dir):
+    """Analytic lag() + explicit-frame running sum in ONE window pass: both
+    functions share the (user_id, event_id) partitioning/ordering, so Spark
+    plans a single shuffle + single sort + one Window node — the fused form
+    of the standalone w2/w3 queries."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.round(F.sum("value").over(frame), 2).alias("running_value"),
+    )
+
+
+@register(
+    "set_operations",
+    f"""SELECT 'union' AS kind, custkey FROM ({_SET1_SQL})
+        UNION ALL
+        SELECT 'intersect' AS kind, custkey FROM ({_SET2_SQL})
+        UNION ALL
+        SELECT 'except' AS kind, custkey FROM ({_SET3_SQL})""",
+    "EXT-SET", "OP-05",
+)
+def set_operations(spark, sf_dir):
+    """§2.7 set-operation family (UNION / INTERSECT / EXCEPT) as one tagged
+    result — each branch is the exact standalone set1/set2/set3 plan; the
+    EXCEPT branch doubles as OP-05's ON CONFLICT DO NOTHING anti-semijoin
+    formulation (index.mjs:55)."""
+    branches = [
+        set1_union_distinct(spark, sf_dir).select(
+            F.lit("union").alias("kind"), "custkey"
+        ),
+        set2_intersect(spark, sf_dir).select(
+            F.lit("intersect").alias("kind"), "custkey"
+        ),
+        set3_except_anti(spark, sf_dir).select(
+            F.lit("except").alias("kind"), "custkey"
+        ),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@register(
+    "g_grouping_analytics",
+    """SELECT 'rollup' AS kind, o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       UNION ALL
+       SELECT 'cube' AS kind, o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       UNION ALL
+       SELECT 'gsets' AS kind, o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "EXT-AGG",
+)
+def g_grouping_analytics(spark, sf_dir):
+    """ROLLUP + CUBE + GROUPING SETS over orders as one tagged union — all
+    three are the same Expand-node machinery (multi-grouping-set aggregate in
+    one scan each); the tag keeps every grouping combination's provenance in
+    the hash-checked result."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")]
+    rollup = o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs).select(
+        F.lit("rollup").alias("kind"), "o_orderstatus", "o_orderpriority", "n", "total"
+    )
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(*aggs).select(
+        F.lit("cube").alias("kind"), "o_orderstatus", "o_orderpriority", "n", "total"
+    )
+    gsets = (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+        )
+        .agg(*aggs)
+        .select(
+            F.lit("gsets").alias("kind"), "o_orderstatus", "o_orderpriority", "n", "total"
+        )
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
+
+
+@register(
+    "p2_percentile_disc_distributed",
+    """WITH c AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS cnt
+                 FROM lineitem GROUP BY 1, 2),
+       w AS (SELECT l_returnflag, v,
+                    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+             FROM c)
+       SELECT l_returnflag,
+              min(CASE WHEN cum >= floor(0.25 * (n - 1)) + 1 THEN v END) AS p25,
+              min(CASE WHEN cum >= floor(0.50 * (n - 1)) + 1 THEN v END) AS p50,
+              min(CASE WHEN cum >= floor(0.75 * (n - 1)) + 1 THEN v END) AS p75
+       FROM w GROUP BY l_returnflag""",
+    "EXT-AGG",
+)
+def p2_percentile_disc_distributed(spark, sf_dir):
+    """Scale-tier EXACT percentiles (discrete): pre-aggregate to
+    (flag, value) counts — map-side partial aggregation shrinks the shuffle
+    from |lineitem| rows to |distinct values| — then a cumulative-count
+    window over the tiny value-histogram picks the rank-⌊p·(n−1)⌋+1 element.
+    Unlike the holistic ``percentile`` of p1 (which routes the ENTIRE fact
+    table to 3 reducers), every fact-table-sized stage here is a partial
+    agg; only the histogram (bounded by value cardinality) crosses the
+    3-key shuffle. Values pass through untouched (no interpolation
+    arithmetic), so the cross-engine hash is exact. The t-digest
+    ``approx_percentile`` sketch remains the bounded-error alternative when
+    even the histogram is too wide (tests/test_approx.py)."""
+    l = _t(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("v")
+    wall = Window.partitionBy("l_returnflag")
+    hist = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        target = F.floor(F.lit(p) * (F.col("n") - 1)) + 1
+        return F.min(F.when(F.col("cum") >= target, F.col("v"))).alias(name)
+
+    return hist.groupBy("l_returnflag").agg(
+        pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75")
+    )
+
+
+@register(
+    "j12_temporal_joins",
+    f"""SELECT 'asof' AS kind, event_id, user_id, ts_us, click_ts_us, click_value,
+               CAST(NULL AS BIGINT) AS signup_id, CAST(NULL AS VARCHAR) AS event_type
+        FROM ({_J1_SQL})
+        UNION ALL
+        SELECT 'interval' AS kind, event_id, CAST(NULL AS BIGINT) AS user_id,
+               ts_us, CAST(NULL AS BIGINT) AS click_ts_us,
+               CAST(NULL AS DOUBLE) AS click_value, signup_id, event_type
+        FROM ({_J2_SQL})""",
+    "EXT-JOIN",
+)
+def j12_temporal_joins(spark, sf_dir):
+    """Both temporal-join operators in one tagged result: the as-of join
+    (union + single-shuffle window, never an inequality join) and the
+    bucketed interval join (equi-join on (key, bucket), never a nested
+    loop) — each branch is the exact standalone j1/j2 plan."""
+    asof = j1_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("kind"),
+        "event_id",
+        "user_id",
+        "ts_us",
+        "click_ts_us",
+        "click_value",
+        F.lit(None).cast("long").alias("signup_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    interval = j2_interval_join(spark, sf_dir).select(
+        F.lit("interval").alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("user_id"),
+        "ts_us",
+        F.lit(None).cast("long").alias("click_ts_us"),
+        F.lit(None).cast("double").alias("click_value"),
+        "signup_id",
+        "event_type",
+    )
+    return asof.unionByName(interval)

@@ -178,8 +178,49 @@ def x04_dedup_simhash(spark, sf_dir):
     return D.simhash_docs(_t(spark, sf_dir, "documents"))
 
 
+def _bucket_expr_sql() -> str:
+    """DuckDB expression for the SRP-LSH bucket id, from the SAME literal
+    hyperplanes the Spark operator embeds (similarity.hyperplane_signs)."""
+    from .operators.similarity import N_PLANES, hyperplane_signs
+
+    signs = hyperplane_signs()
+    return " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(str(s) for s in signs[p])
+        + f"]) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
 @register(
     "x05_dedup_embedding_cosine",
+    f"""WITH b AS (SELECT vec_id, embedding, CAST({{bucket}} AS BIGINT) AS bucket
+                  FROM embeddings)
+        SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM b a JOIN b c USING (bucket)
+        WHERE a.vec_id < c.vec_id
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])), 4)
+              >= {COSINE_DUP_THRESHOLD}""".replace("{bucket}", _bucket_expr_sql()),
+    "EXT-02", "EXT-03",
+)
+def x05_dedup_embedding_cosine(spark, sf_dir):
+    """EXT-02 embedding tier (SCALE form — registered default): cosine
+    near-dup pairs among SRP-LSH bucket collisions only. Equi-join on the
+    row-local bucket key — no crossJoin anywhere in the plan (pinned in
+    tests/test_plans.py); the all-pairs exact form stays available as
+    x05b (tier-1) and as the recall baseline in tests/test_similarity.py.
+    Oracle shares the literal hyperplanes, so the bucketed semantics are
+    hash-checked exactly."""
+    return S.embedding_near_dup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+@register(
+    "x05b_dedup_cosine_allpairs",
     f"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
@@ -188,10 +229,12 @@ def x04_dedup_simhash(spark, sf_dir):
                                            CAST(b.embedding AS DOUBLE[])), 4)
               >= {COSINE_DUP_THRESHOLD}""",
     "EXT-02", "EXT-03",
+    tier=1,
 )
-def x05_dedup_embedding_cosine(spark, sf_dir):
-    """EXT-02 embedding tier: cosine near-dup pairs (double-fold dot
-    product; rounded before thresholding on both sides)."""
+def x05b_dedup_cosine_allpairs(spark, sf_dir):
+    """EXT-02 embedding tier, EXACT all-pairs baseline (O(n²) compare
+    volume — oracle/recall ground truth only; the registered scale tier is
+    the bucketed x05)."""
     return S.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
     )
@@ -287,8 +330,7 @@ def x07_knn_ivf(spark, sf_dir):
 # EXT-05 text analysis
 # ---------------------------------------------------------------------------
 
-@register(
-    "x08_token_stats",
+_X08_SQL = (
     "WITH "
     + _TOKS_CTE
     + r""",
@@ -300,9 +342,11 @@ def x07_knn_ivf(spark, sf_dir):
               CAST(len(w) AS BIGINT) AS n_tokens,
               CAST(n_sub AS BIGINT) AS n_subtokens,
               CAST(n_chars AS BIGINT) AS n_chars
-       FROM toks JOIN sub ON toks.doc_id = sub.doc_id""",
-    "EXT-05",
+       FROM toks JOIN sub ON toks.doc_id = sub.doc_id"""
 )
+
+
+@register("x08_token_stats", _X08_SQL, "EXT-05", tier=1)
 def x08_token_stats(spark, sf_dir):
     return T.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -332,7 +376,7 @@ def _quality_sql() -> str:
     )
 
 
-@register("x09_quality_score", _quality_sql(), "EXT-05")
+@register("x09_quality_score", _quality_sql(), "EXT-05", tier=1)
 def x09_quality_score(spark, sf_dir):
     return T.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -363,19 +407,37 @@ def _lang_id_sql() -> str:
     )
 
 
-@register("x10_lang_id", _lang_id_sql(), "EXT-05")
+@register("x10_lang_id", _lang_id_sql(), "EXT-05", tier=1)
 def x10_lang_id(spark, sf_dir):
     """Heuristic marker-word language ID (argmax, first-lang tie-break)."""
     return T.lang_id(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "x11_fingerprint_md5",
-    f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
-    "EXT-05",
-)
+_X11_SQL = f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents"
+
+
+@register("x11_fingerprint_md5", _X11_SQL, "EXT-05", tier=1)
 def x11_fingerprint_md5(spark, sf_dir):
     return T.fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x08_11_text_profile",
+    f"""SELECT t.doc_id, t.n_tokens, t.n_subtokens, t.n_chars,
+               q.stop_ratio, q.punct_ratio, q.quality, l.lang_pred, f.fingerprint
+        FROM ({_X08_SQL}) t
+        JOIN ({_quality_sql()}) q USING (doc_id)
+        JOIN ({_lang_id_sql()}) l USING (doc_id)
+        JOIN ({_X11_SQL}) f USING (doc_id)""",
+    "EXT-05",
+)
+def x08_11_text_profile(spark, sf_dir):
+    """EXT-05 one-pass profile: token stats + quality + lang-id + md5
+    fingerprint as a single row-local projection over ONE tokenize barrier
+    (operators/textanalysis.text_profile) — vs four separate corpus scans.
+    The oracle composes the four standalone generated SQLs by doc_id join;
+    Spark computes them in one pass with zero shuffles."""
+    return T.text_profile(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -413,6 +475,7 @@ def x12_winnow_fingerprints(spark, sf_dir):
               md5(text) AS payload_md5
        FROM documents""",
     "EXT-04",
+    tier=1,
 )
 def x13_multimodal_meta(spark, sf_dir):
     """EXT-04: binary payload column + typed metadata; metadata-only reads
@@ -439,7 +502,7 @@ def x13_multimodal_meta(spark, sf_dir):
        FROM documents""",
     "EXT-04",
 )
-def x14_multimodal_decode(spark, sf_dir):
+def x14_multimodal_decode(spark, sf_dir):  # tier 0: the Arrow decode path
     """EXT-04: Arrow-batched decode via mapInPandas (codec stubbed —
     deterministic fake from payload bytes; see operators/multimodal.py)."""
     return decode_payloads(attach_payload(_t(spark, sf_dir, "documents")))
@@ -449,32 +512,52 @@ def x14_multimodal_decode(spark, sf_dir):
 # EXT-06/07 window aggregation (batch form; streaming in streaming/jobs.py)
 # ---------------------------------------------------------------------------
 
-@register(
-    "x15_window_tumbling",
-    """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+_X15_SQL = """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
               CAST(count(*) AS BIGINT) AS n_events,
               round(sum(value), 2) AS sum_value
-       FROM events GROUP BY 1""",
-    "EXT-06",
-)
-def x15_window_tumbling(spark, sf_dir):
-    return W.tumbling_window_agg(_t(spark, sf_dir, "events"), width_s=600)
+       FROM events GROUP BY 1"""
 
-
-@register(
-    "x16_window_sliding",
-    """SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+_X16_SQL = """SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n_events,
               round(sum(value), 2) AS sum_value
        FROM (
            SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws, value FROM events
            UNION ALL
            SELECT (epoch_us(ts) // 300000000) * 300000000 - 300000000 AS ws, value
            FROM events
-       ) GROUP BY ws""",
-    "EXT-06",
-)
+       ) GROUP BY ws"""
+
+
+@register("x15_window_tumbling", _X15_SQL, "EXT-06", tier=1)
+def x15_window_tumbling(spark, sf_dir):
+    return W.tumbling_window_agg(_t(spark, sf_dir, "events"), width_s=600)
+
+
+@register("x16_window_sliding", _X16_SQL, "EXT-06", tier=1)
 def x16_window_sliding(spark, sf_dir):
     return W.sliding_window_agg(_t(spark, sf_dir, "events"), width_s=600, slide_s=300)
+
+
+@register(
+    "x15_16_window_batch",
+    f"""SELECT 'tumble' AS kind, window_start_us, n_events, sum_value
+        FROM ({_X15_SQL})
+        UNION ALL
+        SELECT 'slide' AS kind, window_start_us, n_events, sum_value
+        FROM ({_X16_SQL})""",
+    "EXT-06",
+)
+def x15_16_window_batch(spark, sf_dir):
+    """EXT-06 batch forms as one tagged result: epoch-aligned tumbling
+    (600s) + sliding (600s width / 300s slide) via Spark's native
+    ``window()`` — each branch is exactly the standalone x15/x16 plan."""
+    e = _t(spark, sf_dir, "events")
+    tumble = W.tumbling_window_agg(e, width_s=600).select(
+        F.lit("tumble").alias("kind"), "window_start_us", "n_events", "sum_value"
+    )
+    slide = W.sliding_window_agg(e, width_s=600, slide_s=300).select(
+        F.lit("slide").alias("kind"), "window_start_us", "n_events", "sum_value"
+    )
+    return tumble.unionByName(slide)
 
 
 @register(
@@ -496,6 +579,7 @@ def x16_window_sliding(spark, sf_dir):
               CAST(count(*) AS BIGINT) AS n_events
        FROM sess GROUP BY user_id, session_id""",
     "EXT-07",
+    tier=1,
 )
 def x17_window_session(spark, sf_dir):
     return W.session_window_agg(_t(spark, sf_dir, "events"), gap_s=1800)
@@ -579,6 +663,7 @@ def x20_stream_dedup(spark, sf_dir):
            FROM events
        ) GROUP BY ws""",
     "EXT-06", "EXT-08",
+    tier=1,
 )
 def x21_stream_sliding(spark, sf_dir):
     """EXT-06 via REAL Structured Streaming: watermarked sliding window
@@ -615,6 +700,7 @@ def x22_stream_stream_join(spark, sf_dir):
                                       ORDER BY ts, event_id) AS BIGINT) AS seq
        FROM events""",
     "EXT-09",
+    tier=1,
 )
 def x23_stream_stateful_seq(spark, sf_dir):
     """EXT-09: custom stateful operator (applyInPandasWithState) — per-user
@@ -734,3 +820,67 @@ def x27_dedup_connected_components(spark, sf_dir):
         docs, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
     ).select("doc_a", "doc_b")
     return D.dedup_keep_one(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# EXT-05 term weighting + sentiment lexicon (SURVEY §2.10; VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x28_term_doc_freq",
+    "WITH "
+    + _TOKS_CTE
+    + """,
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks, UNNEST(w) AS u(term) GROUP BY doc_id, term),
+       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                    row_number() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rk
+             FROM tf JOIN dfq USING (term))
+       SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 5""",
+    "EXT-05", "OP-28",
+)
+def x28_term_doc_freq(spark, sf_dir):
+    """EXT-05 term weighting (CountVectorizer-equivalent document-frequency
+    statistics): per-(doc, term) tf, per-term df, top-5 terms per doc by
+    (tf DESC, df ASC, term ASC) — the integer-exact order statistic behind
+    tf·idf; see operators/textanalysis.term_doc_freq for the scale notes
+    (explode → partial aggs → term-key shuffle join → per-doc top-k).
+    Also the driver-verified home of OP-28 (explode/flatten-then-count,
+    index.mjs:37)."""
+    return T.term_doc_freq(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+def _sentiment_sql() -> str:
+    vals = ", ".join(f"('{w}', {wt})" for w, wt in T.SENTIMENT_LEXICON.items())
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + f""",
+        lex(term, weight) AS (VALUES {vals}),
+        hits AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_hits,
+                        CAST(sum(CASE WHEN weight < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_hits,
+                        CAST(sum(weight) AS BIGINT) AS score
+                 FROM toks, UNNEST(w) AS u(term) JOIN lex USING (term)
+                 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pos_hits, 0) AS pos_hits,
+               coalesce(neg_hits, 0) AS neg_hits,
+               coalesce(score, 0) AS score,
+               CASE WHEN coalesce(score, 0) > 0 THEN 'pos'
+                    WHEN coalesce(score, 0) < 0 THEN 'neg'
+                    ELSE 'neu' END AS label
+        FROM documents d LEFT JOIN hits USING (doc_id)"""
+    )
+
+
+@register("x29_sentiment_lexicon", _sentiment_sql(), "EXT-05")
+def x29_sentiment_lexicon(spark, sf_dir):
+    """EXT-05 sentiment-lexicon scorer: explode tokens → broadcast-join the
+    ±1 wordlist → per-doc hit counts + signed score, zero-hit docs kept with
+    explicit 0 (left join back to documents). The lexicon is generated into
+    the oracle VALUES list from the same constant."""
+    return T.sentiment_score(_t(spark, sf_dir, "documents"))

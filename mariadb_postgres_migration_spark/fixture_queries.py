@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from .functions.text import caret_count
 from .operators.aggregates import max_id
-from .operators.threading import resolve_backrefs
+from .operators.threading import resolve_backrefs, resolve_backrefs_scaled
 from .registry import PASSWORD_PLACEHOLDER, REGISTRY, SEP, _t, register
 
 
@@ -37,9 +37,15 @@ from .registry import PASSWORD_PLACEHOLDER, REGISTRY, SEP, _t, register
 # §2.1 scans
 # --------------------------------------------------------------------------
 
-@register("op01_full_scan", "SELECT n_nationkey, n_name, n_regionkey FROM nation", "OP-01")
+@register(
+    "op01_full_scan",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "OP-01",
+    tier=1,
+)
 def op01_full_scan(spark, sf_dir):
-    """OP-01 (queries.mjs:4-5): full-table scan, lazy + schema-pinned."""
+    """OP-01 (queries.mjs:4-5): full-table scan, lazy + schema-pinned.
+    (Breadth tail: OP-01 is driver-verified via op03_sorted_scan.)"""
     return _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
 
 
@@ -47,22 +53,25 @@ def op01_full_scan(spark, sf_dir):
     "op02_projected_scan",
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "OP-02",
+    tier=1,
 )
 def op02_projected_scan(spark, sf_dir):
     """OP-02 (queries.mjs:6-7): projected scan; Catalyst prunes the parquet
-    read schema to exactly these columns (check: ReadSchema in explain)."""
+    read schema to exactly these columns (check: ReadSchema in explain).
+    (Breadth tail: OP-02 is driver-verified via op08_rename_projection,
+    whose projection prunes the events scan the same way.)"""
     return _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 @register(
     "op03_sorted_scan",
     """SELECT event_id, user_id, event_type FROM events ORDER BY user_id, event_id""",
-    "OP-03",
+    "OP-01", "OP-03",
 )
 def op03_sorted_scan(spark, sf_dir):
-    """OP-03 (queries.mjs:3): two-key sorted scan. In-engine the ordering
-    requirement normally lives in a window spec; a global sort is a range
-    shuffle here."""
+    """OP-01/OP-03 (queries.mjs:3-5): full scan of every events row + the
+    reference's two-key sorted scan. In-engine the ordering requirement
+    normally lives in a window spec; a global sort is a range shuffle here."""
     return (
         _t(spark, sf_dir, "events")
         .orderBy("user_id", "event_id")
@@ -90,11 +99,12 @@ def op05_conflict_dedup(spark, sf_dir):
     """SELECT event_id AS id, user_id AS from_user, event_type AS title,
               epoch_us(ts) AS created_at_us
        FROM events""",
-    "OP-08",
+    "OP-02", "OP-08",
 )
 def op08_rename_projection(spark, sf_dir):
-    """OP-08 (column_sets.mjs:73-91): declarative rename projection
-    (from→from_user, subject→title analog)."""
+    """OP-02/OP-08 (queries.mjs:6-7, column_sets.mjs:73-91): projected scan
+    (Catalyst prunes the parquet ReadSchema to exactly these columns) with
+    declarative renames (from→from_user, subject→title analog)."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         F.col("event_id").alias("id"),
@@ -105,10 +115,34 @@ def op08_rename_projection(spark, sf_dir):
 
 
 @register(
+    "op09_10_constant_filter",
+    f"""SELECT c_custkey, c_name AS username, '{PASSWORD_PLACEHOLDER}' AS password,
+               c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "OP-09", "OP-10",
+)
+def op09_10_constant_filter(spark, sf_dir):
+    """OP-09 + OP-10 (index.mjs:24, index.mjs:97) in one pass: equality
+    filter pushed into the parquet scan (PushedFilters) and a config-constant
+    column overwrite on the surviving rows."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("username"),
+            F.lit(PASSWORD_PLACEHOLDER).alias("password"),
+            "c_mktsegment",
+        )
+    )
+
+
+@register(
     "op09_constant_substitution",
     f"""SELECT c_custkey, c_name AS username, '{PASSWORD_PLACEHOLDER}' AS password
         FROM customer""",
     "OP-09",
+    tier=1,
 )
 def op09_constant_substitution(spark, sf_dir):
     """OP-09 (index.mjs:24): overwrite a column with a config constant."""
@@ -123,6 +157,7 @@ def op09_constant_substitution(spark, sf_dir):
     "op10_equality_filter",
     "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "OP-10",
+    tier=1,
 )
 def op10_equality_filter(spark, sf_dir):
     """OP-10 (index.mjs:97): equality filter; pushed into the parquet scan
@@ -158,12 +193,62 @@ def op11_regex_prefix_predicate(spark, sf_dir):
 
 
 @register(
+    "op12_14_repair_parse",
+    """SELECT event_id,
+              coalesce(CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_id END,
+                       user_id) AS resolved_id,
+              coalesce(CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END,
+                       -1) AS user_or_default,
+              epoch_us(try_strptime(
+                  CASE WHEN event_id % 7 = 0 THEN '0000-00-00 00:00:00'
+                       WHEN event_id % 11 = 0 THEN 'not a timestamp'
+                       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+                  '%Y-%m-%d %H:%M:%S')) AS repaired_us,
+              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS round_trip
+       FROM events""",
+    "OP-12", "OP-13", "OP-14", "OP-24", "OP-25", "OP-27",
+)
+def op12_14_repair_parse(spark, sf_dir):
+    """The ColumnSet repair/parse layer (SURVEY §2.2/§2.8) in one projection
+    over events — exactly how the reference applies them (one per-row render
+    pass, column_sets.mjs:10-23,67-70; index.mjs:25,99,106):
+
+    * OP-12 coalesce-of-columns (``v.id || v.video_id``)
+    * OP-13 NULL→sink-default repair
+    * OP-14/OP-25 invalid-timestamp repair incl. MySQL zero-dates
+      (``try_to_timestamp`` keeps ANSI mode non-throwing)
+    * OP-24 JSON parse to typed value (malformed → NULL)
+    * OP-27 int parse (``parseInt`` analog via try_cast)
+    """
+    e = _t(spark, sf_dir, "events")
+    maybe = F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(F.col("event_id"))
+    nulled = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    raw_ts = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("0000-00-00 00:00:00"))
+        .when(F.col("event_id") % 11 == 0, F.lit("not a timestamp"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    )
+    return e.select(
+        "event_id",
+        F.coalesce(maybe, F.col("user_id")).alias("resolved_id"),
+        F.coalesce(nulled, F.lit(-1)).alias("user_or_default"),
+        F.unix_micros(
+            F.try_to_timestamp(raw_ts, F.lit("yyyy-MM-dd HH:mm:ss"))
+        ).alias("repaired_us"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+        F.col("event_id").cast("string").try_cast("long").alias("round_trip"),
+    )
+
+
+@register(
     "op12_coalesce_columns",
     """SELECT event_id,
               coalesce(CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_id END,
                        user_id) AS resolved_id
        FROM events""",
     "OP-12",
+    tier=1,
 )
 def op12_coalesce_columns(spark, sf_dir):
     """OP-12 (index.mjs:106 ``v.id || v.video_id``): first-non-null across
@@ -180,6 +265,7 @@ def op12_coalesce_columns(spark, sf_dir):
                        -1) AS user_or_default
        FROM events""",
     "OP-13",
+    tier=1,
 )
 def op13_null_default_repair(spark, sf_dir):
     """OP-13 (column_sets.mjs:67-70): NULL → sink-default repair, default
@@ -199,6 +285,7 @@ def op13_null_default_repair(spark, sf_dir):
                   '%Y-%m-%d %H:%M:%S')) AS repaired_us
        FROM events""",
     "OP-14", "OP-25",
+    tier=1,
 )
 def op14_timestamp_repair(spark, sf_dir):
     """OP-14/OP-25 (column_sets.mjs:10-17): ts_default_fallback — MySQL
@@ -369,16 +456,9 @@ FROM walked
 """
 
 
-@register("op20_backref_threading", _OP20_ORACLE, "OP-20", "OP-26")
-def op20_backref_threading(spark, sf_dir):
-    """OP-20 (index.mjs:62-78): temporal-skip backref resolution on
-    events-as-comments (id=event_id, partition=user_id, synthesized caret
-    prefixes, 10% deletions including the deleted_at==created_at strict-``>``
-    edge). Pure window + higher-order functions — no Python in the loop.
-    Timestamps are walked as int64 micros so Spark and the oracle compare
-    identical scalars."""
+def _op20_comments(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    comments = e.select(
+    return e.select(
         F.col("event_id").alias("id"),
         F.col("user_id").alias("video_id"),
         F.repeat(F.lit("^"), (F.col("event_id") % 4).cast("int")).alias("content"),
@@ -388,8 +468,43 @@ def op20_backref_threading(spark, sf_dir):
             F.unix_micros("ts") + (F.col("event_id") % 3) * 3600000000,
         ).alias("deleted_us"),
     )
+
+
+@register("op20_backref_threading", _OP20_ORACLE, "OP-20", "OP-26")
+def op20_backref_threading(spark, sf_dir):
+    """OP-20 (index.mjs:62-78): temporal-skip backref resolution on
+    events-as-comments (id=event_id, partition=user_id, synthesized caret
+    prefixes, 10% deletions including the deleted_at==created_at strict-``>``
+    edge). Timestamps are walked as int64 micros so Spark and the oracle
+    compare identical scalars.
+
+    REGISTERED TIER: the scale tier — ``resolve_backrefs_scaled`` (grouped
+    ``applyInPandas`` walk, O(group) state). FIXTURES.md specifies
+    zipf-skewed ``video_id``, and the window-``collect_list`` tier's frame
+    is O(p²) state on a hot partition (SURVEY §4), so the bounded-state walk
+    is the 100 TB default. The HOF tier (``resolve_backrefs``) remains the
+    JVM-only oracle companion, property-tested equal on zipf/hot-key
+    fixtures (tests/test_threading_property.py)."""
+    resolved = resolve_backrefs_scaled(
+        _op20_comments(spark, sf_dir),
+        partition_col="video_id",
+        order_col="id",
+        content_col="content",
+        created_col="created_us",
+        deleted_col="deleted_us",
+        out_col="response_to",
+    )
+    return resolved.select("id", F.col("response_to").cast("long").alias("response_to"))
+
+
+@register("op20_backref_threading_hof", _OP20_ORACLE, "OP-20", "OP-26", tier=1)
+def op20_backref_threading_hof(spark, sf_dir):
+    """OP-20 oracle-companion tier: pure window + higher-order functions —
+    no Python in the loop (the plan pin tests/test_plans.py asserts zero
+    Python operators). Exact unbounded semantics; preferred when no single
+    partition key is pathologically hot."""
     resolved = resolve_backrefs(
-        comments,
+        _op20_comments(spark, sf_dir),
         partition_col="video_id",
         order_col="id",
         content_col="content",
@@ -405,23 +520,30 @@ def op20_backref_threading(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @register(
-    "op21_29_split_transform",
+    "op21_30_scalar_suite",
     """SELECT p_partkey,
               array_to_string(list_transform(string_split(p_type, ' '),
                                              w -> upper(w)), '|') AS words_upper,
-              CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words
+              CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+              substring(p_name, 1, 10) AS name_trunc,
+              p_brand || '#' || p_type AS brand_type
        FROM part""",
-    "OP-21", "OP-28", "OP-29",
+    "OP-21", "OP-22", "OP-29", "OP-30",
 )
-def op21_29_split_transform(spark, sf_dir):
-    """OP-21/28/29 (index.mjs:36-45): split by separator, per-element
-    transform (higher-order, JVM-side), rejoin."""
+def op21_30_scalar_suite(spark, sf_dir):
+    """The §2.8 scalar-function layer in one projection over part, the way
+    the reference applies them (one per-row render pass): OP-21 split by
+    separator + OP-29 per-element transform (higher-order, JVM-side) +
+    rejoin, OP-22 varchar(30)-style truncation (index.mjs:51-52, here 10),
+    OP-30 string concat."""
     p = _t(spark, sf_dir, "part")
     words = F.split(F.col("p_type"), " ")
     return p.select(
         "p_partkey",
         F.array_join(F.transform(words, lambda w: F.upper(w)), "|").alias("words_upper"),
         F.size(words).cast("long").alias("n_words"),
+        F.substring("p_name", 1, 10).alias("name_trunc"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
     )
 
 
@@ -429,6 +551,7 @@ def op21_29_split_transform(spark, sf_dir):
     "op22_substring_truncate",
     """SELECT p_partkey, substring(p_name, 1, 10) AS name_trunc FROM part""",
     "OP-22",
+    tier=1,
 )
 def op22_substring_truncate(spark, sf_dir):
     """OP-22 (index.mjs:51-52): varchar(30)-style truncation (here 10)."""
@@ -442,6 +565,7 @@ def op22_substring_truncate(spark, sf_dir):
               coalesce(regexp_extract(p_type, '^([a-z]+)', 1), '') AS first_word
        FROM part""",
     "OP-23",
+    tier=1,
 )
 def op23_regex_extract(spark, sf_dir):
     """OP-23 (index.mjs:62): regex group extraction."""
@@ -459,6 +583,7 @@ def op23_regex_extract(spark, sf_dir):
     """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
        FROM events""",
     "OP-24",
+    tier=1,
 )
 def op24_json_parse(spark, sf_dir):
     """OP-24 (index.mjs:25): JSON text → typed value; malformed → NULL."""
@@ -475,6 +600,7 @@ def op24_json_parse(spark, sf_dir):
        FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
        GROUP BY user_id""",
     "OP-26",
+    tier=1,
 )
 def op26_ts_compare_filter(spark, sf_dir):
     """OP-26 (index.mjs:71-72): native timestamp comparison, pushed to scan."""
@@ -491,6 +617,7 @@ def op26_ts_compare_filter(spark, sf_dir):
     """SELECT event_id, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS round_trip
        FROM events""",
     "OP-27",
+    tier=1,
 )
 def op27_int_parse(spark, sf_dir):
     """OP-27 (index.mjs:99,122): parseInt — string→long, NULL on garbage
@@ -507,10 +634,12 @@ def op27_int_parse(spark, sf_dir):
        FROM part, UNNEST(string_split(p_type, ' ')) AS t(w)
        GROUP BY w""",
     "OP-28",
+    tier=1,
 )
 def op28_explode_wordcount(spark, sf_dir):
     """OP-28 (index.mjs:37 array flatten): explode + count — the canonical
-    flatten-then-aggregate; partial agg keeps the shuffle narrow."""
+    flatten-then-aggregate; partial agg keeps the shuffle narrow. (Breadth
+    tail: OP-28 is driver-verified via x28_term_doc_freq's explode→count.)"""
     p = _t(spark, sf_dir, "part")
     return (
         p.select(F.explode(F.split("p_type", " ")).alias("word"))
@@ -523,6 +652,7 @@ def op28_explode_wordcount(spark, sf_dir):
     "op30_concat",
     """SELECT p_partkey, p_brand || '#' || p_type AS brand_type FROM part""",
     "OP-30",
+    tier=1,
 )
 def op30_concat(spark, sf_dir):
     """OP-30: string concatenation."""

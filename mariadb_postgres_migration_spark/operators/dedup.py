@@ -46,6 +46,29 @@ from ..functions.text import normalize_text_native
 
 HEX = "0123456789abcdef"
 
+#: Cached intermediates created by dedup operators (posting lists, shingle
+#: sets). They must stay materialized while the returned lazy DataFrame is
+#: consumed, so the operator cannot unpersist them itself — ownership passes
+#: to the caller via :func:`release_cached_intermediates`. bench.py drains
+#: this between runs; a long-lived session that never drains would otherwise
+#: accumulate cache until memory/disk pressure (ADVICE r1).
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached_intermediates() -> int:
+    """Unpersist every intermediate cached by dedup operators; returns how
+    many were released. Call after the consuming action completes."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=False)
+    return n
+
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Repartition a tiny scan up to the session's core count before heavy
@@ -183,7 +206,7 @@ def _pair_jaccard(
     grouped = ds.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)
-    grouped = grouped.persist()
+    grouped = _persist(grouped)
     inter = (
         grouped.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -348,7 +371,7 @@ def minhash_dedup_pairs(
     (:func:`minhash_signatures_inrow`) so candidate generation's sole
     shuffle is the narrow band-key groupBy.
     """
-    sets = doc_shingle_sets(docs, id_col, text_col, k).persist()
+    sets = _persist(doc_shingle_sets(docs, id_col, text_col, k))
     cand = lsh_candidate_pairs(minhash_signatures_inrow(sets))
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("na")
@@ -460,6 +483,7 @@ def connected_components(
         .select("doc_id", F.col("doc_id").alias("comp"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "comp"
@@ -479,8 +503,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a silent exit here would split components with diameter > max_iter
+        # (long near-dup chains) and yield wrong keep-one decisions
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — the pair graph has a component with larger diameter; "
+            "raise max_iter or switch to large-star/small-star"
+        )
     return labels
 
 

@@ -45,10 +45,13 @@ def broadcast_lookup(
     """OP-16: the JS ``Map(user_id→playlist_id)`` build/probe
     (index.mjs:96-110) as an explicit broadcast hash join.
 
-    ``how='inner'`` reproduces the reference's silent row drop when the map
-    lookup misses (``Map.get`` → undefined, index.mjs:105). The build side
-    must be pre-filtered/projected by the caller (title filter,
-    index.mjs:97) so what broadcasts is minimal.
+    Choose ``how`` for the miss semantics: the reference's ``Map.get`` miss
+    leaves the looked-up value undefined but KEEPS the row (pg-promise
+    renders undefined as NULL, index.mjs:103-110) — that is ``how='left'``
+    (what pipeline.fill_playlist_video uses). ``how='inner'`` drops probe
+    rows with no build match. The build side must be pre-filtered/projected
+    by the caller (title filter, index.mjs:97) so what broadcasts is
+    minimal.
     """
     return probe.join(F.broadcast(build), on=on, how=how)
 
@@ -70,9 +73,18 @@ def dict_apply_to_array(
     Catalyst broadcasts it anyway. Element order of the rebuilt array follows
     original element position (explicit ``posexplode`` + sort) so results are
     deterministic.
+
+    Null/empty/miss contract (pinned in tests/test_dict_apply.py): a NULL
+    input array stays NULL and an empty array stays empty — the
+    ``posexplode_outer`` placeholder row (NULL pos) is filtered before the
+    regroup so neither comes back as ``[null]``; a dictionary MISS maps the
+    element to NULL inside the array (``Map.get`` → undefined parity,
+    index.mjs:44).
     """
     other_cols = [c for c in df.columns if c != array_col]
-    exploded = df.select(*other_cols, F.posexplode_outer(array_col).alias("__pos", "__elem"))
+    exploded = df.select(
+        *other_cols, F.posexplode_outer(array_col).alias("__pos", "__elem")
+    ).filter(F.col("__pos").isNotNull())
     mapped = exploded.join(
         F.broadcast(dictionary.select(F.col(key_col).alias("__elem"), F.col(value_col).alias("__mapped"))),
         on="__elem",
@@ -87,10 +99,20 @@ def dict_apply_to_array(
         )
         .select(
             row_key,
-            F.transform(F.col("__pairs"), lambda p: p["__mapped"]).alias(array_col),
+            F.transform(F.col("__pairs"), lambda p: p["__mapped"]).alias("__rebuilt"),
         )
     )
-    return df.drop(array_col).join(regrouped, on=row_key, how="left")
+    value_type = regrouped.schema["__rebuilt"].dataType
+    rebuilt = (
+        F.when(F.col(array_col).isNull(), F.lit(None).cast(value_type))
+        .when(F.size(array_col) == 0, F.array().cast(value_type))
+        .otherwise(F.col("__rebuilt"))
+    )
+    return (
+        df.join(regrouped, on=row_key, how="left")
+        .withColumn(array_col, rebuilt)
+        .drop("__rebuilt")
+    )
 
 
 def as_of_join(
@@ -164,21 +186,33 @@ def interval_join(
     few off-by-one candidates. Turns an inequality join Catalyst would run
     as nested-loop into one shuffle join.
     """
-    width_us = max(int((upper_s - lower_s) * 1_000_000), 1)
     lo_us = int(lower_s * 1_000_000)
     hi_us = int(upper_s * 1_000_000)
+    # width from the ALREADY-CONVERTED integer bounds: computing it as
+    # int((upper_s-lower_s)*1e6) can disagree with hi_us-lo_us by 1µs under
+    # float rounding, and width < hi_us-lo_us breaks the two-adjacent-buckets
+    # coverage invariant.
+    width_us = max(hi_us - lo_us, 1)
+
+    def _floor_bucket(us_col):
+        # true FLOOR division on longs: pmod is non-negative, so subtracting
+        # it yields an exact multiple of width; plain cast('long') truncates
+        # toward zero and mis-buckets negative values (pre-1970 timestamps,
+        # or negative l_us+lo_us), silently dropping qualifying pairs.
+        return ((us_col - F.pmod(us_col, F.lit(width_us))) / width_us).cast("long")
+
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
     l = left.withColumn(
         "__bucket",
         F.explode(
             F.array(
-                ((l_us + lo_us) / width_us).cast("long"),
-                ((l_us + lo_us) / width_us).cast("long") + 1,
+                _floor_bucket(l_us + lo_us),
+                _floor_bucket(l_us + lo_us) + 1,
             )
         ),
     )
-    r = right.withColumn("__bucket", (r_us / width_us).cast("long"))
+    r = right.withColumn("__bucket", _floor_bucket(r_us))
     lo_bound = F.unix_micros(F.col(left_ts)) + lo_us
     hi_bound = F.unix_micros(F.col(left_ts)) + hi_us
     return (

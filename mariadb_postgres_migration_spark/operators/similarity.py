@@ -114,6 +114,44 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """EXT-02 (embedding tier, SCALE form — the registered default): cosine
+    near-dup pairs restricted to SRP-LSH bucket collisions.
+
+    Bucket via :func:`with_hyperplane_bucket` (row-local, zero shuffle),
+    self-join as a plain equi-join on the bucket key, exact cosine within.
+    The plan contains NO CartesianProduct / BroadcastNestedLoopJoin (pinned
+    in tests/test_plans.py) — at 100 TB the corpus is written partitioned by
+    bucket and each bucket's pairs compute independently, vs the all-pairs
+    O(n²) crossJoin of :func:`embedding_near_dup_pairs` (kept as the exact
+    oracle/recall baseline, tier-1 registry + tests only).
+
+    Approximation contract: a true near-dup pair is missed iff any of the 8
+    hyperplanes separates the two vectors — for cosine ≥ 0.95 the collision
+    probability is (1 − θ/π)^8 with θ = arccos(0.95) ≈ 18°, ≈ 0.43 per
+    single band; recall is tunable with fewer planes or multi-probe. The
+    oracle applies the identical literal hyperplanes, so the driver hash
+    checks the bucketed semantics exactly."""
+    b = with_hyperplane_bucket(corpus, vec_col)
+    a = b.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate search — the scale path
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ evaluation order) so the DuckDB oracle reproduces values bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text_native
@@ -112,6 +112,140 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             cond = cond & (scores[lang] >= scores[other])
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return docs.select(F.col("doc_id"), pred.alias("lang_pred"))
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """EXT-05 one-pass document profile: token stats + quality heuristics +
+    language ID + md5 fingerprint as a SINGLE projection over one tokenize
+    barrier — the scale form of running the four analyses separately (which
+    would re-scan and re-tokenize the corpus four times, or force three
+    doc_id joins). All row-local JVM expressions; no shuffle at all."""
+    docs = _with_tokens(docs, id_col, text_col)
+    toks = F.col("__toks")
+    bpe_ish = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", "")).cast(
+        "double"
+    )
+    n_chars = F.length(F.col(text_col)).cast("double")
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.4 + F.least(
+        mean_tok_len / 10.0, F.lit(1.0)
+    ) * 0.2
+    scores = lang_scores(toks)
+    langs = list(scores)
+    pred = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0
+        for other in langs[:i]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bpe_ish).cast("long").alias("n_subtokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+        pred.alias("lang_pred"),
+        F.md5(normalize_text_native(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def term_doc_freq(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 5
+) -> DataFrame:
+    """EXT-05 term weighting (CountVectorizer-equivalent document-frequency
+    statistics): per (doc, term) term frequency, per-term document frequency,
+    and each doc's ``top_k`` representative terms ranked by
+    (tf DESC, df ASC, term ASC) — the integer-exact order statistic behind
+    tf·idf (prefer frequent-in-doc, rare-in-corpus terms). Keeping the
+    ranking on (tf, df) integers rather than a float tf·ln(N/df) score makes
+    the result bit-identical across engines (no transcendental libm calls in
+    the hashed output); a downstream tf·idf weight is one expression over
+    the returned (tf, df) columns.
+
+    Scale shape: explode → partial-agg counts per (doc, term) → term-level
+    df by a second partial agg → shuffle join on term → per-doc top-k window.
+    Every fact-sized stage has map-side combine; no broadcast of the term
+    dictionary is assumed (at 100 TB it is itself huge)."""
+    toked = _with_tokens(docs, id_col, text_col)
+    tf = (
+        toked.select("doc_id", F.explode(F.col("__toks")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
+#: Sentiment lexicon (fixed wordlist, shared with oracles): word → ±1 weight.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 1, "great": 1, "excellent": 1, "love": 1,
+    "happy": 1, "best": 1, "wonderful": 1, "amazing": 1,
+    "bad": -1, "terrible": -1, "awful": -1, "hate": -1,
+    "sad": -1, "worst": -1, "horrible": -1, "poor": -1,
+}
+
+
+def sentiment_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-05 sentiment-lexicon scorer (SURVEY §2.10, cf. PAPERS.md Spark
+    sentiment entry): explode tokens, BROADCAST-join the lexicon (the scale
+    pattern for any wordlist/dictionary scorer — the lexicon is small, the
+    corpus is not), aggregate hit counts and the signed score per document,
+    then left-join back so zero-hit documents keep an explicit 0 row.
+
+    The lexicon travels as a real DataFrame (not a literal IN-list) so the
+    same plan shape holds when the wordlist grows to thousands of entries."""
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(
+        [(w, wt) for w, wt in SENTIMENT_LEXICON.items()], "term string, weight int"
+    )
+    toked = _with_tokens(docs, id_col, text_col)
+    hits = (
+        toked.select("doc_id", F.explode(F.col("__toks")).alias("term"))
+        .join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("weight") > 0, 1).otherwise(0)).alias("pos_hits"),
+            F.sum(F.when(F.col("weight") < 0, 1).otherwise(0)).alias("neg_hits"),
+            F.sum("weight").alias("score"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pos_hits", F.lit(0)).cast("long").alias("pos_hits"),
+        F.coalesce("neg_hits", F.lit(0)).cast("long").alias("neg_hits"),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+    )
+    return out.withColumn(
+        "label",
+        F.when(F.col("score") > 0, "pos").when(F.col("score") < 0, "neg").otherwise("neu"),
+    )
 
 
 def fingerprint_md5(

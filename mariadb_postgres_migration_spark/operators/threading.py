@@ -110,6 +110,42 @@ def resolve_backrefs_grouped(
     return df.groupBy(partition_col).applyInPandas(_walk_pandas, schema=out_schema)
 
 
+def resolve_backrefs_scaled(
+    df: DataFrame,
+    partition_col: str = "video_id",
+    order_col: str = "id",
+    content_col: str = "content",
+    created_col: str = "created_at",
+    deleted_col: str = "deleted_at",
+    out_col: str = "response_to",
+    max_lookback: int | None = None,
+) -> DataFrame:
+    """The 100 TB default tier for OP-20 (SURVEY §4: ``video_id`` is
+    zipf-skewed, so a hot key can own millions of rows).
+
+    * ``max_lookback=None`` (default): the grouped ``applyInPandas`` walk —
+      exact unbounded semantics at O(group) memory. Bounded state by
+      construction: per group the walk holds one Arrow batch, never the
+      O(p²) accumulated window frames of the ``collect_list`` tier.
+    * ``max_lookback=L``: the JVM-only window tier with a bounded frame —
+      O(p·L) work/state, exact whenever N + #skipped-deleted ≤ L. Choose
+      this when Python workers are unavailable and a documented bound is
+      acceptable.
+
+    All three tiers (this, :func:`resolve_backrefs` unbounded, and the
+    pure-Python reference walk) are property-tested equal on zipf and
+    single-hot-key fixtures (tests/test_threading_property.py).
+    """
+    if max_lookback is not None:
+        return resolve_backrefs(
+            df, partition_col, order_col, content_col, created_col, deleted_col,
+            out_col, max_lookback=max_lookback,
+        )
+    return resolve_backrefs_grouped(
+        df, partition_col, order_col, content_col, created_col, deleted_col, out_col
+    )
+
+
 def resolve_backrefs_py(ids, contents, createds, deleteds):
     """Single-partition reference semantics in pure Python.
 

@@ -138,9 +138,15 @@ def fill_playlist_video(
     """One ``fill_userplaylists_by_title`` instance (index.mjs:94-111):
     title-filtered playlists broadcast as the build side (OP-16/OP-10);
     probe rows keep their video id via ``coalesce(id, video_id)`` (OP-12,
-    index.mjs:106); a user without a matching playlist drops (inner join —
-    the JS ``Map.get`` miss, index.mjs:105); created_at strings repaired
-    (OP-14, column_sets.mjs:96)."""
+    index.mjs:106); created_at strings repaired (OP-14, column_sets.mjs:96).
+
+    Miss semantics: a user without a matching playlist KEEPS their row with
+    NULL playlist_id — the reference's ``Map.get`` miss leaves
+    ``playlist_id`` undefined and pg-promise renders undefined as NULL in
+    the INSERT (index.mjs:103-110), so the observable sink row exists with
+    NULL; hence a LEFT join here (the sink schema marks playlist_id
+    nullable). r1 shipped an inner join with a docstring claiming the drop
+    was reference parity — that claim was wrong (ADVICE r1)."""
     build = playlists.filter(F.col("title") == F.lit(title)).select(
         F.col("user_id").try_cast("long").alias("user_id"),
         F.col("id").try_cast("long").alias("playlist_id"),
@@ -151,7 +157,7 @@ def fill_playlist_video(
         if "id" in probe_cols and "video_id" in probe_cols
         else (F.col("id") if "id" in probe_cols else F.col("video_id"))
     )
-    joined = broadcast_lookup(rows, build, on="user_id", how="inner")
+    joined = broadcast_lookup(rows, build, on="user_id", how="left")
     return apply_column_set(
         joined.select(
             F.col("playlist_id"), vid.alias("video_id"), F.col("created_at")

