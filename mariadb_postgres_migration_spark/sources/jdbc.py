@@ -17,9 +17,13 @@ both full-table materializations). Here both ends are Spark JDBC relations:
   in the docstring — at migration scale the anti-join form is exact because
   the pipeline is the only writer.
 
-No JDBC engine exists in the test environment; everything here is exercised
-through option-plumbing unit tests (tests/test_jdbc.py) and documented
-against the fixture-parquet equivalents the oracle checks.
+Verified two ways (tests/test_jdbc.py): option-plumbing unit tests pin the
+MySQL/Postgres scan and write knobs, and a LIVE integration tier runs the
+real read→append→autorange→upsert path end-to-end against embedded Apache
+Derby (the JDBC engine that ships inside the Spark distribution) — no
+external database required. The reference's actual MariaDB/PG endpoints
+(index.mjs:9-12) differ only in URL/driver/options, which is what the
+plumbing tests cover.
 """
 
 from __future__ import annotations
@@ -97,7 +101,14 @@ def autorange_bounds(
     from dataclasses import replace
 
     probe = replace(src, partition_column=None)
-    bounds_sql = f"(SELECT MIN({id_col}) AS lo, MAX({id_col}) AS hi FROM {src.table}) b"
+    # quote identifiers the way Spark's JdbcDialects do (backtick for MySQL,
+    # ANSI double-quote otherwise): engines that fold unquoted identifiers
+    # (Derby, Postgres) would otherwise miss a case-preserved column
+    q = "`" if src.url.startswith("jdbc:mysql") else '"'
+    bounds_sql = (
+        f"(SELECT MIN({q}{id_col}{q}) AS {q}lo{q}, "
+        f"MAX({q}{id_col}{q}) AS {q}hi{q} FROM {src.table}) b"
+    )
     probe = replace(probe, table=bounds_sql)
     row = read_jdbc_table(spark, probe).collect()[0]
     return replace(
