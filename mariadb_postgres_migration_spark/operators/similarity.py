@@ -114,6 +114,47 @@ def embedding_near_dup_pairs(
     )
 
 
+#: Banded SRP layout for embedding near-dup candidates: a pair collides if
+#: it agrees on ALL planes of AT LEAST ONE band (the MinHash-LSH banding
+#: idea applied to sign projections). Per-pair hit probability at angle θ:
+#: 1 − (1 − (1 − θ/π)^BAND_PLANES)^N_BANDS — ≈ 0.90 even at cosine 0.4,
+#: ≈ 1.0 for true near-dups (cos ≥ 0.9), vs ≈ 0.03 for one 8-plane bucket.
+N_BANDS = 8
+BAND_PLANES = 3
+
+
+def with_hyperplane_bands(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "band_key"
+) -> DataFrame:
+    """(row, band_key) pairs: N_BANDS keys per vector, each 'b|bits' from a
+    disjoint BAND_PLANES-slice of the deterministic sign-hyperplane matrix.
+    All 24 projections come from ONE in-row pass over a materialized dots
+    array (see dedup.materialize) — zero shuffle; the explode is a row-local
+    constant ×N_BANDS fan-out, exactly like MinHash banding."""
+    from .dedup import materialize
+
+    signs = hyperplane_signs(n_planes=N_BANDS * BAND_PLANES)
+    signs2d = "array(" + ",".join(
+        "array(" + ",".join(f"{s}D" for s in row) + ")" for row in signs
+    ) + ")"
+    dots = (
+        f"transform({signs2d}, s -> aggregate(zip_with("
+        f"cast({vec_col} as array<double>), s, (x, y) -> x * y), "
+        f"cast(0 as double), (a, x) -> a + x))"
+    )
+    df = materialize(df, F.expr(dots), "__dots")
+    bit = (
+        lambda p: f"(CASE WHEN element_at(__dots, {p + 1}) > 0 THEN '1' ELSE '0' END)"
+    )
+    keys = ", ".join(
+        "concat('" + str(b) + "|', "
+        + ", ".join(bit(b * BAND_PLANES + j) for j in range(BAND_PLANES))
+        + ")"
+        for b in range(N_BANDS)
+    )
+    return df.withColumn(out_col, F.explode(F.expr(f"array({keys})"))).drop("__dots")
+
+
 def embedding_near_dup_pairs_bucketed(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -121,28 +162,43 @@ def embedding_near_dup_pairs_bucketed(
     threshold: float = 0.95,
 ) -> DataFrame:
     """EXT-02 (embedding tier, SCALE form — the registered default): cosine
-    near-dup pairs restricted to SRP-LSH bucket collisions.
+    near-dup pairs from banded SRP-LSH candidates, exact cosine verify.
 
-    Bucket via :func:`with_hyperplane_bucket` (row-local, zero shuffle),
-    self-join as a plain equi-join on the bucket key, exact cosine within.
-    The plan contains NO CartesianProduct / BroadcastNestedLoopJoin (pinned
-    in tests/test_plans.py) — at 100 TB the corpus is written partitioned by
-    bucket and each bucket's pairs compute independently, vs the all-pairs
-    O(n²) crossJoin of :func:`embedding_near_dup_pairs` (kept as the exact
-    oracle/recall baseline, tier-1 registry + tests only).
+    Candidate generation is the posting-list pattern (dedup._pair_jaccard):
+    ONE groupBy(band_key) builds each band cell's sorted id list, pairs are
+    in-row i<j combinations, then DISTINCT across bands — never a self-join
+    that recomputes projections under both sides, and NO CartesianProduct /
+    BroadcastNestedLoopJoin anywhere (pinned in tests/test_plans.py).
+    Verification joins the (few) candidate pairs back to the vectors for the
+    exact cosine. At 100 TB: projections are row-local, the band groupBy is
+    the only wide op in candidate generation, and AQE splits a hot band
+    cell; the all-pairs O(n²) exact form (:func:`embedding_near_dup_pairs`)
+    stays tier-1/oracle-only.
 
-    Approximation contract: a true near-dup pair is missed iff any of the 8
-    hyperplanes separates the two vectors — for cosine ≥ 0.95 the collision
-    probability is (1 − θ/π)^8 with θ = arccos(0.95) ≈ 18°, ≈ 0.43 per
-    single band; recall is tunable with fewer planes or multi-probe. The
-    oracle applies the identical literal hyperplanes, so the driver hash
-    checks the bucketed semantics exactly."""
-    b = with_hyperplane_bucket(corpus, vec_col)
-    a = b.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), "bucket")
-    c = b.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), "bucket")
+    Approximation contract (tested in tests/test_similarity.py): candidates
+    are a SUBSET of true pairs (bands can miss, never invent) with per-pair
+    recall 1−(1−(1−θ/π)³)⁸ — ≈ 0.90 at the loose cosine-0.4 threshold and
+    ≈ 1.0 for real near-dups. The oracle applies the identical literal
+    hyperplanes and banding, so the driver hash checks these semantics
+    exactly."""
+    from .dedup import _pair_combinations
+
+    corpus = ensure_min_parallelism(corpus)
+    bands = with_hyperplane_bands(
+        corpus.select(F.col(id_col).alias("__id"), vec_col), vec_col
+    )
+    cand = (
+        bands.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(c, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",

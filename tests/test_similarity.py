@@ -20,3 +20,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert truth, "empty ground truth"
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_bucketed_near_dup_recall_vs_allpairs(spark, sf_dir):
+    """EXT-02 embedding tier: the registered SRP-bucketed x05 must (a) emit
+    ONLY true pairs (subset of the exact all-pairs result — buckets can
+    miss, never invent) and (b) keep recall on the clustered-Gaussian
+    fixtures above the documented floor for the near-dup threshold (vectors
+    this similar rarely straddle a hyperplane)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in S.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["doc_a"], r["doc_b"])
+        for r in S.embedding_near_dup_pairs_bucketed(emb, threshold=0.4).collect()
+    }
+    assert exact, "empty ground truth"
+    assert bucketed <= exact, "banded tier emitted a pair the exact tier lacks"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.6, f"banded near-dup recall collapsed: {recall:.3f}"
