@@ -890,6 +890,30 @@ def _sentiment_sql() -> str:
     )
 
 
+@register(
+    "x30_multimodal_frames",
+    """WITH n AS (SELECT doc_id, text,
+                        CAST((length(text) + 63) // 64 AS INT) AS nf
+                 FROM documents)
+       SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+              md5(substr(text, fno * 64 + 1, 64)) AS frame_md5
+       FROM n, UNNEST(range(0, nf)) AS u(fno)
+       WHERE fno % 4 = 0""",
+    "EXT-04",
+    tier=1,
+)
+def x30_multimodal_frames(spark, sf_dir):
+    """EXT-04 frame sampling: payload → MANY rows (one per kept frame) via
+    mapInPandas — the video analog of explode; every 4th 64-byte chunk.
+    Frames surface as md5 hex so the cross-engine hash is byte-stable (the
+    fixture corpus is pure ASCII, so DuckDB's char-based substr slices the
+    same bytes Spark's binary chunking does)."""
+    from .operators.multimodal import sample_frames
+
+    frames = sample_frames(attach_payload(_t(spark, sf_dir, "documents")))
+    return frames.select("doc_id", "frame_no", F.md5("frame").alias("frame_md5"))
+
+
 @register("x29_sentiment_lexicon", _sentiment_sql(), "EXT-05")
 def x29_sentiment_lexicon(spark, sf_dir):
     """EXT-05 sentiment-lexicon scorer: explode tokens → broadcast-join the

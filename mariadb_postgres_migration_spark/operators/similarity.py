@@ -124,16 +124,30 @@ BAND_PLANES = 3
 
 
 def with_hyperplane_bands(
-    df: DataFrame, vec_col: str = "embedding", out_col: str = "band_key"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "band_key",
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
 ) -> DataFrame:
-    """(row, band_key) pairs: N_BANDS keys per vector, each 'b|bits' from a
-    disjoint BAND_PLANES-slice of the deterministic sign-hyperplane matrix.
-    All 24 projections come from ONE in-row pass over a materialized dots
-    array (see dedup.materialize) — zero shuffle; the explode is a row-local
-    constant ×N_BANDS fan-out, exactly like MinHash banding."""
+    """(row, band_key) pairs: ``n_bands`` keys per vector, each 'b|bits'
+    from a disjoint ``band_planes``-slice of the deterministic
+    sign-hyperplane matrix. All projections come from ONE in-row pass over
+    a materialized dots array (see dedup.materialize) — zero shuffle; the
+    explode is a row-local constant ×n_bands fan-out, exactly like MinHash
+    banding.
+
+    ``band_planes`` is the CELL-COUNT dial and must grow ~log2(n) with the
+    corpus: a band with b planes has 2^b cells, so expected cell size is
+    n/2^b and candidate volume per band is O(n²/2^b). The defaults (8×3)
+    are sized for the fixture corpus and its deliberately loose cosine-0.4
+    demo threshold; a 1e9-vector dedup at a real near-dup threshold
+    (cos ≥ 0.95, θ ≈ 18°) would run e.g. 16 bands × 24 planes — 2^24 cells
+    keeps cell size constant, per-pair recall 1−(1−0.9²⁴)¹⁶ ≈ 0.74, with
+    multi-probe (flipping the lowest-|dot| bits) recovering the rest."""
     from .dedup import materialize
 
-    signs = hyperplane_signs(n_planes=N_BANDS * BAND_PLANES)
+    signs = hyperplane_signs(n_planes=n_bands * band_planes)
     signs2d = "array(" + ",".join(
         "array(" + ",".join(f"{s}D" for s in row) + ")" for row in signs
     ) + ")"
@@ -148,9 +162,9 @@ def with_hyperplane_bands(
     )
     keys = ", ".join(
         "concat('" + str(b) + "|', "
-        + ", ".join(bit(b * BAND_PLANES + j) for j in range(BAND_PLANES))
+        + ", ".join(bit(b * band_planes + j) for j in range(band_planes))
         + ")"
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     return df.withColumn(out_col, F.explode(F.expr(f"array({keys})"))).drop("__dots")
 
@@ -160,6 +174,8 @@ def embedding_near_dup_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
 ) -> DataFrame:
     """EXT-02 (embedding tier, SCALE form — the registered default): cosine
     near-dup pairs from banded SRP-LSH candidates, exact cosine verify.
@@ -185,7 +201,10 @@ def embedding_near_dup_pairs_bucketed(
 
     corpus = ensure_min_parallelism(corpus)
     bands = with_hyperplane_bands(
-        corpus.select(F.col(id_col).alias("__id"), vec_col), vec_col
+        corpus.select(F.col(id_col).alias("__id"), vec_col),
+        vec_col,
+        n_bands=n_bands,
+        band_planes=band_planes,
     )
     cand = (
         bands.groupBy("band_key")
