@@ -30,6 +30,7 @@ HEADLINE = [
     "op18_flagship_group_concat",
     "op20_backref_threading",
     "op20_backref_threading_hof",
+    "op20_backref_threading_grouped",
     "op15_three_way_join",
     "op31_normalize_text",
     "q1_pricing_summary",

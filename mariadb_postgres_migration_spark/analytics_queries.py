@@ -822,6 +822,105 @@ def q22_idle_high_balance(spark, sf_dir):
     )
 
 
+@register(
+    "q15_top_supplier",
+    """WITH rev AS (SELECT l_suppkey,
+                          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                            AS total_revenue
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                   GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+       FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "EXT-AGG",
+    tier=1,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate → scalar-max subquery → equality select.
+    The per-supplier revenue table computes once; its max broadcasts as a
+    1-row cross join (never a re-aggregation per row); revenue is an exact
+    decimal sum so the max-equality predicate is engine-stable."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_decimal_revenue()).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "q21_late_supplier_chain",
+    """WITH li AS (SELECT l.l_suppkey, l.l_orderkey,
+                         (epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                          + 5184000000000) AS is_late
+                  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       per_order AS (SELECT l_orderkey,
+                            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                            CAST(count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                                 AS BIGINT) AS n_late_supp
+                     FROM li GROUP BY l_orderkey),
+       blamed AS (SELECT DISTINCT li.l_suppkey, li.l_orderkey
+                  FROM li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+                  WHERE li.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1)
+       SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+       GROUP BY s.s_name""",
+    "EXT-AGG", "EXT-JOIN",
+    tier=1,
+)
+def q21_late_supplier_chain(spark, sf_dir):
+    """TPC-H Q21 shape (reshaped to the fixture columns: "late" = shipped
+    > 60 days after order date): suppliers who were the SOLE late supplier
+    on a multi-supplier order. The classic double-correlated
+    EXISTS/NOT-EXISTS decorrelates into ONE per-order aggregate (distinct
+    supplier count + distinct late-supplier count) joined back — the whole
+    blame assignment costs two shuffles on l_orderkey instead of two
+    correlated subqueries per lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        "l_orderkey",
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            > F.unix_micros(F.col("o_orderdate").cast("timestamp")) + 5_184_000_000_000
+        ).alias("is_late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blamed = (
+        li.filter(F.col("is_late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window consolidations: single-registration suites that carry several
 # independent query shapes into the driver's verified window. Each folded

@@ -470,6 +470,13 @@ def _op20_comments(spark, sf_dir):
     )
 
 
+#: Registered OP-20 lookback bound: the walk is exact whenever caret depth
+#: + skipped-deleted predecessors ≤ L. Measured maximum on the fixtures:
+#: 8 (sf0.01) / 9 (sf0.1) — carets are bounded at 3 and deletions at 10%,
+#: so needing 64 would take ~61 consecutive invisible-deleted predecessors.
+OP20_MAX_LOOKBACK = 64
+
+
 @register("op20_backref_threading", _OP20_ORACLE, "OP-20", "OP-26")
 def op20_backref_threading(spark, sf_dir):
     """OP-20 (index.mjs:62-78): temporal-skip backref resolution on
@@ -478,13 +485,36 @@ def op20_backref_threading(spark, sf_dir):
     edge). Timestamps are walked as int64 micros so Spark and the oracle
     compare identical scalars.
 
-    REGISTERED TIER: the scale tier — ``resolve_backrefs_scaled`` (grouped
-    ``applyInPandas`` walk, O(group) state). FIXTURES.md specifies
-    zipf-skewed ``video_id``, and the window-``collect_list`` tier's frame
-    is O(p²) state on a hot partition (SURVEY §4), so the bounded-state walk
-    is the 100 TB default. The HOF tier (``resolve_backrefs``) remains the
-    JVM-only oracle companion, property-tested equal on zipf/hot-key
-    fixtures (tests/test_threading_property.py)."""
+    REGISTERED TIER: the bounded-state scale tier —
+    ``resolve_backrefs_scaled(max_lookback=64)``: the JVM window+HOF walk
+    with a 64-row frame, O(p·64) state on ANY partition (FIXTURES.md makes
+    ``video_id`` zipf-skewed; the unbounded frame is O(p²) on a hot key,
+    SURVEY §4). Exact whenever caret depth + skipped deletions ≤ 64 —
+    measured max 9 on the fixtures and the driver gate verifies equality
+    with the unbounded oracle at sf0.01. The grouped ``applyInPandas`` tier
+    (exact-unbounded at O(group) memory) stays registered as
+    op20_backref_threading_grouped; all tiers are property-tested equal on
+    zipf/hot-key fixtures (tests/test_threading_property.py)."""
+    resolved = resolve_backrefs_scaled(
+        _op20_comments(spark, sf_dir),
+        partition_col="video_id",
+        order_col="id",
+        content_col="content",
+        created_col="created_us",
+        deleted_col="deleted_us",
+        out_col="response_to",
+        max_lookback=OP20_MAX_LOOKBACK,
+    )
+    return resolved.select("id", F.col("response_to").cast("long").alias("response_to"))
+
+
+@register("op20_backref_threading_grouped", _OP20_ORACLE, "OP-20", "OP-26", tier=1)
+def op20_backref_threading_grouped(spark, sf_dir):
+    """OP-20 exact-unbounded scale tier: one Arrow-batched sequential walk
+    per group (``applyInPandas``) — O(group) memory with NO lookback bound.
+    The choice when a hot key's threads can genuinely reference arbitrarily
+    deep history; costs per-group Python dispatch overhead that the bounded
+    JVM tier avoids."""
     resolved = resolve_backrefs_scaled(
         _op20_comments(spark, sf_dir),
         partition_col="video_id",

@@ -55,13 +55,26 @@ def test_threading_hof_tier_is_jvm_only(q):
     assert python_eval_count(q("op20_backref_threading_hof")) == 0
 
 
-def test_threading_scale_tier_is_grouped_arrow(q):
-    """OP-20's registered default is the bounded-state grouped walk: an
-    Arrow-batched FlatMapGroupsInPandas, never row-at-a-time Python, and no
-    per-row window collect_list accumulation."""
+def test_threading_registered_tier_is_bounded_jvm(q):
+    """OP-20's registered default: JVM-only window walk with a BOUNDED
+    64-row frame — no Python operator, and no unbounded-preceding frame
+    (which is O(p²) state on a zipf-hot key)."""
     from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 
-    text = formatted_plan(q("op20_backref_threading"))
+    df = q("op20_backref_threading")
+    assert python_eval_count(df) == 0
+    text = formatted_plan(df)
+    assert "-64" in text  # the bounded frame reached the Window spec
+    assert "unboundedpreceding" not in text.lower().replace(" ", "")
+
+
+def test_threading_grouped_tier_is_arrow(q):
+    """The exact-unbounded grouped tier is Arrow-batched
+    FlatMapGroupsInPandas — never row-at-a-time Python, no window
+    collect_list accumulation."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("op20_backref_threading_grouped"))
     assert "FlatMapGroupsInPandas" in text
     assert "BatchEvalPython" not in text
     assert "collect_list" not in text
