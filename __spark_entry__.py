@@ -8,6 +8,13 @@ from SURVEY.md §2 with its DuckDB oracle; the registry lives in
 query modules (fixture_queries: core relational surface;
 analytics_queries: sorts/top-k/set-ops/windows + TPC-H-style heavies;
 extension_queries: LLM-pipeline dedup/similarity/text/multimodal).
+
+Ordering contract: the registry is TIERED — the first 50 entries (tier 0)
+cover every SURVEY §2 OP id and extension family, sized to the driver's
+50-query correctness window; the remainder (tier 1) is the breadth tail
+(standalone forms of consolidated suites, exact all-pairs baselines, extra
+stream variants), locally verified by the same oracle machinery in
+tests/test_core_queries.py.
 """
 
 from __future__ import annotations

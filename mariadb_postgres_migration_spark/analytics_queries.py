@@ -823,6 +823,68 @@ def q22_idle_high_balance(spark, sf_dir):
 
 
 @register(
+    "q8_market_share",
+    """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+              round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                                  THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                    4) AS mkt_share
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       JOIN region r ON cn.n_regionkey = r.r_regionkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+       GROUP BY year(o.o_orderdate)""",
+    "EXT-AGG", "EXT-JOIN",
+    tier=1,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold to
+    ASIA customers, per year — a conditional-ratio aggregate over a 7-table
+    snowflake where nation joins under two roles (customer side filters the
+    region, supplier side tags the share numerator). All dims broadcast;
+    both ratio terms are exact decimal sums cast to double AFTER
+    aggregation, so the per-group division is engine-stable (a double sum
+    would land on rounding boundaries differently per accumulation
+    order)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = _decimal_revenue()
+    num = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(num).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
     "q15_top_supplier",
     """WITH rev AS (SELECT l_suppkey,
                           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
