@@ -891,6 +891,32 @@ def _sentiment_sql() -> str:
 
 
 @register(
+    "x31_multimodal_resize",
+    """SELECT doc_id,
+              md5(substr(repeat(text, CAST((1024 + length(text) - 1) // length(text)
+                                      AS INT)),
+                         1, 1024)) AS resized_md5,
+              CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height
+       FROM documents""",
+    "EXT-04",
+    tier=1,
+)
+def x31_multimodal_resize(spark, sf_dir):
+    """EXT-04 payload→payload transform (resize/transcode template): the
+    stub "resize" cycles the payload to width×height bytes over mapInPandas
+    — binary stays Arrow-batched end to end. Output payload hashes as md5
+    hex (ASCII corpus ⇒ DuckDB repeat/substr slices the same bytes)."""
+    from .operators.multimodal import resize_payloads
+
+    resized = resize_payloads(
+        attach_payload(_t(spark, sf_dir, "documents")), width=32, height=32
+    )
+    return resized.select(
+        "doc_id", F.md5("payload").alias("resized_md5"), "width", "height"
+    )
+
+
+@register(
     "x30_multimodal_frames",
     """WITH n AS (SELECT doc_id, text,
                         CAST((length(text) + 63) // 64 AS INT) AS nf
