@@ -1,0 +1,64 @@
+"""Property test for the as-of join (union + single-shuffle window) against
+a brute-force latest-at-or-before reference, including exact-tie timestamps
+(right row at exactly left_ts must match — side ordering carries the <=)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mariadb_postgres_migration_spark.operators.joins import as_of_join
+
+BASE = datetime(2023, 1, 1)
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 20))
+    # shared minute grid → exact ties happen with real probability
+    left = [
+        (i, draw(st.integers(1, 3)), BASE + timedelta(minutes=draw(st.integers(0, 30))))
+        for i in range(n_left)
+    ]
+    right = [
+        (
+            100 + i,
+            draw(st.integers(1, 3)),
+            BASE + timedelta(minutes=draw(st.integers(0, 30))),
+            float(draw(st.integers(0, 99))),
+        )
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+def _expected(left, right):
+    out = {}
+    for lid, k, lts in left:
+        best = None
+        for rid, rk, rts, val in right:
+            if rk == k and rts <= lts:
+                # latest wins; ties on rts broken by later union order is
+                # NOT defined — avoid asserting value on exact rts ties
+                if best is None or rts > best[0]:
+                    best = (rts, val)
+        out[lid] = best[0] if best else None
+    return out
+
+
+@given(case=asof_case())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_matches_bruteforce_timestamps(spark, case):
+    left, right = case
+    ldf = spark.createDataFrame(left, "lid long, k long, lts timestamp")
+    rdf = spark.createDataFrame(right, "rid long, k long, rts timestamp, val double")
+    got = as_of_join(ldf, rdf, ["k"], "lts", "rts", ["rts", "val"], suffix="_m")
+    got_ts = {r["lid"]: r["rts_m"] for r in got.collect()}
+    assert got_ts == _expected(left, right)

@@ -95,3 +95,13 @@ def test_components_match_union_find(spark, edges):
         for r in connected_components(_pairs(spark, edges)).collect()
     }
     assert got == _union_find(edges)
+
+
+def test_non_convergence_raises_not_silently_splits(spark):
+    """ADVICE r1: a component with diameter > max_iter must raise — a
+    silent exit would yield split components and wrong keep-one decisions."""
+    import pytest
+
+    chain = _pairs(spark, [(i + 1, i) for i in range(1, 12)])  # diameter 11
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
