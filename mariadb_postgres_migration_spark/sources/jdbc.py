@@ -161,14 +161,25 @@ def write_jdbc_upsert(
     Exact when this pipeline is the sink's only writer (the migration
     scenario). Under concurrent writers the race window needs sink-side
     enforcement — staging table + ``INSERT … ON CONFLICT`` / MERGE executed
-    by the DBA hook, same place the reference ran its ALTER SEQUENCE."""
+    by the DBA hook, same place the reference ran its ALTER SEQUENCE.
+
+    A sink table that does not exist yet counts as empty: the first call
+    plain-appends (Spark's JDBC writer creates the table), which is what
+    lets this serve as a ``foreachBatch`` streaming sink from batch one
+    (streaming/jobs.run_stream_to_jdbc_upsert)."""
     deduped = df.dropDuplicates(keys)
-    existing = (
-        spark.read.format("jdbc")
-        .options(**{**sink.options(), "dbtable": sink.table})
-        .load()
-        .select(*keys)
-    )
+    try:
+        existing = (
+            spark.read.format("jdbc")
+            .options(**{**sink.options(), "dbtable": sink.table})
+            .load()
+            .select(*keys)
+        )
+    except Exception as e:  # noqa: BLE001 — engines word "no such table" differently
+        if "exist" not in str(e).lower():
+            raise
+        write_jdbc_append(deduped, sink)
+        return
     fresh = deduped.join(existing, on=keys, how="left_anti")
     write_jdbc_append(fresh, sink)
 
