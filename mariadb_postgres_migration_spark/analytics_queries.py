@@ -909,9 +909,12 @@ def q15_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
+    # rev feeds BOTH the max-aggregate and the join: localCheckpoint
+    # materializes the (small, per-supplier) table once so lineitem is
+    # scanned and aggregated a single time, not once per consumer
     rev = l.groupBy("l_suppkey").agg(
         F.sum(_decimal_revenue()).cast("double").alias("total_revenue")
-    )
+    ).localCheckpoint()
     top = rev.agg(F.max("total_revenue").alias("__max"))
     s = _t(spark, sf_dir, "supplier")
     return (

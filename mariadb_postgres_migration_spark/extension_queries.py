@@ -892,10 +892,16 @@ def _sentiment_sql() -> str:
 
 @register(
     "x31_multimodal_resize",
+    # empty/NULL text: the Spark stub emits 1024 zero bytes — the CASE arm
+    # pins the DuckDB side to the same md5 (division by length(text) would
+    # otherwise yield NULL and break parity on fixture regeneration)
     """SELECT doc_id,
-              md5(substr(repeat(text, CAST((1024 + length(text) - 1) // length(text)
-                                      AS INT)),
-                         1, 1024)) AS resized_md5,
+              CASE WHEN text IS NULL OR length(text) = 0
+                   THEN '0f343b0931126a20f133d67c2b018a3b'
+                   ELSE md5(substr(repeat(text,
+                                          CAST((1024 + length(text) - 1)
+                                               // length(text) AS INT)),
+                            1, 1024)) END AS resized_md5,
               CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height
        FROM documents""",
     "EXT-04",

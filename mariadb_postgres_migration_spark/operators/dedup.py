@@ -48,10 +48,16 @@ HEX = "0123456789abcdef"
 
 #: Cached intermediates created by dedup operators (posting lists, shingle
 #: sets). They must stay materialized while the returned lazy DataFrame is
-#: consumed, so the operator cannot unpersist them itself — ownership passes
-#: to the caller via :func:`release_cached_intermediates`. bench.py drains
-#: this between runs; a long-lived session that never drains would otherwise
-#: accumulate cache until memory/disk pressure (ADVICE r1).
+#: consumed, so the operator cannot unpersist them itself — ownership
+#: passes to the caller via :func:`release_cached_intermediates` (bench.py
+#: drains between runs). Strong references are deliberate: a
+#: ``DataFrame.persist`` entry lives in the JVM CacheManager until an
+#: explicit unpersist (Python GC / ContextCleaner never reclaim it), so a
+#: weakly-held handle would just make the cache unreleasable once the
+#: wrapper is collected. Long-lived sessions running many dedup queries
+#: should drain periodically (or ``spark.catalog.clearCache()``); the cost
+#: of NOT draining is bounded by storage-level spill-to-disk, not OOM
+#: (ADVICE r1).
 _PERSISTED: list[DataFrame] = []
 
 

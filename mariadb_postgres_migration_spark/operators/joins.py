@@ -198,8 +198,12 @@ def interval_join(
         # true FLOOR division on longs: pmod is non-negative, so subtracting
         # it yields an exact multiple of width; plain cast('long') truncates
         # toward zero and mis-buckets negative values (pre-1970 timestamps,
-        # or negative l_us+lo_us), silently dropping qualifying pairs.
-        return ((us_col - F.pmod(us_col, F.lit(width_us))) / width_us).cast("long")
+        # or negative l_us+lo_us), silently dropping qualifying pairs. The
+        # division runs in DECIMAL, not double: a double quotient goes
+        # inexact past 2^53 µs (~year 2255) and could break the
+        # two-adjacent-buckets invariant by one.
+        exact_multiple = (us_col - F.pmod(us_col, F.lit(width_us))).cast("decimal(38,0)")
+        return (exact_multiple / F.lit(width_us).cast("decimal(38,0)")).cast("long")
 
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))

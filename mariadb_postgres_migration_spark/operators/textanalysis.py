@@ -38,29 +38,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish subword proxy
-    (runs of letters / digits / single punctuation), both pure regex."""
-    docs = _with_tokens(docs, id_col, text_col)
-    toks = F.col("__toks")
+def _token_count_cols(toks: Column, text_col: str) -> list[Column]:
+    """Shared token-stat columns: whitespace tokens + a BPE-ish subword
+    proxy (runs of letters / digits / single punctuation), both pure regex."""
     bpe_ish = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
     )
-    return docs.select(
-        F.col("doc_id"),
+    return [
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(bpe_ish).cast("long").alias("n_subtokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
-    )
+    ]
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Quality heuristics: stopword ratio, punctuation ratio, mean token
-    length, and a composite score. Ratios are int/int divisions (exact in
-    IEEE double for our magnitudes) evaluated in a fixed order; the
-    composite is rounded to 4dp for cross-engine hash stability."""
-    docs = _with_tokens(docs, id_col, text_col)
-    toks = F.col("__toks")
+def _quality_cols(toks: Column, text_col: str) -> list[Column]:
+    """Shared quality-heuristic columns: stopword ratio, punctuation ratio,
+    and the composite score. Ratios are int/int divisions (exact in IEEE
+    double for our magnitudes) evaluated in a fixed order; the composite is
+    rounded to 4dp for cross-engine hash stability."""
     n_tok = F.size(toks).cast("double")
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
@@ -77,12 +72,41 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     score = stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.4 + F.least(
         mean_tok_len / 10.0, F.lit(1.0)
     ) * 0.2
-    return docs.select(
-        F.col("doc_id"),
+    return [
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(score, 4).alias("quality"),
-    )
+    ]
+
+
+def _lang_pred_expr(toks: Column) -> Column:
+    """Shared language-ID argmax: chained comparisons so the FIRST language
+    in LANG_MARKERS order wins ties; 'und' when nothing matches."""
+    scores = lang_scores(toks)
+    langs = list(scores)
+    pred = F.lit("und")
+    # build the chain backwards so earlier langs take precedence on ties
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0
+        for other in langs[:i]:  # must strictly beat every earlier language
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1 :]:  # and be >= every later one
+            cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred.alias("lang_pred")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting (see _token_count_cols)."""
+    docs = _with_tokens(docs, id_col, text_col)
+    return docs.select(F.col("doc_id"), *_token_count_cols(F.col("__toks"), text_col))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality heuristics (see _quality_cols)."""
+    docs = _with_tokens(docs, id_col, text_col)
+    return docs.select(F.col("doc_id"), *_quality_cols(F.col("__toks"), text_col))
 
 
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
@@ -95,23 +119,9 @@ def lang_scores(toks: Column) -> dict[str, Column]:
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: marker-word hit counts per language, argmax
-    with chained >= (first language in LANG_MARKERS order wins ties);
-    'und' when nothing matches."""
+    """Heuristic language ID (see _lang_pred_expr)."""
     docs = _with_tokens(docs, id_col, text_col)
-    scores = lang_scores(F.col("__toks"))
-    langs = list(scores)
-    pred = F.lit("und")
-    # build the chain backwards so earlier langs take precedence on ties
-    for i in range(len(langs) - 1, -1, -1):
-        lang = langs[i]
-        cond = scores[lang] > 0
-        for other in langs[:i]:  # must strictly beat every earlier language
-            cond = cond & (scores[lang] > scores[other])
-        for other in langs[i + 1 :]:  # and be >= every later one
-            cond = cond & (scores[lang] >= scores[other])
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return docs.select(F.col("doc_id"), pred.alias("lang_pred"))
+    return docs.select(F.col("doc_id"), _lang_pred_expr(F.col("__toks")))
 
 
 def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -119,48 +129,16 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     language ID + md5 fingerprint as a SINGLE projection over one tokenize
     barrier — the scale form of running the four analyses separately (which
     would re-scan and re-tokenize the corpus four times, or force three
-    doc_id joins). All row-local JVM expressions; no shuffle at all."""
+    doc_id joins). Built from the SAME column builders the standalone
+    operators use, so the fused tier cannot drift from them. All row-local
+    JVM expressions; no shuffle at all."""
     docs = _with_tokens(docs, id_col, text_col)
     toks = F.col("__toks")
-    bpe_ish = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
-    )
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
-    ).cast("double")
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", "")).cast(
-        "double"
-    )
-    n_chars = F.length(F.col(text_col)).cast("double")
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    mean_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
-        F.lit(0.0)
-    )
-    score = stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.4 + F.least(
-        mean_tok_len / 10.0, F.lit(1.0)
-    ) * 0.2
-    scores = lang_scores(toks)
-    langs = list(scores)
-    pred = F.lit("und")
-    for i in range(len(langs) - 1, -1, -1):
-        lang = langs[i]
-        cond = scores[lang] > 0
-        for other in langs[:i]:
-            cond = cond & (scores[lang] > scores[other])
-        for other in langs[i + 1 :]:
-            cond = cond & (scores[lang] >= scores[other])
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return docs.select(
         F.col("doc_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(bpe_ish).cast("long").alias("n_subtokens"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(score, 4).alias("quality"),
-        pred.alias("lang_pred"),
+        *_token_count_cols(toks, text_col),
+        *_quality_cols(toks, text_col),
+        _lang_pred_expr(toks),
         F.md5(normalize_text_native(F.col(text_col))).alias("fingerprint"),
     )
 

@@ -59,7 +59,7 @@ class JdbcSource:
 
     def options(self) -> dict[str, str]:
         url = self.url
-        if self.zero_date_to_null and url.startswith("jdbc:mysql"):
+        if self.zero_date_to_null and url.startswith(("jdbc:mysql", "jdbc:mariadb")):
             sep = "&" if "?" in url else "?"
             url = f"{url}{sep}zeroDateTimeBehavior=convertToNull"
         opts = {
@@ -101,10 +101,12 @@ def autorange_bounds(
     from dataclasses import replace
 
     probe = replace(src, partition_column=None)
-    # quote identifiers the way Spark's JdbcDialects do (backtick for MySQL,
-    # ANSI double-quote otherwise): engines that fold unquoted identifiers
-    # (Derby, Postgres) would otherwise miss a case-preserved column
-    q = "`" if src.url.startswith("jdbc:mysql") else '"'
+    # quote identifiers the way Spark's JdbcDialects do (backtick for the
+    # MySQL family — the jdbc:mariadb scheme parses ANSI double quotes as
+    # string literals under default sql_mode — ANSI double-quote otherwise):
+    # engines that fold unquoted identifiers (Derby, Postgres) would
+    # otherwise miss a case-preserved column
+    q = "`" if src.url.startswith(("jdbc:mysql", "jdbc:mariadb")) else '"'
     bounds_sql = (
         f"(SELECT MIN({q}{id_col}{q}) AS {q}lo{q}, "
         f"MAX({q}{id_col}{q}) AS {q}hi{q} FROM {src.table}) b"
@@ -176,7 +178,15 @@ def write_jdbc_upsert(
             .select(*keys)
         )
     except Exception as e:  # noqa: BLE001 — engines word "no such table" differently
-        if "exist" not in str(e).lower():
+        # only the missing-TABLE case may fall through to create-by-append:
+        # require both the sink table's name and a not-exists phrasing in the
+        # message, so a missing database/schema or a permissions error that
+        # merely mentions "exists" still propagates with its real cause
+        msg = str(e).lower()
+        table_missing = sink.table.lower() in msg and (
+            "does not exist" in msg or "doesn't exist" in msg or "not found" in msg
+        )
+        if not table_missing:
             raise
         write_jdbc_append(deduped, sink)
         return

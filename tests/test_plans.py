@@ -61,10 +61,14 @@ def test_threading_registered_tier_is_bounded_jvm(q):
     (which is O(p²) state on a zipf-hot key)."""
     from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 
+    from mariadb_postgres_migration_spark.fixture_queries import OP20_MAX_LOOKBACK
+
     df = q("op20_backref_threading")
     assert python_eval_count(df) == 0
     text = formatted_plan(df)
-    assert "-64" in text  # the bounded frame reached the Window spec
+    # the bounded frame reached the Window spec (comma keeps the match
+    # boundary-exact: '-64,' must not be satisfied by '-640,')
+    assert f"-{OP20_MAX_LOOKBACK}," in text
     assert "unboundedpreceding" not in text.lower().replace(" ", "")
 
 
