@@ -255,6 +255,14 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` is the stop-shingle cap (see module docstring); pairs
     whose every shared shingle is dropped simply can't be emitted, which is
     the documented approximation at scale.
+
+    Plan note: prefix filtering (Vernica et al., SIGMOD'10 — explode only
+    each doc's rarest ``n−⌈t·n⌉+1`` shingles, verify candidates with in-row
+    ``array_intersect``) was prototyped and produced byte-identical output
+    but measured 2.2× SLOWER at sf0.1 (5.1s vs 2.3s): the two extra
+    shuffles carrying per-doc shingle arrays cost more than the candidate
+    reduction saves while posting lists are df-capped anyway. Revisit only
+    if the cap has to rise.
     """
     ds = doc_shingles(docs, id_col, text_col, k)
     return _pair_jaccard(ds, max_doc_freq=max_doc_freq).filter(

