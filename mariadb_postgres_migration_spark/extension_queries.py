@@ -953,3 +953,76 @@ def x29_sentiment_lexicon(spark, sf_dir):
     explicit 0 (left join back to documents). The lexicon is generated into
     the oracle VALUES list from the same constant."""
     return T.sentiment_score(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-05 additions: Gopher repetition filter + deterministic sampling
+# ---------------------------------------------------------------------------
+
+def _x32_sql() -> str:
+    from .operators.textanalysis import REP_RATIO_MAX, TTR_MIN
+
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + """,
+grams AS (SELECT doc_id, g FROM toks,
+          UNNEST(list_transform(range(1, len(w)),
+                 i -> array_to_string(w[i:i+1], ' '))) AS u(g)),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram_n FROM gc GROUP BY 1),
+ws AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+       FROM toks),
+j AS (SELECT ws.doc_id, n_words, n_distinct,
+             CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(top_gram_n, 0) AS BIGINT) AS top_gram_n
+      FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id),
+r AS (SELECT *,
+             round(CASE WHEN n_grams > 0
+                        THEN top_gram_n / CAST(n_grams AS DOUBLE)
+                        ELSE 0.0 END, 4) AS rep_ratio,
+             round(CASE WHEN n_words > 0
+                        THEN n_distinct / CAST(n_words AS DOUBLE)
+                        ELSE 0.0 END, 4) AS ttr
+      FROM j)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct, n_grams, top_gram_n,
+       rep_ratio, ttr,
+"""
+        + f"       (rep_ratio <= {REP_RATIO_MAX} AND ttr >= {TTR_MIN}) AS keep\n"
+        + "FROM r"
+    )
+
+
+@register("x32_gopher_repetition", _x32_sql(), "EXT-05", tier=1)
+def x32_gopher_repetition(spark, sf_dir):
+    """EXT-05 repetition filter (Gopher-shaped rule, Rae et al. 2021): top
+    word-2-gram fraction + type-token ratio per doc, keep-flag from the
+    rounded ratios. Word stats row-local; the gram stats are two
+    partial-aggregate shuffles keyed by doc_id."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _x33_sql() -> str:
+    from .operators.textanalysis import SAMPLE_CUTOFFS, SAMPLE_DEFAULT_CUTOFF
+
+    cases = " ".join(
+        f"WHEN lang = '{stratum}' THEN '{cut}'"
+        for stratum, cut in sorted(SAMPLE_CUTOFFS.items())
+    )
+    return f"""SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE {cases} ELSE '{SAMPLE_DEFAULT_CUTOFF}' END"""
+
+
+@register("x33_stratified_sample", _x33_sql(), "EXT-05", tier=1)
+def x33_stratified_sample(spark, sf_dir):
+    """EXT-05 deterministic stratified sampling: lexicographic md5-hex
+    cutoff per stratum (en ≈ 0.5, others ≈ 0.25). Row-local, zero shuffle,
+    reproducible across engines/runs/partitionings, and nested across rates
+    (a lower rate yields a subset) — the down-scaling-ablation property
+    ``DataFrame.sample`` cannot give."""
+    return T.stratified_sample(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )

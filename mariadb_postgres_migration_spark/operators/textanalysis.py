@@ -273,3 +273,105 @@ def winnow_fingerprints(
     return grammed.select(
         F.col("doc_id"), F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Repetition-filter thresholds (Gopher, Rae et al. 2021 §A1.1 uses the
+#: same SHAPE of rule — "fraction of characters in the most common n-gram";
+#: values tuned to split the fixture corpus non-trivially: rep_ratio median
+#: 0.033 / p90 0.069, ttr median 0.46).
+REP_RATIO_MAX = 0.05
+TTR_MIN = 0.4
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-05 (Gopher-style repetition metrics): per doc, the fraction of
+    word-2-grams consumed by the single most frequent 2-gram (``rep_ratio``)
+    and the type-token ratio (``ttr``); ``keep`` flags docs passing both
+    thresholds — the published repeated-text heuristic for pruning
+    low-quality training documents.
+
+    Plan: word stats are row-local; the top-gram count needs the corpus-wide
+    pattern groupBy(doc_id, gram) → groupBy(doc_id) — both partial-aggregate
+    (map-side combine), keyed by doc so skew follows document length, not a
+    hot token. Flags compare the ROUNDED ratios so the oracle's decision is
+    bit-identical (both engines round half-away-from-zero on doubles)."""
+    toked = _with_tokens(docs, id_col, text_col)
+    toks = F.col("__toks")
+    n2 = F.size(toks) - 1
+    grams = F.when(
+        n2 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n2), lambda i: F.array_join(F.slice(toks, i, 2), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toked.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        grams.alias("__grams"),
+    )
+    gramstats = (
+        base.select("doc_id", F.explode("__grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_n"))
+    )
+    j = base.drop("__grams").join(gramstats, "doc_id", "left")
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    top_n = F.coalesce("top_gram_n", F.lit(0)).cast("long")
+    rep = F.round(
+        F.when(n_grams > 0, top_n / n_grams.cast("double")).otherwise(F.lit(0.0)), 4
+    )
+    ttr = F.round(
+        F.when(
+            F.col("n_words") > 0, F.col("n_distinct") / F.col("n_words").cast("double")
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        n_grams.alias("n_grams"),
+        top_n.alias("top_gram_n"),
+        rep.alias("rep_ratio"),
+        ttr.alias("ttr"),
+        ((rep <= F.lit(REP_RATIO_MAX)) & (ttr >= F.lit(TTR_MIN))).alias("keep"),
+    )
+
+
+#: Per-stratum sampling thresholds as 8-hex-char lexicographic cutoffs on
+#: md5(doc_id) — '80000000' ≈ rate 0.5, '40000000' ≈ 0.25. String
+#: comparison on fixed-width lowercase hex is engine-portable (no
+#: hex→int conversion differences), the same trick the MinHash oracle uses.
+SAMPLE_CUTOFFS: dict[str, str] = {"en": "80000000"}
+SAMPLE_DEFAULT_CUTOFF = "40000000"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    cutoffs: dict[str, str] | None = None,
+    default_cutoff: str = SAMPLE_DEFAULT_CUTOFF,
+) -> DataFrame:
+    """EXT-05 (deterministic stratified sampling): keep a row iff the first
+    8 hex chars of md5(id) sort below its stratum's cutoff. Row-local, zero
+    shuffle, and exactly reproducible across engines and runs — unlike
+    ``DataFrame.sample``, whose output depends on partitioning. The per-id
+    hash means resampling at a different rate yields a SUPERSET/SUBSET
+    (nested samples), the property training-data pipelines need for
+    down-scaling ablations."""
+    cutoffs = SAMPLE_CUTOFFS if cutoffs is None else cutoffs
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    cutoff = F.lit(default_cutoff)
+    for stratum, cut in sorted(cutoffs.items()):
+        cutoff = F.when(F.col(stratum_col) == stratum, F.lit(cut)).otherwise(cutoff)
+    return docs.filter(bucket < cutoff)
