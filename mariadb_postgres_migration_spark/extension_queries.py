@@ -1026,3 +1026,64 @@ def x33_stratified_sample(spark, sf_dir):
     return T.stratified_sample(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-03 addition: deterministic k-means training for IVF centroids
+# ---------------------------------------------------------------------------
+
+def _x34_sql() -> str:
+    from .operators.similarity import KMEANS_QUANT
+
+    q = KMEANS_QUANT
+
+    def assign(cent: str, tag: str) -> str:
+        return f"""a{tag} AS (
+    SELECT v_id, vec, cell FROM (
+        SELECT e.vec_id AS v_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC, c.cell
+               ) AS rk
+        FROM embeddings e, {cent} c)
+    WHERE rk = 1)"""
+
+    def mean(tag: str) -> str:
+        # no WITH ORDINALITY in DuckDB: unnest + generate_subscripts give
+        # the same (val, 1-based pos) pairs
+        return f"""e{tag} AS (
+    SELECT cell, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos
+    FROM a{tag}),
+m{tag} AS (
+    SELECT cell, pos, sum(CAST(round(val * {q}) AS BIGINT)) AS s,
+           count(*) AS n
+    FROM e{tag}
+    GROUP BY 1, 2)"""
+
+    return f"""WITH cent0 AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 25 = 0),
+{assign('cent0', '1')},
+{mean('1')},
+cent1 AS (SELECT cell, list(s / (n * {q}.0) ORDER BY pos) AS cv
+          FROM m1 GROUP BY cell),
+{assign('cent1', '2')},
+{mean('2')}
+SELECT cell, CAST(pos - 1 AS BIGINT) AS pos,
+       CAST(CASE WHEN s < 0 THEN -((2 * abs(s) + n) // (2 * n))
+                 ELSE (2 * abs(s) + n) // (2 * n) END AS DOUBLE) / {q}
+           AS val,
+       CAST(n AS BIGINT) AS n_members
+FROM m2"""
+
+
+@register("x34_ivf_train_kmeans", _x34_sql(), "EXT-03", tier=1)
+def x34_ivf_train_kmeans(spark, sf_dir):
+    """EXT-03 iterative tier: two deterministic Lloyd's iterations refining
+    the x07 seed centroids (vec_id%25). Assignment is the pinned IVF pattern
+    (broadcast centroids, round-6 cosine, min-cell ties); means are exact
+    quantized-integer sums, so even this ITERATIVE algorithm has a
+    bit-exact SQL oracle (unrolled CTEs) instead of a weak rows-only check.
+    Output is the exploded centroid store (cell, pos, val, n_members)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_train(emb, emb.filter(F.col("vec_id") % 25 == 0), iters=2)

@@ -499,23 +499,28 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
+        # tag which union branch a row came from so ONE aggregation yields
+        # both the new label (min over self+neighbors) and the old label
+        # (min over the self branch only) — the convergence probe then reads
+        # the already-checkpointed result instead of re-joining old vs new
+        # labels (one fewer shuffle join per round)
         prop = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "comp"
+            F.col("dst").alias("doc_id"), "comp", F.lit(False).alias("own")
         )
         new_labels = (
-            labels.union(prop)
+            labels.select("doc_id", "comp", F.lit(True).alias("own"))
+            .union(prop)
             .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("own"), F.col("comp"))).alias("old_comp"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc_id", "comp")
         if changed == 0:
             converged = True
             break

@@ -402,3 +402,88 @@ def knn_hyperplane_lsh(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means training for IVF centroids (Lloyd's iterations)
+# ---------------------------------------------------------------------------
+
+#: Quantization factor for cross-engine-exact centroid means: per-element
+#: values become round(v·1e6) BIGINTs, so the per-cell sum is exact integer
+#: arithmetic — independent of aggregation order — and the mean
+#: s/(n·1e6) is one IEEE double division of exact integers, identical in
+#: Spark and DuckDB. A plain double SUM would vary in its low bits with
+#: partitioning and break both determinism and the oracle hash.
+KMEANS_QUANT = 1_000_000
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXT-03: Lloyd's k-means refinement of IVF centroids, fully
+    deterministic — the iterative-algorithm tier of the ANN family.
+
+    Each iteration: assign every vector to its nearest centroid
+    (:func:`ivf_assign` — max round-6 cosine, ties → min cell id, centroids
+    broadcast), then recompute each cell's element-wise mean in QUANTIZED
+    INTEGER space (see :data:`KMEANS_QUANT`). Returns the exploded final
+    means ``(cell, pos, val, n_members)`` — the layout a centroid store
+    would persist, and directly hashable by the oracle.
+
+    Scale: per iteration, one broadcast-join pass over the corpus for
+    assignment plus one partial-aggregable groupBy(cell, pos) whose output
+    is |cells|·dim rows — centroid-sized, not corpus-sized. Cells that lose
+    all members drop out (standard Lloyd's); iteration count is fixed and
+    small, lineage stays shallow, no driver-side data loops.
+    """
+    q = float(KMEANS_QUANT)
+    cent = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    means = None
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus,
+            cent.select(F.col("cell").alias(id_col), F.col("c_vec").alias(vec_col)),
+            id_col,
+            vec_col,
+        )
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col("vec").cast("array<double>")).alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("v") * q).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        cent = (
+            means.select(
+                "cell",
+                F.struct("pos", (F.col("s") / (F.col("n") * q)).alias("val")).alias("pv"),
+            )
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list("pv")).alias("pvs"))
+            .select("cell", F.transform("pvs", lambda s: s["val"]).alias("c_vec"))
+        )
+    # final 6-dp rounding in EXACT integer arithmetic: round(s/(n·1e6), 6)
+    # = half-away-round(s/n) / 1e6, and half-away-round(s/n) = sign ·
+    # ((2|s|+n) div 2n). Spark's round() decimal-rounds the double's SHORTEST
+    # string (HALF_UP) while DuckDB rounds the binary value itself — on
+    # small-integer ratios like these, which often sit exactly on decimal
+    # midpoints, the two disagree in the last digit; integer rounding makes
+    # both engines compute the identical value.
+    val_int = F.expr("(2 * abs(s) + n) div (2 * n)") * F.when(
+        F.col("s") < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+    return means.select(
+        "cell",
+        F.col("pos").cast("long").alias("pos"),
+        (val_int.cast("double") / q).alias("val"),
+        F.col("n").cast("long").alias("n_members"),
+    )

@@ -41,3 +41,25 @@ def test_bucketed_near_dup_recall_vs_allpairs(spark, sf_dir):
     assert bucketed <= exact, "banded tier emitted a pair the exact tier lacks"
     recall = len(bucketed) / len(exact)
     assert recall >= 0.6, f"banded near-dup recall collapsed: {recall:.3f}"
+
+
+def test_kmeans_train_partition_invariant(spark, sf_dir):
+    """The quantized-integer means must make training bit-identical under
+    any partitioning (a plain double SUM would differ in low bits and could
+    flip assignments between runs)."""
+    from mariadb_postgres_migration_spark.operators.similarity import kmeans_train
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 25 == 0)
+    a = {tuple(r) for r in kmeans_train(emb, seeds, iters=2).collect()}
+    b = {
+        tuple(r)
+        for r in kmeans_train(emb.repartition(17), seeds.coalesce(1), iters=2).collect()
+    }
+    assert a == b
+    # every surviving cell carries a full 64-dim centroid
+    dims = {}
+    for cell, pos, _val, n in a:
+        dims.setdefault(cell, set()).add(pos)
+        assert n >= 1
+    assert all(len(p) == 64 for p in dims.values())
