@@ -61,6 +61,9 @@ HEADLINE = [
     "x15_window_tumbling",
     "x27_dedup_connected_components",
     "x28_term_doc_freq",
+    "x32_gopher_repetition",
+    "x33_stratified_sample",
+    "x34_ivf_train_kmeans",
 ]
 
 

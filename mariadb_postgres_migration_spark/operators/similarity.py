@@ -258,7 +258,15 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (max cosine, ties → min
     centroid id). Centroids broadcast; one pass over the corpus. Writing the
     result partitioned by ``cell`` gives the partition-pruned read pattern
-    IVF exists for."""
+    IVF exists for.
+
+    The argmax is a ``max_by``-shaped aggregation (max over
+    ``struct(c_score, -cell, vec)`` — struct comparison is lexicographic,
+    so equal rounded scores fall to the SMALLEST cell id), not a
+    row_number window: the aggregate partially combines map-side, so each
+    input partition sends ONE row per vector into the shuffle instead of
+    all |centroids| scored copies — at 100 TB that is the difference
+    between shuffling the corpus and shuffling corpus × ncells."""
     cent = F.broadcast(
         centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
     )
@@ -270,11 +278,15 @@ def ivf_assign(
         "cell",
         F.round(cosine(F.col("vec"), F.col("c_vec")), 6).alias("c_score"),
     )
-    w = Window.partitionBy("v_id").orderBy(F.desc("c_score"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("v_id", "vec", "cell")
+    best = scored.groupBy("v_id").agg(
+        F.max(
+            F.struct(
+                F.col("c_score"), (-F.col("cell")).alias("neg_cell"), F.col("vec")
+            )
+        ).alias("best")
+    )
+    return best.select(
+        "v_id", F.col("best.vec").alias("vec"), (-F.col("best.neg_cell")).alias("cell")
     )
 
 

@@ -73,13 +73,17 @@ def test_threading_registered_tier_is_bounded_jvm(q):
 
 
 def test_threading_grouped_tier_is_arrow(q):
-    """The exact-unbounded grouped tier is Arrow-batched
-    FlatMapGroupsInPandas — never row-at-a-time Python, no window
-    collect_list accumulation."""
+    """The exact-unbounded grouped tier is ONE Arrow-batched streaming
+    MapInPandas over key-clustered, key-sorted partitions (an Exchange on
+    the key + in-partition Sort feed it) — never row-at-a-time Python, no
+    per-group FlatMapGroupsInPandas invocation cost, no window collect_list
+    accumulation."""
     from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 
     text = formatted_plan(q("op20_backref_threading_grouped"))
-    assert "FlatMapGroupsInPandas" in text
+    assert "MapInPandas" in text
+    assert "Sort" in text and "Exchange" in text
+    assert "FlatMapGroupsInPandas" not in text
     assert "BatchEvalPython" not in text
     assert "collect_list" not in text
 

@@ -164,3 +164,34 @@ def test_hot_single_key_partition_bounded_state(spark, make_df):
     assert got == expected
     # sanity: the fixture actually exercises skips and deep walks
     assert sum(v is not None for v in expected.values()) > n // 2
+
+
+def test_grouped_streaming_chunk_boundaries_and_null_keys(spark, make_df):
+    """The mapInPandas streaming form must (a) not split a group at an
+    Arrow-batch boundary (carry logic) and (b) treat NULL partition keys as
+    ONE group, not drop them (pandas groupby default) nor fragment them
+    (NaN != NaN)."""
+    rows = []
+    i = 1
+    for video in (None, 7, 8):
+        for j in range(25):
+            content = "^" * (j % 4) + "t"
+            created = BASE + timedelta(minutes=i)
+            deleted = BASE + timedelta(minutes=i + 2) if j % 5 == 0 else None
+            rows.append((i, video, content, created, deleted))
+            i += 1
+    df = make_df(rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["id"]: r["response_to"]
+            for r in resolve_backrefs_grouped(df).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == len(rows), "rows were dropped or duplicated"
+    assert got == _expected(rows)
