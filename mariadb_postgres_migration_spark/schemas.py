@@ -87,9 +87,11 @@ FIXTURE_SCHEMAS: dict[str, StructType] = {
     ),
     "events": _st(
         ("event_id", LongType(), False),
-        # stored as timestamp[ns], which Spark can only scan as int64 nanos
-        # (spark.sql.legacy.parquet.nanosAsLong); the reader converts to a
-        # real TimestampType column — see sources/parquet.py.
+        # the fixture generator has written this as int64 nanos (scannable
+        # only via spark.sql.legacy.parquet.nanosAsLong → LongType) and as
+        # timestamp[us] not-adjusted-to-UTC (→ TimestampNTZType); the reader
+        # peeks the footer, substitutes the storage type here, and normalizes
+        # to a real UTC TimestampType column — see sources/parquet.py.
         ("ts", LongType(), False),
         ("user_id", LongType(), False),
         ("event_type", StringType(), False),

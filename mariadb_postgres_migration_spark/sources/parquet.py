@@ -15,6 +15,13 @@ import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DataType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
 
 from ..schemas import FIXTURE_SCHEMAS
 
@@ -81,6 +88,54 @@ def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+#: Footer-peeked storage type of ``events.ts``, cached per file path (one
+#: footer read per path per process; data is never scanned for the peek).
+_EVENTS_TS_TYPE: dict[str, DataType] = {}
+
+
+def events_ts_storage_type(spark: SparkSession, path: str) -> DataType:
+    """The Spark type ``events.ts`` arrives as, which depends on how the
+    fixture generator wrote the parquet file:
+
+    * int64 nanoseconds → ``LongType`` (scannable only via
+      ``spark.sql.legacy.parquet.nanosAsLong``)
+    * timestamp[us/ms] not adjusted to UTC → ``TimestampNTZType``
+    * timestamp adjusted to UTC → ``TimestampType``
+
+    Resolved by Spark's own footer schema inference (reads footers only, no
+    data scan — safe on any filesystem the session can reach), cached per
+    path.
+    """
+    if path not in _EVENTS_TS_TYPE:
+        _EVENTS_TS_TYPE[path] = spark.read.parquet(path).schema["ts"].dataType
+    return _EVENTS_TS_TYPE[path]
+
+
+def events_schema(ts_type: DataType) -> StructType:
+    """The pinned events schema with ``ts`` typed as stored on disk."""
+    base = FIXTURE_SCHEMAS["events"]
+    return StructType(
+        [f if f.name != "ts" else StructField("ts", ts_type, f.nullable) for f in base.fields]
+    )
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` from its storage representation to a real UTC
+    ``TimestampType`` column so every downstream operator sees one shape.
+
+    Long = int64 nanoseconds (integer div keeps full precision — ns longs
+    overflow double math); NTZ = wall-clock micros interpreted as UTC (the
+    session timezone is forced to UTC in ``_ensure_read_conf``, so the cast
+    is exact and matches the timezone-naive DuckDB oracle).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_parquet_table(
     spark: SparkSession, sf_dir: str, name: str, *, pin_schema: bool = True
 ) -> DataFrame:
@@ -88,19 +143,22 @@ def read_parquet_table(
 
     ``pin_schema`` guards against silent schema drift between scale factors;
     the pinned StructType must be a (name, type)-compatible subset of the
-    footer schema or Spark errors at read. ``events.ts`` arrives as int64
-    nanoseconds and is normalized here to TimestampType (microsecond floor,
-    UTC) so downstream operators see a real timestamp column.
+    footer schema or Spark errors at read. ``events.ts`` storage varies by
+    fixture generation (int64 nanos vs timestamp[us] NTZ) — the reader pins
+    the footer's actual type and normalizes to TimestampType (UTC) so
+    downstream operators always see a real timestamp column.
     """
     _ensure_read_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     reader = spark.read
     if pin_schema and name in FIXTURE_SCHEMAS:
-        reader = reader.schema(FIXTURE_SCHEMAS[name])
+        schema = FIXTURE_SCHEMAS[name]
+        if name == "events":
+            schema = events_schema(events_ts_storage_type(spark, path))
+        reader = reader.schema(schema)
     df = reader.parquet(path)
     if name == "events":
-        # integer div keeps full precision (ns longs overflow double math)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

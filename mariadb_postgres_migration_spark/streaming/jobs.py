@@ -22,22 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import FIXTURE_SCHEMAS
-from ..sources.parquet import _ensure_read_conf
+from ..sources.parquet import (
+    _ensure_read_conf,
+    events_schema,
+    events_ts_storage_type,
+    normalize_events_ts,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet (schema pinned — required for
-    streaming reads; ts normalized from int64 nanos exactly like the batch
-    reader)."""
+    streaming reads; ts normalized from its on-disk representation exactly
+    like the batch reader)."""
     _ensure_read_conf(spark)
+    ts_type = events_ts_storage_type(spark, os.path.join(sf_dir, "events.parquet"))
     # The fixture is a single file; the streaming file source requires a
     # directory basePath, so point at sf_dir and glob-filter to the table.
     df = (
-        spark.readStream.schema(FIXTURE_SCHEMAS["events"])
+        spark.readStream.schema(events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
