@@ -1087,3 +1087,111 @@ def x34_ivf_train_kmeans(spark, sf_dir):
     Output is the exploded centroid store (cell, pos, val, n_members)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.kmeans_train(emb, emb.filter(F.col("vec_id") % 25 == 0), iters=2)
+
+
+# ---------------------------------------------------------------------------
+# EXT-05 additions: PII scrubbing, sequence packing, domain-mix resampling
+# ---------------------------------------------------------------------------
+
+#: Deterministic PII injection shared by the Spark query and its oracle:
+#: the fixture corpus contains no emails/IPs/phones (word-salad text), so
+#: the registered query plants one of each per doc — the operator under
+#: test is the scrubber, not the generator.
+def _pii_suffix_spark() -> list:
+    return [
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+    ]
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +1555' || lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+)
+
+
+def _x35_sql() -> str:
+    cur = "t0"
+    ctes = [f"t0 AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS c FROM documents)"]
+    counts = []
+    for i, (name, pat, repl) in enumerate(T.PII_PATTERNS, start=1):
+        ctes.append(
+            f"t{i} AS (SELECT doc_id, "
+            + ", ".join(counts)
+            + (", " if counts else "")
+            + f"CAST(len(regexp_extract_all(c, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(c, '{pat}', '{repl}', 'g') AS c FROM t{i - 1})"
+        )
+        counts.append(f"n_{name}")
+        cur = f"t{i}"
+    cols = ", ".join(counts)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {cols}, c AS clean_text FROM {cur}"
+    )
+
+
+@register("x35_pii_scrub", _x35_sql(), "EXT-05", tier=1)
+def x35_pii_scrub(spark, sf_dir):
+    """EXT-05 PII redaction: email → IPv4 → intl-phone scrub with per-category
+    counts (operators/textanalysis.pii_scrub). Row-local codegen regex, zero
+    shuffle; patterns restricted to the Java∩RE2 regex subset so the DuckDB
+    oracle scrubs byte-identically."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("text")
+    )
+    return T.pii_scrub(docs)
+
+
+def _x36_sql() -> str:
+    cap = T.PACK_CAPACITY
+    return f"""WITH normtext AS (SELECT doc_id, source, {NORM_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM normtext),
+base AS (SELECT doc_id, source AS shard, CAST(len(w) AS BIGINT) AS n_tok FROM toks),
+c AS (SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base)
+SELECT doc_id, shard, n_tok,
+       CAST(floor((cum - n_tok) / {cap}) AS BIGINT) AS start_pack,
+       CAST(greatest(floor((cum - n_tok) / {cap}),
+                     floor((cum - 1) / {cap})) AS BIGINT) AS end_pack
+FROM c"""
+
+
+@register("x36_sequence_pack", _x36_sql(), "EXT-05", tier=1)
+def x36_sequence_pack(spark, sf_dir):
+    """EXT-05 sequence packing: concat-then-chunk assignment of docs to
+    fixed-capacity token windows, per source shard in doc_id order
+    (operators/textanalysis.sequence_pack) — the padding-free context-window
+    fill of LLM pretraining. One running-sum window per shard."""
+    return T.sequence_pack(_t(spark, sf_dir, "documents"))
+
+
+def _x37_sql() -> str:
+    whole_cases = " ".join(
+        f"WHEN '{src}' THEN {n}" for src, (n, _) in sorted(T.MIX_WEIGHTS.items())
+    )
+    cut_cases = " ".join(
+        f"WHEN '{src}' THEN '{cut}'" for src, (_, cut) in sorted(T.MIX_WEIGHTS.items())
+    )
+    return f"""WITH w AS (
+  SELECT doc_id, source,
+         CASE source {whole_cases} ELSE {T.MIX_DEFAULT[0]} END
+         + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < CASE source {cut_cases} ELSE '{T.MIX_DEFAULT[1]}' END
+                THEN 1 ELSE 0 END AS n
+  FROM documents)
+SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+FROM w, UNNEST(range(1, n + 1)) AS u(copy)
+WHERE n >= 1"""
+
+
+@register("x37_mix_resample", _x37_sql(), "EXT-05", tier=1)
+def x37_mix_resample(spark, sf_dir):
+    """EXT-05 domain-mix rebalancing: per-source target weights (2× / 1.5× /
+    0.25× / 1×) via whole-copy explode plus the nested-sample md5 coin
+    (operators/textanalysis.mix_resample). Row-local, zero shuffle."""
+    return T.mix_resample(_t(spark, sf_dir, "documents"))

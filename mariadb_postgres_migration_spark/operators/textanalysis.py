@@ -375,3 +375,133 @@ def stratified_sample(
     for stratum, cut in sorted(cutoffs.items()):
         cutoff = F.when(F.col(stratum_col) == stratum, F.lit(cut)).otherwise(cutoff)
     return docs.filter(bucket < cutoff)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, sequence packing, domain-mix resampling
+# ---------------------------------------------------------------------------
+
+#: PII patterns chosen from the regex subset where Java (Spark) and RE2
+#: (DuckDB) agree: no backreferences, no lookaround, unambiguous greedy
+#: quantifiers — leftmost-longest and leftmost-first coincide on these.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-05 (PII redaction): replace emails / IPv4s / intl phone numbers
+    with typed placeholder tokens and count the redactions per category.
+
+    Row-local, zero shuffle, whole-stage-codegen regex — the shape every
+    compliance pass over a 100 TB crawl needs. Patterns apply in a fixed
+    order (email → ip → phone), each count taken on the text as already
+    scrubbed by the previous stages, and the placeholders contain no
+    characters any pattern can re-match, so scrubbing is confluent: the
+    oracle applies the same pipeline and gets byte-identical text. The
+    scrub chain is materialized stage-by-stage (select barriers) so each
+    regex runs once per row, not once per downstream consumer."""
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__clean"))
+    kept: list[str] = []
+    for name, pat, repl in PII_PATTERNS:
+        out = out.select(
+            "doc_id",
+            *kept,
+            F.regexp_count(F.col("__clean"), F.lit(pat)).cast("long").alias(f"n_{name}"),
+            F.regexp_replace("__clean", pat, repl).alias("__clean"),
+        )
+        kept.append(f"n_{name}")
+    return out.select("doc_id", *kept, F.col("__clean").alias("clean_text"))
+
+
+#: Pack capacity in tokens. 256 ≈ 4-6 fixture docs per pack; the operator is
+#: capacity-agnostic.
+PACK_CAPACITY = 256
+
+
+def sequence_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    capacity: int = PACK_CAPACITY,
+) -> DataFrame:
+    """EXT-05 (sequence packing): assign each document a position in a
+    stream of fixed-capacity token windows — the concat-then-chunk packing
+    LLM pretraining uses to fill context windows without padding.
+
+    Within each shard (``shard_col``), documents concatenate in ``id_col``
+    order; a doc occupies token offsets [cum−n_tok, cum) and therefore
+    spans packs ``start_pack..end_pack`` (a doc may straddle a boundary —
+    exactly how GPT-style chunking slices). One window (running sum) per
+    shard: the shuffle is keyed by shard, skew follows shard size, and at
+    100 TB the shard key is what you'd make finer (source × day) to bound
+    any one ordered scan — the assignment stays deterministic under any
+    such refinement because it never looks across shards."""
+    toked = _with_tokens(docs, id_col, text_col, extra=[text_col, shard_col])
+    n_tok = F.size("__toks").cast("long")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    out = toked.select(
+        "doc_id", F.col(shard_col).alias("shard"), n_tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    start = F.floor((F.col("cum") - F.col("n_tok")) / capacity).cast("long")
+    end = F.floor((F.col("cum") - 1) / capacity).cast("long")
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        start.alias("start_pack"),
+        F.greatest(start, end).alias("end_pack"),
+    )
+
+
+#: Target sampling weight per source for mix rebalancing; >1 duplicates
+#: (floor(w) copies + fractional md5 coin), <1 downsamples. Fractions are
+#: 8-hex-char lexicographic md5 cutoffs like SAMPLE_CUTOFFS.
+MIX_WEIGHTS: dict[str, tuple[int, str]] = {
+    # source → (whole copies, fractional cutoff on md5(doc_id))
+    "src0": (2, "00000000"),   # 2.0×
+    "src1": (1, "80000000"),   # 1.5×
+    "src2": (0, "40000000"),   # 0.25×
+}
+MIX_DEFAULT: tuple[int, str] = (1, "00000000")  # 1.0× pass-through
+
+
+def mix_resample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weights: dict[str, tuple[int, str]] | None = None,
+    default: tuple[int, str] = MIX_DEFAULT,
+) -> DataFrame:
+    """EXT-05 (domain-mix rebalancing): resample each source to a target
+    weight — the "2× wikipedia, 0.25× common-crawl" knob of a pretraining
+    data recipe. A row yields ``floor(w)`` copies plus one more iff
+    md5(id) sorts below the fractional cutoff (the same engine-portable
+    coin as :func:`stratified_sample`, so samples nest across recipes).
+
+    Row-local explode, zero shuffle, deterministic under repartitioning;
+    ``copy`` indexes the duplicates so downstream packing/shuffling can
+    treat them as distinct rows."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    whole = F.lit(default[0])
+    cutoff = F.lit(default[1])
+    for src, (n, cut) in sorted(weights.items()):
+        whole = F.when(F.col(source_col) == src, F.lit(n)).otherwise(whole)
+        cutoff = F.when(F.col(source_col) == src, F.lit(cut)).otherwise(cutoff)
+    coin = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < cutoff
+    n_copies = (whole + coin.cast("int")).alias("__n")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"), n_copies)
+        .filter(F.col("__n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy"),
+        )
+        .withColumn("copy", F.col("copy").cast("long"))
+    )
