@@ -568,15 +568,54 @@ def g3_grouping_sets(spark, sf_dir):
     tier=1,
 )
 def p1_percentiles_by_flag(spark, sf_dir):
-    """Exact continuous-interpolation percentiles per group. Exact
-    percentile needs the group's values together — one shuffle on a 3-value
-    key; at 100 TB switch to approx_percentile (t-digest sketch, map-side
-    mergeable) and accept the documented error bound."""
+    """Exact continuous-interpolation percentiles per group, computed
+    DISTRIBUTED: Spark's holistic ``percentile`` would route the entire
+    fact table to 3 reducers, so instead the p2 histogram pattern
+    (partial-agg to (flag, value) counts → cumulative-count window over
+    the small histogram) locates the two bracketing order statistics at
+    rank ⌊p·(n−1)⌋ and ⌊p·(n−1)⌋+1 and interpolates between them — the
+    same value ``quantile_cont`` returns, but every fact-table-sized stage
+    is map-side combinable. The t-digest ``approx_percentile`` sketch
+    remains the bounded-error fallback when even the value histogram is
+    too wide (tests/test_approx.py)."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    counts = l.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("v")
+    wall = Window.partitionBy("l_returnflag")
+    hist = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def brackets(p: float, tag: str):
+        k = F.floor(F.lit(p) * (F.col("n") - 1))
+        return [
+            F.min(F.when(F.col("cum") >= k + 1, F.col("v"))).alias(f"__lo{tag}"),
+            F.min(F.when(F.col("cum") >= k + 2, F.col("v"))).alias(f"__hi{tag}"),
+        ]
+
+    agged = hist.groupBy("l_returnflag").agg(
+        F.max("n").alias("__n"),
+        *brackets(0.25, "25"),
+        *brackets(0.50, "50"),
+        *brackets(0.75, "75"),
+    )
+
+    def interp(p: float, tag: str, name: str):
+        rank = F.lit(p) * (F.col("__n") - 1)
+        frac = rank - F.floor(rank)
+        lo, hi = F.col(f"__lo{tag}"), F.coalesce(f"__hi{tag}", f"__lo{tag}")
+        return F.round(lo + frac * (hi - lo), 4).alias(name)
+
+    return agged.select(
+        "l_returnflag",
+        interp(0.25, "25", "p25"),
+        interp(0.50, "50", "p50"),
+        interp(0.75, "75", "p75"),
     )
 
 

@@ -99,15 +99,18 @@ def test_dedup_paths_are_jvm_only(q):
         assert python_eval_count(q(name)) == 0, f"{name} fell off the JVM path"
 
 
-def test_knn_jvm_only_and_query_side_broadcast(q):
-    """The probe batch broadcasts; the corpus streams through a single
-    pass (BroadcastNestedLoopJoin — the right shape for a cross join with
-    a tiny side)."""
+def test_knn_blas_kernel_single_corpus_pass(q):
+    """x06: the corpus streams ONCE through the Arrow-batched BLAS
+    matmul kernel (probes ride along as a broadcast variable) — no
+    row-expansion join shape (BroadcastNestedLoopJoin / CartesianProduct
+    would mean corpus × probes rows materialize), and the only exchange
+    is the k·n_batches-row partial-top-k merge."""
     from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 
-    df = q("x06_knn_bruteforce")
-    assert python_eval_count(df) == 0
-    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+    text = formatted_plan(q("x06_knn_bruteforce"))
+    assert "MapInPandas" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
 
 
 def test_udf_tier_is_arrow_not_row(q):
