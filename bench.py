@@ -64,6 +64,11 @@ HEADLINE = [
     "x32_gopher_repetition",
     "x33_stratified_sample",
     "x34_ivf_train_kmeans",
+    "x35_pii_scrub",
+    "x36_sequence_pack",
+    "x37_mix_resample",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
 ]
 
 
