@@ -1195,3 +1195,93 @@ def x37_mix_resample(spark, sf_dir):
     0.25× / 1×) via whole-copy explode plus the nested-sample md5 coin
     (operators/textanalysis.mix_resample). Row-local, zero shuffle."""
     return T.mix_resample(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# EXT-03/05 additions: int8 quantization, overlap chunking, decontamination
+# ---------------------------------------------------------------------------
+
+@register(
+    "x38_embedding_quantize_int8",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       s AS (SELECT vec_id, x,
+                    list_max(list_transform(x, e -> abs(e))) / 127.0 AS sc
+             FROM v)
+       SELECT vec_id,
+              round(sc * 127.0, 6) AS max_abs,
+              CASE WHEN sc > 0
+                   THEN list_transform(x, e -> CAST(round(e / sc) AS INTEGER))
+                   ELSE list_transform(x, e -> 0) END AS qvec,
+              round(CASE WHEN sc > 0
+                         THEN list_sum(list_transform(
+                                  x, e -> pow(e - round(e / sc) * sc, 2)))
+                         ELSE 0.0 END / len(x), 6) AS mse
+       FROM s""",
+    "EXT-03",
+    tier=1,
+)
+def x38_embedding_quantize_int8(spark, sf_dir):
+    """EXT-03 storage tier: symmetric per-vector int8 quantization with
+    round-trip MSE diagnostics (operators/similarity.quantize_int8) — the
+    4x compression pass before IVF/LSH indexing. Row-local JVM HOFs, zero
+    shuffle, no Python."""
+    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def _x39_sql() -> str:
+    w, st = T.CHUNK_WINDOW, T.CHUNK_STRIDE
+    return f"""WITH normtext AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM normtext),
+base AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+st AS (SELECT doc_id, w, CAST(n AS BIGINT) AS n_tok,
+              unnest(range(0, n, {st})) AS start,
+              generate_subscripts(range(0, n, {st}), 1) - 1 AS chunk_id
+       FROM base)
+SELECT doc_id, n_tok, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(w[start + 1:start + {w}]) AS BIGINT) AS chunk_len,
+       array_to_string(w[start + 1:start + {w}], ' ') AS chunk_text
+FROM st
+WHERE start = 0 OR start + {w} - {st} < n_tok"""
+
+
+@register("x39_chunk_overlap", _x39_sql(), "EXT-05", tier=1)
+def x39_chunk_overlap(spark, sf_dir):
+    """EXT-05 overlapping context-window chunking: 32-token chunks at
+    24-token stride (operators/textanalysis.chunk_overlap) — the RAG-shape
+    doc splitter. Row-local sequence+slice explode, zero shuffle."""
+    return T.chunk_overlap(_t(spark, sf_dir, "documents"))
+
+
+def _x40_sql() -> str:
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + ",\n"
+        + _DS_CTE
+        + """,
+bsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, sh FROM ds WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM corp GROUP BY doc_id),
+hits AS (SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM corp JOIN bsh USING (sh) GROUP BY corp.doc_id)
+SELECT s.doc_id, s.n_sh, COALESCE(h.n_hits, 0) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / CAST(greatest(s.n_sh, 1) AS DOUBLE), 4)
+           AS hit_ratio,
+       (round(COALESCE(h.n_hits, 0) / CAST(greatest(s.n_sh, 1) AS DOUBLE), 4)
+        >= 0.1) AS contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
+    )
+
+
+@register("x40_decontaminate", _x40_sql(), "EXT-05", tier=1)
+def x40_decontaminate(spark, sf_dir):
+    """EXT-05 benchmark decontamination: distinct word-3-gram overlap of
+    every corpus doc (doc_id % 97 != 0) against the benchmark subset
+    (doc_id % 97 == 0), with a 10% contamination flag
+    (operators/textanalysis.decontaminate). Benchmark shingle set
+    broadcasts; corpus shingles stream once with partial-agg hit counts."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return T.decontaminate(corpus, benchmark)

@@ -547,3 +547,52 @@ def kmeans_train(
         (val_int.cast("double") / q).alias("val"),
         F.col("n").cast("long").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization — the storage-compression tier of the ANN family
+# ---------------------------------------------------------------------------
+
+def quantize_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXT-03 (storage tier): symmetric per-vector int8 quantization —
+    scale = max|x|/127, q_i = round(x_i/scale) — the 4× compression step a
+    100 TB vector store applies before IVF/LSH indexing.
+
+    Entirely row-local JVM higher-order functions: zero shuffle, no Python.
+    Outputs the quantized array plus round-trip diagnostics (max|x| and the
+    6dp-rounded reconstruction MSE) so a pipeline can gate on quantization
+    loss. All-zero vectors quantize to zeros with scale 0 (guarded
+    division). Engine-portable: scale and q_i are single IEEE ops, both
+    engines round half-away-from-zero, and the MSE folds sequentially
+    (matches the oracle's list fold to ~1e-14 before its 6dp round)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    out = corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("__v"), scale.alias("__scale")
+    )
+    out = out.select(
+        "vec_id",
+        "__v",
+        "__scale",
+        F.when(
+            F.col("__scale") > 0,
+            F.transform("__v", lambda x: F.round(x / F.col("__scale")).cast("int")),
+        )
+        .otherwise(F.transform("__v", lambda x: F.lit(0)))
+        .alias("qvec"),
+    )
+    err = F.zip_with(
+        "__v", "qvec", lambda x, q: (x - q.cast("double") * F.col("__scale")) ** 2
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size("__v")
+    return out.select(
+        "vec_id",
+        F.round(F.col("__scale") * 127.0, 6).alias("max_abs"),
+        "qvec",
+        F.round(mse, 6).alias("mse"),
+    )

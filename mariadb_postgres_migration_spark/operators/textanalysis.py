@@ -505,3 +505,98 @@ def mix_resample(
         )
         .withColumn("copy", F.col("copy").cast("long"))
     )
+
+
+#: Context-window chunking: window tokens per chunk, advancing by stride
+#: (overlap = CHUNK_WINDOW - CHUNK_STRIDE).
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """EXT-05 (overlapping context-window chunking): split each document
+    into ``window``-token chunks whose starts advance by ``stride`` tokens
+    (RAG-style overlap keeps boundary context in two chunks).
+
+    Row-local explode — chunk starts are an in-row ``sequence``, each chunk
+    an ``slice`` + join over the materialized token array; zero shuffle,
+    output rows ≈ n_tok/stride per doc. Empty docs yield no chunks (both
+    engines agree by an explicit n_tok ≥ 1 guard), and generation stops at
+    the first chunk that reaches the document's end — no redundant tail
+    chunk fully contained in its predecessor."""
+    toked = _with_tokens(docs, id_col, text_col)
+    n_tok = F.size("__toks")
+    chunks = toked.filter(n_tok >= 1).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.posexplode(F.sequence(F.lit(0), n_tok - 1, F.lit(stride))).alias(
+            "chunk_id", "start"
+        ),
+        F.col("__toks"),
+    ).filter(
+        # keep a start iff the PREVIOUS chunk didn't already cover the end
+        (F.col("start") == 0) | (F.col("start") + (window - stride) < F.col("n_tok"))
+    )
+    piece = F.slice("__toks", F.col("start") + 1, window)
+    return chunks.select(
+        "doc_id",
+        "n_tok",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(piece).cast("long").alias("chunk_len"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    flag_ratio: float = 0.1,
+) -> DataFrame:
+    """EXT-05 (benchmark decontamination): per corpus document, how many of
+    its distinct word-k-gram shingles appear anywhere in the benchmark set,
+    plus a contamination flag at ``flag_ratio`` — the n-gram-overlap test
+    (GPT-3 appendix C / Gopher A.3 shape) every pretraining corpus runs
+    against its eval suites before training.
+
+    The benchmark's distinct shingle set is eval-suite-sized — small by
+    construction at any corpus scale — so it BROADCASTS into a left-semi
+    shape: corpus shingles stream once, hits partial-aggregate per doc,
+    and clean docs rejoin via the document spine (left join, zero-fill).
+    The ratio compares rounded (both engines half-away-from-zero) so the
+    flag is hash-stable."""
+    from .dedup import doc_shingles
+
+    corpus = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    bench_sh = (
+        doc_shingles(benchmark, id_col, text_col, k).select("sh").distinct()
+    )
+    ds = doc_shingles(corpus, "doc_id", "text", k)
+    sizes = ds.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    hits = (
+        ds.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    ratio = F.round(
+        F.coalesce("n_hits", F.lit(0)) / F.greatest("n_sh", F.lit(1)).cast("double"), 4
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            ratio.alias("hit_ratio"),
+            (ratio >= F.lit(flag_ratio)).alias("contaminated"),
+        )
+    )

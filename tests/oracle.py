@@ -28,11 +28,16 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # numpy scalars/arrays appear on either side depending on Arrow being
+    # enabled (Spark) and on DuckDB's df() — normalize to Python values so
+    # the comparison tests VALUES, as the driver's hash does, not reprs
+    if hasattr(v, "item") and not hasattr(v, "__len__"):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision — exact like a hash would be
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return repr(v)
 

@@ -91,3 +91,70 @@ def test_mix_resample_multiplicity(spark, sf_dir):
     src2_in = docs.filter(F.col("source") == "src2").count()
     assert kept_src2 <= src2_in
     assert out.count() <= 2 * total_in
+
+
+def test_chunk_overlap_edges(spark):
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        chunk_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(80))),  # 80 tokens
+            Row(doc_id=2, text="single"),
+            Row(doc_id=3, text=" ".join(f"v{i}" for i in range(CHUNK_WINDOW))),
+        ]
+    )
+    out = chunk_overlap(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 80 tokens at stride 24: chunk [48, 80) reaches the end, so start 72
+    # (fully contained in its predecessor) is never emitted
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start"] for r in c1] == [0, 24, 48]
+    assert all(r["chunk_len"] == CHUNK_WINDOW for r in c1)
+    # overlap: the last 8 tokens of chunk 0 open chunk 1
+    assert c1[0]["chunk_text"].split()[CHUNK_STRIDE:] == c1[1]["chunk_text"].split()[
+        : CHUNK_WINDOW - CHUNK_STRIDE
+    ]
+    # 1-token doc → exactly one 1-token chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 1
+    # exactly-window doc → one full chunk, no empty successor
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == CHUNK_WINDOW
+
+
+def test_quantize_int8_roundtrip(spark):
+    from mariadb_postgres_migration_spark.operators.similarity import quantize_int8
+
+    docs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # all-zero guard
+        ]
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(docs).collect()}
+    assert out[1]["qvec"] == [127, -64, 32, 0]  # scale = 1/127
+    assert out[1]["max_abs"] == 1.0
+    assert out[1]["mse"] < 1e-4
+    assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["mse"] == 0.0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from mariadb_postgres_migration_spark.operators.textanalysis import decontaminate
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon")]
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 3-gram "beta gamma delta"
+            Row(doc_id=1, text="intro beta gamma delta outro fin"),
+            Row(doc_id=2, text="totally unrelated words only here"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert out[1]["n_hits"] >= 1 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
