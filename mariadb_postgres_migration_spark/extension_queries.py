@@ -1285,3 +1285,19 @@ def x40_decontaminate(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     return T.decontaminate(corpus, benchmark)
+
+
+@register("x41_dedup_cc_star", _cc_sql(), "EXT-02", tier=1)
+def x41_dedup_cc_star(spark, sf_dir):
+    """EXT-02 adversarial-graph cluster tier: the same near-dup keep-one
+    decision as x27 but via large-star/small-star contraction
+    (operators/dedup.connected_components_star) — O(log n) rounds on ANY
+    graph shape, where min-label propagation needs diameter rounds and a
+    pathological near-dup chain would trip its round guard. Oracle:
+    identical recursive-CTE min-reachable SQL as x27 (same output by
+    construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b")
+    return D.dedup_keep_one(docs, pairs, algorithm="star")

@@ -546,14 +546,21 @@ def connected_components(
 
 
 def dedup_keep_one(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """EXT-02 end-to-end dedup decision: every document mapped to its
     cluster representative (``rep``) with ``keep`` = is-the-representative.
     Singletons (no near-dup edge) keep themselves via the left-join
     coalesce — no giant node list is ever built for them, so the iterative
-    part only pays for documents that actually have duplicates."""
-    comp = connected_components(pairs).withColumnRenamed("comp", "rep")
+    part only pays for documents that actually have duplicates.
+
+    ``algorithm``: 'min_label' (default — diameter-bounded graphs) or
+    'star' (:func:`connected_components_star`, the long-chain tier)."""
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs).withColumnRenamed("comp", "rep")
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")
@@ -562,4 +569,76 @@ def dedup_keep_one(
             F.coalesce("rep", F.col("doc_id")).alias("rep"),
         )
         .withColumn("keep", F.col("doc_id") == F.col("rep"))
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the adversarial-graph
+    tier of :func:`connected_components`, same (doc_id, comp) output.
+
+    Min-label propagation needs diameter rounds, so a pathological
+    near-dup CHAIN (each doc similar only to its neighbors — OCR drift,
+    successive crawl snapshots) of length d costs d shuffles and trips the
+    max_iter guard. Star contraction converges in O(log² n) worst case /
+    O(log n) in practice because both operations hang whole subtrees
+    directly under the current minimum.
+
+    Both operations are join-shaped, never collect_list-shaped: per-node
+    minima partial-aggregate map-side and rehang via an edge join, so a
+    hot node (a star's center) never materializes its neighbor list in one
+    reducer — the skew resistance that makes the algorithm the 100 TB
+    fallback. Each round: large-star (larger neighbors rehang under the
+    node's min) then small-star (smaller neighbors + the node rehang under
+    the minimum smaller neighbor), then a changed-probe on the
+    lazily-checkpointed edge set (one job per round, like the min-label
+    loop). Terminates when the edge set is a fixed point: every edge
+    (child, root) with root = its component's minimum."""
+    # canonical directed form: (hi, lo), self-loops dropped, distinct
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        # large-star over the undirected adjacency: every neighbor v > u
+        # rehangs under m(u) = min(N(u) ∪ {u})
+        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            adj.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star on the directed (hi → lo) form: the node and all its
+        # smaller neighbors rehang under the minimum smaller neighbor
+        m2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(m2, "hi")
+            .select(F.col("lo").alias("child"), F.col("m").alias("root"))
+            .union(m2.select(F.col("hi").alias("child"), F.col("m").alias("root")))
+            .filter(F.col("child") != F.col("root"))
+            .distinct()
+            .select(F.col("child").alias("hi"), F.col("root").alias("lo"))
+            .localCheckpoint(eager=False)
+        )
+        changed = small.exceptAll(e).limit(1).count()
+        prev, e = e, small
+        if changed == 0 and small.count() == prev.count():
+            roots = e.select(F.col("lo").alias("doc_id")).subtract(
+                e.select(F.col("hi").alias("doc_id"))
+            )
+            return e.select(
+                F.col("hi").alias("doc_id"), F.col("lo").alias("comp")
+            ).union(roots.select("doc_id", F.col("doc_id").alias("comp")))
+    raise RuntimeError(
+        f"connected_components_star did not converge within max_iter={max_iter}"
     )

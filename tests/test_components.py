@@ -105,3 +105,41 @@ def test_non_convergence_raises_not_silently_splits(spark):
     chain = _pairs(spark, [(i + 1, i) for i in range(1, 12)])  # diameter 11
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=3)
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    import random
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # several clusters: cliques, chains, and random cross links
+    for base in (0, 100, 200, 300):
+        ids = [base + i for i in range(rng.randint(2, 12))]
+        for i in range(len(ids) - 1):
+            rows.append((ids[i], ids[i + 1]))
+        for _ in range(3):
+            a, b = rng.sample(ids, 2)
+            rows.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    want = sorted(map(tuple, connected_components(pairs).collect()))
+    got = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert got == want
+
+
+def test_star_cc_converges_on_long_chain(spark):
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 120  # min-label would need 120 rounds (far past its max_iter guard)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    labels = connected_components_star(pairs, max_iter=20).collect()
+    assert len(labels) == n + 1
+    assert all(r["comp"] == 0 for r in labels)
