@@ -409,6 +409,8 @@ def q4_order_priority_exists(spark, sf_dir):
              GROUP BY c.c_custkey)
        GROUP BY c_count""",
     "EXT-AGG",
+    tier=1,  # demoted r4: EXT-AGG is covered 10+ times in the window; the
+             # slot went to the x42 pipeline-ops suite (extension_queries)
 )
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13 shape: outer join preserving customers with no orders,

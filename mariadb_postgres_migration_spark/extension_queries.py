@@ -1301,3 +1301,87 @@ def x41_dedup_cc_star(spark, sf_dir):
         docs, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
     ).select("doc_a", "doc_b")
     return D.dedup_keep_one(docs, pairs, algorithm="star")
+
+
+# ---------------------------------------------------------------------------
+# Driver-window consolidation for the r4 pipeline ops (the same pattern as
+# j12/op21_30: one kind-tagged union carries five query shapes into the
+# hash-verified window; each stays registered standalone at tier 1).
+# ---------------------------------------------------------------------------
+
+def _x42_sql() -> str:
+    return f"""SELECT 'pii' AS kind, doc_id, n_email AS v1, n_ip AS v2,
+       n_phone AS v3, CAST(0 AS BIGINT) AS v4, md5(clean_text) AS s1
+FROM ({_x35_sql()})
+UNION ALL
+SELECT 'pack', doc_id, n_tok, start_pack, end_pack, CAST(0 AS BIGINT), shard
+FROM ({_x36_sql()})
+UNION ALL
+SELECT 'mix', doc_id, copy, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), source
+FROM ({_x37_sql()})
+UNION ALL
+SELECT 'chunk', doc_id, chunk_id, start, chunk_len, n_tok, md5(chunk_text)
+FROM ({_x39_sql()})
+UNION ALL
+SELECT 'decon', doc_id, n_sh, n_hits,
+       CAST(round(hit_ratio * 10000) AS BIGINT),
+       CAST(contaminated AS BIGINT), NULL
+FROM ({_x40_sql()})"""
+
+
+@register("x42_pipeline_suite", _x42_sql(), "EXT-05", "EXT-02", "EXT-03")
+def x42_pipeline_suite(spark, sf_dir):
+    """Driver-verified representative for the r4 training-pipeline surface:
+    PII scrub (x35), sequence packing (x36), mix resampling (x37), overlap
+    chunking (x39), and benchmark decontamination (x40) union-folded into
+    one kind-tagged result (text payloads md5-compressed, ratios fixed-point
+    — every column hash-stable). Each member query stays registered
+    standalone at tier 1 with its own full-fidelity oracle."""
+    zero = F.lit(0).cast("long")
+    pii = x35_pii_scrub(spark, sf_dir).select(
+        F.lit("pii").alias("kind"),
+        "doc_id",
+        F.col("n_email").alias("v1"),
+        F.col("n_ip").alias("v2"),
+        F.col("n_phone").alias("v3"),
+        zero.alias("v4"),
+        F.md5("clean_text").alias("s1"),
+    )
+    pack = x36_sequence_pack(spark, sf_dir).select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        F.col("n_tok").alias("v1"),
+        F.col("start_pack").alias("v2"),
+        F.col("end_pack").alias("v3"),
+        zero.alias("v4"),
+        F.col("shard").alias("s1"),
+    )
+    mix = x37_mix_resample(spark, sf_dir).select(
+        F.lit("mix").alias("kind"),
+        "doc_id",
+        F.col("copy").alias("v1"),
+        zero.alias("v2"),
+        zero.alias("v3"),
+        zero.alias("v4"),
+        F.col("source").alias("s1"),
+    )
+    chunk = x39_chunk_overlap(spark, sf_dir).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.col("chunk_id").alias("v1"),
+        F.col("start").alias("v2"),
+        F.col("chunk_len").alias("v3"),
+        F.col("n_tok").alias("v4"),
+        F.md5("chunk_text").alias("s1"),
+    )
+    decon = x40_decontaminate(spark, sf_dir).select(
+        F.lit("decon").alias("kind"),
+        "doc_id",
+        F.col("n_sh").alias("v1"),
+        F.col("n_hits").alias("v2"),
+        F.round(F.col("hit_ratio") * 10000).cast("long").alias("v3"),
+        F.col("contaminated").cast("long").alias("v4"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return pii.unionByName(pack).unionByName(mix).unionByName(chunk).unionByName(decon)
