@@ -178,3 +178,40 @@ def test_q22_anti_join_no_correlated_subquery(q):
     text = formatted_plan(q("q22_idle_high_balance"))
     assert "LeftAnti" in text
     assert pushed_filters(q("q22_idle_high_balance"))
+
+
+def test_reshaped_tpch_shapes_broadcast_dims_no_cartesian(q):
+    """r4 TPC-H completions: dims broadcast, never a row-expansion join,
+    hot path JVM-only."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    for name in (
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q16_supplier_count_by_part",
+        "q20_excess_share_suppliers",
+    ):
+        df = q(name)
+        text = formatted_plan(df)
+        assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
+        assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text
+        assert broadcast_join_count(df) >= 1, f"{name} broadcasts no dim"
+
+
+def test_pipeline_ops_stay_rowlocal_or_broadcast(q):
+    """x35/x36/x37 are row-local (at most the packing window's shuffle);
+    x40's only join is the broadcast benchmark set."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    for name in ("x35_pii_scrub", "x37_mix_resample"):
+        df = q(name)
+        assert python_eval_count(df) == 0
+        assert broadcast_join_count(df) == 0  # no joins at all
+    pack = q("x36_sequence_pack")
+    assert python_eval_count(pack) == 0
+    assert formatted_plan(pack).count("Window") >= 1
+    decon = q("x40_decontaminate")
+    text = formatted_plan(decon)
+    assert python_eval_count(decon) == 0
+    assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text
+    assert broadcast_join_count(decon) >= 1  # benchmark shingle set broadcasts
