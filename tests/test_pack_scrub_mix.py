@@ -158,3 +158,44 @@ def test_decontaminate_flags_planted_overlap(spark):
     out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
     assert out[1]["n_hits"] >= 1 and out[1]["contaminated"]
     assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+
+
+def test_chunk_overlap_covers_every_token_property(spark):
+    """Property (hypothesis): for random doc lengths, chunks cover every
+    token index, starts advance by exactly the stride, and only the final
+    chunk may be short."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        chunk_overlap,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=6))
+    def check(lengths):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)],
+            "doc_id long, text string",
+        )
+        rows = chunk_overlap(docs).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, n in enumerate(lengths):
+            cs = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            assert [r["start"] for r in cs] == [k * CHUNK_STRIDE for k in range(len(cs))]
+            covered = set()
+            for r in cs:
+                assert r["chunk_len"] >= 1
+                covered.update(range(r["start"], r["start"] + r["chunk_len"]))
+            assert covered == set(range(n))
+            # every non-final chunk is full-width
+            for r in cs[:-1]:
+                assert r["chunk_len"] == CHUNK_WINDOW
+            # the final chunk reaches the end; its start is < n
+            assert cs[-1]["start"] + cs[-1]["chunk_len"] == n
+
+    check()
