@@ -1385,3 +1385,35 @@ def x42_pipeline_suite(spark, sf_dir):
         F.lit(None).cast("string").alias("s1"),
     )
     return pii.unionByName(pack).unionByName(mix).unionByName(chunk).unionByName(decon)
+
+
+def _x43_sql() -> str:
+    # the batch x35 pipeline with the text payload md5-compressed
+    return (
+        f"SELECT doc_id, n_email, n_ip, n_phone, md5(clean_text) AS clean_md5\n"
+        f"FROM ({_x35_sql()})"
+    )
+
+
+@register("x43_stream_pii_scrub", _x43_sql(), "EXT-05", "EXT-08", tier=1)
+def x43_stream_pii_scrub(spark, sf_dir):
+    """EXT-05/08: the PII scrubber applied to a document STREAM — stateless
+    row-local transform in append mode over the bounded file-source replay
+    (streaming/jobs.run_stream_transform); the same Column expressions the
+    batch tier plans, per micro-batch. Oracle = the batch pipeline, which
+    the bounded replay must reproduce exactly."""
+    from .streaming.jobs import read_documents_stream, run_stream_transform
+
+    def scrub(stream):
+        injected = stream.select(
+            "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("text")
+        )
+        return T.pii_scrub(injected).select(
+            "doc_id",
+            "n_email",
+            "n_ip",
+            "n_phone",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+
+    return run_stream_transform(read_documents_stream(spark, sf_dir), scrub)

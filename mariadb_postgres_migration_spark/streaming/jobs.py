@@ -327,3 +327,23 @@ def run_stream_threading(
         )
     )
     return _run_to_memory(res, "append")
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet (schema pinned, same
+    glob-filter trick as the events stream)."""
+    _ensure_read_conf(spark)
+    return (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_stream_transform(docs_stream: DataFrame, transform) -> DataFrame:
+    """Run a STATELESS row-local transform over a bounded document stream
+    (append mode — no watermark needed because no state exists). The point
+    being demonstrated: every row-local operator in this engine (PII scrub,
+    quality scoring, chunking, ...) composes with Structured Streaming
+    unchanged — the same Column expressions plan into each micro-batch."""
+    return _run_to_memory(transform(docs_stream), "append")
