@@ -1552,3 +1552,53 @@ def p3_approx_sketches(spark, sf_dir):
             "approx_p95"
         ),
     )
+
+
+@register(
+    "j3_full_outer_reconcile",
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+                 FROM events WHERE event_type = 'click' GROUP BY user_id),
+       p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                    round(sum(value), 2) AS purchase_value
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+              COALESCE(c.n_clicks, 0) AS n_clicks,
+              COALESCE(p.n_purchases, 0) AS n_purchases,
+              COALESCE(p.purchase_value, 0.0) AS purchase_value,
+              (c.user_id IS NOT NULL AND p.user_id IS NOT NULL) AS both_sides
+       FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
+    "EXT-JOIN",
+    tier=1,
+)
+def j3_full_outer_reconcile(spark, sf_dir):
+    """Full-outer reconciliation (the one join type the registry lacked):
+    per-user click stats merged with purchase stats, keys coalesced,
+    metrics zero-filled, plus a both-sides flag. Both inputs pre-aggregate
+    BEFORE the join (fact-table rows never cross the outer join), the
+    filters push to the scan, and the two aggs + join share the user_id
+    shuffle key so AQE plans one co-partitioned exchange per side."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    return (
+        c.withColumnRenamed("user_id", "cu")
+        .join(p.withColumnRenamed("user_id", "pu"), F.col("cu") == F.col("pu"), "full_outer")
+        .select(
+            F.coalesce("cu", "pu").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            (F.col("cu").isNotNull() & F.col("pu").isNotNull()).alias("both_sides"),
+        )
+    )
