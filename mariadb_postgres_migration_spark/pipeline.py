@@ -210,3 +210,27 @@ def migrate(
             )
         ),
     }
+
+
+def migrate_with_audit(
+    spark: SparkSession,
+    source: dict[str, DataFrame],
+    playlists: DataFrame,
+    cfg: MigrationConfig | None = None,
+):
+    """:func:`migrate` with an inline load audit on every sink: each
+    returned DataFrame carries an `observe` gate (row count + per-column
+    null counts) whose metrics accumulate DURING the caller's writes — the
+    per-table verification the reference does by re-querying the sink
+    (extra round-trips per table), but with zero additional scans at any
+    scale. Returns ``(sinks, observations)`` keyed by sink name."""
+    from .functions.quality import observed_quality_gate
+
+    sinks = migrate(spark, source, playlists, cfg)
+    audited: dict[str, DataFrame] = {}
+    observations = {}
+    for name, df in sinks.items():
+        audited[name], observations[name] = observed_quality_gate(
+            df, name=f"load_audit_{name}"
+        )
+    return audited, observations

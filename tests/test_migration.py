@@ -257,3 +257,18 @@ def test_sequence_restarts(sinks, w0bm):
     assert seqs["users"] == int(tables["users"]["id"].max()) + 1
     assert seqs["comments"] == int(tables["comments"]["id"].max()) + 1
     assert "playlist_video" not in seqs  # no id column
+
+
+def test_migrate_with_audit_counts_ride_the_writes(spark, w0bm):
+    """The audited DAG's observation metrics must match the sink row counts
+    without any additional counting pass."""
+    from mariadb_postgres_migration_spark.pipeline import migrate_with_audit
+
+    tables, path = w0bm
+    src = {name: spark.read.parquet(f"{path}/{name}.parquet") for name in tables}
+    playlists = src.pop("playlists")
+    audited, obs = migrate_with_audit(spark, src, playlists, MigrationConfig())
+    for name, df in audited.items():
+        df.write.format("noop").mode("overwrite").save()
+    for name, df in audited.items():
+        assert obs[name].get["rows"] == df.count(), name
