@@ -1,3 +1,4 @@
+from .quality import observed_quality_gate
 from .text import (
     caret_count,
     json_string_array,
@@ -9,6 +10,7 @@ from .text import (
 
 __all__ = [
     "caret_count",
+    "observed_quality_gate",
     "json_string_array",
     "normalize_text",
     "normalize_text_native",
