@@ -1417,3 +1417,83 @@ def x43_stream_pii_scrub(spark, sf_dir):
         )
 
     return run_stream_transform(read_documents_stream(spark, sf_dir), scrub)
+
+
+@register(
+    "x44_bpe_pair_counts",
+    "WITH "
+    + _TOKS_CTE
+    + """,
+grams AS (SELECT array_to_string(w[i:i+1], ' ') AS pair
+          FROM toks, UNNEST(range(1, len(w))) AS u(i)),
+counts AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY pair),
+ranked AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+           FROM counts)
+SELECT pair, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 50""",
+    "EXT-05",
+    tier=1,
+)
+def x44_bpe_pair_counts(spark, sf_dir):
+    """EXT-05 tokenizer-training primitive: corpus-wide adjacent-token-pair
+    frequencies, top 50 — the counting step of one BPE merge iteration
+    (Sennrich et al. 2016). In-row 2-gram explode (non-distinct, unlike
+    the dedup shingles) → ONE partial-agg groupBy(pair) → global top-k via
+    TakeOrderedAndProject (rank ties broken by pair text). At 100 TB the
+    pair dictionary partial-aggregates map-side, and only |pairs| rows —
+    not token occurrences — cross the shuffle."""
+    toked = T._with_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    toks = F.col("__toks")
+    n2 = F.size(toks) - 1
+    grams = F.when(
+        n2 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n2), lambda i: F.array_join(F.slice(toks, i, 2), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toked.select(F.explode(grams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    return (
+        counts.withColumn(
+            "rk", F.row_number().over(_W.orderBy(F.desc("n"), F.asc("pair"))).cast("long")
+        )
+        .filter(F.col("rk") <= 50)
+        .select("pair", "n", "rk")
+    )
+
+
+@register(
+    "x45_incremental_dedup",
+    f"""WITH old AS (SELECT md5({NORM_SQL}) AS fp FROM documents WHERE doc_id % 10 < 8),
+       new AS (SELECT doc_id, source, md5({NORM_SQL}) AS fp FROM documents
+               WHERE doc_id % 10 >= 8)
+       SELECT n.doc_id, n.source,
+              (o.fp IS NOT NULL) AS is_dup_of_corpus
+       FROM new n LEFT JOIN (SELECT DISTINCT fp FROM old) o ON n.fp = o.fp""",
+    "EXT-01",
+    tier=1,
+)
+def x45_incremental_dedup(spark, sf_dir):
+    """EXT-01 incremental-ingest tier: flag each NEW document (doc_id%10≥8
+    — standing in for today's crawl) whose normalized-text fingerprint
+    already exists in the accumulated corpus (doc_id%10<8). The corpus
+    side reduces to DISTINCT fingerprints before the join — at 100 TB
+    that fingerprint index is the thing a production pipeline keeps
+    bucketed on disk (sources/bucketed.py) so each nightly increment
+    joins against it with zero corpus re-shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    old = (
+        docs.filter(F.col("doc_id") % 10 < 8).select(fp.alias("fp")).distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    return (
+        new.join(old.withColumnRenamed("fp", "ofp"), new.fp == F.col("ofp"), "left")
+        .select("doc_id", "source", F.col("ofp").isNotNull().alias("is_dup_of_corpus"))
+    )
