@@ -1497,3 +1497,38 @@ def x45_incremental_dedup(spark, sf_dir):
         new.join(old.withColumnRenamed("fp", "ofp"), new.fp == F.col("ofp"), "left")
         .select("doc_id", "source", F.col("ofp").isNotNull().alias("is_dup_of_corpus"))
     )
+
+
+@register(
+    "x46_best_per_source",
+    f"""WITH q AS ({_quality_sql()})
+SELECT d.source, q.doc_id, q.quality, CAST(rk AS BIGINT) AS rk
+FROM (SELECT q.doc_id, q.quality,
+             row_number() OVER (PARTITION BY d2.source
+                                ORDER BY q.quality DESC, q.doc_id) AS rk
+      FROM q JOIN documents d2 ON q.doc_id = d2.doc_id) q
+JOIN documents d ON q.doc_id = d.doc_id
+WHERE rk <= 5""",
+    "EXT-05", "EXT-TOPK",
+    tier=1,
+)
+def x46_best_per_source(spark, sf_dir):
+    """EXT-05 curation tier: keep the 5 highest-quality documents per
+    source — the 'best N per domain' cut every curated pretraining mix
+    applies. Quality comes from the SAME column builders as x09 (no
+    drift), computed in the same projection as the window's input; the
+    only shuffle is the per-source top-k (TakeOrdered within partition),
+    ties broken by doc_id for cross-engine rank stability."""
+    from pyspark.sql import Window as _W
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = T._with_tokens(docs, "doc_id", "text", extra=["text", "source"])
+    scored = toked.select(
+        "source", "doc_id", T._quality_cols(F.col("__toks"), "text")[2]
+    )
+    w = _W.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "quality", "rk")
+    )
