@@ -1532,3 +1532,66 @@ def x46_best_per_source(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "quality", "rk")
     )
+
+
+def _x47_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    return f"""WITH RECURSIVE {_TOKS_CTE},
+{_DS_CTE},
+rare AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= {MAX_DOC_FREQ}),
+dsf AS (SELECT ds.doc_id, ds.sh FROM ds JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsf GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM dsf x JOIN dsf y USING (sh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes na ON doc_a = na.doc_id
+                     JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT doc_id, doc_id AS n FROM documents
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
+comp AS (SELECT doc_id, min(n) AS comp FROM reach GROUP BY doc_id),
+m AS (SELECT toks.doc_id,
+             CAST(len(w) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(w, t -> list_contains([{stoplist}], t))) AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(d.text) AS DOUBLE) AS n_chars
+      FROM toks JOIN documents d ON toks.doc_id = d.doc_id),
+q AS (SELECT doc_id,
+             round(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 0.4
+                   + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 0.4
+                   + least(CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END / 10.0, 1.0) * 0.2,
+                   4) AS quality
+      FROM m),
+j AS (SELECT c.doc_id, c.comp, q.quality FROM comp c JOIN q USING (doc_id)),
+best AS (SELECT comp, doc_id AS rep
+         FROM (SELECT comp, doc_id,
+                      row_number() OVER (PARTITION BY comp
+                                         ORDER BY quality DESC, doc_id) AS rk
+               FROM j)
+         WHERE rk = 1)
+SELECT j.doc_id, b.rep, (j.doc_id = b.rep) AS keep
+FROM j JOIN best b ON j.comp = b.comp"""
+
+
+@register("x47_dedup_keep_best", _x47_sql(), "EXT-02", "EXT-05", tier=1)
+def x47_dedup_keep_best(spark, sf_dir):
+    """EXT-02 quality-aware cluster collapse: same near-dup clusters as
+    x27, but the representative is the member with the highest x09 quality
+    score (ties → min doc_id) — "keep the cleanest copy". The score is the
+    SAME rounded composite as x09 (shared column builders), so the
+    cross-engine argmax is hash-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b")
+    toked = T._with_tokens(docs, "doc_id", "text")
+    scored = toked.select(
+        "doc_id", T._quality_cols(F.col("__toks"), "text")[2]
+    )
+    return D.dedup_keep_best(
+        scored, pairs, F.col("quality"), id_col="doc_id"
+    )

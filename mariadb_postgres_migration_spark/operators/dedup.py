@@ -642,3 +642,45 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame
     raise RuntimeError(
         f"connected_components_star did not converge within max_iter={max_iter}"
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXT-02 quality-aware keep-one: like :func:`dedup_keep_one`, but the
+    cluster representative is the member with the HIGHEST ``score_col``
+    (ties → min id) instead of the smallest id — what a training-data
+    pipeline actually wants when collapsing a near-dup cluster ("keep the
+    cleanest copy", not "keep the oldest crawl").
+
+    One extra shuffle over keep-one: the per-cluster argmax window on the
+    component label. Scores evaluate once per doc in the same projection
+    that joins the label, so no second corpus pass; singletons bypass the
+    window entirely only in effect (their cluster is themselves)."""
+    from pyspark.sql import Window as _W
+
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"), score_col.alias("__score"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", "__score", F.coalesce("comp", F.col("doc_id")).alias("comp")
+        )
+    )
+    w = _W.partitionBy("comp").orderBy(F.desc("__score"), F.asc("doc_id"))
+    best = (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("comp"), F.col("doc_id").alias("rep"))
+    )
+    return (
+        labeled.join(best, "comp")
+        .select(
+            "doc_id",
+            "rep",
+            (F.col("doc_id") == F.col("rep")).alias("keep"),
+        )
+    )
