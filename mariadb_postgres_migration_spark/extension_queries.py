@@ -1595,3 +1595,65 @@ def x47_dedup_keep_best(spark, sf_dir):
     return D.dedup_keep_best(
         scored, pairs, F.col("quality"), id_col="doc_id"
     )
+
+
+def _x48_sql() -> str:
+    from .operators.similarity import N_PLANES, hyperplane_signs
+
+    signs = hyperplane_signs()
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(str(s) for s in signs[p])
+        + f"]) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    dots2 = "[" + ", ".join(
+        "list_inner_product(CAST(b.embedding AS DOUBLE[]), ["
+        + ", ".join(str(s) for s in signs[p])
+        + "])"
+        for p in range(N_PLANES)
+    ) + "]"
+    return f"""WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+                FROM embeddings),
+       q AS (SELECT vec_id AS q_id, b.embedding AS qv, bucket,
+                    {dots2} AS dots
+             FROM b WHERE vec_id % 50 = 0),
+       qd AS (SELECT q_id, bucket, unnest(dots) AS d,
+                     generate_subscripts(dots, 1) - 1 AS p
+              FROM q),
+       flips AS (SELECT q_id, xor(bucket, CAST(1 << p AS BIGINT)) AS bucket
+                 FROM (SELECT q_id, bucket, p,
+                              row_number() OVER (PARTITION BY q_id
+                                                 ORDER BY abs(d), p) AS rk
+                       FROM qd)
+                 WHERE rk <= 2),
+       probes AS (SELECT q_id, bucket FROM q
+                  UNION ALL SELECT q_id, bucket FROM flips),
+       scored AS (SELECT pr.q_id, c.vec_id AS n_id,
+                         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])), 6) AS score
+                  FROM probes pr
+                  JOIN q ON pr.q_id = q.q_id
+                  JOIN b c ON pr.bucket = c.bucket
+                  WHERE c.vec_id <> pr.q_id),
+       ranked AS (SELECT q_id, n_id, score,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY score DESC, n_id) AS rk
+                  FROM scored)
+       SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+       FROM ranked WHERE rk <= 5"""
+
+
+@register("x48_knn_multiprobe_lsh", _x48_sql(), "EXT-03", tier=1)
+def x48_knn_multiprobe_lsh(spark, sf_dir):
+    """EXT-03 multi-probe LSH (Lv et al. VLDB'07): each probe also searches
+    the 2 buckets across its least-confident hyperplanes (smallest |dot|)
+    — the recall-recovery dial the x25 single-bucket tier documents.
+    Probe volume ×3 on the probe side only; corpus reads stay
+    bucket-equi-join and partition-prunable."""
+    from .operators.similarity import knn_hyperplane_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_hyperplane_multiprobe(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_flips=2
+    )

@@ -405,7 +405,10 @@ def hyperplane_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[
 
 
 def with_hyperplane_bucket(
-    df: DataFrame, vec_col: str = "embedding", out_col: str = "bucket"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    keep_dots: bool = False,
 ) -> DataFrame:
     """Signed-random-projection bucket: bit p = (v · h_p > 0), bucket =
     Σ 2^p·bit_p. One in-row pass computes all 16 dots (2-D literal sign
@@ -428,7 +431,8 @@ def with_hyperplane_bucket(
         f"(CASE WHEN element_at(__dots, {p + 1}) > 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(len(signs))
     )
-    return df.withColumn(out_col, F.expr(f"CAST({bucket} AS BIGINT)")).drop("__dots")
+    df = df.withColumn(out_col, F.expr(f"CAST({bucket} AS BIGINT)"))
+    return df if keep_dots else df.drop("__dots")
 
 
 def knn_hyperplane_lsh(
@@ -595,4 +599,59 @@ def quantize_int8(
         F.round(F.col("__scale") * 127.0, 6).alias("max_abs"),
         "qvec",
         F.round(mse, 6).alias("mse"),
+    )
+
+
+def knn_hyperplane_multiprobe(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_flips: int = 2,
+) -> DataFrame:
+    """EXT-03 (LSH tier, multi-probe): like :func:`knn_hyperplane_lsh`, but
+    each probe ALSO searches the ``n_flips`` buckets reached by flipping
+    the planes it is least confident about (smallest |dot| — the standard
+    multi-probe LSH recall recovery, Lv et al. VLDB'07). A borderline
+    vector sits near those hyperplanes, so its true neighbors are most
+    likely across exactly those bit boundaries.
+
+    Cost model: probe volume ×(1+n_flips) on the PROBE side only — the
+    corpus is still read bucket-equi-join (partition-prunable when stored
+    partitioned by bucket); corpus buckets are disjoint so no candidate
+    dedup is needed. The flip ranking is relational (posexplode of the
+    in-row dots + a per-probe row_number over (|dot|, plane)) so the
+    oracle ranks with the identical tie-break and the result stays
+    hash-exact."""
+    c = with_hyperplane_bucket(corpus, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    q = with_hyperplane_bucket(probes, vec_col, keep_dots=True).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "bucket", "__dots"
+    )
+    qd = q.select(
+        "q_id", "bucket", F.posexplode("__dots").alias("p", "d")
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.abs("d"), F.asc("p"))
+    flips = (
+        qd.withColumn("__rk", F.row_number().over(wf))
+        .filter(F.col("__rk") <= n_flips)
+        .select("q_id", F.expr("bucket ^ shiftleft(1, p)").alias("bucket"))
+    )
+    probe_rows = q.select("q_id", "qv", "bucket").unionByName(
+        flips.join(q.select("q_id", "qv"), "q_id").select("q_id", "qv", "bucket")
+    )
+    scored = (
+        probe_rows.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
     )

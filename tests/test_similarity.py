@@ -63,3 +63,38 @@ def test_kmeans_train_partition_invariant(spark, sf_dir):
         dims.setdefault(cell, set()).add(pos)
         assert n >= 1
     assert all(len(p) == 64 for p in dims.values())
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
+    """Multi-probe must dominate single-bucket recall vs the brute-force
+    ground truth (it searches a superset of buckets), and stay a subset of
+    legal neighbors."""
+    from pyspark.sql import functions as F
+
+    from mariadb_postgres_migration_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_hyperplane_lsh,
+        knn_hyperplane_multiprobe,
+    )
+    from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def pairs(df):
+        return {(r["q_id"], r["n_id"]) for r in df.collect()}
+
+    truth = pairs(knn_bruteforce(emb, probes, k=5))
+    single = pairs(knn_hyperplane_lsh(emb, probes, k=5))
+    multi = pairs(knn_hyperplane_multiprobe(emb, probes, k=5, n_flips=2))
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single
+    # a flipped probe can only ADD candidate buckets: per-probe neighbor
+    # count never shrinks
+    from collections import Counter
+
+    n_single = Counter(q for q, _ in single)
+    n_multi = Counter(q for q, _ in multi)
+    for q_id, n in n_single.items():
+        assert n_multi[q_id] >= n
