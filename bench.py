@@ -135,22 +135,71 @@ def main() -> int:
         timings[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(timings.values()), 3)
+    # Per-query detail goes on its OWN line: the harness that records this
+    # output keeps only a bounded tail of stdout, and one fat line holding
+    # every per-query timing truncates mid-line and parses as nothing (this
+    # lost rounds 2-4 of recorded numbers). The FINAL line is the machine
+    # contract — self-contained, and capped via compact_final_line() so it
+    # always survives a 2000-char tail capture intact.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
+                "detail": "per_query_timings",
                 "queries": timings,
                 "cold_queries": cold,
-                "cold_value": round(sum(cold.values()), 3),
-                "sf": sf,
-                "cpus": cpus,
             }
+        )
+    )
+    print(
+        compact_final_line(
+            timings,
+            total=total,
+            cold_value=round(sum(cold.values()), 3),
+            sf=sf,
+            cpus=cpus,
         )
     )
     spark.stop()
     return 0
+
+
+#: The driver records only the last ~2000 chars of stdout; leave headroom.
+FINAL_LINE_BUDGET = 1800
+
+
+def compact_final_line(
+    timings: dict[str, float],
+    *,
+    total: float,
+    cold_value: float,
+    sf: float,
+    cpus: int,
+) -> str:
+    """Serialize the machine-readable summary line, always < FINAL_LINE_BUDGET.
+
+    Keeps the contract keys (metric/value/unit/queries/sf) but, if the full
+    per-query map would blow the budget, drops the FASTEST queries first and
+    records how many were elided — the slowest queries are the perf signal.
+    """
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = len(by_cost)
+    while keep >= 0:
+        payload = {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(sorted(by_cost[:keep])),
+            "n_queries": len(timings),
+            "n_elided": len(timings) - keep,
+            "cold_value": cold_value,
+            "sf": sf,
+            "cpus": cpus,
+        }
+        line = json.dumps(payload)
+        if len(line) <= FINAL_LINE_BUDGET:
+            return line
+        keep -= 5
+    raise AssertionError("unreachable: empty payload exceeds budget")
 
 
 if __name__ == "__main__":
