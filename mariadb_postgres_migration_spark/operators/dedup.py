@@ -495,9 +495,25 @@ def connected_components(
     materializes each round's labels, so a round costs ONE job, not an
     eager-checkpoint job plus a probe job.
     """
+    # Undirect the edge list with a row-local explode, NOT a self-union: the
+    # union form evaluates the (expensive — shingle/LSH) pair-generation
+    # subtree once per branch when the persist materializes, doubling the
+    # dominant cost of the whole query (measured: x27 warm 5.8s → 3.5s at
+    # sf0.1 from this change alone).
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     labels = (
