@@ -260,7 +260,7 @@ def x05b_dedup_cosine_allpairs(spark, sf_dir):
 @register(
     "x06_knn_bruteforce",
     """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-                 WHERE vec_id % 50 = 0),
+                 WHERE vec_id < 40),
        scored AS (SELECT q_id, e.vec_id AS n_id,
                          round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
                                                       CAST(e.embedding AS DOUBLE[])), 6) AS score
@@ -274,11 +274,15 @@ def x05b_dedup_cosine_allpairs(spark, sf_dir):
     "EXT-03",
 )
 def x06_knn_bruteforce(spark, sf_dir):
-    """EXT-03 baseline: exact cosine top-5 for probe vectors (vec_id%50=0).
-    Probe set broadcasts; corpus streams once; grouped top-k via
-    row_number."""
+    """EXT-03 baseline: exact cosine top-5 for a FIXED 40-probe set
+    (vec_id < 40 — O(1) in the corpus, unlike the previous vec_id%50
+    corpus-fraction set, whose driver-collected probe matrix grew linearly
+    with scale). The bounded probe set broadcasts; the corpus streams
+    once; grouped top-k via row_number. Probe sets beyond
+    MAX_BROADCAST_PROBES reroute to the blocked cogroup tier inside the
+    operator."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 40), k=5)
 
 
 @register(
@@ -1262,15 +1266,20 @@ def _x40_sql() -> str:
         + """,
 bsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 97 = 0),
 corp AS (SELECT doc_id, sh FROM ds WHERE doc_id % 97 <> 0),
+spine AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM corp GROUP BY doc_id),
 hits AS (SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM corp JOIN bsh USING (sh) GROUP BY corp.doc_id)
-SELECT s.doc_id, s.n_sh, COALESCE(h.n_hits, 0) AS n_hits,
-       round(COALESCE(h.n_hits, 0) / CAST(greatest(s.n_sh, 1) AS DOUBLE), 4)
+SELECT p.doc_id, CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_sh,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       round(COALESCE(h.n_hits, 0)
+             / CAST(greatest(COALESCE(s.n_sh, 0), 1) AS DOUBLE), 4)
            AS hit_ratio,
-       (round(COALESCE(h.n_hits, 0) / CAST(greatest(s.n_sh, 1) AS DOUBLE), 4)
+       (round(COALESCE(h.n_hits, 0)
+              / CAST(greatest(COALESCE(s.n_sh, 0), 1) AS DOUBLE), 4)
         >= 0.1) AS contaminated
-FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
+FROM spine p LEFT JOIN sizes s ON p.doc_id = s.doc_id
+             LEFT JOIN hits h ON p.doc_id = h.doc_id"""
     )
 
 

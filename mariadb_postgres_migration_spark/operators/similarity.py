@@ -44,6 +44,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _safe_norms(M):
+    """Row L2 norms with zeros mapped to 1.0: a zero vector then scores 0.0
+    against everything (a real, deterministic rank) instead of poisoning the
+    BLAS kernels with NaN — a NaN row makes every ``S == best`` comparison
+    false and lets garbage sentinels leak downstream (ADVICE r4)."""
+    import numpy as np
+
+    nm = np.linalg.norm(M, axis=1, keepdims=True)
+    return np.where(nm == 0.0, 1.0, nm)
+
+
+#: Probe-side bound for the broadcast kNN tier. The probe matrix collects to
+#: the driver and ships inside every task, so it must be O(1) in the corpus —
+#: beyond this the blocked shuffle tier takes over automatically.
+MAX_BROADCAST_PROBES = 8192
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,11 +68,13 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     score_decimals: int = 6,
+    max_broadcast_probes: int = MAX_BROADCAST_PROBES,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (self excluded).
 
-    The probe batch is small by construction, so it ships to every corpus
-    partition as a broadcast numpy matrix and an Arrow-batched
+    Probe-contract: the probe set must be BOUNDED (O(1) in the corpus) for
+    the broadcast tier — it collects to the driver as a dense numpy matrix
+    and ships to every corpus partition, where an Arrow-batched
     ``mapInPandas`` kernel computes each batch's scores as ONE BLAS matmul
     (Q_norm @ V_norm.T — the same FAISS block pattern as the x05 gram
     kernel), emitting only each probe's per-batch top-k. The corpus
@@ -65,6 +84,16 @@ def knn_bruteforce(
     Replaced the broadcast-nested-loop + interpreted-HOF-dot form:
     measured 5.5× at sf0.1 (4.4s → 0.8s warm).
 
+    If the probe side exceeds ``max_broadcast_probes`` (a probe set that
+    scales with the corpus — the r4-flagged growth path), the operator
+    switches to :func:`_knn_bruteforce_blocked`: a fully distributed
+    (probe-block × corpus-shard) cogroup with the same BLAS kernel and the
+    same output — no corpus-proportional driver collect anywhere. An empty
+    probe set returns an empty result instead of an opaque np.stack error.
+
+    Ids: any orderable id type works (output id columns inherit the input
+    id column's Spark type); integer ids are the tested fast path.
+
     Float parity with the oracle's ``list_cosine_similarity`` fold:
     scores round to ``score_decimals`` BEFORE ranking and ties break by
     neighbor id, so the ~1e-15 BLAS-vs-sequential-fold difference cannot
@@ -73,12 +102,26 @@ def knn_bruteforce(
     import numpy as np
     import pandas as pd
 
-    probes = queries.select(
+    idt = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {idt}, n_id {idt}, score double"
+    qsel = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    ).collect()
-    q_ids = np.array([r["q_id"] for r in probes], dtype=np.int64)
+    )
+    # limit(max+1) bounds the collect even if a caller hands a huge probe
+    # set: one extra row is enough to detect the overflow and reroute.
+    probes = qsel.limit(max_broadcast_probes + 1).collect()
+    if not probes:
+        return corpus.sparkSession.createDataFrame(
+            [], f"q_id {idt}, n_id {idt}, rk long, score double"
+        )
+    if len(probes) > max_broadcast_probes:
+        return _knn_bruteforce_blocked(
+            corpus, qsel, id_col, vec_col, idt, k, score_decimals,
+            max_broadcast_probes,
+        )
+    q_ids = np.array([r["q_id"] for r in probes])
     Q = np.stack([np.asarray(r["q_vec"], dtype=np.float64) for r in probes])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / _safe_norms(Q)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
 
     def batch_topk(batches):
@@ -86,38 +129,114 @@ def knn_bruteforce(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["n_id"].to_numpy().astype(np.int64)
+            ids = pdf["n_id"].to_numpy()
             V = np.stack(pdf["n_vec"].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / _safe_norms(V)
             S = np.round(Qn @ Vn.T, score_decimals)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                keep = ids != q_ids[qi]
-                cand_ids, cand_s = ids[keep], S[qi][keep]
-                # (-score, id) lexicographic partial sort, exact top-k
-                order = np.lexsort((cand_ids, -cand_s))[:k]
-                out_q.append(np.full(len(order), q_ids[qi]))
-                out_n.append(cand_ids[order])
-                out_s.append(cand_s[order])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "n_id": np.concatenate(out_n),
-                    "score": np.concatenate(out_s),
-                }
-            )
+            yield _partial_topk_frame(q_ids, ids, S, k)
 
     c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),
     )
-    partial = c.mapInPandas(batch_topk, "q_id long, n_id long, score double")
+    partial = c.mapInPandas(batch_topk, out_schema)
+    return _rank_merge(partial, k)
+
+
+def _partial_topk_frame(q_ids, ids, S, k):
+    """Per-batch exact top-k rows from a scored (probe × batch) matrix,
+    self-matches excluded, (-score, id) lexicographic order."""
+    import numpy as np
+    import pandas as pd
+
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(q_ids)):
+        keep = ids != q_ids[qi]
+        cand_ids, cand_s = ids[keep], S[qi][keep]
+        order = np.lexsort((cand_ids, -cand_s))[:k]
+        out_q.append(np.full(len(order), q_ids[qi]))
+        out_n.append(cand_ids[order])
+        out_s.append(cand_s[order])
+    return pd.DataFrame(
+        {
+            "q_id": np.concatenate(out_q) if out_q else [],
+            "n_id": np.concatenate(out_n) if out_n else [],
+            "score": np.concatenate(out_s) if out_s else [],
+        }
+    )
+
+
+def _rank_merge(partial: DataFrame, k: int) -> DataFrame:
+    """Global (score DESC, n_id ASC) top-k merge of per-batch partials —
+    one shuffle on probe id over ≤ k·n_batches rows per probe."""
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
         partial.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
     )
+
+
+def _knn_bruteforce_blocked(
+    corpus: DataFrame,
+    qsel: DataFrame,
+    id_col: str,
+    vec_col: str,
+    idt: str,
+    k: int,
+    score_decimals: int,
+    block_rows: int,
+) -> DataFrame:
+    """Distributed exact kNN for UNBOUNDED probe sets — the fallback tier
+    behind :func:`knn_bruteforce`'s broadcast bound.
+
+    Every probe must meet every corpus row (that is what exact kNN means),
+    so the intrinsic cost is n_probes × n_corpus score evaluations; the
+    job is to pay that without any driver materialization or single-task
+    hotspot. Probes hash into ``ceil(n_probes/block_rows)`` blocks and
+    replicate across ``shards`` corpus shards (the probe side is the small
+    side of every cell); the corpus fans out once per block. Both fan-outs
+    are row-local explodes. Each (block, shard) cell cogroups into one
+    Arrow batch pair and runs the same BLAS partial-top-k kernel as the
+    broadcast tier; the global rank then merges ≤ k rows per
+    (probe, shard). The only shuffle is the cogroup's, keyed by
+    (block, shard) — cell count scales with cluster size, never one hot
+    key — and cell memory is bounded by block_rows × shard size."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    shards = spark.sparkContext.defaultParallelism
+    n_probes = qsel.count()
+    n_blocks = max(1, -(-n_probes // block_rows))
+
+    q = qsel.select(
+        "q_id",
+        "q_vec",
+        F.pmod(F.hash("q_id"), F.lit(n_blocks)).alias("blk"),
+    ).withColumn("shard", F.explode(F.sequence(F.lit(0), F.lit(shards - 1))))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(shards)).alias("shard"),
+    ).withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+
+    def cell_topk(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(left) or not len(right):
+            return pd.DataFrame({"q_id": [], "n_id": [], "score": []})
+        q_ids = left["q_id"].to_numpy()
+        Q = np.stack(left["q_vec"].to_numpy()).astype(np.float64)
+        ids = right["n_id"].to_numpy()
+        V = np.stack(right["n_vec"].to_numpy()).astype(np.float64)
+        S = np.round((Q / _safe_norms(Q)) @ (V / _safe_norms(V)).T, score_decimals)
+        return _partial_topk_frame(q_ids, ids, S, k)
+
+    partial = (
+        q.groupBy("blk", "shard")
+        .cogroup(c.groupBy("blk", "shard"))
+        .applyInPandas(cell_topk, f"q_id {idt}, n_id {idt}, score double")
+    )
+    return _rank_merge(partial, k)
 
 
 def embedding_near_dup_pairs(
@@ -254,7 +373,7 @@ def embedding_near_dup_pairs_bucketed(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         V = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
-        nm = np.sqrt((V * V).sum(axis=1))
+        nm = _safe_norms(V)[:, 0]
         G = (V @ V.T) / np.outer(nm, nm)
         ii, jj = np.triu_indices(len(ids), k=1)
         cs = np.round(G[ii, jj], 4)
@@ -311,7 +430,7 @@ def ivf_assign(
     ).collect()
     cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["c_vec"], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / _safe_norms(C)
     bc = corpus.sparkSession.sparkContext.broadcast((cells, Cn))
 
     def assign(batches):
@@ -320,7 +439,11 @@ def ivf_assign(
             if not len(pdf):
                 continue
             V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm guard: without it a zero vector's row is all-NaN,
+            # S == best is false everywhere, and the int64-max sentinel
+            # below leaks into the output as a garbage cell (ADVICE r4);
+            # with it the row scores 0.0 and ties to the smallest cell id.
+            Vn = V / _safe_norms(V)
             S = np.round(Vn @ Cn.T, 6)
             best = S.max(axis=1, keepdims=True)
             # ties fall to the smallest cell id, matching the oracle's

@@ -98,3 +98,58 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     n_multi = Counter(q for q, _ in multi)
     for q_id, n in n_single.items():
         assert n_multi[q_id] >= n
+
+
+def test_blocked_knn_tier_matches_broadcast_tier(spark, sf_dir):
+    """The probe-bounded contract: when the probe set exceeds
+    max_broadcast_probes, knn_bruteforce must reroute to the distributed
+    (block × shard) cogroup tier and produce byte-identical results — the
+    exact-kNN semantics must not depend on which tier ran."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    broadcast = {
+        tuple(r) for r in S.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    blocked = {
+        tuple(r)
+        for r in S.knn_bruteforce(
+            emb, queries, k=5, max_broadcast_probes=7
+        ).collect()
+    }
+    assert broadcast, "empty ground truth"
+    assert blocked == broadcast
+
+
+def test_knn_empty_probe_set_returns_empty(spark, sf_dir):
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 0), k=5)
+    assert out.columns == ["q_id", "n_id", "rk", "score"]
+    assert out.count() == 0
+
+
+def test_zero_norm_vectors_never_poison_kernels(spark, sf_dir):
+    """A zero embedding must yield real (0.0-score) ranks in kNN and a
+    deterministic smallest-id cell in ivf_assign — never NaN rows or the
+    int64-max argmin sentinel (ADVICE r4)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(10**9, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    corpus = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(50)
+        .union(zero)
+    )
+    knn = S.knn_bruteforce(corpus, zero, k=3).collect()
+    assert len(knn) == 3 and all(r["score"] == 0.0 for r in knn)
+    cells = {
+        r["cell"]
+        for r in S.ivf_assign(
+            corpus, emb.filter(F.col("vec_id") % 25 == 0)
+        ).collect()
+    }
+    real_cells = {
+        r["vec_id"] for r in emb.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+    assert cells <= real_cells, "sentinel cell leaked from the argmin"
