@@ -590,14 +590,21 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+    n_sh = F.coalesce("n_sh", F.lit(0)).cast("long")
     ratio = F.round(
-        F.coalesce("n_hits", F.lit(0)) / F.greatest("n_sh", F.lit(1)).cast("double"), 4
+        F.coalesce("n_hits", F.lit(0)) / F.greatest(n_sh, F.lit(1)).cast("double"), 4
     )
+    # anchor on the DOCS spine, not the shingle aggregation: a doc with
+    # fewer than k tokens has zero shingles and would otherwise vanish from
+    # the output entirely — a caller using `contaminated` as a keep-list
+    # would silently drop every short document (ADVICE r4).
     return (
-        sizes.join(hits, "doc_id", "left")
+        corpus.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            "n_sh",
+            n_sh.alias("n_sh"),
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             ratio.alias("hit_ratio"),
             (ratio >= F.lit(flag_ratio)).alias("contaminated"),

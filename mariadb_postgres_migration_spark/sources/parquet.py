@@ -88,9 +88,12 @@ def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-#: Footer-peeked storage type of ``events.ts``, cached per file path (one
-#: footer read per path per process; data is never scanned for the peek).
-_EVENTS_TS_TYPE: dict[str, DataType] = {}
+#: Footer-peeked storage type of ``events.ts``, cached per (path, mtime)
+#: (one footer read per path per process; data is never scanned for the
+#: peek). The mtime in the key invalidates the pin when a fixture is
+#: regenerated at the same path with a different ts storage type — a plain
+#: per-path cache served the stale schema and broke the re-read (ADVICE r4).
+_EVENTS_TS_TYPE: dict[tuple[str, float], DataType] = {}
 
 
 def events_ts_storage_type(spark: SparkSession, path: str) -> DataType:
@@ -106,9 +109,17 @@ def events_ts_storage_type(spark: SparkSession, path: str) -> DataType:
     data scan — safe on any filesystem the session can reach), cached per
     path.
     """
-    if path not in _EVENTS_TS_TYPE:
-        _EVENTS_TS_TYPE[path] = spark.read.parquet(path).schema["ts"].dataType
-    return _EVENTS_TS_TYPE[path]
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        # non-local path (s3://, hdfs://) — mtime unavailable; fall back to
+        # per-path pinning, correct for immutable object-store fixtures
+        key = (path, -1.0)
+    if key not in _EVENTS_TS_TYPE:
+        _EVENTS_TS_TYPE[key] = spark.read.parquet(path).schema["ts"].dataType
+    return _EVENTS_TS_TYPE[key]
 
 
 def events_schema(ts_type: DataType) -> StructType:

@@ -160,6 +160,30 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
 
 
+def test_decontaminate_keeps_short_and_empty_docs(spark):
+    """A doc with fewer than k tokens has zero shingles but must still get
+    an output row (n_sh=0, contaminated=false) — a caller filtering on
+    `contaminated` as a keep-list must not silently lose short docs
+    (ADVICE r4)."""
+    from mariadb_postgres_migration_spark.operators.textanalysis import decontaminate
+
+    bench = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma")])
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="two words"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="alpha beta gamma padded out"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert set(out) == {1, 2, 3}
+    for short_id in (1, 2):
+        r = out[short_id]
+        assert r["n_sh"] == 0 and r["n_hits"] == 0
+        assert r["hit_ratio"] == 0.0 and not r["contaminated"]
+    assert out[3]["contaminated"]
+
+
 def test_chunk_overlap_covers_every_token_property(spark):
     """Property (hypothesis): for random doc lengths, chunks cover every
     token index, starts advance by exactly the stride, and only the final
