@@ -1666,3 +1666,171 @@ def x48_knn_multiprobe_lsh(spark, sf_dir):
     return knn_hyperplane_multiprobe(
         emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_flips=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window consolidation suites (VERDICT r4 item 4): every r4 operator
+# that only had a tier-1 registration gets a driver-verified representative
+# by union-folding into a kind-tagged common shape, exactly like x42. Member
+# queries stay registered standalone at tier 1 with full-fidelity oracles.
+# ---------------------------------------------------------------------------
+
+_SUITE_SCHEMA = (
+    "kind", "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1"
+)
+
+
+def _suite_shape(df, kind, **cols):
+    """Project a member query's output into the shared suite shape: longs
+    default 0, doubles 0.0, strings NULL."""
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    ns = F.lit(None).cast("string")
+    defaults = {
+        "id1": zl, "id2": zl, "v1": zl, "v2": zl, "v3": zl,
+        "d1": zd, "d2": zd, "s1": ns,
+    }
+    out = [F.lit(kind).alias("kind")]
+    for name in _SUITE_SCHEMA[1:]:
+        c = cols.get(name)
+        if c is None:
+            out.append(defaults[name].alias(name))
+        elif name.startswith(("id", "v")):
+            out.append(c.cast("long").alias(name))
+        elif name.startswith("d"):
+            out.append(c.cast("double").alias(name))
+        else:
+            out.append(c.cast("string").alias(name))
+    return df.select(*out)
+
+
+def _member_oracle(name: str) -> str:
+    from .registry import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+def _x49_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    return f"""SELECT 'cc_star' AS kind, doc_id AS id1, rep AS id2,
+       CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3,
+       0.0 AS d1, 0.0 AS d2, NULL AS s1
+FROM ({_member_oracle('x41_dedup_cc_star')})
+UNION ALL
+SELECT 'incr', doc_id, {z}, CAST(is_dup_of_corpus AS BIGINT), {z}, {z},
+       0.0, 0.0, source
+FROM ({_member_oracle('x45_incremental_dedup')})
+UNION ALL
+SELECT 'best', doc_id, rk, {z}, {z}, {z}, quality, 0.0, source
+FROM ({_member_oracle('x46_best_per_source')})
+UNION ALL
+SELECT 'keep_best', doc_id, rep, CAST(keep AS BIGINT), {z}, {z},
+       0.0, 0.0, NULL
+FROM ({_member_oracle('x47_dedup_keep_best')})
+UNION ALL
+SELECT 'spii', doc_id, {z}, n_email, n_ip, n_phone, 0.0, 0.0, clean_md5
+FROM ({_member_oracle('x43_stream_pii_scrub')})"""
+
+
+@register(
+    "x49_dedup_quality_suite",
+    _x49_sql(),
+    "EXT-01", "EXT-02", "EXT-05", "EXT-08", "EXT-TOPK",
+)
+def x49_dedup_quality_suite(spark, sf_dir):
+    """Driver-verified representative for the r4 dedup/quality surface:
+    large-star/small-star connected components (x41), incremental
+    snapshot-vs-corpus dedup (x45), best-N-per-source selection (x46),
+    quality-aware keep-best collapse (x47), and the streamed PII scrubber
+    (x43 — a real availableNow Structured Streaming replay inside a
+    driver-hashed row) union-folded into one kind-tagged shape."""
+    return (
+        _suite_shape(
+            x41_dedup_cc_star(spark, sf_dir), "cc_star",
+            id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep"),
+        )
+        .unionAll(_suite_shape(
+            x45_incremental_dedup(spark, sf_dir), "incr",
+            id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus"),
+            s1=F.col("source"),
+        ))
+        .unionAll(_suite_shape(
+            x46_best_per_source(spark, sf_dir), "best",
+            id1=F.col("doc_id"), id2=F.col("rk"), d1=F.col("quality"),
+            s1=F.col("source"),
+        ))
+        .unionAll(_suite_shape(
+            x47_dedup_keep_best(spark, sf_dir), "keep_best",
+            id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep"),
+        ))
+        .unionAll(_suite_shape(
+            x43_stream_pii_scrub(spark, sf_dir), "spii",
+            id1=F.col("doc_id"), v1=F.col("n_email"), v2=F.col("n_ip"),
+            v3=F.col("n_phone"), s1=F.col("clean_md5"),
+        ))
+    )
+
+
+def _x50_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    return f"""SELECT 'gopher' AS kind, doc_id AS id1, top_gram_n AS id2,
+       n_words AS v1, n_distinct AS v2, n_grams AS v3,
+       rep_ratio AS d1, ttr AS d2, CAST(keep AS VARCHAR) AS s1
+FROM ({_member_oracle('x32_gopher_repetition')})
+UNION ALL
+SELECT 'sample', doc_id, {z}, {z}, {z}, {z}, 0.0, 0.0, lang || '|' || source
+FROM ({_member_oracle('x33_stratified_sample')})
+UNION ALL
+SELECT 'kmeans', cell, pos, n_members, {z}, {z}, val, 0.0, NULL
+FROM ({_member_oracle('x34_ivf_train_kmeans')})
+UNION ALL
+SELECT 'quant', vec_id, {z}, {z}, {z}, {z}, max_abs, mse,
+       array_to_string(qvec, ',')
+FROM ({_member_oracle('x38_embedding_quantize_int8')})
+UNION ALL
+SELECT 'bpe', {z}, {z}, n, rk, {z}, 0.0, 0.0, pair
+FROM ({_member_oracle('x44_bpe_pair_counts')})
+UNION ALL
+SELECT 'mplsh', q_id, n_id, rk, {z}, {z}, score, 0.0, NULL
+FROM ({_member_oracle('x48_knn_multiprobe_lsh')})"""
+
+
+@register("x50_scale_analysis_suite", _x50_sql(), "EXT-03", "EXT-05")
+def x50_scale_analysis_suite(spark, sf_dir):
+    """Driver-verified representative for the r4 analysis/ANN surface:
+    Gopher repetition signals (x32), deterministic stratified sampling
+    (x33), k-means IVF training (x34), int8 embedding quantization (x38),
+    BPE-style pair counting (x44), and multi-probe SRP-LSH kNN (x48)
+    union-folded into one kind-tagged shape."""
+    return (
+        _suite_shape(
+            x32_gopher_repetition(spark, sf_dir), "gopher",
+            id1=F.col("doc_id"), id2=F.col("top_gram_n"),
+            v1=F.col("n_words"), v2=F.col("n_distinct"), v3=F.col("n_grams"),
+            d1=F.col("rep_ratio"), d2=F.col("ttr"), s1=F.col("keep"),
+        )
+        .unionAll(_suite_shape(
+            x33_stratified_sample(spark, sf_dir), "sample",
+            id1=F.col("doc_id"),
+            s1=F.concat_ws("|", "lang", "source"),
+        ))
+        .unionAll(_suite_shape(
+            x34_ivf_train_kmeans(spark, sf_dir), "kmeans",
+            id1=F.col("cell"), id2=F.col("pos"), v1=F.col("n_members"),
+            d1=F.col("val"),
+        ))
+        .unionAll(_suite_shape(
+            x38_embedding_quantize_int8(spark, sf_dir), "quant",
+            id1=F.col("vec_id"), d1=F.col("max_abs"), d2=F.col("mse"),
+            s1=F.expr("array_join(transform(qvec, x -> cast(x as string)), ',')"),
+        ))
+        .unionAll(_suite_shape(
+            x44_bpe_pair_counts(spark, sf_dir), "bpe",
+            v1=F.col("n"), v2=F.col("rk"), s1=F.col("pair"),
+        ))
+        .unionAll(_suite_shape(
+            x48_knn_multiprobe_lsh(spark, sf_dir), "mplsh",
+            id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
+            d1=F.col("score"),
+        ))
+    )

@@ -120,6 +120,7 @@ def op08_rename_projection(spark, sf_dir):
                c_mktsegment
         FROM customer WHERE c_mktsegment = 'BUILDING'""",
     "OP-09", "OP-10",
+    tier=1,
 )
 def op09_10_constant_filter(spark, sf_dir):
     """OP-09 + OP-10 (index.mjs:24, index.mjs:97) in one pass: equality
@@ -180,6 +181,7 @@ def op10_equality_filter(spark, sf_dir):
                   repeat('^', CAST(event_id % 4 AS INT)) || event_type,
                   '^(\^+)', 1), '')) > 0""",
     "OP-11", "OP-23",
+    tier=1,
 )
 def op11_regex_prefix_predicate(spark, sf_dir):
     """OP-11/OP-23 (index.mjs:62): leading-caret regex predicate + extract,
@@ -333,6 +335,7 @@ def op15_three_way_join(spark, sf_dir):
        JOIN customer c ON o.o_custkey = c.c_custkey
        WHERE c.c_mktsegment = 'BUILDING'""",
     "OP-16",
+    tier=1,
 )
 def op16_broadcast_lookup_join(spark, sf_dir):
     """OP-16 (index.mjs:96-110): the JS Map build/probe as an explicit
@@ -356,6 +359,7 @@ def op16_broadcast_lookup_join(spark, sf_dir):
     """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
     "OP-17",
+    tier=1,
 )
 def op17_dict_lookup_join(spark, sf_dir):
     """OP-17 (index.mjs:41-45): dictionary lookup as a broadcast map-side
@@ -410,6 +414,82 @@ def op18_flagship_group_concat(spark, sf_dir):
         F.array_join("__set", SEP).alias("tags"),
         F.size("__set").cast("long").alias("n_tags"),
     )
+
+
+@register(
+    "op09_11_predicate_suite",
+    f"""SELECT 'const_filter' AS kind, c_custkey AS id, CAST(0 AS BIGINT) AS v,
+               c_name AS s1, '{PASSWORD_PLACEHOLDER}' || '|' || c_mktsegment AS s2
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 'regex', event_id,
+               CAST(length(coalesce(regexp_extract(
+                   repeat('^', CAST(event_id % 4 AS INT)) || event_type,
+                   '^(\\^+)', 1), '')) AS BIGINT),
+               NULL, NULL
+        FROM events
+        WHERE length(coalesce(regexp_extract(
+                  repeat('^', CAST(event_id % 4 AS INT)) || event_type,
+                  '^(\\^+)', 1), '')) > 0""",
+    "OP-09", "OP-10", "OP-11", "OP-23",
+)
+def op09_11_predicate_suite(spark, sf_dir):
+    """Driver-verified consolidation of the predicate micro-queries
+    (window-slot economy, VERDICT r4 item 4): OP-09/OP-10 constant
+    substitution + pushed equality filter (op09_10_constant_filter) and
+    OP-11/OP-23 regex-prefix predicate + extract
+    (op11_regex_prefix_predicate), kind-tagged into one shape. Both member
+    queries stay registered standalone at tier 1 with full-fidelity
+    oracles."""
+    cf = op09_10_constant_filter(spark, sf_dir).select(
+        F.lit("const_filter").alias("kind"),
+        F.col("c_custkey").alias("id"),
+        F.lit(0).cast("long").alias("v"),
+        F.col("username").alias("s1"),
+        F.concat_ws("|", "password", "c_mktsegment").alias("s2"),
+    )
+    rx = op11_regex_prefix_predicate(spark, sf_dir).select(
+        F.lit("regex").alias("kind"),
+        F.col("event_id").alias("id"),
+        F.col("caret_n").alias("v"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    return cf.unionAll(rx)
+
+
+@register(
+    "op16_17_lookup_join_suite",
+    """SELECT 'bcast' AS kind, o.o_orderkey AS id, c.c_name AS s1,
+              NULL AS s2, o.o_totalprice AS v
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       UNION ALL
+       SELECT 'dict', n.n_nationkey, n.n_name, r.r_name, 0.0
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "OP-16", "OP-17",
+)
+def op16_17_lookup_join_suite(spark, sf_dir):
+    """Driver-verified consolidation of the broadcast-lookup micro-queries
+    (window-slot economy, VERDICT r4 item 4): OP-16 Map-build/probe
+    broadcast join (op16_broadcast_lookup_join) and OP-17 dictionary
+    lookup join (op17_dict_lookup_join), kind-tagged. Members stay tier-1
+    standalone; their broadcast plans remain pinned in tests/test_plans.py."""
+    bc = op16_broadcast_lookup_join(spark, sf_dir).select(
+        F.lit("bcast").alias("kind"),
+        F.col("o_orderkey").alias("id"),
+        F.col("c_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("o_totalprice").alias("v"),
+    )
+    dc = op17_dict_lookup_join(spark, sf_dir).select(
+        F.lit("dict").alias("kind"),
+        F.col("n_nationkey").alias("id"),
+        F.col("n_name").alias("s1"),
+        F.col("region_name").alias("s2"),
+        F.lit(0.0).alias("v"),
+    )
+    return bc.unionAll(dc)
 
 
 @register(
