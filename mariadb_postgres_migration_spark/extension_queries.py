@@ -509,20 +509,24 @@ def x13_multimodal_meta(spark, sf_dir):
 @register(
     "x14_multimodal_decode",
     """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(CASE WHEN length(text) = 0 THEN 0
-                        ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
+              CAST(54 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
               CAST(16 + (CASE WHEN length(text) = 0 THEN 0
-                              ELSE ascii(substr(text, 1, 1)) END) % 64 AS BIGINT) AS fake_width,
-              CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS fake_height,
-              'image/fake' AS mime
+                              ELSE ascii(substr(text, 1, 1)) END) % 64 AS BIGINT) AS width,
+              CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height,
+              'image/bmp' AS mime
        FROM documents""",
     "EXT-04",
 )
 def x14_multimodal_decode(spark, sf_dir):  # tier 0: the Arrow decode path
-    """EXT-04: Arrow-batched decode via mapInPandas (codec stubbed —
-    deterministic fake from payload bytes; see operators/multimodal.py)."""
-    return decode_payloads(attach_payload(_t(spark, sf_dir, "documents")))
+    """EXT-04: REAL header decode via mapInPandas. attach_bmp_payload builds
+    a genuine BMP per document (JVM-side binary assembly, dims a closed form
+    of the text); parse_image_header reads mime/width/height back from the
+    actual header bytes. The oracle computes the same closed form, so the
+    driver hash proves the byte-level parse — pixel decoding (PIL/ffmpeg)
+    remains the only stubbed step (operators/multimodal.py)."""
+    from .operators.multimodal import attach_bmp_payload
+
+    return decode_payloads(attach_bmp_payload(_t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------

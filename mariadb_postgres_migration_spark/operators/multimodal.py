@@ -48,29 +48,145 @@ def attach_payload(
     )
 
 
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """REAL byte-level image header parser — no codec library needed.
+
+    Reads (mime, width, height) from the container header of the four
+    formats whose dimensions live at fixed/scannable offsets (per the
+    public format specs): PNG (IHDR big-endian), BMP (BITMAPCOREHEADER /
+    BITMAPINFOHEADER family little-endian), GIF (logical screen
+    descriptor), JPEG (marker scan to the first SOFn frame header).
+    Returns None for anything unrecognized — pixel decoding (which DOES
+    need PIL/ffmpeg) stays stubbed, but metadata extraction, the thing a
+    100 TB curation pass actually runs, is real."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            "image/png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if len(b) >= 26 and b[:2] == b"BM":
+        dib = int.from_bytes(b[14:18], "little")
+        if dib == 12:  # BITMAPCOREHEADER: uint16 dims
+            return (
+                "image/bmp",
+                int.from_bytes(b[18:20], "little"),
+                int.from_bytes(b[20:22], "little"),
+            )
+        if dib in (40, 52, 56, 108, 124):  # BITMAPINFOHEADER family
+            return (
+                "image/bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                # negative height = top-down row order; magnitude is the size
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+            )
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: scan markers for SOFn
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker in sof:
+                if i + 9 <= len(b):
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                return None
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return None
+    return None
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
-        StructField("first_byte", LongType()),
-        StructField("fake_width", LongType()),
-        StructField("fake_height", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
         StructField("mime", StringType()),
     ]
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
-    """STUB codec: deterministic fake (first_byte, width, height) from the
-    raw bytes. A real implementation would be e.g.::
-
-        from PIL import Image; im = Image.open(io.BytesIO(payload))
-        return im.width, im.height
-
-    (PIL is not installed here; raise if someone expects real decoding.)
-    """
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB fallback for payloads with no recognized image signature:
+    deterministic fake (width, height) from the raw bytes, so the operator
+    stays total over arbitrary binary. Real formats never reach this —
+    :func:`parse_image_header` handles them from the actual header bytes."""
     first = payload[0] if payload else 0
-    return first, 16 + first % 64, 16 + len(payload) % 64
+    return 16 + first % 64, 16 + len(payload) % 64
+
+
+def _le_bytes(value, n_bytes: int):
+    """Column: little-endian ``n_bytes`` encoding of an integral column —
+    per-byte hex/unhex assembly, JVM-side, no UDF."""
+    parts = [
+        F.unhex(F.lpad(F.hex(F.shiftright(value.cast("long"), 8 * i) % 256), 2, "0"))
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def attach_bmp_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build a multimodal table whose payloads are GENUINE BMP files,
+    assembled JVM-side from binary concat — 'BM' magic, 54-byte
+    BITMAPINFOHEADER with real little-endian dims, then the UTF-8 text
+    bytes as the pixel array. Dimensions are a closed form of the text
+    (width = 16 + first-codepoint % 64, height = 16 + byte-length % 64),
+    which is what makes the decode round-trip oracle-exact: a DuckDB oracle
+    can't parse blobs, but it can compute the same closed form — so the
+    driver hash proves :func:`parse_image_header` read the header bytes
+    correctly."""
+    text = F.col(text_col)
+    pix = F.encode(text, "UTF-8")
+    npix = F.length(pix)
+    first = F.when(F.length(text) == 0, 0).otherwise(
+        F.ascii(F.substring(text, 1, 1))
+    )
+    width = (F.lit(16) + first % 64).cast("long")
+    height = (F.lit(16) + npix % 64).cast("long")
+    header = F.concat(
+        F.unhex(F.lit("424D")),            # 'BM'
+        _le_bytes(F.lit(54) + npix, 4),    # file size
+        F.unhex(F.lit("00000000")),        # reserved
+        _le_bytes(F.lit(54), 4),           # pixel-array offset
+        _le_bytes(F.lit(40), 4),           # DIB header size (BITMAPINFOHEADER)
+        _le_bytes(width, 4),
+        _le_bytes(height, 4),
+        _le_bytes(F.lit(1), 2),            # planes
+        _le_bytes(F.lit(8), 2),            # bits per pixel
+        _le_bytes(F.lit(0), 4),            # compression = BI_RGB
+        _le_bytes(npix, 4),                # image size
+        _le_bytes(F.lit(0), 4),            # x pixels/m
+        _le_bytes(F.lit(0), 4),            # y pixels/m
+        _le_bytes(F.lit(0), 4),            # colors used
+        _le_bytes(F.lit(0), 4),            # important colors
+    )
+    payload = F.concat(header, pix)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit("image/bmp").alias("mime"),
+        ).alias("meta"),
+    )
 
 
 def decode_payloads(multimodal: DataFrame) -> DataFrame:
@@ -80,27 +196,36 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
     DataFrames — payload bytes never concatenate into one driver buffer
     (contrast the reference's single 1200 KiB subprocess pipe,
     normalize_tags.mjs:4). Output schema is fixed and narrow.
+
+    Recognized image containers (PNG/BMP/GIF/JPEG) decode their REAL
+    mime + dimensions from the header bytes via
+    :func:`parse_image_header`; unrecognized payloads fall back to the
+    deterministic stub dims with the metadata's declared mime.
     """
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            firsts, widths, heights = [], [], []
-            for payload in pdf["payload"]:
+            widths, heights, mimes = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 b = bytes(payload) if payload is not None else b""
-                f, w, h = _decode_image_stub(b)
-                firsts.append(f)
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    mime, w, h = parsed
+                else:
+                    mime = meta["mime"]
+                    w, h = _decode_image_stub(b)
                 widths.append(w)
                 heights.append(h)
+                mimes.append(mime)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "first_byte": firsts,
-                    "fake_width": widths,
-                    "fake_height": heights,
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "width": widths,
+                    "height": heights,
+                    "mime": mimes,
                 }
             )
 
