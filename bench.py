@@ -69,6 +69,11 @@ HEADLINE = [
     "x37_mix_resample",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
+    # r5: the driver-window consolidation suites — between them they bench
+    # every r4 extension operator (x39-x48) that lacked a HEADLINE row
+    "x42_pipeline_suite",
+    "x49_dedup_quality_suite",
+    "x50_scale_analysis_suite",
 ]
 
 

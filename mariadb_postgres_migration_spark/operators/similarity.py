@@ -778,3 +778,62 @@ def knn_hyperplane_multiprobe(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", F.round("score", 4).alias("score"))
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """EXT-02/EXT-03 semantic dedup (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest centroid, then inside
+    each cluster drop every vector that duplicates (cosine ≥ threshold) a
+    LOWER-id member — the paper's within-cluster pairwise-similarity prune
+    with a deterministic, oracle-checkable keep rule.
+
+    Output: (vec_id, cell, keep, dup_of) — ``dup_of`` is the smallest
+    lower-id in-cell duplicate for dropped rows, NULL for kept rows.
+
+    Plan shape (the reason SemDeDup scales where all-pairs dedup cannot):
+    the O(n²) compare volume is confined to within-cell blocks —
+    :func:`ivf_assign` is a broadcast-centroid BLAS kernel with zero
+    fan-out, the cell groupBy is the ONLY shuffle, and each cell's pair
+    scan is one dense gram matmul emitting just (dropped, dup_of) rows.
+    Cell population is bounded by the centroid count dial (k grows with
+    corpus size, keeping cells ~constant), and AQE splits skewed cells
+    across reducers. The final keep flag is a broadcast-size left join of
+    dropped ids back onto the assignment spine."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    def cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["v_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        G = np.round((V / _safe_norms(V)) @ (V / _safe_norms(V)).T, score_decimals)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = G[ii, jj] >= threshold
+        if not hit.any():
+            return pd.DataFrame({"v_id": [], "dup_of": []}).astype("int64")
+        dup = pd.DataFrame({"v_id": ids[jj[hit]], "dup_of": ids[ii[hit]]})
+        return dup.groupby("v_id", as_index=False)["dup_of"].min()
+
+    dropped = assigned.groupBy("cell").applyInPandas(
+        cell_dups, "v_id long, dup_of long"
+    )
+    return (
+        assigned.select("v_id", "cell")
+        .join(dropped, "v_id", "left")
+        .select(
+            F.col("v_id").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

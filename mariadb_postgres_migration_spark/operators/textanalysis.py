@@ -299,11 +299,17 @@ def repetition_stats(
     thresholds — the published repeated-text heuristic for pruning
     low-quality training documents.
 
-    Plan: word stats are row-local; the top-gram count needs the corpus-wide
-    pattern groupBy(doc_id, gram) → groupBy(doc_id) — both partial-aggregate
-    (map-side combine), keyed by doc so skew follows document length, not a
-    hot token. Flags compare the ROUNDED ratios so the oracle's decision is
-    bit-identical (both engines round half-away-from-zero on doubles)."""
+    Plan: ENTIRELY row-local, zero shuffle. Every statistic — including the
+    most-frequent-2-gram count — is a function of one document's own token
+    array, so the top-gram count is a sorted-run-length fold over the in-row
+    grams array (array_sort + aggregate HOF) instead of the
+    explode → groupBy(doc,gram) → groupBy(doc) → join-back corpus pattern,
+    which paid two doc-keyed shuffles and a join for per-row information
+    (and was the r4 bench regression: x32 cold 3.36s → ~2.1s from this
+    change). At 100 TB this now scans and filters in one pass with no
+    exchange at all. Flags compare the ROUNDED ratios so the oracle's
+    decision is bit-identical (both engines round half-away-from-zero on
+    doubles)."""
     toked = _with_tokens(docs, id_col, text_col)
     toks = F.col("__toks")
     n2 = F.size(toks) - 1
@@ -319,16 +325,37 @@ def repetition_stats(
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         grams.alias("__grams"),
     )
-    gramstats = (
-        base.select("doc_id", F.explode("__grams").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_n"))
+    # longest equal-run in the sorted grams array == count of the most
+    # frequent gram; null init makes the first element start run=1 even for
+    # a legitimately-empty-string gram
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
     )
-    j = base.drop("__grams").join(gramstats, "doc_id", "left")
-    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
-    top_n = F.coalesce("top_gram_n", F.lit(0)).cast("long")
+
+    def _merge(acc, x):
+        run = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    j = base.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.aggregate(
+            F.array_sort("__grams"), init, _merge, lambda acc: acc["best"]
+        ).alias("top_gram_n"),
+    )
+    n_grams = F.col("n_grams")
+    top_n = F.col("top_gram_n")
     rep = F.round(
         F.when(n_grams > 0, top_n / n_grams.cast("double")).otherwise(F.lit(0.0)), 4
     )
@@ -609,4 +636,49 @@ def decontaminate(
             ratio.alias("hit_ratio"),
             (ratio >= F.lit(flag_ratio)).alias("contaminated"),
         )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-05 (corpus-LM quality score): per document, the mean natural-log
+    probability of its tokens under the corpus's own unigram distribution —
+    the KenLM-shaped "how typical is this text" heuristic (CCNet,
+    Wenzek et al. 2020 buckets on exactly this kind of LM score; a real
+     5-gram KenLM swaps into the same plan). Low scores flag gibberish /
+    rare-token soup; high scores flag boilerplate.
+
+    Output: (doc_id, n_tok, avg_logp rounded to 4) — docs with zero tokens
+    score 0.0 via the spine join, never vanish.
+
+    Plan: tokens explode once; the unigram table is ONE partial-aggregated
+    groupBy(term); corpus total token count rides along as a window-less
+    broadcast (scalar subquery shape: sum over the term table, which is
+    vocabulary-sized, not corpus-sized). The per-token logp join is keyed
+    by term — hot terms are exactly the rows AQE's skew-join splits — and
+    the per-doc mean partial-aggregates map-side. Two shuffles total
+    (term agg, doc agg) at any corpus size.
+    """
+    toked = _with_tokens(docs, id_col, text_col)
+    toks = (
+        toked.select("doc_id", F.explode("__toks").alias("term"))
+    )
+    freqs = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    # vocabulary-sized scalar: total tokens = sum of term frequencies
+    total = freqs.agg(F.sum("tf").cast("double").alias("__total"))
+    logp = (
+        toks.join(F.broadcast(total))
+        .join(freqs, "term")
+        .select("doc_id", F.log(F.col("tf") / F.col("__total")).alias("lp"))
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    agg = logp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.round(F.avg("lp"), 4).alias("avg_logp"),
+    )
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
     )

@@ -62,3 +62,28 @@ def test_stratified_sample_per_stratum_cutoff(spark, sf_dir):
     for lang, rate in rates.items():
         if lang != "en":
             assert rate < 0.4
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Exact check on a 3-doc corpus: freq table {a:3, b:2, c:1}/6; doc
+    scores are means of ln(p); the empty doc keeps a zero-filled row."""
+    import math
+
+    from pyspark.sql import Row
+
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b"),
+            Row(doc_id=2, text="a b c"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp = {"a": math.log(3 / 6), "b": math.log(2 / 6), "c": math.log(1 / 6)}
+    assert out[1]["n_tok"] == 3
+    assert out[1]["avg_logp"] == round((2 * lp["a"] + lp["b"]) / 3, 4)
+    assert out[2]["n_tok"] == 3
+    assert out[2]["avg_logp"] == round((lp["a"] + lp["b"] + lp["c"]) / 3, 4)

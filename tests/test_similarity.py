@@ -153,3 +153,36 @@ def test_zero_norm_vectors_never_poison_kernels(spark, sf_dir):
         r["vec_id"] for r in emb.filter(F.col("vec_id") % 25 == 0).collect()
     }
     assert cells <= real_cells, "sentinel cell leaked from the argmin"
+
+
+def test_semdedup_keep_rule_is_exact(spark, sf_dir):
+    """SemDeDup contract on the fixture corpus: a row is dropped iff some
+    LOWER-id vector in the SAME cell sits at/above the cosine threshold —
+    cross-checked against the exact all-pairs ground truth restricted to
+    cells, and dup_of must point at the smallest such lower id."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 25 == 0)
+    # score_decimals=4 so the cross-check against the round-4 all-pairs
+    # ground truth can't disagree on a rounding-boundary pair
+    out = {
+        r["vec_id"]: r
+        for r in S.semdedup(
+            emb, cents, threshold=0.4, score_decimals=4
+        ).collect()
+    }
+    cell_of = {
+        r["v_id"]: r["cell"] for r in S.ivf_assign(emb, cents).collect()
+    }
+    pairs = S.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    expected_dup_of = {}
+    for r in pairs:  # doc_a < doc_b by construction
+        if cell_of[r["doc_a"]] == cell_of[r["doc_b"]]:
+            cur = expected_dup_of.get(r["doc_b"])
+            expected_dup_of[r["doc_b"]] = (
+                r["doc_a"] if cur is None else min(cur, r["doc_a"])
+            )
+    assert len(out) == emb.count()
+    dropped = {v: r["dup_of"] for v, r in out.items() if not r["keep"]}
+    assert dropped == expected_dup_of
+    assert expected_dup_of, "fixture produced no semantic dups; test is vacuous"
+    assert all(out[v]["cell"] == cell_of[v] for v in out)
