@@ -64,13 +64,11 @@ HEADLINE = [
     "x32_gopher_repetition",
     "x33_stratified_sample",
     "x34_ivf_train_kmeans",
-    "x35_pii_scrub",
-    "x36_sequence_pack",
-    "x37_mix_resample",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     # r5: the driver-window consolidation suites — between them they bench
-    # every r4 extension operator (x39-x48) that lacked a HEADLINE row
+    # every extension operator added since r4 (x35-x37 and x39-x52 run as
+    # suite members, so their standalone rows were dropped as double counts)
     "x42_pipeline_suite",
     "x49_dedup_quality_suite",
     "x50_scale_analysis_suite",

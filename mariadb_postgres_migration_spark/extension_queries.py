@@ -1823,21 +1823,25 @@ def x49_dedup_quality_suite(spark, sf_dir):
     (x43 — a real availableNow Structured Streaming replay inside a
     driver-hashed row) union-folded into one kind-tagged shape.
 
-    The x41 and x47 members consume the SAME near-dup pair graph (the
-    dominant cost of either), so the suite builds it once, persists it,
-    and feeds both collapses — halving the suite's heavy path vs calling
-    the standalone members (measured 8.3s → ~5s warm at sf0.1)."""
+    The x41 and x47 members consume the SAME near-dup pair graph AND the
+    same component structure (they differ only in which cluster member
+    survives), so the suite builds the pair graph once, persists it, runs
+    star contraction once, and feeds the one label table to both collapse
+    policies — vs calling the standalone members, which would pay the
+    pair shuffle and an iterative clustering twice each."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D._persist(
         D.ngram_jaccard_pairs(
             docs, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
         ).select("doc_a", "doc_b")
     )
+    comp = D.connected_components_star(pairs)
     toked = T._with_tokens(docs, "doc_id", "text")
     scored = toked.select("doc_id", T._quality_cols(F.col("__toks"), "text")[2])
     return (
         _suite_shape(
-            D.dedup_keep_one(docs, pairs, algorithm="star"), "cc_star",
+            D.dedup_keep_one(docs, pairs, algorithm="star", components=comp),
+            "cc_star",
             id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep"),
         )
         .unionAll(_suite_shape(
@@ -1851,7 +1855,10 @@ def x49_dedup_quality_suite(spark, sf_dir):
             s1=F.col("source"),
         ))
         .unionAll(_suite_shape(
-            D.dedup_keep_best(scored, pairs, F.col("quality"), id_col="doc_id"),
+            D.dedup_keep_best(
+                scored, pairs, F.col("quality"), id_col="doc_id",
+                components=comp,
+            ),
             "keep_best",
             id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep"),
         ))

@@ -566,6 +566,7 @@ def dedup_keep_one(
     pairs: DataFrame,
     id_col: str = "doc_id",
     algorithm: str = "min_label",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-02 end-to-end dedup decision: every document mapped to its
     cluster representative (``rep``) with ``keep`` = is-the-representative.
@@ -574,9 +575,14 @@ def dedup_keep_one(
     part only pays for documents that actually have duplicates.
 
     ``algorithm``: 'min_label' (default — diameter-bounded graphs) or
-    'star' (:func:`connected_components_star`, the long-chain tier)."""
-    cc = connected_components_star if algorithm == "star" else connected_components
-    comp = cc(pairs).withColumnRenamed("comp", "rep")
+    'star' (:func:`connected_components_star`, the long-chain tier).
+    ``components``: a precomputed (doc_id, comp) label table for the same
+    pair graph — pass it when several collapse policies run over one graph
+    (the x49 suite) so the iterative clustering is paid once."""
+    if components is None:
+        cc = connected_components_star if algorithm == "star" else connected_components
+        components = cc(pairs)
+    comp = components.withColumnRenamed("comp", "rep")
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")
@@ -646,9 +652,22 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame
             .select(F.col("child").alias("hi"), F.col("root").alias("lo"))
             .localCheckpoint(eager=False)
         )
-        changed = small.exceptAll(e).limit(1).count()
-        prev, e = e, small
-        if changed == 0 and small.count() == prev.count():
+        # ONE-job fixed-point probe: the edge sets are duplicate-free, so
+        # small == e iff their signed-weight union has no nonzero group —
+        # replaces exceptAll + two full counts (3 scheduler round-trips per
+        # round) with a single shuffle probe, and the count() that
+        # materializes it doubles as the checkpoint trigger.
+        changed = (
+            small.select("hi", "lo", F.lit(1).alias("w"))
+            .union(e.select("hi", "lo", F.lit(-1).alias("w")))
+            .groupBy("hi", "lo")
+            .agg(F.sum("w").alias("s"))
+            .filter(F.col("s") != 0)
+            .limit(1)
+            .count()
+        )
+        e = small
+        if changed == 0:
             roots = e.select(F.col("lo").alias("doc_id")).subtract(
                 e.select(F.col("hi").alias("doc_id"))
             )
@@ -665,6 +684,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     score_col: Column,
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-02 quality-aware keep-one: like :func:`dedup_keep_one`, but the
     cluster representative is the member with the HIGHEST ``score_col``
@@ -678,7 +698,7 @@ def dedup_keep_best(
     window entirely only in effect (their cluster is themselves)."""
     from pyspark.sql import Window as _W
 
-    comp = connected_components(pairs)
+    comp = connected_components(pairs) if components is None else components
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"), score_col.alias("__score"))
         .join(comp, "doc_id", "left")
