@@ -1746,6 +1746,52 @@ def x52_unigram_logprob(spark, sf_dir):
     return T.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+BM25_QUERY = ("spark", "hash", "merge", "window")
+BM25_TOP_K = 20
+
+
+def _x53_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + f""",
+       terms AS (SELECT doc_id, u.term FROM toks, UNNEST(w) AS u(term)),
+       dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+              FROM terms GROUP BY doc_id),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM terms WHERE term IN ({terms}) GROUP BY doc_id, term),
+       dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+               FROM tf GROUP BY term),
+       sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+       per_term AS (
+           SELECT tf.doc_id,
+                  ln(1.0 + (sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / sc.avgdl)) AS s
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), sc),
+       scored AS (SELECT doc_id, round(sum(s), 4) AS score
+                  FROM per_term GROUP BY doc_id),
+       ranked AS (SELECT doc_id, score,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                  FROM scored)
+       SELECT doc_id, score, CAST(rk AS BIGINT) AS rk
+       FROM ranked WHERE rk <= {BM25_TOP_K}"""
+    )
+
+
+@register("x53_bm25_topk", _x53_sql(), "EXT-05", "EXT-TOPK", tier=1)
+def x53_bm25_topk(spark, sf_dir):
+    """EXT-05 text retrieval: Okapi BM25 top-20 over a fixed 4-term query
+    (operators/textanalysis.bm25_topk, Lucene-default idf) — the lexical
+    counterpart of the EXT-03 kNN tiers. k1=1.2, b=0.75 shared literally
+    with the oracle."""
+    return T.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY, top_k=BM25_TOP_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window consolidation suites (VERDICT r4 item 4): every r4 operator
 # that only had a tier-1 registration gets a driver-verified representative
@@ -1898,7 +1944,10 @@ SELECT 'semded', vec_id, cell, CAST(keep AS BIGINT), COALESCE(dup_of, -1), {z},
 FROM ({_member_oracle('x51_semdedup')})
 UNION ALL
 SELECT 'unigram', doc_id, {z}, n_tok, {z}, {z}, avg_logp, 0.0, NULL
-FROM ({_member_oracle('x52_unigram_logprob')})"""
+FROM ({_member_oracle('x52_unigram_logprob')})
+UNION ALL
+SELECT 'bm25', doc_id, {z}, rk, {z}, {z}, score, 0.0, NULL
+FROM ({_member_oracle('x53_bm25_topk')})"""
 
 
 @register("x50_scale_analysis_suite", _x50_sql(), "EXT-02", "EXT-03", "EXT-05")
@@ -1907,8 +1956,9 @@ def x50_scale_analysis_suite(spark, sf_dir):
     Gopher repetition signals (x32), deterministic stratified sampling
     (x33), k-means IVF training (x34), int8 embedding quantization (x38),
     BPE-style pair counting (x44), multi-probe SRP-LSH kNN (x48), SemDeDup
-    semantic dedup (x51), and the corpus-LM unigram quality score (x52)
-    union-folded into one kind-tagged shape."""
+    semantic dedup (x51), the corpus-LM unigram quality score (x52), and
+    Okapi BM25 top-k retrieval (x53) union-folded into one kind-tagged
+    shape."""
     return (
         _suite_shape(
             x32_gopher_repetition(spark, sf_dir), "gopher",
@@ -1948,5 +1998,9 @@ def x50_scale_analysis_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x52_unigram_logprob(spark, sf_dir), "unigram",
             id1=F.col("doc_id"), v1=F.col("n_tok"), d1=F.col("avg_logp"),
+        ))
+        .unionAll(_suite_shape(
+            x53_bm25_topk(spark, sf_dir), "bm25",
+            id1=F.col("doc_id"), v1=F.col("rk"), d1=F.col("score"),
         ))
     )

@@ -682,3 +682,74 @@ def unigram_logprob(
         F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
         F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """EXT-05 text retrieval: Okapi BM25 ranking of documents against a
+    fixed query-term set (Robertson & Zaragoza 2009, the Lucene-default
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf form) — the lexical
+    counterpart of the EXT-03 embedding kNN tiers, and the scorer a
+    retrieval-augmented data pipeline runs over its corpus index.
+
+    Output: top ``top_k`` (doc_id, score, rk) by (score DESC, doc_id) —
+    only documents containing ≥1 query term are candidates, as in any
+    inverted-index engine.
+
+    Plan: the query-term filter is a broadcast literal isin pushed into
+    the token explode, so the expensive per-(doc,term) aggregation only
+    sees query-term hits (≈ |q|/|vocab| of the corpus token volume);
+    document lengths partial-aggregate in the same pass over the full
+    token stream; N, avgdl, and the per-term df ride as broadcast scalars
+    / a term-count map (all bounded by |q| and the doc count, never by
+    corpus tokens). One doc-keyed shuffle for the final sum + global
+    top-k. Scores round to 4dp so cross-engine double-summation order
+    cannot flip a rank."""
+    toked = _with_tokens(docs, id_col, text_col)
+    terms = toked.select("doc_id", F.explode("__toks").alias("term"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    tf = (
+        terms.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(scalars))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    # distributed partial top-k (TakeOrdered) FIRST — an unpartitioned
+    # row_number window would funnel every candidate doc into one reducer;
+    # the rank window then runs over only the k survivors
+    topk = (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("long"))

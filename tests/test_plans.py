@@ -215,3 +215,35 @@ def test_pipeline_ops_stay_rowlocal_or_broadcast(q):
     assert python_eval_count(decon) == 0
     assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text
     assert broadcast_join_count(decon) >= 1  # benchmark shingle set broadcasts
+
+
+def test_semdedup_no_cartesian_one_arrow_kernel_pair(q):
+    """x51: the O(n²) compare volume must be confined to within-cell gram
+    kernels — no CartesianProduct / BroadcastNestedLoopJoin anywhere, no
+    row-at-a-time Python; exactly the two Arrow kernels (centroid-assign
+    MapInPandas + per-cell FlatMapGroupsInPandas) may appear."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("x51_semdedup")
+    text = formatted_plan(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "BatchEvalPython" not in text
+    assert "MapInPandas" in text
+    assert "FlatMapGroupsInPandas" in text
+
+
+def test_unigram_and_bm25_stay_jvm_with_broadcast_scalars(q):
+    """x52/x53: corpus-sized stages are JVM hash aggregates; the corpus
+    total / (N, avgdl) scalars and the per-term df ride as broadcasts, and
+    the term dictionary is never assumed broadcastable (the tf join keys
+    by term through a shuffle)."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    for name in ("x52_unigram_logprob", "x53_bm25_topk"):
+        df = q(name)
+        assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
+        text = formatted_plan(df)
+        assert "CartesianProduct" not in text
+        assert broadcast_join_count(df) >= 1, f"{name} broadcasts no scalar"
+    assert "TakeOrderedAndProject" in formatted_plan(q("x53_bm25_topk"))

@@ -87,3 +87,43 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1]["avg_logp"] == round((2 * lp["a"] + lp["b"]) / 3, 4)
     assert out[2]["n_tok"] == 3
     assert out[2]["avg_logp"] == round((lp["a"] + lp["b"] + lp["c"]) / 3, 4)
+
+
+def test_bm25_hand_computed_and_distributed_topk(spark):
+    """BM25 on a 3-doc corpus against the closed-form formula, and the
+    plan must take the distributed TakeOrdered path (no unpartitioned
+    row_number window over the full candidate set)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from mariadb_postgres_migration_spark.operators.textanalysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark hash"),
+            Row(doc_id=2, text="hash join join join"),
+            Row(doc_id=3, text="sort sort sort sort"),
+        ]
+    )
+    out = bm25_topk(docs, ("spark", "hash"), top_k=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    def score(tfs, dl, N=3.0, avgdl=11 / 3, k1=1.2, b=0.75):
+        dfs = {"spark": 1.0, "hash": 2.0}
+        return round(
+            sum(
+                math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                for t, tf in tfs.items()
+            ),
+            4,
+        )
+
+    assert set(rows) == {1, 2}  # doc 3 has no query term; top_k=2
+    assert rows[1]["score"] == score({"spark": 2.0, "hash": 1.0}, 3.0)
+    assert rows[2]["score"] == score({"hash": 1.0}, 4.0)
+    assert rows[1]["rk"] == 1 and rows[2]["rk"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
