@@ -61,13 +61,10 @@ HEADLINE = [
     "x15_window_tumbling",
     "x27_dedup_connected_components",
     "x28_term_doc_freq",
-    "x32_gopher_repetition",
-    "x33_stratified_sample",
-    "x34_ivf_train_kmeans",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     # r5: the driver-window consolidation suites — between them they bench
-    # every extension operator added since r4 (x35-x37 and x39-x52 run as
+    # every extension operator added since r4 (x32-x37 and x39-x53 run as
     # suite members, so their standalone rows were dropped as double counts)
     "x42_pipeline_suite",
     "x49_dedup_quality_suite",
@@ -186,7 +183,7 @@ def compact_final_line(
     """
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = len(by_cost)
-    while keep >= 0:
+    while True:
         payload = {
             "metric": "headline_suite_seconds",
             "value": total,
@@ -199,10 +196,11 @@ def compact_final_line(
             "cpus": cpus,
         }
         line = json.dumps(payload)
-        if len(line) <= FINAL_LINE_BUDGET:
+        if len(line) <= FINAL_LINE_BUDGET or keep == 0:
+            # keep == 0: a bare envelope is ~150 chars — always under any
+            # sane budget; return it rather than crash the whole recording
             return line
-        keep -= 5
-    raise AssertionError("unreachable: empty payload exceeds budget")
+        keep = max(0, keep - 5)
 
 
 if __name__ == "__main__":

@@ -288,7 +288,7 @@ def x06_knn_bruteforce(spark, sf_dir):
 @register(
     "x07_knn_ivf",
     """WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
-                    WHERE vec_id % 25 = 0),
+                    WHERE vec_id < 80),
        assigned AS (
            SELECT v_id, vec, cell FROM (
                SELECT e.vec_id AS v_id, e.embedding AS vec, c.cell,
@@ -327,7 +327,10 @@ def x06_knn_bruteforce(spark, sf_dir):
     "EXT-03",
 )
 def x07_knn_ivf(spark, sf_dir):
-    """EXT-03 scale tier: IVF — centroids = vec_id%25=0 sample, nprobe=2.
+    """EXT-03 scale tier: IVF — centroids = a FIXED 80-vector seed set
+    (vec_id < 80, O(1) in the corpus: ivf_assign collects the centroid
+    table to the driver, so a corpus-fraction set would grow linearly —
+    the same unbounded-collect pattern fixed for x06 probes), nprobe=2.
     Approximate relative to brute force, but DETERMINISTIC given the
     centroid set (assignment and probe ties break on cell id, ranking ties
     on neighbor id), so the full cell→probe→rank pipeline has an exact SQL
@@ -337,7 +340,7 @@ def x07_knn_ivf(spark, sf_dir):
     return S.knn_ivf(
         emb,
         emb.filter(F.col("vec_id") % 50 == 0),
-        emb.filter(F.col("vec_id") % 25 == 0),
+        emb.filter(F.col("vec_id") < 80),
         k=5,
         nprobe=2,
     )
@@ -1070,7 +1073,7 @@ m{tag} AS (
     GROUP BY 1, 2)"""
 
     return f"""WITH cent0 AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id % 25 = 0),
+               FROM embeddings WHERE vec_id < 80),
 {assign('cent0', '1')},
 {mean('1')},
 cent1 AS (SELECT cell, list(s / (n * {q}.0) ORDER BY pos) AS cv
@@ -1088,13 +1091,13 @@ FROM m2"""
 @register("x34_ivf_train_kmeans", _x34_sql(), "EXT-03", tier=1)
 def x34_ivf_train_kmeans(spark, sf_dir):
     """EXT-03 iterative tier: two deterministic Lloyd's iterations refining
-    the x07 seed centroids (vec_id%25). Assignment is the pinned IVF pattern
+    the x07 fixed 80-vector seed centroids. Assignment is the pinned IVF pattern
     (broadcast centroids, round-6 cosine, min-cell ties); means are exact
     quantized-integer sums, so even this ITERATIVE algorithm has a
     bit-exact SQL oracle (unrolled CTEs) instead of a weak rows-only check.
     Output is the exploded centroid store (cell, pos, val, n_members)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.kmeans_train(emb, emb.filter(F.col("vec_id") % 25 == 0), iters=2)
+    return S.kmeans_train(emb, emb.filter(F.col("vec_id") < 80), iters=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1681,7 +1684,7 @@ SEMDEDUP_THRESHOLD = 0.4
 
 def _x51_sql() -> str:
     return f"""WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
-                    WHERE vec_id % 25 = 0),
+                    WHERE vec_id < 80),
        assigned AS (
            SELECT v_id, vec, cell FROM (
                SELECT e.vec_id AS v_id, e.embedding AS vec, c.cell,
@@ -1714,7 +1717,7 @@ def x51_semdedup(spark, sf_dir):
     within-cell pair rule in closed SQL form."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.semdedup(
-        emb, emb.filter(F.col("vec_id") % 25 == 0), threshold=SEMDEDUP_THRESHOLD
+        emb, emb.filter(F.col("vec_id") < 80), threshold=SEMDEDUP_THRESHOLD
     )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .functions.text import caret_count
 from .operators.aggregates import max_id
 from .operators.threading import resolve_backrefs, resolve_backrefs_scaled
-from .registry import PASSWORD_PLACEHOLDER, REGISTRY, SEP, _t, register
+from .registry import PASSWORD_PLACEHOLDER, REGISTRY, SEP, _t, member_oracle, register
 
 
 # --------------------------------------------------------------------------
@@ -419,18 +419,11 @@ def op18_flagship_group_concat(spark, sf_dir):
 @register(
     "op09_11_predicate_suite",
     f"""SELECT 'const_filter' AS kind, c_custkey AS id, CAST(0 AS BIGINT) AS v,
-               c_name AS s1, '{PASSWORD_PLACEHOLDER}' || '|' || c_mktsegment AS s2
-        FROM customer WHERE c_mktsegment = 'BUILDING'
+               username AS s1, password || '|' || c_mktsegment AS s2
+        FROM ({member_oracle('op09_10_constant_filter')})
         UNION ALL
-        SELECT 'regex', event_id,
-               CAST(length(coalesce(regexp_extract(
-                   repeat('^', CAST(event_id % 4 AS INT)) || event_type,
-                   '^(\\^+)', 1), '')) AS BIGINT),
-               NULL, NULL
-        FROM events
-        WHERE length(coalesce(regexp_extract(
-                  repeat('^', CAST(event_id % 4 AS INT)) || event_type,
-                  '^(\\^+)', 1), '')) > 0""",
+        SELECT 'regex', event_id, caret_n, NULL, NULL
+        FROM ({member_oracle('op11_regex_prefix_predicate')})""",
     "OP-09", "OP-10", "OP-11", "OP-23",
 )
 def op09_11_predicate_suite(spark, sf_dir):
@@ -460,13 +453,12 @@ def op09_11_predicate_suite(spark, sf_dir):
 
 @register(
     "op16_17_lookup_join_suite",
-    """SELECT 'bcast' AS kind, o.o_orderkey AS id, c.c_name AS s1,
-              NULL AS s2, o.o_totalprice AS v
-       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-       WHERE c.c_mktsegment = 'BUILDING'
+    f"""SELECT 'bcast' AS kind, o_orderkey AS id, c_name AS s1,
+              NULL AS s2, o_totalprice AS v
+       FROM ({member_oracle('op16_broadcast_lookup_join')})
        UNION ALL
-       SELECT 'dict', n.n_nationkey, n.n_name, r.r_name, 0.0
-       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+       SELECT 'dict', n_nationkey, n_name, region_name, 0.0
+       FROM ({member_oracle('op17_dict_lookup_join')})""",
     "OP-16", "OP-17",
 )
 def op16_17_lookup_join_suite(spark, sf_dir):

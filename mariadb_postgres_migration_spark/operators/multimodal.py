@@ -94,6 +94,12 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # spec-legal fill bytes: any number of 0xFF may pad before a
+            # marker — skip to the last one
+            while i + 4 <= len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                return None
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length

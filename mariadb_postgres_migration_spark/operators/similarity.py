@@ -205,8 +205,14 @@ def _knn_bruteforce_blocked(
     import numpy as np
     import pandas as pd
 
+    from .dedup import _persist
+
     spark = corpus.sparkSession
     shards = spark.sparkContext.defaultParallelism
+    # persisted: the probe subtree already ran once for the overflow
+    # detection, and would otherwise run again for the sizing count and a
+    # third time inside the cogroup
+    qsel = _persist(qsel)
     n_probes = qsel.count()
     n_blocks = max(1, -(-n_probes // block_rows))
 
@@ -412,9 +418,11 @@ def ivf_assign(
     ties → min centroid id). Writing the result partitioned by ``cell``
     gives the partition-pruned read pattern IVF exists for.
 
-    The centroid table is centroid-sized by definition, so it collects to
-    a dense numpy matrix and ships to every corpus partition inside an
-    Arrow-batched ``mapInPandas`` kernel: each batch's scores are ONE BLAS
+    Centroid contract: the centroid table collects to the driver and ships
+    inside every task, so the CALLER must keep it O(1) in the corpus (a
+    fixed k, or k grown ~sqrt(n) — never a corpus fraction; the registered
+    queries use fixed 80-vector seed sets). It becomes a dense numpy
+    matrix inside an Arrow-batched ``mapInPandas`` kernel: each batch's scores are ONE BLAS
     matmul (V_norm @ C_norm.T) and the argmax emits exactly one
     (v_id, vec, cell) row per vector — NO shuffle at all and no
     corpus × ncells row fan-out, vs. the previous broadcast-nested-loop +
@@ -809,7 +817,12 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    from .dedup import _persist
+
+    # persisted: the assignment kernel (a full corpus scan + centroid
+    # matmul) feeds BOTH the per-cell dup kernel and the final keep-flag
+    # spine — unpersisted lineage would run it twice per action
+    assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col))
 
     def cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["v_id"].to_numpy()

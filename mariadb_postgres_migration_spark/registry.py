@@ -46,6 +46,13 @@ def register(name: str, oracle: str | None, *ops: str, tier: int = 0):
     return deco
 
 
+def member_oracle(name: str) -> str:
+    """A registered member query's oracle SQL, for composition into a
+    consolidation suite's oracle — suites built this way track member
+    edits by construction instead of hand-duplicating SQL."""
+    return REGISTRY[name].oracle
+
+
 def _ordered() -> dict[str, QueryDef]:
     """Registry in driver-exposure order: tier 0 first (stable within tier)."""
     return dict(sorted(REGISTRY.items(), key=lambda kv: kv[1].tier))

@@ -112,12 +112,25 @@ def events_ts_storage_type(spark: SparkSession, path: str) -> DataType:
     import os
 
     try:
-        key = (path, os.path.getmtime(path))
+        # a parquet "file" is often a directory whose part-files can be
+        # rewritten in place without touching the directory's own mtime —
+        # fold direct children into the fingerprint
+        mtime = os.path.getmtime(path)
+        if os.path.isdir(path):
+            mtime = max(
+                [mtime]
+                + [e.stat().st_mtime for e in os.scandir(path) if e.is_file()]
+            )
+        key = (path, mtime)
     except OSError:
         # non-local path (s3://, hdfs://) — mtime unavailable; fall back to
         # per-path pinning, correct for immutable object-store fixtures
         key = (path, -1.0)
     if key not in _EVENTS_TS_TYPE:
+        # drop superseded pins for the same path so regeneration churn
+        # can't grow the cache without bound
+        for stale in [k for k in _EVENTS_TS_TYPE if k[0] == path and k != key]:
+            del _EVENTS_TS_TYPE[stale]
         _EVENTS_TS_TYPE[key] = spark.read.parquet(path).schema["ts"].dataType
     return _EVENTS_TS_TYPE[key]
 

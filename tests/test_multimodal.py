@@ -144,6 +144,9 @@ def test_parse_image_header_reads_real_formats():
     assert parse_image_header(bytes(topdown)) == ("image/bmp", 9, 7)
     assert parse_image_header(_gif_bytes(200, 100)) == ("image/gif", 200, 100)
     assert parse_image_header(_jpeg_bytes(640, 480)) == ("image/jpeg", 640, 480)
+    # spec-legal 0xFF fill bytes before a marker must not derail the scan
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + _jpeg_bytes(31, 15)[2:]
+    assert parse_image_header(padded) == ("image/jpeg", 31, 15)
     assert parse_image_header(b"just text, no signature") is None
     assert parse_image_header(b"") is None
 
