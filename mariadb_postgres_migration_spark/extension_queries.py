@@ -1838,24 +1838,28 @@ def _member_oracle(name: str) -> str:
 
 
 def _x49_sql() -> str:
+    # zd: DuckDB types a bare 0.0 literal as DECIMAL(2,1), which round-trips
+    # through the driver's value hash differently than Spark's DOUBLE zero —
+    # every float slot is cast so both engines emit the same logical type.
     z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
     return f"""SELECT 'cc_star' AS kind, doc_id AS id1, rep AS id2,
        CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3,
-       0.0 AS d1, 0.0 AS d2, NULL AS s1
+       {zd} AS d1, {zd} AS d2, NULL AS s1
 FROM ({_member_oracle('x41_dedup_cc_star')})
 UNION ALL
 SELECT 'incr', doc_id, {z}, CAST(is_dup_of_corpus AS BIGINT), {z}, {z},
-       0.0, 0.0, source
+       {zd}, {zd}, source
 FROM ({_member_oracle('x45_incremental_dedup')})
 UNION ALL
-SELECT 'best', doc_id, rk, {z}, {z}, {z}, quality, 0.0, source
+SELECT 'best', doc_id, rk, {z}, {z}, {z}, CAST(quality AS DOUBLE), {zd}, source
 FROM ({_member_oracle('x46_best_per_source')})
 UNION ALL
 SELECT 'keep_best', doc_id, rep, CAST(keep AS BIGINT), {z}, {z},
-       0.0, 0.0, NULL
+       {zd}, {zd}, NULL
 FROM ({_member_oracle('x47_dedup_keep_best')})
 UNION ALL
-SELECT 'spii', doc_id, {z}, n_email, n_ip, n_phone, 0.0, 0.0, clean_md5
+SELECT 'spii', doc_id, {z}, n_email, n_ip, n_phone, {zd}, {zd}, clean_md5
 FROM ({_member_oracle('x43_stream_pii_scrub')})"""
 
 
@@ -1920,36 +1924,39 @@ def x49_dedup_quality_suite(spark, sf_dir):
 
 
 def _x50_sql() -> str:
+    # zd: see _x49_sql — keep every float slot DOUBLE in both engines.
     z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
     return f"""SELECT 'gopher' AS kind, doc_id AS id1, top_gram_n AS id2,
        n_words AS v1, n_distinct AS v2, n_grams AS v3,
-       rep_ratio AS d1, ttr AS d2, CAST(keep AS VARCHAR) AS s1
+       CAST(rep_ratio AS DOUBLE) AS d1, CAST(ttr AS DOUBLE) AS d2,
+       CAST(keep AS VARCHAR) AS s1
 FROM ({_member_oracle('x32_gopher_repetition')})
 UNION ALL
-SELECT 'sample', doc_id, {z}, {z}, {z}, {z}, 0.0, 0.0, lang || '|' || source
+SELECT 'sample', doc_id, {z}, {z}, {z}, {z}, {zd}, {zd}, lang || '|' || source
 FROM ({_member_oracle('x33_stratified_sample')})
 UNION ALL
-SELECT 'kmeans', cell, pos, n_members, {z}, {z}, val, 0.0, NULL
+SELECT 'kmeans', cell, pos, n_members, {z}, {z}, CAST(val AS DOUBLE), {zd}, NULL
 FROM ({_member_oracle('x34_ivf_train_kmeans')})
 UNION ALL
-SELECT 'quant', vec_id, {z}, {z}, {z}, {z}, max_abs, mse,
-       array_to_string(qvec, ',')
+SELECT 'quant', vec_id, {z}, {z}, {z}, {z}, CAST(max_abs AS DOUBLE),
+       CAST(mse AS DOUBLE), array_to_string(qvec, ',')
 FROM ({_member_oracle('x38_embedding_quantize_int8')})
 UNION ALL
-SELECT 'bpe', {z}, {z}, n, rk, {z}, 0.0, 0.0, pair
+SELECT 'bpe', {z}, {z}, n, rk, {z}, {zd}, {zd}, pair
 FROM ({_member_oracle('x44_bpe_pair_counts')})
 UNION ALL
-SELECT 'mplsh', q_id, n_id, rk, {z}, {z}, score, 0.0, NULL
+SELECT 'mplsh', q_id, n_id, rk, {z}, {z}, CAST(score AS DOUBLE), {zd}, NULL
 FROM ({_member_oracle('x48_knn_multiprobe_lsh')})
 UNION ALL
 SELECT 'semded', vec_id, cell, CAST(keep AS BIGINT), COALESCE(dup_of, -1), {z},
-       0.0, 0.0, NULL
+       {zd}, {zd}, NULL
 FROM ({_member_oracle('x51_semdedup')})
 UNION ALL
-SELECT 'unigram', doc_id, {z}, n_tok, {z}, {z}, avg_logp, 0.0, NULL
+SELECT 'unigram', doc_id, {z}, n_tok, {z}, {z}, CAST(avg_logp AS DOUBLE), {zd}, NULL
 FROM ({_member_oracle('x52_unigram_logprob')})
 UNION ALL
-SELECT 'bm25', doc_id, {z}, rk, {z}, {z}, score, 0.0, NULL
+SELECT 'bm25', doc_id, {z}, rk, {z}, {z}, CAST(score AS DOUBLE), {zd}, NULL
 FROM ({_member_oracle('x53_bm25_topk')})"""
 
 
