@@ -1605,43 +1605,13 @@ def j3_full_outer_reconcile(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# TPC-H shape completion: the nine classic shapes not yet covered — EXISTS /
-# NOT-EXISTS decorrelation, scalar-subquery HAVING, grouped-view max,
-# conditional class counts, nested-aggregate semi-joins. The fixture schema
-# has no partsupp / l_commitdate / l_shipmode, so each query keeps its TPC-H
-# operator SHAPE (what the optimizer must do) on the columns that exist;
-# "late" means l_shipdate > o_orderdate + 30 days (median lag is 35 days, so
-# the predicate splits the data rather than degenerating).
+# TPC-H completion: the two shapes the suite still lacked. q8 = the
+# 7-table star join with a conditional-sum market-share ratio; q15 = the
+# grouped-revenue view filtered by equality with its own scalar max (ties
+# surface — deliberately NOT a top-1 sort). The fixture schema has no
+# partsupp, so q8 markets by p_type on the lineitem bridge; revenue sums
+# are exact decimal so q15's equality-with-max comparison is bit-stable.
 # --------------------------------------------------------------------------
-
-_Q4_SQL = """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-       FROM orders o
-       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-         AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-         AND EXISTS (SELECT 1 FROM lineitem l
-                     WHERE l.l_orderkey = o.o_orderkey
-                       AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-       GROUP BY o.o_orderpriority"""
-
-
-@register("q4_order_priority", _Q4_SQL, "EXT-AGG", tier=1)
-def q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI join
-    (equi key + non-equi lateness condition), then a tiny grouped count.
-    The semi join never duplicates orders however many lineitems match —
-    the property that makes it cheaper than join+distinct at 100 TB."""
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
-    )
-    l = _t(spark, sf_dir, "lineitem")
-    late = o.join(
-        l,
-        (o.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
 _Q8_SQL = """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -1706,82 +1676,8 @@ def q8_market_share(spark, sf_dir):
     )
 
 
-_Q11_SQL = """WITH val AS (
-         SELECT l.l_partkey,
-                sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * CAST(l.l_quantity AS DECIMAL(18,4))) AS value
-         FROM lineitem l
-         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         JOIN nation n ON s.s_nationkey = n.n_nationkey
-         WHERE n.n_regionkey = 2
-         GROUP BY l.l_partkey)
-       SELECT l_partkey, CAST(value AS DOUBLE) AS value
-       FROM val
-       WHERE CAST(value AS DOUBLE) >
-             (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM val)"""
 
 
-@register("q11_important_stock", _Q11_SQL, "EXT-AGG", tier=1)
-def q11_important_stock(spark, sf_dir):
-    """TPC-H Q11 shape: grouped value per part, kept only when above a
-    scalar-subquery fraction of the grand total. The grand total re-derives
-    from the SAME grouped aggregate (one corpus pass, partial-aggregable)
-    and crosses back as a broadcast 1-row join — never a driver collect.
-    Exact decimal sums make the 0.1% threshold comparison bit-stable."""
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
-    value = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
-        "l_quantity"
-    ).cast("decimal(18,4)")
-    val = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
-        .groupBy("l_partkey")
-        .agg(F.sum(value).alias("value"))
-    )
-    total = val.agg((F.sum("value").cast("double") * 0.001).alias("__thr"))
-    return (
-        val.join(F.broadcast(total))
-        .filter(F.col("value").cast("double") > F.col("__thr"))
-        .select("l_partkey", F.col("value").cast("double").alias("value"))
-    )
-
-
-_Q12_SQL = """SELECT l.l_returnflag,
-              CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-              CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-       FROM orders o
-       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-         AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-         AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-       GROUP BY l.l_returnflag"""
-
-
-@register("q12_late_priority_classes", _Q12_SQL, "EXT-AGG", tier=1)
-def q12_late_priority_classes(spark, sf_dir):
-    """TPC-H Q12 shape: join + per-class conditional counts in ONE hash
-    aggregate (both CASE sums share the scan — never two jobs diffed). The
-    year filter pushes to the lineitem parquet scan; the lateness predicate
-    is join-level (needs both sides)."""
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
 
 
 _Q15_SQL = """WITH rev AS (
@@ -1821,185 +1717,9 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
-_Q16_SQL = """SELECT p.p_brand, p.p_type, p.p_size,
-              CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-       FROM lineitem l
-       JOIN part p ON l.l_partkey = p.p_partkey
-       WHERE p.p_size IN (1, 9, 17, 25, 33, 41, 49)
-         AND l.l_suppkey NOT IN
-             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-       GROUP BY p.p_brand, p.p_type, p.p_size"""
 
 
-@register("q16_supplier_part_variety", _Q16_SQL, "EXT-AGG", tier=1)
-def q16_supplier_part_variety(spark, sf_dir):
-    """TPC-H Q16 shape: distinct-count of suppliers per part class with a
-    NOT IN exclusion subquery. Lineitem is the part-supplier bridge (the
-    fixture has no partsupp); the exclusion list is supplier-sized, so it
-    decorrelates to a broadcast LEFT ANTI join BEFORE the expand+distinct
-    aggregate — the anti join shrinks the expensive side first."""
-    l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(
-        F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
-    )
-    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
-    return (
-        l.join(
-            F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti"
-        )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-    )
 
 
-_Q20_SQL = """WITH promo_qty AS (
-         SELECT l.l_suppkey, sum(l.l_quantity) AS qty
-         FROM lineitem l
-         JOIN part p ON l.l_partkey = p.p_partkey
-         WHERE p.p_type = 'PROMO'
-           AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-         GROUP BY l.l_suppkey)
-       SELECT s.s_suppkey, s.s_name
-       FROM supplier s
-       WHERE s.s_suppkey IN (
-         SELECT l_suppkey FROM promo_qty
-         WHERE qty > (SELECT 1.5 * avg(qty) FROM promo_qty))"""
 
 
-@register("q20_promo_part_suppliers", _Q20_SQL, "EXT-JOIN", tier=1)
-def q20_promo_part_suppliers(spark, sf_dir):
-    """TPC-H Q20 shape: IN over an aggregated subquery that itself carries
-    a scalar-subquery threshold — suppliers who shipped >1.5x the average
-    PROMO-part volume. The threshold is self-normalizing (a ratio of the
-    same aggregate), so the query exercises the nested-agg semi-join shape
-    at every scale factor instead of going empty at small SF. l_quantity
-    values are small integers stored as doubles, so their sums are exact
-    and the 1.5x-average comparison is engine-stable."""
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-    )
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    s = _t(spark, sf_dir, "supplier")
-    qty = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
-        .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-    )
-    thr = qty.agg((F.avg("qty") * 1.5).alias("__thr"))
-    good = qty.join(F.broadcast(thr)).filter(F.col("qty") > F.col("__thr"))
-    return s.join(
-        F.broadcast(good), s.s_suppkey == good.l_suppkey, "left_semi"
-    ).select("s_suppkey", "s_name")
-
-
-_Q21_SQL = """SELECT s.s_suppkey, s.s_name,
-              CAST(count(*) AS BIGINT) AS numwait
-       FROM supplier s
-       JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-       JOIN orders o ON o.o_orderkey = l1.l_orderkey
-       WHERE o.o_orderstatus = 'F'
-         AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-         AND EXISTS (SELECT 1 FROM lineitem l2
-                     WHERE l2.l_orderkey = l1.l_orderkey
-                       AND l2.l_suppkey <> l1.l_suppkey)
-         AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                         WHERE l3.l_orderkey = l1.l_orderkey
-                           AND l3.l_suppkey <> l1.l_suppkey
-                           AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-       GROUP BY s.s_suppkey, s.s_name
-       ORDER BY numwait DESC, s.s_suppkey
-       LIMIT 20"""
-
-
-@register("q21_sole_late_supplier", _Q21_SQL, "EXT-JOIN", tier=1)
-def q21_sole_late_supplier(spark, sf_dir):
-    """TPC-H Q21 shape — the hardest decorrelation in the suite: for
-    finished multi-supplier orders, count lines where THIS supplier shipped
-    late and NO OTHER supplier on the same order did. EXISTS becomes a
-    LEFT SEMI self-join and NOT EXISTS a LEFT ANTI self-join, both on the
-    orderkey equi-key with the inequality conditions folded into the join
-    predicate — three passes over lineitem, zero row explosion, then a
-    TakeOrdered top-20 with a deterministic tie-break."""
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l = _t(spark, sf_dir, "lineitem")
-    l1 = (
-        l.join(
-            o.select("o_orderkey", "o_orderdate"),
-            l.l_orderkey == F.col("o_orderkey"),
-        )
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
-    )
-    l2 = l.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    )
-    l1 = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    )
-    l3 = l.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("ship3"),
-    )
-    l1 = l1.join(
-        l3,
-        (F.col("l_orderkey") == F.col("k3"))
-        & (F.col("l_suppkey") != F.col("s3"))
-        & (F.col("ship3") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
-        "left_anti",
-    )
-    return (
-        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_suppkey")
-        .limit(20)
-    )
-
-
-_Q22_SQL = """WITH thr AS (
-         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                / count(*) AS avg_bal
-         FROM customer WHERE c_acctbal > 0.0)
-       SELECT c.c_nationkey AS cntry,
-              CAST(count(*) AS BIGINT) AS numcust,
-              CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-       FROM customer c, thr
-       WHERE c.c_acctbal > thr.avg_bal
-         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-       GROUP BY c.c_nationkey"""
-
-
-@register("q22_sales_opportunity", _Q22_SQL, "EXT-JOIN", tier=1)
-def q22_sales_opportunity(spark, sf_dir):
-    """TPC-H Q22 shape: customers with above-average balance and NO orders
-    — a scalar-subquery threshold plus a NOT EXISTS decorrelated to a LEFT
-    ANTI join against the orders key column only (column-pruned scan). The
-    average is an exact decimal sum divided by an exact count, in double,
-    so the threshold bits match across engines."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
-    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-            / F.count("*")
-        ).alias("__avg")
-    )
-    return (
-        c.join(F.broadcast(thr))
-        .filter(F.col("c_acctbal") > F.col("__avg"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntry"))
-        .agg(
-            F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("totacctbal"),
-        )
-    )

@@ -2014,3 +2014,126 @@ def x50_scale_analysis_suite(spark, sf_dir):
             id1=F.col("doc_id"), v1=F.col("rk"), d1=F.col("score"),
         ))
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-03: product quantization + IVF-PQ
+# ---------------------------------------------------------------------------
+
+def _pq_d2i_sql(vexpr: str, cexpr: str) -> str:
+    """Quantized-integer subspace distance, unrolled left-to-right so the
+    accumulation order matches the kernel's sequential loop bit-for-bit
+    (``s.m`` is the 0-based subspace; DuckDB lists are 1-based)."""
+    diff = lambda i: f"({vexpr}[s.m*8+{i}] - {cexpr}[s.m*8+{i}])"
+    terms = " + ".join(f"{diff(i)} * {diff(i)}" for i in range(1, 9))
+    return f"CAST(floor(({terms}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _x54_sql() -> str:
+    return f"""WITH cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 16),
+       v AS (SELECT vec_id AS v_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+       s AS (SELECT m FROM generate_series(0, 7) AS t(m)),
+       d AS (SELECT v.v_id, s.m, cb.code, {_pq_d2i_sql('v.vec', 'cb.cv')} AS d2i
+             FROM v, s, cb),
+       chosen AS (SELECT v_id, m, code, d2i FROM (
+             SELECT v_id, m, code, d2i,
+                    row_number() OVER (PARTITION BY v_id, m
+                                       ORDER BY d2i, code) AS rk
+             FROM d) WHERE rk = 1)
+       SELECT v_id, array_to_string(list(code ORDER BY m), ',') AS codes,
+              CAST(sum(d2i) AS DOUBLE) / 1000000.0 AS err2
+       FROM chosen GROUP BY v_id"""
+
+
+@register("x54_pq_encode", _x54_sql(), "EXT-03", tier=1)
+def x54_pq_encode(spark, sf_dir):
+    """EXT-03: product-quantization encoding (Jégou et al. TPAMI 2011) —
+    8 subspaces × 16 codes from a FIXED 16-vector seed codebook (the
+    O(1)-codebook contract; a trained codebook comes from kmeans_train per
+    subspace). Distances are quantized integers end-to-end, so even argmin
+    tie-breaks are bit-identical to the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        S.pq_encode(emb, emb.filter(F.col("vec_id") < 16))
+        .select(
+            "v_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+            "err2",
+        )
+    )
+
+
+def _x55_sql() -> str:
+    return f"""WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+                    WHERE vec_id < 80),
+       cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 16),
+       s AS (SELECT m FROM generate_series(0, 7) AS t(m)),
+       assigned AS (
+           SELECT v_id, vec, cell FROM (
+               SELECT e.vec_id AS v_id, CAST(e.embedding AS DOUBLE[]) AS vec,
+                      c.cell,
+                      row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(c.cv AS DOUBLE[])), 6) DESC, c.cell) AS rk
+               FROM embeddings e, cent c)
+           WHERE rk = 1),
+       enc AS (SELECT v_id, m, code, d2i FROM (
+           SELECT a.v_id, s.m, cb.code, {_pq_d2i_sql('a.vec', 'cb.cv')} AS d2i,
+                  row_number() OVER (PARTITION BY a.v_id, s.m
+                                     ORDER BY {_pq_d2i_sql('a.vec', 'cb.cv')},
+                                              cb.code) AS rk
+           FROM assigned a, s, cb) WHERE rk = 1),
+       q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 40),
+       probe AS (
+           SELECT q_id, qv, cell FROM (
+               SELECT q.q_id, q.qv, c.cell,
+                      row_number() OVER (
+                          PARTITION BY q.q_id
+                          ORDER BY round(list_cosine_similarity(
+                              q.qv, CAST(c.cv AS DOUBLE[])), 6) DESC,
+                              c.cell) AS rk
+               FROM q, cent c)
+           WHERE rk <= 2),
+       dt AS (SELECT q.q_id, s.m, cb.code,
+                     {_pq_d2i_sql('q.qv', 'cb.cv')} AS d2i
+              FROM q, s, cb),
+       scored AS (
+           SELECT p.q_id, a.v_id AS n_id, sum(dt.d2i) AS adist_i
+           FROM probe p
+           JOIN assigned a USING (cell)
+           JOIN enc e ON e.v_id = a.v_id
+           JOIN dt ON dt.q_id = p.q_id AND dt.m = e.m AND dt.code = e.code
+           WHERE a.v_id <> p.q_id
+           GROUP BY p.q_id, a.v_id),
+       ranked AS (
+           SELECT q_id, n_id, adist_i,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_i, n_id) AS rk
+           FROM scored)
+       SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk,
+              CAST(adist_i AS DOUBLE) / 1000000.0 AS adist
+       FROM ranked WHERE rk <= 5"""
+
+
+@register("x55_knn_ivfpq", _x55_sql(), "EXT-03", tier=1)
+def x55_knn_ivfpq(spark, sf_dir):
+    """EXT-03 compressed-index tier: full IVF-PQ — coarse cells (the x07
+    80-vector seed quantizer, nprobe=2) prune the scan, PQ codes (the x54
+    8×16 codebook) stand in for vectors, Asymmetric Distance Computation
+    ranks candidates. Bounded 40-query probe set; every distance is a
+    quantized integer so the whole pipeline has an exact SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 40),
+        emb.filter(F.col("vec_id") < 80),
+        emb.filter(F.col("vec_id") < 16),
+        k=5,
+        nprobe=2,
+    )

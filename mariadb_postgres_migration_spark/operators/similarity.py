@@ -850,3 +850,248 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + IVF-PQ — the canonical 100 TB ANN layout
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: PQ_M subspaces × PQ_K codes each. 8×16 over 64-dim vectors
+#: compresses a 256-byte float32 vector to 8 bytes (4 bits/code would pack
+#: to 4) — the compression that lets a 100 TB corpus' index fit in cluster
+#: RAM, which is the entire point of PQ (Jégou et al., "Product
+#: Quantization for Nearest Neighbor Search", TPAMI 2011).
+PQ_M = 8
+PQ_K = 16
+
+#: All PQ distances live in quantized integer space: d2_int =
+#: floor(d2·1e6 + 0.5) per (subvector, code). Integer addition is exact and
+#: order-free, so ADC sums and argmin comparisons are bit-identical between
+#: the BLAS kernel and the SQL oracle — no accumulation-order hazard at all
+#: (same device as KMEANS_QUANT above).
+PQ_QUANT = 1_000_000
+
+
+def _pq_codebook_matrix(codebook: DataFrame, id_col: str, vec_col: str):
+    """Collect the PQ codebook to a dense (K, dim) matrix + sorted code ids.
+
+    Centroid contract (same as :func:`ivf_assign`): the codebook collects to
+    the driver and ships inside every task, so it must be O(1) in the corpus
+    — a fixed seed set or a trained PQ_K-entry table, never a corpus
+    fraction."""
+    import numpy as np
+
+    rows = codebook.select(
+        F.col(id_col).alias("code"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).collect()
+    rows.sort(key=lambda r: r["code"])
+    codes = np.array([r["code"] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    return codes, C
+
+
+def _pq_subspace_d2(V, C, m: int, sub: int):
+    """Quantized-integer squared L2 between subspace ``m`` of each row of V
+    and every codebook row: (B, K) int64.
+
+    The inner sum is an explicit sequential loop over the sub-dimensions so
+    the accumulation order matches the oracle's left-to-right unrolled SQL
+    term chain bit-for-bit (numpy's pairwise .sum() would not)."""
+    import numpy as np
+
+    lo = m * sub
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(lo, lo + sub):
+        d = V[:, i, None] - C[None, :, i]
+        acc += d * d
+    return np.floor(acc * PQ_QUANT + 0.5).astype(np.int64)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXT-03: product-quantization encoding — each vector becomes ``m``
+    4-bit-sized codes (nearest codebook entry per subspace, ties → lowest
+    code id) plus its exact integer reconstruction error.
+
+    Output: ``(v_id, codes array<long>, err2 double)`` where ``err2`` is the
+    summed quantized subspace distance / 1e6.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass over the corpus with
+    the (tiny) codebook broadcast — no shuffle, no fan-out; each batch does
+    m small dense (B×sub)·(K×sub) distance blocks. At 100 TB the encoded
+    table is ~32× smaller than the raw vectors and is what downstream ADC
+    search scans."""
+    import numpy as np
+    import pandas as pd
+
+    codes_ids, C = _pq_codebook_matrix(codebook, id_col, vec_col)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    bc = corpus.sparkSession.sparkContext.broadcast((codes_ids, C))
+
+    def encode(batches):
+        codes_ids, C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int64)
+            err = np.zeros(len(V), dtype=np.int64)
+            for mm in range(m):
+                D = _pq_subspace_d2(V, C, mm, sub)
+                best = D.argmin(axis=1)  # first occurrence = lowest code id
+                codes[:, mm] = codes_ids[best]
+                err += D[np.arange(len(V)), best]
+            yield pd.DataFrame(
+                {
+                    "v_id": pdf["v_id"],
+                    "codes": list(codes),
+                    "err2": err / float(PQ_QUANT),
+                }
+            )
+
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("v_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return c.mapInPandas(encode, "v_id long, codes array<long>, err2 double")
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = PQ_M,
+) -> DataFrame:
+    """EXT-03: full IVF-PQ search (Jégou et al. 2011) — coarse cells prune
+    the scan to ``nprobe`` cells per query, PQ codes stand in for vectors,
+    and each query scores candidates by Asymmetric Distance Computation:
+    adist(q, v) = Σ_m dtable_q[m, code_m(v)] with dtable_q the query's exact
+    subspace distances to every codebook entry.
+
+    Output: ``(q_id, n_id, rk, adist)`` — rk 1..k ranked by (adist ASC,
+    n_id ASC); adist is the quantized-integer sum / 1e6, so ranking is
+    bit-exact against the SQL oracle.
+
+    Scale shape, piece by piece: cell assignment and PQ encoding are
+    single-pass broadcast kernels (no shuffle); queries + their per-query
+    distance tables broadcast (bounded-probe contract, same as
+    :func:`knn_bruteforce`); the candidate scan touches only probed cells —
+    with the encoded table written partitioned by cell, that is partition
+    pruning, ~nprobe/ncells of the data; the scoring kernel emits a
+    PER-BATCH partial top-k (k rows per query per batch), so the final
+    global rank shuffles k·batches rows per query, never the candidate
+    stream."""
+    import numpy as np
+    import pandas as pd
+
+    codes_ids, C = _pq_codebook_matrix(codebook, id_col, vec_col)
+    dim = C.shape[1]
+    sub = dim // m
+
+    from .dedup import _persist
+
+    # coarse quantizer: one broadcast-BLAS pass tags every vector's cell —
+    # persisted because it feeds BOTH the encode kernel and the cell join
+    assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col))
+    # PQ codes ride along with the cell tag (at rest this is the
+    # cell-partitioned encoded table an IVF-PQ index persists)
+    enc = pq_encode(
+        assigned.select(F.col("v_id").alias(id_col), F.col("vec").alias(vec_col)),
+        codebook,
+        m,
+        id_col,
+        vec_col,
+    ).join(assigned.select("v_id", "cell"), "v_id")
+
+    # probe selection: identical rule to knn_ivf (cosine DESC, cell ASC)
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_score"), F.asc("cell"))
+    probe = (
+        q.crossJoin(cent)
+        .select(
+            "q_id",
+            "q_vec",
+            "cell",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("c_score"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+
+    # per-query ADC distance tables: bounded probe contract — the table set
+    # is (nq, m, K) int64, driver-built from the collected probe rows and
+    # broadcast to the scoring kernel
+    probe_rows = probe.collect()
+    qids = sorted({r["q_id"] for r in probe_rows})
+    qidx = {qid: i for i, qid in enumerate(qids)}
+    Q = np.zeros((len(qids), dim), dtype=np.float64)
+    for r in probe_rows:
+        Q[qidx[r["q_id"]]] = np.asarray(r["q_vec"], dtype=np.float64)
+    dtables = np.stack(
+        [
+            np.stack([_pq_subspace_d2(Q, C, mm, sub)[:, j] for j in range(len(codes_ids))], axis=1)
+            for mm in range(m)
+        ],
+        axis=1,
+    )  # (nq, m, K)
+    code_pos = {int(c): i for i, c in enumerate(codes_ids)}
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, dtables, code_pos))
+
+    cand = enc.join(
+        F.broadcast(probe.select("q_id", "cell")), "cell"
+    ).filter(F.col("v_id") != F.col("q_id"))
+
+    def adc_score(batches):
+        qids_b, dt, cpos = bc.value
+        qmap = {qid: i for i, qid in enumerate(qids_b)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["q_id"].map(qmap).to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            pos = np.vectorize(cpos.__getitem__, otypes=[np.int64])(codes)
+            rows = dt[qi]  # (B, m, K)
+            adist = np.take_along_axis(rows, pos[:, :, None], axis=2)[:, :, 0].sum(
+                axis=1
+            )  # int64 gather-sum: exact
+            out = pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["v_id"], "adist_i": adist}
+            )
+            # partial top-k inside the batch: k rows per query leave the task
+            out = (
+                out.sort_values(["q_id", "adist_i", "n_id"])
+                .groupby("q_id", as_index=False)
+                .head(k)
+            )
+            yield out
+
+    partial = cand.select("q_id", "v_id", "codes").mapInPandas(
+        adc_score, "q_id long, n_id long, adist_i long"
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.asc("adist_i"), F.asc("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("adist_i") / PQ_QUANT).alias("adist"),
+        )
+    )
