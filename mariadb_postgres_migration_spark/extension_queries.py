@@ -2137,3 +2137,49 @@ def x55_knn_ivfpq(spark, sf_dir):
         k=5,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT-02/EXT-05: span-level exact substring dedup
+# ---------------------------------------------------------------------------
+
+def _x56_sql() -> str:
+    k = 8
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + f""",
+       wins AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                       md5(array_to_string(w[u.pos:u.pos+{k - 1}], ' ')) AS wh
+                FROM toks,
+                     UNNEST(list_transform(range(1, len(w)-{k}+2), i -> i))
+                       AS u(pos)),
+       dup AS (SELECT * FROM (
+                SELECT doc_id, pos, count(*) OVER (PARTITION BY wh) AS c
+                FROM wins) WHERE c >= 2),
+       marked AS (SELECT doc_id, pos, pos + {k - 1} AS e,
+                         CASE WHEN pos > COALESCE(max(pos + {k - 1}) OVER (
+                                  PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), -1)
+                              THEN 1 ELSE 0 END AS nw
+                  FROM dup),
+       islands AS (SELECT doc_id, pos, e,
+                          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS island
+                   FROM marked)
+       SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+              CAST(count(*) AS BIGINT) AS n_windows
+       FROM islands GROUP BY doc_id, island"""
+    )
+
+
+@register("x56_substring_dedup_spans", _x56_sql(), "EXT-02", "EXT-05", tier=1)
+def x56_substring_dedup_spans(spark, sf_dir):
+    """EXT-02/05 span tier (Lee et al. ACL 2022 ExactSubstr, word
+    granularity): 8-token windows occurring ≥2× corpus-wide, merged per
+    document into maximal overlapping spans by gaps-and-islands window
+    functions. Doc-level dedup (x01–x05) drops whole documents; this is
+    the operator that CUTS the boilerplate region and keeps the rest."""
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"), k=8)

@@ -39,7 +39,7 @@ Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text_native
@@ -720,3 +720,82 @@ def dedup_keep_best(
             (F.col("doc_id") == F.col("rep")).alias("keep"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXT-02/EXT-05 span-level exact substring dedup (the operator behind
+    Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — their ExactSubstr, at word granularity): find every k-token
+    window whose exact content occurs ≥ ``min_count`` times in the corpus
+    (across OR within documents), then merge each document's duplicated
+    windows into maximal overlapping spans.
+
+    Output: ``(doc_id, span_start, span_end, n_windows)`` — 1-based
+    inclusive token positions of each merged duplicated span; the caller
+    cuts those token ranges (or drops docs above a duplication ratio).
+
+    Scale shape: windows are built IN-ROW (transform over sequence behind a
+    materialize barrier — no token explode) and hashed to md5 before the
+    one corpus-wide shuffle on the window hash; the duplicate test is a
+    count window over that hash (partial-aggregable, same device as x28's
+    doc-frequency), and span merging is the classic gaps-and-islands
+    computed with doc-partitioned window functions — all JVM built-ins, no
+    Python in the path. Hash width: 128-bit md5 over ~100 TB of windows
+    (~1e13) gives collision odds ~1e-13 — and a collision only ever
+    over-marks a span, never corrupts data."""
+    toked = materialize(
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("doc_id"), text_col),
+        tokens_col(text_col),
+        "__toks",
+    )
+    n = F.size(F.col("__toks")) - (k - 1)
+    wins = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(F.array_join(F.slice(F.col("__toks"), i, k), " ")).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,wh:string>>"))
+    exploded = materialize(toked, wins, "__wins").select(
+        "doc_id", F.explode("__wins").alias("w")
+    ).select("doc_id", "w.pos", "w.wh")
+    dup = exploded.withColumn(
+        "__c", F.count("*").over(Window.partitionBy("wh"))
+    ).filter(F.col("__c") >= min_count)
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn("__end", F.col("pos") + (k - 1))
+        .withColumn("__prev_end", F.max("__end").over(w_doc))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("pos") > F.coalesce(F.col("__prev_end"), F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                Window.partitionBy("doc_id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return spans.groupBy("doc_id", "__island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("__end").alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).drop("__island")
