@@ -69,6 +69,11 @@ HEADLINE = [
     "x42_pipeline_suite",
     "x49_dedup_quality_suite",
     "x50_scale_analysis_suite",
+    # r5: composed end-to-end curation chain + the span/PQ additions
+    "c1_curation_pipeline",
+    "x54_pq_encode",
+    "x55_knn_ivfpq",
+    "x56_substring_dedup_spans",
 ]
 
 

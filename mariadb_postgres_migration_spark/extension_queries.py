@@ -11,6 +11,7 @@ two sides cannot drift independently.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions.text import normalize_text
@@ -19,7 +20,7 @@ from .operators import similarity as S
 from .operators import textanalysis as T
 from .operators import windows as W
 from .operators.multimodal import attach_payload, decode_payloads
-from .registry import _t, register
+from .registry import REGISTRY, _t, register
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (mirror dedup.tokens_col / doc_shingles exactly)
@@ -957,7 +958,7 @@ def x30_multimodal_frames(spark, sf_dir):
     return frames.select("doc_id", "frame_no", F.md5("frame").alias("frame_md5"))
 
 
-@register("x29_sentiment_lexicon", _sentiment_sql(), "EXT-05")
+@register("x29_sentiment_lexicon", _sentiment_sql(), "EXT-05", tier=1)
 def x29_sentiment_lexicon(spark, sf_dir):
     """EXT-05 sentiment-lexicon scorer: explode tokens → broadcast-join the
     ±1 wordlist → per-doc hit counts + signed score, zero-hit docs kept with
@@ -2183,3 +2184,124 @@ def x56_substring_dedup_spans(spark, sf_dir):
     functions. Doc-level dedup (x01–x05) drops whole documents; this is
     the operator that CUTS the boilerplate region and keeps the rest."""
     return D.duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+# ---------------------------------------------------------------------------
+# c1: the composed curation pipeline — stages FEEDING each other, not a
+# kind-tagged union of independent operators like x42/x49/x50
+# ---------------------------------------------------------------------------
+
+#: c1 stage gates (documented constants so Spark and the oracle agree):
+#: quality median on the fixture corpus is ~0.514, so 0.505 keeps ~60%;
+#: lang 'en' keeps ~90%; n_tokens >= 16 cuts the bottom ~5%.
+C1_QUALITY_GATE = 0.505
+C1_MIN_TOKENS = 16
+
+
+def _c1_sql() -> str:
+    profile = REGISTRY["x08_11_text_profile"].oracle
+    return f"""WITH RECURSIVE
+prof AS ({profile}),
+k1 AS (SELECT * FROM prof
+       WHERE doc_id % 97 <> 0 AND quality >= {C1_QUALITY_GATE}
+         AND lang_pred = 'en' AND n_tokens >= {C1_MIN_TOKENS}),
+k2 AS (SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS mn FROM k1)
+       WHERE doc_id = mn),
+{_TOKS_CTE},
+{_DS_CTE},
+ds2 AS (SELECT ds.doc_id, ds.sh FROM ds JOIN k2 USING (doc_id)),
+rare AS (SELECT sh FROM ds2 GROUP BY sh HAVING count(*) <= {MAX_DOC_FREQ}),
+dsf AS (SELECT ds2.doc_id, ds2.sh FROM ds2 JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsf GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM dsf x JOIN dsf y USING (sh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes na ON doc_a = na.doc_id
+                     JOIN sizes nb ON doc_b = nb.doc_id
+          WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT doc_id, doc_id AS n FROM k2
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
+k3 AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(n)),
+bsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 97 = 0),
+s3 AS (SELECT ds.doc_id, ds.sh FROM ds JOIN k3 USING (doc_id)),
+szs AS (SELECT doc_id, count(*) AS n_sh FROM s3 GROUP BY doc_id),
+hits AS (SELECT s3.doc_id, count(*) AS n_hits
+         FROM s3 JOIN bsh USING (sh) GROUP BY s3.doc_id),
+k4 AS (SELECT k3.doc_id FROM k3
+       LEFT JOIN szs ON k3.doc_id = szs.doc_id
+       LEFT JOIN hits ON k3.doc_id = hits.doc_id
+       WHERE round(COALESCE(hits.n_hits, 0)
+                   / CAST(greatest(COALESCE(szs.n_sh, 0), 1) AS DOUBLE), 4)
+             < 0.1)
+SELECT k2.doc_id, k2.n_tokens, k2.quality, k2.lang_pred
+FROM k2 JOIN k4 ON k2.doc_id = k4.doc_id"""
+
+
+@register(
+    "c1_curation_pipeline",
+    None,  # oracle bound below — needs REGISTRY["x08_11_text_profile"]
+    "EXT-01", "EXT-02", "EXT-05",
+)
+def c1_curation_pipeline(spark, sf_dir):
+    """The composed training-data curation pipeline — each stage consumes
+    the previous stage's survivors, the shape a real Dolma/FineWeb-style
+    corpus build runs end-to-end:
+
+      1. profile gate: one-pass quality/lang/token profile (x08-x11
+         machinery), keep quality >= 0.505, lang 'en', >= 16 tokens;
+      2. exact dedup: min-doc_id winner per md5 fingerprint (x01 rule) —
+         a count window, no join;
+      3. near-dup collapse: shingle-Jaccard pairs + connected components
+         keep-one (x02/x27 machinery) over the REMAINING docs only — the
+         pair generation cost already benefits from upstream pruning;
+      4. decontamination: drop docs overlapping the benchmark split's
+         3-gram shingles >= 10% (x40 machinery);
+      5. manifest: (doc_id, n_tokens, quality, lang_pred) of survivors.
+
+    One oracle covers the whole chain (recursive-CTE composition of the
+    member SQL), so the driver hash-checks stage PLUMBING — that each
+    stage's filter feeds the next — not just each operator alone."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    prof = T.text_profile(corpus)
+    k1 = prof.filter(
+        (F.col("quality") >= C1_QUALITY_GATE)
+        & (F.col("lang_pred") == "en")
+        & (F.col("n_tokens") >= C1_MIN_TOKENS)
+    )
+    k2 = (
+        k1.withColumn(
+            "__mn", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .drop("__mn")
+    )
+    survivors = corpus.join(k2.select("doc_id"), "doc_id", "left_semi")
+    pairs = D.ngram_jaccard_pairs(
+        survivors, threshold=JACCARD_THRESHOLD, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b")
+    k3 = (
+        D.dedup_keep_one(survivors, pairs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    survivors3 = survivors.join(k3, "doc_id", "left_semi")
+    k4 = (
+        T.decontaminate(survivors3, benchmark)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    return k2.join(k4, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens", "quality", "lang_pred"
+    )
+
+
+# bind c1's oracle now that the function referencing REGISTRY can run
+REGISTRY["c1_curation_pipeline"].oracle = _c1_sql()
