@@ -249,8 +249,14 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 100,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-02 (exact tier): near-duplicate pairs by word-k-gram Jaccard.
+
+    ``shingles``: a precomputed ``(doc_id, sh)`` distinct-shingle table for
+    the same docs — pass it when several stages consume one shingle table
+    (the c1 pipeline shares it with decontamination) so tokenization and
+    shingling are paid once per corpus scan, not once per operator.
 
     ``max_doc_freq`` is the stop-shingle cap (see module docstring); pairs
     whose every shared shingle is dropped simply can't be emitted, which is
@@ -264,7 +270,7 @@ def ngram_jaccard_pairs(
     reduction saves while posting lists are df-capped anyway. Revisit only
     if the cap has to rise.
     """
-    ds = doc_shingles(docs, id_col, text_col, k)
+    ds = shingles if shingles is not None else doc_shingles(docs, id_col, text_col, k)
     return _pair_jaccard(ds, max_doc_freq=max_doc_freq).filter(
         F.col("jaccard") >= threshold
     )

@@ -591,6 +591,7 @@ def decontaminate(
     text_col: str = "text",
     k: int = 3,
     flag_ratio: float = 0.1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-05 (benchmark decontamination): per corpus document, how many of
     its distinct word-k-gram shingles appear anywhere in the benchmark set,
@@ -610,7 +611,9 @@ def decontaminate(
     bench_sh = (
         doc_shingles(benchmark, id_col, text_col, k).select("sh").distinct()
     )
-    ds = doc_shingles(corpus, "doc_id", "text", k)
+    # shingles: precomputed (doc_id, sh) for the same docs — shared with
+    # other shingle consumers by the c1 pipeline so the corpus tokenizes once
+    ds = shingles if shingles is not None else doc_shingles(corpus, "doc_id", "text", k)
     sizes = ds.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     hits = (
         ds.join(F.broadcast(bench_sh), "sh")
