@@ -247,3 +247,65 @@ def test_unigram_and_bm25_stay_jvm_with_broadcast_scalars(q):
         assert "CartesianProduct" not in text
         assert broadcast_join_count(df) >= 1, f"{name} broadcasts no scalar"
     assert "TakeOrderedAndProject" in formatted_plan(q("x53_bm25_topk"))
+
+
+def test_pq_encode_is_single_arrow_pass_no_shuffle(q):
+    """x54: PQ encoding is ONE Arrow-batched kernel over the corpus with
+    the codebook broadcast — no join, no aggregate, no shuffle beyond the
+    parallelism floor, and never a row-at-a-time Python operator."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("x54_pq_encode"))
+    # one kernel node (formatted plans print each node twice: tree + detail)
+    assert 1 <= text.count("MapInPandas") <= 2
+    assert "BatchEvalPython" not in text
+    assert "Join" not in text
+    assert "HashAggregate" not in text
+
+
+def test_ivfpq_no_cartesian_partial_topk_shape(q):
+    """x55: the only nested-loop is the centroid-sized query×cell scoring;
+    candidate scoring must be the Arrow ADC kernel (which emits per-batch
+    partial top-k), with the final rank a window over k·batches rows.
+    CartesianProduct over corpus-sized inputs stays banned."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("x55_knn_ivfpq")
+    text = formatted_plan(df)
+    assert "BatchEvalPython" not in text
+    # probe selection may nested-loop queries × 80 centroids (bounded);
+    # corpus-side candidate generation must be a hash join on cell
+    assert text.count("MapInPandas") >= 2  # ivf_assign + encode + adc
+    assert "RunningWindowFunction" in text or "Window" in text
+
+
+def test_substring_spans_jvm_only_two_shuffles(q):
+    """x56: window hashing is in-row behind barriers; the only shuffles
+    are the corpus-wide hash-count window and the per-doc islands window.
+    No Python anywhere; no join at all."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("x56_substring_dedup_spans")
+    text = formatted_plan(df)
+    assert python_eval_count(df) == 0
+    assert "Join" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_c1_pipeline_reuses_persisted_stages(q):
+    """c1: the composed pipeline must read its shared stages from the
+    cache (InMemoryTableScan for k2 / survivors / shingles), keep the
+    benchmark shingle set broadcast, and never nested-loop."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("c1_curation_pipeline")
+    text = formatted_plan(df)
+    assert "InMemoryTableScan" in text or "InMemoryRelation" in text
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
