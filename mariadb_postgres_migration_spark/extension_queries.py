@@ -2320,3 +2320,28 @@ def c1_curation_pipeline(spark, sf_dir):
 
 # bind c1's oracle now that the function referencing REGISTRY can run
 REGISTRY["c1_curation_pipeline"].oracle = _c1_sql()
+
+
+@register(
+    "x57_stream_incremental_dedup",
+    f"""WITH old AS (SELECT DISTINCT md5({NORM_SQL}) AS fp FROM documents
+                  WHERE doc_id % 10 < 8),
+       new AS (SELECT doc_id, source, md5({NORM_SQL}) AS fp FROM documents
+               WHERE doc_id % 10 >= 8),
+       keep AS (SELECT fp, min(doc_id) AS doc_id FROM new GROUP BY fp)
+       SELECT k.doc_id, n.source, (o.fp IS NOT NULL) AS is_dup_of_corpus
+       FROM keep k JOIN new n ON k.doc_id = n.doc_id
+       LEFT JOIN old o ON k.fp = o.fp""",
+    "EXT-01", "EXT-08",
+    tier=1,
+)
+def x57_stream_incremental_dedup(spark, sf_dir):
+    """EXT-01/08: the x45 nightly-ingest dedup as a REAL streaming job —
+    within-stream min-id collapse per fingerprint (streaming aggregation,
+    deterministic) plus a stream-static broadcast join against the corpus
+    fingerprint index, replayed availableNow
+    (streaming/jobs.run_stream_incremental_dedup). Oracle = the closed
+    batch form the bounded replay must reproduce exactly."""
+    from .streaming.jobs import run_stream_incremental_dedup
+
+    return run_stream_incremental_dedup(spark, sf_dir)

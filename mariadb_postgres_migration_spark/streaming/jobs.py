@@ -347,3 +347,52 @@ def run_stream_transform(docs_stream: DataFrame, transform) -> DataFrame:
     quality scoring, chunking, ...) composes with Structured Streaming
     unchanged — the same Column expressions plan into each micro-batch."""
     return _run_to_memory(transform(docs_stream), "append")
+
+
+def run_stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXT-01/EXT-08: streamed nightly-ingest dedup — the streaming form of
+    the x45 batch check. The incoming crawl (doc_id % 10 >= 8) arrives as a
+    bounded document stream; each batch's fingerprints are (a) collapsed
+    within-stream to the min-doc_id winner per fingerprint (a streaming
+    aggregation — deterministic, unlike arrival-order dropDuplicates) and
+    (b) flagged against the accumulated corpus (doc_id % 10 < 8) via a
+    STREAM-STATIC join on the distinct corpus fingerprint index.
+
+    Scale shape: the static side is the fingerprint index a production
+    pipeline keeps bucketed on disk (sources/bucketed.py) — the
+    stream-static join plans it as a build side per micro-batch with zero
+    corpus re-shuffle, and the within-stream aggregation state is bounded
+    by distinct fingerprints per replay window."""
+    from ..functions.text import normalize_text
+    from ..sources.parquet import read_parquet_table
+
+    fp = F.md5(normalize_text(F.col("text")))
+    corpus_fp = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(fp.alias("ofp"))
+        .distinct()
+    )
+    new = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "source", fp.alias("fp"))
+    )
+    flagged = new.join(
+        F.broadcast(corpus_fp), new.fp == F.col("ofp"), "left"
+    ).select(
+        "doc_id", "source", "fp", F.col("ofp").isNotNull().alias("is_dup")
+    )
+    kept = (
+        flagged.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            # same per fp group by construction (flag depends only on fp)
+            F.first("is_dup").alias("is_dup_of_corpus"),
+        )
+        .select("doc_id", "source", "is_dup_of_corpus")
+    )
+    return _run_to_memory(kept, "complete")
