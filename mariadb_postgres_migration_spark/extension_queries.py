@@ -1007,12 +1007,14 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
 
 
 @register("x32_gopher_repetition", _x32_sql(), "EXT-05", tier=1)
-def x32_gopher_repetition(spark, sf_dir):
+def x32_gopher_repetition(spark, sf_dir, docs=None):
     """EXT-05 repetition filter (Gopher-shaped rule, Rae et al. 2021): top
     word-2-gram fraction + type-token ratio per doc, keep-flag from the
     rounded ratios. Word stats row-local; the gram stats are two
     partial-aggregate shuffles keyed by doc_id."""
-    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+    return T.repetition_stats(
+        docs if docs is not None else _t(spark, sf_dir, "documents")
+    )
 
 
 def _x33_sql() -> str:
@@ -1029,13 +1031,15 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 
 
 @register("x33_stratified_sample", _x33_sql(), "EXT-05", tier=1)
-def x33_stratified_sample(spark, sf_dir):
+def x33_stratified_sample(spark, sf_dir, docs=None):
     """EXT-05 deterministic stratified sampling: lexicographic md5-hex
     cutoff per stratum (en ≈ 0.5, others ≈ 0.25). Row-local, zero shuffle,
     reproducible across engines/runs/partitionings, and nested across rates
     (a lower rate yields a subset) — the down-scaling-ablation property
     ``DataFrame.sample`` cannot give."""
-    return T.stratified_sample(_t(spark, sf_dir, "documents")).select(
+    return T.stratified_sample(
+        docs if docs is not None else _t(spark, sf_dir, "documents")
+    ).select(
         "doc_id", "lang", "source"
     )
 
@@ -1450,7 +1454,7 @@ SELECT pair, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 50""",
     "EXT-05",
     tier=1,
 )
-def x44_bpe_pair_counts(spark, sf_dir):
+def x44_bpe_pair_counts(spark, sf_dir, docs=None):
     """EXT-05 tokenizer-training primitive: corpus-wide adjacent-token-pair
     frequencies, top 50 — the counting step of one BPE merge iteration
     (Sennrich et al. 2016). In-row 2-gram explode (non-distinct, unlike
@@ -1458,7 +1462,10 @@ def x44_bpe_pair_counts(spark, sf_dir):
     TakeOrderedAndProject (rank ties broken by pair text). At 100 TB the
     pair dictionary partial-aggregates map-side, and only |pairs| rows —
     not token occurrences — cross the shuffle."""
-    toked = T._with_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    toked = T._with_tokens(
+        docs if docs is not None else _t(spark, sf_dir, "documents"),
+        "doc_id", "text",
+    )
     toks = F.col("__toks")
     n2 = F.size(toks) - 1
     grams = F.when(
@@ -1742,12 +1749,14 @@ def _x52_sql() -> str:
 
 
 @register("x52_unigram_logprob", _x52_sql(), "EXT-05", tier=1)
-def x52_unigram_logprob(spark, sf_dir):
+def x52_unigram_logprob(spark, sf_dir, docs=None):
     """EXT-05 corpus-LM quality score (CCNet-shaped, Wenzek et al. 2020):
     mean ln-probability of each doc's tokens under the corpus unigram
     distribution (operators/textanalysis.unigram_logprob) — two shuffles
     (term agg, doc agg) at any scale, hot terms handled by AQE skew-join."""
-    return T.unigram_logprob(_t(spark, sf_dir, "documents"))
+    return T.unigram_logprob(
+        docs if docs is not None else _t(spark, sf_dir, "documents")
+    )
 
 
 BM25_QUERY = ("spark", "hash", "merge", "window")
@@ -1786,13 +1795,13 @@ def _x53_sql() -> str:
 
 
 @register("x53_bm25_topk", _x53_sql(), "EXT-05", "EXT-TOPK", tier=1)
-def x53_bm25_topk(spark, sf_dir):
+def x53_bm25_topk(spark, sf_dir, docs=None):
     """EXT-05 text retrieval: Okapi BM25 top-20 over a fixed 4-term query
     (operators/textanalysis.bm25_topk, Lucene-default idf) — the lexical
     counterpart of the EXT-03 kNN tiers. k1=1.2, b=0.75 shared literally
     with the oracle."""
     return T.bm25_topk(
-        _t(spark, sf_dir, "documents"), BM25_QUERY, top_k=BM25_TOP_K
+        docs if docs is not None else _t(spark, sf_dir, "documents"), BM25_QUERY, top_k=BM25_TOP_K
     )
 
 
@@ -1969,16 +1978,31 @@ def x50_scale_analysis_suite(spark, sf_dir):
     BPE-style pair counting (x44), multi-probe SRP-LSH kNN (x48), SemDeDup
     semantic dedup (x51), the corpus-LM unigram quality score (x52), and
     Okapi BM25 top-k retrieval (x53) union-folded into one kind-tagged
-    shape."""
+    shape.
+
+    The five token-consuming members (x32/x33/x44/x52/x53) share ONE
+    persisted tokenize pass — _with_tokens recognizes the pre-tokenized
+    frame and passes it through, so the suite pays tokenization once
+    instead of five times per action. Measured neutral at sf0.1 (the
+    fixture corpus tokenizes in ~0.3s, so cache round-trips offset the
+    saving); the shape is kept because at corpus scale the regex-heavy
+    tokenize pass dominates and 5 scans → 1 scan + spillable cache reads
+    is the right trade."""
+    toked = D._persist(
+        T._with_tokens(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            extra=["text", "lang", "source"],
+        )
+    )
     return (
         _suite_shape(
-            x32_gopher_repetition(spark, sf_dir), "gopher",
+            x32_gopher_repetition(spark, sf_dir, docs=toked), "gopher",
             id1=F.col("doc_id"), id2=F.col("top_gram_n"),
             v1=F.col("n_words"), v2=F.col("n_distinct"), v3=F.col("n_grams"),
             d1=F.col("rep_ratio"), d2=F.col("ttr"), s1=F.col("keep"),
         )
         .unionAll(_suite_shape(
-            x33_stratified_sample(spark, sf_dir), "sample",
+            x33_stratified_sample(spark, sf_dir, docs=toked), "sample",
             id1=F.col("doc_id"),
             s1=F.concat_ws("|", "lang", "source"),
         ))
@@ -1993,7 +2017,7 @@ def x50_scale_analysis_suite(spark, sf_dir):
             s1=F.expr("array_join(transform(qvec, x -> cast(x as string)), ',')"),
         ))
         .unionAll(_suite_shape(
-            x44_bpe_pair_counts(spark, sf_dir), "bpe",
+            x44_bpe_pair_counts(spark, sf_dir, docs=toked), "bpe",
             v1=F.col("n"), v2=F.col("rk"), s1=F.col("pair"),
         ))
         .unionAll(_suite_shape(
@@ -2007,11 +2031,11 @@ def x50_scale_analysis_suite(spark, sf_dir):
             v2=F.coalesce("dup_of", F.lit(-1)),
         ))
         .unionAll(_suite_shape(
-            x52_unigram_logprob(spark, sf_dir), "unigram",
+            x52_unigram_logprob(spark, sf_dir, docs=toked), "unigram",
             id1=F.col("doc_id"), v1=F.col("n_tok"), d1=F.col("avg_logp"),
         ))
         .unionAll(_suite_shape(
-            x53_bm25_topk(spark, sf_dir), "bm25",
+            x53_bm25_topk(spark, sf_dir, docs=toked), "bm25",
             id1=F.col("doc_id"), v1=F.col("rk"), d1=F.col("score"),
         ))
     )

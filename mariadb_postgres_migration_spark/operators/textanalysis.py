@@ -21,6 +21,11 @@ def _with_tokens(
     see dedup.materialize for why a barrier is required before any
     higher-order function over the token array."""
     cols = [F.col(id_col).alias("doc_id")] + [F.col(c) for c in (extra or [text_col])]
+    if "__toks" in docs.columns:
+        # already-tokenized input (a suite sharing ONE tokenize pass across
+        # several member operators): select the requested shape, keep the
+        # bound token column — never re-tokenize
+        return docs.select(*cols, F.col("__toks"))
     return materialize(
         ensure_min_parallelism(docs).select(*cols), tokens_col(text_col), "__toks"
     )
