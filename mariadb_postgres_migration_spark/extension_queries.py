@@ -2369,3 +2369,48 @@ def x57_stream_incremental_dedup(spark, sf_dir):
     from .streaming.jobs import run_stream_incremental_dedup
 
     return run_stream_incremental_dedup(spark, sf_dir)
+
+
+def _x58_sql() -> str:
+    q = S.KMEANS_QUANT
+    return f"""WITH cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 16),
+       v AS (SELECT vec_id AS v_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+       s AS (SELECT m FROM generate_series(0, 7) AS t(m)),
+       chosen AS (SELECT v_id, m, code FROM (
+             SELECT v.v_id, s.m, cb.code,
+                    row_number() OVER (PARTITION BY v.v_id, s.m
+                                       ORDER BY {_pq_d2i_sql('v.vec', 'cb.cv')},
+                                                cb.code) AS rk
+             FROM v, s, cb) WHERE rk = 1),
+       vals AS (SELECT v_id, unnest(vec) AS val,
+                       generate_subscripts(vec, 1) - 1 AS pos
+                FROM v),
+       member AS (SELECT (vals.pos // 8) AS m, c.code, vals.pos, vals.val
+                  FROM vals JOIN chosen c
+                    ON c.v_id = vals.v_id AND c.m = (vals.pos // 8)),
+       means AS (SELECT m, code, pos,
+                        sum(CAST(round(val * {q}) AS BIGINT)) AS s,
+                        count(*) AS n
+                 FROM member GROUP BY 1, 2, 3)
+       SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+              CAST(pos AS BIGINT) AS pos,
+              CAST(CASE WHEN s < 0 THEN -((2 * abs(s) + n) // (2 * n))
+                        ELSE (2 * abs(s) + n) // (2 * n) END AS DOUBLE) / {q}
+                  AS val,
+              CAST(n AS BIGINT) AS n_members
+       FROM means"""
+
+
+@register("x58_pq_train_codebooks", _x58_sql(), "EXT-03", tier=1)
+def x58_pq_train_codebooks(spark, sf_dir):
+    """EXT-03: one Lloyd's refinement of the x54 PQ codebooks — assign
+    every vector's subspaces to the seed codebook (quantized-int L2,
+    pq_encode's exact rule), recompute each (subspace, code) centroid as
+    the exact integer mean of its member subvectors
+    (operators/similarity.pq_train). The iterative-training counterpart
+    of x34 for the PQ tier, with the same closed-form integer-mean
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_train(emb, emb.filter(F.col("vec_id") < 16))

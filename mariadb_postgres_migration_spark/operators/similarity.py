@@ -1095,3 +1095,61 @@ def knn_ivfpq(
             (F.col("adist_i") / PQ_QUANT).alias("adist"),
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXT-03: one Lloyd's refinement step of the PQ codebooks — the
+    training half of the PQ story (:func:`pq_encode` consumes the result;
+    Jégou et al. 2011 train per-subspace k-means exactly like this).
+
+    Each vector's subspaces are assigned to their nearest seed codebook
+    entry (quantized-integer L2, ties → lowest code — :func:`pq_encode`'s
+    rule), then every (subspace, code) centroid is recomputed as the exact
+    quantized-integer mean of its member subvectors. Output is the exploded
+    refined codebook store ``(m, code, pos, val, n_members)`` with ``pos``
+    the 0-based global dimension.
+
+    Scale shape: assignment is the shuffle-free encode kernel; the mean is
+    ONE partial-aggregable groupBy(m, code, pos) whose output is
+    codebook-sized (m·K·dim rows), not corpus-sized — the same integer-mean
+    device as :func:`kmeans_train`, so the iterative training has a
+    closed-form SQL oracle."""
+    codes_ids, C = _pq_codebook_matrix(codebook, id_col, vec_col)
+    dim = C.shape[1]
+    sub = dim // m
+    q = float(KMEANS_QUANT)
+
+    enc = pq_encode(corpus, codebook, m, id_col, vec_col).select("v_id", "codes")
+    vals = corpus.select(
+        F.col(id_col).alias("v_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    member = (
+        vals.join(enc, "v_id")
+        .select(
+            (F.col("pos") / sub).cast("long").alias("m"),
+            F.expr(f"codes[cast(pos / {sub} as int)]").alias("code"),
+            "pos",
+            "val",
+        )
+    )
+    means = member.groupBy("m", "code", "pos").agg(
+        F.sum(F.round(F.col("val") * q).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    val_int = F.expr("(2 * abs(s) + n) div (2 * n)") * F.when(
+        F.col("s") < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+    return means.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"),
+        F.col("pos").cast("long").alias("pos"),
+        (val_int.cast("double") / q).alias("val"),
+        F.col("n").cast("long").alias("n_members"),
+    )

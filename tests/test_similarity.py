@@ -232,3 +232,30 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
     approx = {(r["q_id"], r["n_id"]) for r in rows}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall:.3f}"
+
+
+def test_pq_train_reduces_reconstruction_error(spark, sf_dir):
+    """One Lloyd's step must not worsen total reconstruction error: the
+    refined codebooks' mean err2 (re-encoding the corpus) must be <= the
+    seed codebooks' mean err2 — the k-means monotonicity property."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 16)
+    base = S.pq_encode(emb, seed).agg(F.avg("err2")).collect()[0][0]
+
+    trained = S.pq_train(emb, seed)
+    # rebuild a codebook DataFrame (code -> full concatenated vector) from
+    # the exploded store; codes missing a subspace keep the seed slice
+    rows = trained.collect()
+    import collections
+
+    vecs = collections.defaultdict(dict)
+    for r in rows:
+        vecs[r["code"]][r["pos"]] = r["val"]
+    seed_rows = {r["vec_id"]: list(r["embedding"]) for r in seed.collect()}
+    data = []
+    for code, sv in seed_rows.items():
+        merged = [vecs.get(code, {}).get(p, float(sv[p])) for p in range(len(sv))]
+        data.append((code, merged))
+    cb2 = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    refined = S.pq_encode(emb, cb2).agg(F.avg("err2")).collect()[0][0]
+    assert refined <= base + 1e-9, f"Lloyd's step worsened err: {base} -> {refined}"
