@@ -1723,3 +1723,163 @@ def q15_top_supplier(spark, sf_dir):
 
 
 
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation) and time-series gap-fill
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PV1_SQL = """SELECT user_id, """ + ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in _EVENT_TYPES
+) + """
+       FROM events GROUP BY user_id"""
+
+
+@register("pv1_event_type_pivot", _PV1_SQL, "EXT-AGG", tier=1)
+def pv1_event_type_pivot(spark, sf_dir):
+    """Pivot: one row per user, one count column per event type — Spark's
+    native ``pivot`` with the value list PINNED (never the two-pass
+    distinct-scan inference, which is both an extra job and a
+    nondeterministic column order at scale). Plans as a single hash
+    aggregate with per-column conditional counts — identical shape to the
+    oracle's CASE sums, one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+#: Fixed hourly grid spanning the fixture's event window. A FIXED grid (not
+#: min/max-derived) keeps the output schedule-stable and lets both engines
+#: generate it without a data-dependent pre-pass.
+_GRID_START = "2024-01-01 00:00:00"
+_GRID_END = "2024-01-30 23:00:00"
+
+_TS1_SQL = f"""WITH grid AS (
+         SELECT t.ts_h, e.event_type
+         FROM generate_series(TIMESTAMP '{_GRID_START}',
+                              TIMESTAMP '{_GRID_END}',
+                              INTERVAL 1 HOUR) AS t(ts_h)
+         CROSS JOIN (SELECT DISTINCT event_type FROM events) e),
+       buck AS (
+         SELECT event_type, date_trunc('hour', ts) AS ts_h,
+                CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000000.0) AS v
+         FROM events GROUP BY 1, 2),
+       joined AS (
+         SELECT g.event_type, g.ts_h, b.v FROM grid g
+         LEFT JOIN buck b ON g.event_type = b.event_type AND g.ts_h = b.ts_h),
+       ctx AS (
+         SELECT event_type, ts_h, v,
+                last_value(v IGNORE NULLS) OVER w_prev AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN ts_h END IGNORE NULLS)
+                    OVER w_prev AS pt,
+                first_value(v IGNORE NULLS) OVER w_next AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN ts_h END IGNORE NULLS)
+                    OVER w_next AS nt
+         FROM joined
+         WINDOW w_prev AS (PARTITION BY event_type ORDER BY ts_h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_next AS (PARTITION BY event_type ORDER BY ts_h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT event_type, epoch_us(ts_h) AS ts_h_us,
+              (v IS NOT NULL) AS observed,
+              CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv)
+                        * (CAST(epoch_us(ts_h) - epoch_us(pt) AS DOUBLE)
+                           / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+              END AS v_interp
+       FROM ctx"""
+
+
+@register("ts1_gapfill_interpolate", _TS1_SQL, "EXT-06", tier=1)
+def ts1_gapfill_interpolate(spark, sf_dir):
+    """Time-series gap-fill: hourly buckets per event type on a FIXED
+    grid, empty buckets filled by LINEAR interpolation between the
+    nearest observed neighbors (edge gaps take the nearest single
+    neighbor). The regularization step every downstream ts model needs.
+
+    Plan: the grid is generated in-plan (sequence + explode × a 5-row
+    dim — no data-dependent pre-pass), bucket means use exact
+    quantized-integer sums (bit-identical across engines and summation
+    orders), and prev/next context is two doc-partitioned window passes
+    with IGNORE NULLS — all JVM built-ins, two shuffles (bucket agg +
+    grid join/windows) at any scale. The interpolation arithmetic is the
+    same expression tree in both engines over bit-identical inputs, so
+    the unrounded doubles hash-match."""
+    e = _t(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                # ntz literals cast to UTC timestamps — the same shape
+                # normalize_events_ts gives the ts column (the reader pins
+                # the session timezone to UTC, so the cast is exact)
+                F.expr(
+                    f"sequence(cast(cast('{_GRID_START}' as timestamp_ntz) as timestamp),"
+                    f" cast(cast('{_GRID_END}' as timestamp_ntz) as timestamp),"
+                    " interval 1 hour)"
+                )
+            ).alias("ts_h")
+        )
+        .crossJoin(types)
+    )
+    buck = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("ts_h"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast(
+                    "double"
+                )
+                / (F.count("*") * F.lit(1000000.0))
+            ).alias("v")
+        )
+    )
+    joined = grid.join(buck, ["event_type", "ts_h"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("ts_h"))
+    ctx = joined.select(
+        "event_type",
+        "ts_h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    ratio = (
+        (F.unix_micros("ts_h") - F.unix_micros("pt")).cast("double")
+        / (F.unix_micros("nt") - F.unix_micros("pt")).cast("double")
+    )
+    return ctx.select(
+        "event_type",
+        F.unix_micros("ts_h").alias("ts_h_us"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+        .alias("v_interp"),
+    )
