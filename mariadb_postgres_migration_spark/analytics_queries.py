@@ -1883,3 +1883,106 @@ def ts1_gapfill_interpolate(spark, sf_dir):
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
         .alias("v_interp"),
     )
+
+
+_S1_SQL = """WITH ordered AS (
+         SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts)
+                          - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                          > 1800000000
+                       OR lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_s,
+                event_id
+         FROM events),
+       tagged AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_id
+         FROM ordered)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              min(epoch_us(ts)) AS session_start_us,
+              max(epoch_us(ts)) AS session_end_us,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0 AS sum_value
+       FROM tagged GROUP BY user_id, session_id"""
+
+
+@register("s1_batch_sessionize", _S1_SQL, "EXT-06", tier=1)
+def s1_batch_sessionize(spark, sf_dir):
+    """Batch sessionization — the gaps-and-islands twin of the x19
+    STREAMING session window: a new session starts after a >30-min silence
+    per user; sessions number ordinally by a running sum of the new-session
+    flag. One shuffle (user partition), all window built-ins, tie-broken
+    by event_id so identical timestamps can't reorder across engines;
+    session value sums are exact quantized integers."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_s = (
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0)
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return tagged.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")).cast("double")
+            / 1000000.0
+        ).alias("sum_value"),
+    )
+
+
+_TS2_SQL = """SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+              CAST(count(*) OVER w AS BIGINT) AS n_6h,
+              CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+                   AS DOUBLE)
+                / (count(*) OVER w * 1000000.0) AS avg_6h
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)"""
+
+
+@register("ts2_rolling_time_range", _TS2_SQL, "EXT-06", tier=1)
+def ts2_rolling_time_range(spark, sf_dir):
+    """Trailing 6-hour rolling count/mean per event type — a TIME-RANGE
+    window frame (rangeBetween over epoch micros), not a row frame: each
+    event sees exactly the events inside its trailing wall-clock interval
+    however unevenly they arrive. Range frames include all ORDER-BY peers,
+    so identical timestamps are frame-stable across engines; the mean is
+    an exact quantized-integer sum over the frame divided in double."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-21_600_000_000, 0)
+    )
+    vi = F.round(F.col("value") * 1000000.0).cast("long")
+    return e.select(
+        "event_type",
+        "event_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).alias("n_6h"),
+        (
+            F.sum(vi).over(w).cast("double")
+            / (F.count("*").over(w) * F.lit(1000000.0))
+        ).alias("avg_6h"),
+    )
