@@ -109,7 +109,12 @@ def x02_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_cte(src: str) -> str:
+    """Banded-MinHash candidate + exact-Jaccard-verify CTE chain over the
+    (doc_id, sh) shingle table named ``src``; terminates in ``mhpairs``
+    with columns (doc_a, doc_b, jaccard >= threshold). Parameterized on
+    the source so the composed pipelines (c2) can run it over a
+    survivor-restricted shingle set with byte-identical band semantics."""
     def mh(i: int) -> str:
         seed, off = D.mh_seed_chunk(i)
         return f"min(substr(md5(sh || '#{seed}'), {off}, {D.CHUNK_LEN})) AS mh{i}"
@@ -125,21 +130,28 @@ def _minhash_sql() -> str:
             f"SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM sig"
         )
     bands = "\nUNION ALL\n".join(band_selects)
-    return f"""WITH {_TOKS_CTE},
-{_DS_CTE},
-sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id),
+    return f"""sig AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bands x JOIN bands y USING (band_key)
          WHERE x.doc_id < y.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id),
 inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-          FROM ds x JOIN ds y USING (sh)
+          FROM {src} x JOIN {src} y USING (sh)
           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
-interc AS (SELECT inter.* FROM inter JOIN cand USING (doc_a, doc_b))
-SELECT doc_a, doc_b, i / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
-FROM interc JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}"""
+interc AS (SELECT inter.* FROM inter JOIN cand USING (doc_a, doc_b)),
+mhpairs AS (
+    SELECT doc_a, doc_b, i / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM interc JOIN sizes na ON doc_a = na.doc_id
+                JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD})"""
+
+
+def _minhash_sql() -> str:
+    return f"""WITH {_TOKS_CTE},
+{_DS_CTE},
+{_minhash_pairs_cte('ds')}
+SELECT doc_a, doc_b, jaccard FROM mhpairs"""
 
 
 @register("x03_dedup_minhash_lsh", _minhash_sql(), "EXT-02")
@@ -2456,3 +2468,96 @@ def x59_fuzzy_name_match(spark, sf_dir):
         .filter(F.col("dist") <= 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+def _c2_sql() -> str:
+    profile = REGISTRY["x08_11_text_profile"].oracle
+    return f"""WITH RECURSIVE
+prof AS ({profile}),
+k1 AS (SELECT * FROM prof
+       WHERE doc_id % 97 <> 0 AND quality >= {C1_QUALITY_GATE}
+         AND lang_pred = 'en' AND n_tokens >= {C1_MIN_TOKENS}),
+k2 AS (SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS mn FROM k1)
+       WHERE doc_id = mn),
+{_TOKS_CTE},
+{_DS_CTE},
+ds2 AS (SELECT ds.doc_id, ds.sh FROM ds JOIN k2 USING (doc_id)),
+{_minhash_pairs_cte('ds2')},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+reach AS (SELECT doc_id, doc_id AS n FROM k2
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
+k3 AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(n)),
+bsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 97 = 0),
+s3 AS (SELECT ds.doc_id, ds.sh FROM ds JOIN k3 USING (doc_id)),
+szs AS (SELECT doc_id, count(*) AS n_sh FROM s3 GROUP BY doc_id),
+hits AS (SELECT s3.doc_id, count(*) AS n_hits
+         FROM s3 JOIN bsh USING (sh) GROUP BY s3.doc_id),
+k4 AS (SELECT k3.doc_id FROM k3
+       LEFT JOIN szs ON k3.doc_id = szs.doc_id
+       LEFT JOIN hits ON k3.doc_id = hits.doc_id
+       WHERE round(COALESCE(hits.n_hits, 0)
+                   / CAST(greatest(COALESCE(szs.n_sh, 0), 1) AS DOUBLE), 4)
+             < 0.1)
+SELECT k2.doc_id, k2.n_tokens, k2.quality, k2.lang_pred
+FROM k2 JOIN k4 ON k2.doc_id = k4.doc_id"""
+
+
+@register(
+    "c2_curation_pipeline_lsh",
+    None,  # bound below, like c1
+    "EXT-01", "EXT-02", "EXT-05",
+    tier=1,
+)
+def c2_curation_pipeline_lsh(spark, sf_dir):
+    """The c1 pipeline with every stage on its SCALE tier: the near-dup
+    stage swaps exact all-shared-shingle Jaccard (x02 machinery — the
+    posting-list join is the 100 TB bottleneck) for banded MinHash-LSH
+    candidates with exact verification (x03 machinery), and the
+    clustering swaps min-label propagation for large-star/small-star
+    contraction (O(log n) rounds on any graph shape). Same gates, same
+    manifest columns — the pair this demonstrates: the composed pipeline
+    is tier-swappable without touching the surrounding stages, and BOTH
+    tiers carry a full composed oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    prof = T.text_profile(corpus)
+    k1 = prof.filter(
+        (F.col("quality") >= C1_QUALITY_GATE)
+        & (F.col("lang_pred") == "en")
+        & (F.col("n_tokens") >= C1_MIN_TOKENS)
+    )
+    k2 = D._persist(
+        k1.withColumn(
+            "__mn", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .drop("__mn")
+    )
+    survivors = D._persist(
+        corpus.join(k2.select("doc_id"), "doc_id", "left_semi")
+    )
+    pairs = D.minhash_dedup_pairs(
+        survivors, threshold=JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    k3 = (
+        D.dedup_keep_one(survivors, pairs, algorithm="star")
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    survivors3 = survivors.join(k3, "doc_id", "left_semi")
+    k4 = (
+        T.decontaminate(survivors3, benchmark)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    return k2.join(k4, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens", "quality", "lang_pred"
+    )
+
+
+REGISTRY["c2_curation_pipeline_lsh"].oracle = _c2_sql()
