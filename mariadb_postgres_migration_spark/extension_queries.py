@@ -2561,3 +2561,44 @@ def c2_curation_pipeline_lsh(spark, sf_dir):
 
 
 REGISTRY["c2_curation_pipeline_lsh"].oracle = _c2_sql()
+
+
+_X60_SQL = """WITH dims AS (
+         SELECT doc_id, text,
+                16 + (CASE WHEN length(text) = 0 THEN 0
+                           ELSE ascii(substr(text, 1, 1)) END % 16) * 4 AS w,
+                least(length(text)
+                      // (16 + (CASE WHEN length(text) = 0 THEN 0
+                                     ELSE ascii(substr(text, 1, 1)) END % 16) * 4),
+                      16) AS h
+         FROM documents),
+       px AS (
+         SELECT doc_id, w, h,
+                list_transform(range(1, CAST(w * h AS BIGINT) + 1),
+                               i -> ascii(substr(text, CAST(i AS INTEGER), 1)))
+                    AS p
+         FROM dims WHERE h >= 1)
+       SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(list_min(p) AS BIGINT) AS px_min,
+              CAST(list_max(p) AS BIGINT) AS px_max,
+              CAST(list_sum(p) AS BIGINT) AS px_sum
+       FROM px"""
+
+
+@register("x60_multimodal_pixel_stats", _X60_SQL, "EXT-04", tier=1)
+def x60_multimodal_pixel_stats(spark, sf_dir):
+    """EXT-04 with a REAL codec under driver hash: spec-consistent 8-bit
+    BMPs are assembled JVM-side (pixel array = the text's leading UTF-8
+    bytes, a closed form), then the pure-numpy BMP decoder
+    (operators/multimodal.decode_bmp_pixels — strict header validation,
+    padding, bottom-up order) extracts actual pixel arrays whose integer
+    stats the oracle recomputes from the closed form. This replaces the
+    'decode is a stub' caveat with a genuinely exercised decode path; the
+    same kernel also decodes real-world 8/24-bit BMPs and 8-bit
+    gray/RGB/RGBA PNGs (stdlib zlib + all five spec filters,
+    tests/test_pixel_codecs.py)."""
+    from .operators.multimodal import attach_consistent_bmp_payload, pixel_stats
+
+    return pixel_stats(
+        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    )
