@@ -71,9 +71,11 @@ HEADLINE = [
     "x50_scale_analysis_suite",
     # r5: composed end-to-end curation chain + the span/PQ additions
     "c1_curation_pipeline",
+    "c2_curation_pipeline_lsh",
     "x54_pq_encode",
     "x55_knn_ivfpq",
     "x56_substring_dedup_spans",
+    "x60_multimodal_pixel_stats",
 ]
 
 

@@ -259,3 +259,16 @@ def test_pq_train_reduces_reconstruction_error(spark, sf_dir):
     cb2 = spark.createDataFrame(data, "vec_id long, embedding array<double>")
     refined = S.pq_encode(emb, cb2).agg(F.avg("err2")).collect()[0][0]
     assert refined <= base + 1e-9, f"Lloyd's step worsened err: {base} -> {refined}"
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """Identity invariant: a vector that IS a codebook entry must encode
+    with zero reconstruction error (each subspace finds itself at
+    distance 0) — catches any off-by-one in subspace slicing."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 16)
+    enc = {r["v_id"]: r for r in S.pq_encode(cb, cb).collect()}
+    assert len(enc) == 16
+    for v_id, r in enc.items():
+        assert r["err2"] == 0.0, f"vec {v_id} err2={r['err2']}"
+        assert list(r["codes"]) == [v_id] * S.PQ_M

@@ -58,3 +58,27 @@ def test_disjoint_spans_do_not_merge(spark):
 def test_short_docs_yield_nothing(spark):
     docs = _docs(spark, ["too short", "also short", "too short"])
     assert duplicate_spans(docs, k=8).count() == 0
+
+
+def test_span_never_exceeds_doc_length(spark):
+    # structural invariant over a mixed corpus: spans are within bounds,
+    # ordered, and non-overlapping per doc
+    texts = [
+        "a b c d e f g h i j k l",
+        "a b c d e f g h i j k l",
+        "x y z a b c d e f g h i",
+        "completely different words here now",
+    ]
+    docs = _docs(spark, texts)
+    rows = duplicate_spans(docs, k=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc_id, spans in by_doc.items():
+        n_tok = len(texts[doc_id].split())
+        spans.sort()
+        prev_end = 0
+        for s, e in spans:
+            assert 1 <= s <= e <= n_tok
+            assert s > prev_end  # islands never overlap
+            prev_end = e
