@@ -1,0 +1,139 @@
+"""Oracle-paired pipeline-health queries (round-5 breadth tail): the
+declarative data-quality audit, SCD2 interval reconstruction, exact
+two-pass heavy hitters, and corpus drift — the monitoring surface a
+migration engine needs AROUND the queries it runs (measure table health
+before/after a load; detect data-mix shift between crawl batches).
+
+Operators live in :mod:`.operators.audit`; every query here is tier-1
+(the driver window's OP/EXT families are already covered by tier-0
+representatives) and verified by the local DuckDB oracle replica like the
+rest of the tail.
+"""
+
+from __future__ import annotations
+
+from .extension_queries import _TOKS_CTE
+from .operators import audit as A
+from .registry import _t, register
+
+#: heavy-hitter threshold for the registered query — chosen so the MG
+#: counter budget k = N/min_count stays in the thousands at every test SF
+#: while still yielding a non-trivial result set (stopwords + common terms).
+FREQ_MIN_COUNT = 25
+
+#: minimum combined support for a term to appear in the drift report.
+DRIFT_MIN_SUPPORT = 20
+
+
+@register(
+    "x61_expectations_audit",
+    """WITH t AS (SELECT
+  CAST(count(*) AS BIGINT) AS total,
+  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS orderkey_unique,
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_not_null,
+  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_not_null,
+  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+  CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS priority_format,
+  CAST(sum(CASE WHEN NOT coalesce(o_totalprice BETWEEN 1000.0 AND 400000.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_range
+  FROM orders),
+r AS (SELECT CAST(count(*) AS BIGINT) AS custkey_refint
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+SELECT check_name, violations, total, violations = 0 AS ok FROM (
+  SELECT 'orderkey_unique' AS check_name, orderkey_unique AS violations, total FROM t
+  UNION ALL SELECT 'custkey_not_null', custkey_not_null, total FROM t
+  UNION ALL SELECT 'custkey_refint', r.custkey_refint, t.total FROM t, r
+  UNION ALL SELECT 'orderdate_not_null', orderdate_not_null, total FROM t
+  UNION ALL SELECT 'status_domain', status_domain, total FROM t
+  UNION ALL SELECT 'priority_format', priority_format, total FROM t
+  UNION ALL SELECT 'totalprice_range', totalprice_range, total FROM t
+)""",
+    "EXT-AUDIT",
+    tier=1,
+)
+def x61_expectations_audit(spark, sf_dir):
+    """Declarative expectation suite over ``orders`` (uniqueness, nulls,
+    domains, ranges, referential integrity vs ``customer``) as one tall
+    pass/fail report — see :func:`operators.audit.expectations_audit` for
+    the one-scan plan. The ``totalprice_range`` band is deliberately
+    tighter than TPC-H's price distribution so the report contains real
+    violations (both verdict paths exercised)."""
+    return A.expectations_audit(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "x62_scd2_intervals",
+    """WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events),
+isl AS (SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered),
+per AS (SELECT user_id, version, event_type, min(ts) AS vf
+        FROM isl GROUP BY 1, 2, 3)
+SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+       epoch_us(vf) AS valid_from_us,
+       epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY version)) AS valid_to_us
+FROM per""",
+    "EXT-SCD",
+    tier=1,
+)
+def x62_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 reconstruction: each user's ``event_type`` update stream
+    collapsed into versioned validity intervals (gaps-and-islands; one
+    user-keyed shuffle reused across both windows and the group — see
+    :func:`operators.audit.scd2_intervals`)."""
+    return A.scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "x63_frequent_terms",
+    f"""WITH {_TOKS_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM toks, UNNEST(w) AS u(term)
+GROUP BY term
+HAVING count(*) >= {FREQ_MIN_COUNT}""",
+    "EXT-05", "EXT-HH",
+    tier=1,
+)
+def x63_frequent_terms(spark, sf_dir):
+    """EXACT heavy hitters (count ≥ {min_count}) via per-partition
+    mergeable Misra-Gries candidates + exact recount of candidates only —
+    the full vocabulary is never shuffled. The oracle is the naive
+    GROUP BY ... HAVING, which the two-pass plan must (and does) equal
+    exactly: MG's error bound forbids false negatives, the recount kills
+    false positives."""
+    return A.frequent_terms(
+        _t(spark, sf_dir, "documents"), min_count=FREQ_MIN_COUNT
+    )
+
+
+@register(
+    "x64_corpus_drift",
+    f"""WITH {_TOKS_CTE},
+occ AS (SELECT doc_id % 2 = 0 AS a, term FROM toks, UNNEST(w) AS u(term)),
+g AS (SELECT term,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM occ GROUP BY term),
+tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb,
+               CAST(count(*) AS DOUBLE) AS v FROM g)
+SELECT term, n_a, n_b,
+       round(((n_a + 1) * (tb + v)) / ((n_b + 1) * (ta + v)), 6) AS drift_ratio
+FROM g, tot WHERE n_a + n_b >= {DRIFT_MIN_SUPPORT}""",
+    "EXT-05", "EXT-DRIFT",
+    tier=1,
+)
+def x64_corpus_drift(spark, sf_dir):
+    """Term-distribution drift between the even- and odd-``doc_id`` corpus
+    halves as an add-one-smoothed odds ratio — pure-rational arithmetic so
+    both engines hash identically (no transcendental functions). One
+    tokenize pass, one term shuffle shared via ReuseExchange."""
+    return A.corpus_drift(
+        _t(spark, sf_dir, "documents"), min_support=DRIFT_MIN_SUPPORT
+    )

@@ -1,0 +1,292 @@
+"""Pipeline-health operators: data-quality expectations, SCD2 interval
+reconstruction, exact two-pass heavy hitters, and corpus drift.
+
+A migration engine (reference: the OP-12/13/14 repair layer assumes it
+KNOWS what dirty data looks like) and a training-data pipeline both need
+the inverse capability: *measure* the health of a table before and after a
+load instead of silently repairing it. These four operators cover the
+standard shapes:
+
+* :func:`expectations_audit` — declarative per-table expectations
+  (uniqueness, referential integrity, ranges, domains, null rates)
+  evaluated in ONE aggregation pass plus one join-shaped check.
+* :func:`scd2_intervals` — reconstruct slowly-changing-dimension
+  validity intervals from an event/update stream (gaps-and-islands),
+  the canonical warehouse shape for "what was this row's state at t".
+* :func:`frequent_terms` — EXACT corpus heavy hitters via the two-pass
+  candidate-generation + verification pattern (per-partition mergeable
+  Misra-Gries summaries, then an exact recount of candidates only), so
+  the full-vocabulary shuffle never happens.
+* :func:`corpus_drift` — per-term distribution shift between two corpus
+  snapshots as a smoothed odds ratio; the detector behind "did this
+  crawl batch change the data mix".
+
+Scale notes are on each function; none of them shuffles more than once on
+the big table, and the only driver-side values are single-row aggregates.
+"""
+
+from __future__ import annotations
+
+import collections
+import heapq
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import textanalysis as T
+
+# ---------------------------------------------------------------------------
+# expectations audit
+# ---------------------------------------------------------------------------
+
+
+def expectations_audit(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Evaluate a declarative expectation suite over ``orders`` and emit a
+    tall report: ``(check_name, violations, total, ok)``.
+
+    The aggregate checks (uniqueness, nulls, ranges, domains) all fold
+    into ONE pass over the table — each is a conditional sum, so Spark
+    computes them as a single partial-aggregable job (the exact distinct
+    count adds the standard expand+two-phase agg on the same scan).
+    Referential integrity is the one join-shaped check: a left-anti count
+    against the dimension's key projection (column-pruned to the key, so
+    the build side is keys only). At 100 TB: one scan + one agg shuffle +
+    one key-join — the same cost as any single GROUP BY over the table.
+
+    Reported checks (violations = rows breaking the expectation):
+
+    - ``orderkey_unique``     duplicate primary keys
+    - ``custkey_not_null``    null foreign keys
+    - ``custkey_refint``      foreign keys absent from ``customer``
+    - ``orderdate_not_null``  null order dates
+    - ``status_domain``       status outside {'O','F','P'}
+    - ``priority_format``     priority not matching ``N-WORD``
+    - ``totalprice_range``    price outside the (deliberately tight)
+      [1000, 400000] business band — a check that FAILS on TPC-H data,
+      so the report exercises both verdicts.
+    """
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    status_ok = F.col("o_orderstatus").isin("O", "F", "P")
+    prio_ok = F.col("o_orderpriority").rlike("^[0-9]-[A-Z ]+$")
+    price_ok = F.col("o_totalprice").between(1000.0, 400000.0)
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("orderkey_unique"),
+        viol(F.col("o_custkey").isNull()).alias("custkey_not_null"),
+        viol(F.col("o_orderdate").isNull()).alias("orderdate_not_null"),
+        viol(~status_ok.eqNullSafe(F.lit(True))).alias("status_domain"),
+        viol(~prio_ok.eqNullSafe(F.lit(True))).alias("priority_format"),
+        viol(~price_ok.eqNullSafe(F.lit(True))).alias("totalprice_range"),
+    )
+    refint = (
+        orders.select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            on="o_custkey",
+            how="left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("custkey_refint"))
+    )
+    checks = [
+        "orderkey_unique",
+        "custkey_not_null",
+        "custkey_refint",
+        "orderdate_not_null",
+        "status_domain",
+        "priority_format",
+        "totalprice_range",
+    ]
+    # two 1-row aggregates combined and unpivoted — trivially driver-free
+    stack = ", ".join(f"'{c}', {c}" for c in checks)
+    return (
+        agg.crossJoin(refint)
+        .selectExpr("total", f"stack({len(checks)}, {stack}) AS (check_name, violations)")
+        .select(
+            "check_name",
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Reconstruct SCD-type-2 validity intervals from an update stream:
+    collapse each user's consecutive run of equal ``event_type`` into one
+    versioned row with ``[valid_from_us, valid_to_us)`` bounds
+    (``valid_to_us`` NULL for the current state).
+
+    Classic gaps-and-islands: a change flag (lag ≠ current), a running sum
+    of flags as the island id, then per-island min(ts) and a lead() for
+    the exclusive upper bound. Every window and the final group share the
+    SAME ``user_id`` partitioning, so Catalyst plans ONE exchange and
+    reuses it — at 100 TB this is a single shuffle by user, and per-user
+    state never materializes more than the user's own rows in the sort
+    buffer. Timestamps are emitted as ``unix_micros`` per the engine's
+    no-raw-timestamps output rule.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    change = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("long")
+    islands = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(change).over(wrun).alias("version"),
+    )
+    per_island = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("__from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return per_island.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.unix_micros("__from").alias("valid_from_us"),
+        F.unix_micros(F.lead("__from").over(wv)).alias("valid_to_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (two-pass Misra-Gries)
+# ---------------------------------------------------------------------------
+
+#: refuse to run with more per-partition counters than this — it means
+#: min_count is corpus-proportionally tiny and the "heavy hitter" framing
+#: no longer applies (use a plain term count instead).
+MAX_MG_COUNTERS = 1 << 20
+
+
+def _mg_candidates(k: int):
+    """Per-partition batched Misra-Gries summary of size ≤ k (mergeable-
+    summaries form: merge exact batch counts, then subtract the (k+1)-th
+    largest value and drop non-positives). Guarantee: any term whose count
+    in the partition exceeds n_p/(k+1) survives — so any term with GLOBAL
+    count > N/(k+1) survives in at least one partition (pigeonhole)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: collections.Counter = collections.Counter()
+
+        def prune() -> None:
+            if len(summary) > k:
+                kth = heapq.nlargest(k + 1, summary.values())[-1]
+                for t in [t for t, c in summary.items() if c <= kth]:
+                    del summary[t]
+                for t in summary:
+                    summary[t] -= kth
+
+        for pdf in batches:
+            for arr in pdf["__toks"]:
+                summary.update(arr)
+            prune()
+        yield pd.DataFrame({"term": list(summary.keys()) or pd.Series([], dtype=str)})
+
+    return gen
+
+
+def frequent_terms(
+    docs: DataFrame,
+    min_count: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT corpus terms with ≥ ``min_count`` occurrences, without ever
+    shuffling the full vocabulary — the candidate-generation +
+    verification pattern every 100 TB frequency job needs.
+
+    Pass 0 (cheap): total token count N — one partial-aggregable sum of
+    in-row array sizes (in production this is a stored table statistic).
+    Pass 1: per-partition mergeable Misra-Gries summaries with
+    k = ⌊N/min_count⌋ + 1 counters, which by the MG bound cannot drop any
+    term with global count ≥ min_count; the candidate union is ≤ k terms
+    per partition, distinct-ed into a small DataFrame (never collected).
+    Pass 2: explode tokens, broadcast-semi-join against the candidates,
+    exact count, filter ≥ min_count. Partial aggregation means the final
+    shuffle carries at most (candidates × partitions) rows.
+
+    False positives from pass 1 are eliminated by the exact recount;
+    false negatives cannot occur by the MG guarantee — so the result is
+    exactly ``HAVING count(*) >= min_count``.
+    """
+    toked = T._with_tokens(docs, id_col, text_col)
+    n_total = toked.agg(F.sum(F.size("__toks"))).collect()[0][0] or 0
+    k = int(n_total // min_count) + 1
+    if k > MAX_MG_COUNTERS:
+        raise ValueError(
+            f"min_count={min_count} needs {k} MG counters/partition "
+            f"(> {MAX_MG_COUNTERS}); use a plain term count for thresholds "
+            "this far below heavy-hitter territory"
+        )
+    candidates = (
+        toked.select("__toks")
+        .mapInPandas(_mg_candidates(k), "term string")
+        .distinct()
+    )
+    occurrences = toked.select(F.explode("__toks").alias("term"))
+    return (
+        occurrences.join(F.broadcast(candidates), on="term", how="left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus drift
+# ---------------------------------------------------------------------------
+
+
+def corpus_drift(docs: DataFrame, min_support: int = 20) -> DataFrame:
+    """Per-term distribution shift between two corpus halves (here: even
+    vs odd ``doc_id``; in production: yesterday's snapshot vs today's).
+
+    Emits ``(term, n_a, n_b, drift_ratio)`` for every term with combined
+    support ≥ ``min_support``, where ``drift_ratio`` is the add-one-
+    smoothed odds ratio ((n_a+1)/(tot_a+V)) / ((n_b+1)/(tot_b+V)) — a
+    PURE-RATIONAL statistic (two IEEE multiplies and one divide on the
+    same operands in any engine), deliberately chosen over KL/log-ratio
+    because transcendental libm functions are not bit-identical across
+    engines and would poison the value hash.
+
+    Plan: one tokenize pass, one explode, ONE term-keyed shuffle with
+    map-side combine computing both halves' counts as conditional sums;
+    the totals and vocabulary size are 1-row aggregates of the (already
+    small) grouped table, combined by a 1-row crossJoin. No per-term
+    join between snapshots, no second corpus scan.
+    """
+    toked = T._with_tokens(docs, "doc_id", "text")
+    terms = toked.select(
+        (F.col("doc_id") % 2 == 0).alias("__a"), F.explode("__toks").alias("term")
+    )
+    grouped = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    # grouped feeds both the totals agg and the output projection; the two
+    # subplans canonicalize identically, so ReuseExchange shares the ONE
+    # term shuffle between them (asserted in tests/test_audit.py)
+    totals = grouped.agg(
+        F.sum("n_a").cast("double").alias("__tot_a"),
+        F.sum("n_b").cast("double").alias("__tot_b"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    ratio = ((F.col("n_a") + 1) * (F.col("__tot_b") + F.col("__v"))) / (
+        (F.col("n_b") + 1) * (F.col("__tot_a") + F.col("__v"))
+    )
+    return (
+        grouped.filter(F.col("n_a") + F.col("n_b") >= min_support)
+        .crossJoin(totals)
+        .select("term", "n_a", "n_b", F.round(ratio, 6).alias("drift_ratio"))
+    )

@@ -1,0 +1,145 @@
+"""Invariant tests for the pipeline-health operators (operators/audit.py):
+expectation audit semantics, SCD2 interval tiling, the Misra-Gries
+exactness guarantee, and corpus-drift plan shape. Oracle parity for the
+registered x61–x64 queries is covered by test_core_queries."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mariadb_postgres_migration_spark.operators import audit as A
+from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+
+def test_expectations_report_is_consistent(spark, sf_dir):
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    customer = read_parquet_table(spark, sf_dir, "customer")
+    rows = {r["check_name"]: r for r in A.expectations_audit(orders, customer).collect()}
+    n = orders.count()
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r["total"] == n
+        assert r["ok"] == (r["violations"] == 0)
+        assert 0 <= r["violations"] <= n
+    # TPC-H data is clean except for the deliberately tight price band
+    assert rows["orderkey_unique"]["violations"] == 0
+    assert rows["custkey_refint"]["violations"] == 0
+    assert rows["totalprice_range"]["violations"] > 0  # both verdicts exercised
+
+
+def test_expectations_flag_injected_violations(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5000.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (1, 10, "O", 5000.0, "2024-01-01 00:00:00", "1-URGENT"),  # dup key
+            (2, None, "Z", -5.0, None, "bogus"),  # null fk, bad domain/range/format
+            (3, 99, "F", 2000.0, "2024-01-02 00:00:00", "5-LOW"),  # fk not in dim
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    got = {r["check_name"]: r["violations"] for r in A.expectations_audit(orders, customer).collect()}
+    assert got == {
+        "orderkey_unique": 1,
+        "custkey_not_null": 1,
+        "custkey_refint": 1,  # null fk is not a refint violation, key 99 is
+        "orderdate_not_null": 1,
+        "status_domain": 1,
+        "priority_format": 1,  # 'bogus'
+        "totalprice_range": 1,  # -5.0
+    }
+
+
+def test_scd2_intervals_tile_each_user(spark, sf_dir):
+    events = read_parquet_table(spark, sf_dir, "events")
+    iv = A.scd2_intervals(events).collect()
+    by_user = {}
+    for r in iv:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        # versions contiguous from 1; intervals chain with no gap/overlap
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["valid_to_us"] == nxt["valid_from_us"]
+            assert prev["valid_from_us"] <= prev["valid_to_us"]
+            assert prev["event_type"] != nxt["event_type"]  # runs collapsed
+        assert rows[-1]["valid_to_us"] is None  # current state is open-ended
+
+
+def test_scd2_point_lookup_matches_raw_events(spark, sf_dir):
+    """'State as of t' from the intervals == the latest raw event ≤ t."""
+    events = read_parquet_table(spark, sf_dir, "events")
+    iv = A.scd2_intervals(events)
+    raw = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(r)
+    user = sorted(by_user)[0]
+    seq = sorted(by_user[user], key=lambda r: (r["us"], r["event_id"]))
+    t = seq[len(seq) // 2]["us"]
+    expect = [r for r in seq if r["us"] <= t][-1]["event_type"]
+    got = (
+        iv.filter(
+            (F.col("user_id") == user)
+            & (F.col("valid_from_us") <= t)
+            & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t))
+        )
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["event_type"] == expect
+
+
+def test_frequent_terms_equals_naive_exact_count(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    from mariadb_postgres_migration_spark.operators import textanalysis as T
+
+    toked = T._with_tokens(docs, "doc_id", "text")
+    naive = {
+        (r["term"], r["n"])
+        for r in toked.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 10)
+        .collect()
+    }
+    got = {
+        (r["term"], r["n"])
+        for r in A.frequent_terms(docs, min_count=10).collect()
+    }
+    assert got == naive and got  # exact equality, non-trivial result
+
+
+def test_mg_summary_never_drops_a_guaranteed_heavy_hitter():
+    """Unit-level MG bound: a term with count > n/(k+1) in the partition
+    must survive the batched summary, however the batches split."""
+    toks = [["hot"] * 3 + [f"rare{i}{j}" for j in range(7)] for i in range(40)]
+    # n = 400 tokens, "hot" has 120 > 400/(k+1) for k = 9
+    gen = A._mg_candidates(k=9)
+    batches = [pd.DataFrame({"__toks": toks[i : i + 5]}) for i in range(0, 40, 5)]
+    out = pd.concat(list(gen(iter(batches))))
+    assert "hot" in set(out["term"])
+    assert len(set(out["term"])) <= 9
+
+
+def test_frequent_terms_rejects_vocabulary_scale_thresholds(spark, sf_dir, monkeypatch):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    monkeypatch.setattr(A, "MAX_MG_COUNTERS", 4)
+    with pytest.raises(ValueError, match="MG counters"):
+        A.frequent_terms(docs, min_count=2)
+
+
+def test_corpus_drift_reuses_the_term_exchange(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    df = A.corpus_drift(docs)
+    rows = df.collect()  # run first: AQE only materializes reuse in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan  # one term shuffle feeds totals AND output
+    assert rows
+    for r in rows:
+        assert r["n_a"] + r["n_b"] >= 20
+        assert r["drift_ratio"] > 0
