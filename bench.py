@@ -76,6 +76,9 @@ HEADLINE = [
     "x55_knn_ivfpq",
     "x56_substring_dedup_spans",
     "x60_multimodal_pixel_stats",
+    # r5: pipeline-health suite (expectations audit + SCD2 + exact heavy
+    # hitters + corpus drift; x61-x64 run as members)
+    "x65_health_suite",
 ]
 
 

@@ -838,6 +838,8 @@ def q18_large_volume_orders(spark, sf_dir):
                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
        GROUP BY c.c_mktsegment""",
     "EXT-AGG", "EXT-SET",
+    tier=1,  # r5: demoted to free a window slot for x65_health_suite; its
+    # EXT-AGG/EXT-SET tags stay tier-0-covered by q1/set_operations et al.
 )
 def q22_idle_high_balance(spark, sf_dir):
     """TPC-H Q22 shape: scalar subquery (global avg broadcasts as a

@@ -12,9 +12,13 @@ rest of the tail.
 
 from __future__ import annotations
 
-from .extension_queries import _TOKS_CTE
+from pyspark.sql import functions as F
+
+from .extension_queries import _TOKS_CTE, _suite_shape
 from .operators import audit as A
-from .registry import _t, register
+from .operators import dedup as D
+from .operators import textanalysis as T
+from .registry import _t, member_oracle, register
 
 #: heavy-hitter threshold for the registered query — chosen so the MG
 #: counter budget k = N/min_count stays in the thousands at every test SF
@@ -136,4 +140,67 @@ def x64_corpus_drift(spark, sf_dir):
     tokenize pass, one term shuffle shared via ReuseExchange."""
     return A.corpus_drift(
         _t(spark, sf_dir, "documents"), min_support=DRIFT_MIN_SUPPORT
+    )
+
+
+def _x65_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'audit' AS kind, {z} AS id1, {z} AS id2,
+       violations AS v1, total AS v2, CAST(ok AS BIGINT) AS v3,
+       {zd} AS d1, {zd} AS d2, check_name AS s1
+FROM ({member_oracle('x61_expectations_audit')})
+UNION ALL
+SELECT 'scd2', user_id, version, valid_from_us, coalesce(valid_to_us, -1),
+       {z}, {zd}, {zd}, event_type
+FROM ({member_oracle('x62_scd2_intervals')})
+UNION ALL
+SELECT 'hh', {z}, {z}, n, {z}, {z}, {zd}, {zd}, term
+FROM ({member_oracle('x63_frequent_terms')})
+UNION ALL
+SELECT 'drift', {z}, {z}, n_a, n_b, {z}, CAST(drift_ratio AS DOUBLE), {zd}, term
+FROM ({member_oracle('x64_corpus_drift')})"""
+
+
+@register(
+    "x65_health_suite",
+    _x65_sql(),
+    "EXT-AUDIT", "EXT-SCD", "EXT-HH", "EXT-DRIFT", "EXT-05",
+)
+def x65_health_suite(spark, sf_dir):
+    """Driver-verified representative for the r5 pipeline-health surface:
+    the expectations audit (x61), SCD2 intervals (x62), exact heavy
+    hitters (x63) and corpus drift (x64) union-folded into one
+    kind-tagged shape — the same consolidation the x42/x49/x50 suites use
+    to give every new operator family a row inside the driver's 50-query
+    window.
+
+    The two token-consuming members (x63/x64) share ONE persisted
+    tokenize pass via the ``__toks`` pass-through in ``_with_tokens``;
+    x61 and x62 read different tables (orders/events), so the suite's
+    per-member plans are exactly the standalone plans otherwise."""
+    toked = D._persist(
+        T._with_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    )
+    return (
+        _suite_shape(
+            x61_expectations_audit(spark, sf_dir), "audit",
+            v1=F.col("violations"), v2=F.col("total"), v3=F.col("ok"),
+            s1=F.col("check_name"),
+        )
+        .unionAll(_suite_shape(
+            x62_scd2_intervals(spark, sf_dir), "scd2",
+            id1=F.col("user_id"), id2=F.col("version"),
+            v1=F.col("valid_from_us"), v2=F.coalesce("valid_to_us", F.lit(-1)),
+            s1=F.col("event_type"),
+        ))
+        .unionAll(_suite_shape(
+            A.frequent_terms(toked, min_count=FREQ_MIN_COUNT), "hh",
+            v1=F.col("n"), s1=F.col("term"),
+        ))
+        .unionAll(_suite_shape(
+            A.corpus_drift(toked, min_support=DRIFT_MIN_SUPPORT), "drift",
+            v1=F.col("n_a"), v2=F.col("n_b"), d1=F.col("drift_ratio"),
+            s1=F.col("term"),
+        ))
     )
