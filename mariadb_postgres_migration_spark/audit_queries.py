@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .extension_queries import _TOKS_CTE, _suite_shape
 from .operators import audit as A
 from .operators import dedup as D
+from .operators import reconcile as R
 from .operators import textanalysis as T
 from .registry import _t, member_oracle, register
 
@@ -143,6 +144,131 @@ def x64_corpus_drift(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# migration reconciliation (x66/x67) — the pt-table-checksum workflow
+# ---------------------------------------------------------------------------
+
+#: deterministic "botched migration" damage rules for the registered
+#: queries: drop keys ≡0 (mod DROP_MOD), corrupt status for keys ≡0
+#: (mod MUT_MOD), and inject spurious rows for keys ≡0 (mod ADD_MOD)
+#: shifted by ADD_SHIFT — all three CDC change types appear at every SF.
+DROP_MOD, MUT_MOD, ADD_MOD, ADD_SHIFT = 1009, 997, 1013, 10_000_000
+CHECKSUM_BUCKETS = 64
+
+#: the engine-stable '|'-joined serialization of an orders row (integers,
+#: strings, epoch micros, half-up cents — never raw doubles/timestamps).
+_DIGEST_SQL_TMPL = (
+    "md5(concat_ws('|', CAST({a}.o_orderkey AS VARCHAR),"
+    " CAST(coalesce({a}.o_custkey, -1) AS VARCHAR),"
+    " coalesce({a}.o_orderstatus, '~'), coalesce({a}.o_orderpriority, '~'),"
+    " CAST(coalesce(epoch_us({a}.o_orderdate), -1) AS VARCHAR),"
+    " CAST(CAST(floor({a}.o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)))"
+)
+
+_TGT_CTE = f"""tgt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {MUT_MOD} = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_custkey, o_orderpriority, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderkey % {DROP_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {ADD_SHIFT}, o_orderstatus, o_custkey,
+         o_orderpriority, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderkey % {ADD_MOD} = 0)"""
+
+
+def _orders_digest(prefix: str = "") -> "F.Column":
+    c = lambda name: F.col(prefix + name) if prefix else F.col(name)  # noqa: E731
+    return R.row_digest(
+        c("o_orderkey"),
+        F.coalesce(c("o_custkey"), F.lit(-1)),
+        F.coalesce(c("o_orderstatus"), F.lit("~")),
+        F.coalesce(c("o_orderpriority"), F.lit("~")),
+        F.coalesce(F.unix_micros(c("o_orderdate").cast("timestamp")), F.lit(-1)),
+        F.floor(c("o_totalprice") * 100 + 0.5).cast("long"),
+    )
+
+
+def _corrupt_orders(orders):
+    """The deterministic damaged 'migration target' used by x66/x67."""
+    key = F.col("o_orderkey")
+    mutated = orders.filter(key % DROP_MOD != 0).withColumn(
+        "o_orderstatus",
+        F.when(key % MUT_MOD == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    added = orders.filter(key % ADD_MOD == 0).withColumn(
+        "o_orderkey", key + ADD_SHIFT
+    )
+    return mutated.unionByName(added.select(*mutated.columns))
+
+
+def _checksum_side_sql(side: str) -> str:
+    dg = f"({_DIGEST_SQL_TMPL.format(a='s')})"
+    return f"""(
+  SELECT s.o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(bit_xor({R.hex_chunk_sql(dg, 1)}) AS BIGINT) AS x1,
+         CAST(bit_xor({R.hex_chunk_sql(dg, 17)}) AS BIGINT) AS x2
+  FROM {side} s GROUP BY 1)"""
+
+
+def _x66_sql() -> str:
+    return f"""WITH {_TGT_CTE},
+ssum AS {_checksum_side_sql('orders')},
+tsum AS {_checksum_side_sql('tgt')}
+SELECT coalesce(ssum.bucket, tsum.bucket) AS bucket,
+       coalesce(ssum.n, 0) AS n_src, coalesce(tsum.n, 0) AS n_tgt,
+       (coalesce(ssum.n, 0) = coalesce(tsum.n, 0)
+        AND coalesce(ssum.x1, 0) = coalesce(tsum.x1, 0)
+        AND coalesce(ssum.x2, 0) = coalesce(tsum.x2, 0)) AS match
+FROM ssum FULL OUTER JOIN tsum ON ssum.bucket = tsum.bucket"""
+
+
+@register("x66_migration_checksum", _x66_sql(), "EXT-AUDIT", "EXT-CDC", tier=1)
+def x66_migration_checksum(spark, sf_dir):
+    """pt-table-checksum shape: bucketed (count, xor-of-digests) on the
+    migration source and a deterministically damaged target, joined into
+    a per-bucket verdict — 100 TB of comparison reduced to one scan per
+    side and a 64-row join. The damaged buckets (and only they) report
+    ``match = false``."""
+    orders = _t(spark, sf_dir, "orders")
+    dg = _orders_digest()
+    return R.checksum_compare(
+        R.table_checksum(orders, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+        R.table_checksum(
+            _corrupt_orders(orders), F.col("o_orderkey"), dg,
+            n_buckets=CHECKSUM_BUCKETS,
+        ),
+    )
+
+
+def _x67_sql() -> str:
+    return f"""WITH {_TGT_CTE},
+sd AS (SELECT s.o_orderkey AS key, {_DIGEST_SQL_TMPL.format(a='s')} AS dg FROM orders s),
+td AS (SELECT t.o_orderkey AS key, {_DIGEST_SQL_TMPL.format(a='t')} AS dg FROM tgt t)
+SELECT coalesce(sd.key, td.key) AS key,
+       CASE WHEN sd.key IS NULL THEN 'added'
+            WHEN td.key IS NULL THEN 'removed'
+            WHEN sd.dg <> td.dg THEN 'changed' END AS change
+FROM sd FULL OUTER JOIN td ON sd.key = td.key
+WHERE (CASE WHEN sd.key IS NULL THEN 'added'
+            WHEN td.key IS NULL THEN 'removed'
+            WHEN sd.dg <> td.dg THEN 'changed' END) IS NOT NULL"""
+
+
+@register("x67_snapshot_diff", _x67_sql(), "EXT-AUDIT", "EXT-CDC", tier=1)
+def x67_snapshot_diff(spark, sf_dir):
+    """Row-level CDC change set between migration source and the damaged
+    target: one slim (key, digest) full-outer join emitting only
+    added/removed/changed keys — the repair list the checksum pass
+    localizes. See :func:`operators.reconcile.snapshot_diff` for the
+    dirty-bucket-restricted composition at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return R.snapshot_diff(
+        orders, _corrupt_orders(orders), "o_orderkey", _orders_digest()
+    )
+
+
 def _x65_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -159,7 +285,13 @@ SELECT 'hh', {z}, {z}, n, {z}, {z}, {zd}, {zd}, term
 FROM ({member_oracle('x63_frequent_terms')})
 UNION ALL
 SELECT 'drift', {z}, {z}, n_a, n_b, {z}, CAST(drift_ratio AS DOUBLE), {zd}, term
-FROM ({member_oracle('x64_corpus_drift')})"""
+FROM ({member_oracle('x64_corpus_drift')})
+UNION ALL
+SELECT 'cksum', bucket, {z}, n_src, n_tgt, CAST(match AS BIGINT), {zd}, {zd}, NULL
+FROM ({member_oracle('x66_migration_checksum')})
+UNION ALL
+SELECT 'diff', key, {z}, {z}, {z}, {z}, {zd}, {zd}, change
+FROM ({member_oracle('x67_snapshot_diff')})"""
 
 
 @register(
@@ -170,10 +302,10 @@ FROM ({member_oracle('x64_corpus_drift')})"""
 def x65_health_suite(spark, sf_dir):
     """Driver-verified representative for the r5 pipeline-health surface:
     the expectations audit (x61), SCD2 intervals (x62), exact heavy
-    hitters (x63) and corpus drift (x64) union-folded into one
-    kind-tagged shape — the same consolidation the x42/x49/x50 suites use
-    to give every new operator family a row inside the driver's 50-query
-    window.
+    hitters (x63), corpus drift (x64), migration checksum (x66) and
+    snapshot diff (x67) union-folded into one kind-tagged shape — the
+    same consolidation the x42/x49/x50 suites use to give every new
+    operator family a row inside the driver's 50-query window.
 
     The two token-consuming members (x63/x64) share ONE persisted
     tokenize pass via the ``__toks`` pass-through in ``_with_tokens``;
@@ -202,5 +334,14 @@ def x65_health_suite(spark, sf_dir):
             A.corpus_drift(toked, min_support=DRIFT_MIN_SUPPORT), "drift",
             v1=F.col("n_a"), v2=F.col("n_b"), d1=F.col("drift_ratio"),
             s1=F.col("term"),
+        ))
+        .unionAll(_suite_shape(
+            x66_migration_checksum(spark, sf_dir), "cksum",
+            id1=F.col("bucket"), v1=F.col("n_src"), v2=F.col("n_tgt"),
+            v3=F.col("match"),
+        ))
+        .unionAll(_suite_shape(
+            x67_snapshot_diff(spark, sf_dir), "diff",
+            id1=F.col("key"), s1=F.col("change"),
         ))
     )
