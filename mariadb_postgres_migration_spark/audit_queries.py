@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .extension_queries import _TOKS_CTE, _suite_shape
 from .operators import audit as A
 from .operators import dedup as D
+from .operators import graph as G
 from .operators import reconcile as R
 from .operators import textanalysis as T
 from .registry import _t, member_oracle, register
@@ -269,6 +270,46 @@ def x67_snapshot_diff(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# link analysis (x68)
+# ---------------------------------------------------------------------------
+
+#: item nodes share the user id space shifted by this offset.
+ITEM_OFFSET = 100_000
+PR_ITERS = 3
+
+_EDGES_CTE = f"""SELECT DISTINCT user_id AS src,
+       {ITEM_OFFSET} + TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+FROM events
+WHERE user_id IS NOT NULL
+  AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL"""
+
+
+@register(
+    "x68_pagerank", G.pagerank_oracle_sql(_EDGES_CTE, iters=PR_ITERS),
+    "EXT-GRAPH", tier=1,
+)
+def x68_pagerank(spark, sf_dir):
+    """PageRank over the bipartite user→item interaction graph from
+    ``events`` (item = the JSON ``props.k``, offset into its own id
+    space). Items have no out-edges, so the dangling-mass path is
+    genuinely exercised. Fixed-point integer scores — see
+    :mod:`operators.graph` — so three distributed iterations hash-match
+    three unrolled oracle iterations exactly."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("src"),
+            (
+                F.lit(ITEM_OFFSET)
+                + F.get_json_object("props", "$.k").try_cast("long")
+            ).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    return G.pagerank(e, iters=PR_ITERS)
+
+
 def _x65_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -291,7 +332,10 @@ SELECT 'cksum', bucket, {z}, n_src, n_tgt, CAST(match AS BIGINT), {zd}, {zd}, NU
 FROM ({member_oracle('x66_migration_checksum')})
 UNION ALL
 SELECT 'diff', key, {z}, {z}, {z}, {z}, {zd}, {zd}, change
-FROM ({member_oracle('x67_snapshot_diff')})"""
+FROM ({member_oracle('x67_snapshot_diff')})
+UNION ALL
+SELECT 'pr', node, {z}, score_q, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x68_pagerank')})"""
 
 
 @register(
@@ -302,10 +346,11 @@ FROM ({member_oracle('x67_snapshot_diff')})"""
 def x65_health_suite(spark, sf_dir):
     """Driver-verified representative for the r5 pipeline-health surface:
     the expectations audit (x61), SCD2 intervals (x62), exact heavy
-    hitters (x63), corpus drift (x64), migration checksum (x66) and
-    snapshot diff (x67) union-folded into one kind-tagged shape — the
-    same consolidation the x42/x49/x50 suites use to give every new
-    operator family a row inside the driver's 50-query window.
+    hitters (x63), corpus drift (x64), migration checksum (x66),
+    snapshot diff (x67) and fixed-point PageRank (x68) union-folded into
+    one kind-tagged shape — the same consolidation the x42/x49/x50
+    suites use to give every new operator family a row inside the
+    driver's 50-query window.
 
     The two token-consuming members (x63/x64) share ONE persisted
     tokenize pass via the ``__toks`` pass-through in ``_with_tokens``;
@@ -343,5 +388,9 @@ def x65_health_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x67_snapshot_diff(spark, sf_dir), "diff",
             id1=F.col("key"), s1=F.col("change"),
+        ))
+        .unionAll(_suite_shape(
+            x68_pagerank(spark, sf_dir), "pr",
+            id1=F.col("node"), v1=F.col("score_q"),
         ))
     )
