@@ -77,8 +77,17 @@ HEADLINE = [
     "x56_substring_dedup_spans",
     "x60_multimodal_pixel_stats",
     # r5: pipeline-health suite (expectations audit + SCD2 + exact heavy
-    # hitters + corpus drift; x61-x64 run as members)
+    # hitters + corpus drift + checksum/diff + pagerank as members)
     "x65_health_suite",
+]
+
+#: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
+#: there; they live inside x42/x50 now, so the comparable set is the rest).
+#: Summed separately in the final line (`value_r4set`) so round-over-round
+#: totals compare equal work — the full-suite total keeps absorbing every
+#: new operator and is NOT an apples-to-apples series.
+R4_COMPARABLE = [
+    n for n in HEADLINE if not n.startswith(("x4", "x5", "x6", "c"))
 ]
 
 
@@ -189,6 +198,9 @@ def main() -> int:
             sf=sf,
             cpus=cpus,
             calib=calib,
+            value_r4set=round(
+                sum(t for n, t in timings.items() if n in R4_COMPARABLE), 3
+            ),
         )
     )
     spark.stop()
@@ -236,6 +248,7 @@ def compact_final_line(
     sf: float,
     cpus: int,
     calib: dict[str, float] | None = None,
+    value_r4set: float | None = None,
 ) -> str:
     """Serialize the machine-readable summary line, always < FINAL_LINE_BUDGET.
 
@@ -254,6 +267,9 @@ def compact_final_line(
             "n_queries": len(timings),
             "n_elided": len(timings) - keep,
             "cold_value": cold_value,
+            # the round-4-comparable subset's warm total (the full value
+            # absorbs every newly added operator and is not a series)
+            "value_r4set": value_r4set,
             "sf": sf,
             "cpus": cpus,
             # fixed-work host-speed probes (see _host_calibration): divide
