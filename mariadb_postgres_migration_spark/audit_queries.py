@@ -271,6 +271,82 @@ def x67_snapshot_diff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streamed incremental checksum (x70)
+# ---------------------------------------------------------------------------
+
+_EVENTS_DIGEST_SQL = (
+    "md5(concat_ws('|', CAST(e.event_id AS VARCHAR),"
+    " CAST(coalesce(e.user_id, -1) AS VARCHAR),"
+    " coalesce(e.event_type, '~'),"
+    " CAST(coalesce(epoch_us(e.ts), -1) AS VARCHAR),"
+    " CAST(coalesce(CAST(floor(e.value * 100 + 0.5) AS BIGINT), -1) AS VARCHAR),"
+    " coalesce(e.props, '~')))"
+)
+
+
+def _x70_sql() -> str:
+    dg = f"({_EVENTS_DIGEST_SQL})"
+    return f"""SELECT e.event_id % {CHECKSUM_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(bit_xor({R.hex_chunk_sql(dg, 1)}) AS BIGINT) AS x1,
+       CAST(bit_xor({R.hex_chunk_sql(dg, 17)}) AS BIGINT) AS x2
+FROM events e GROUP BY 1"""
+
+
+@register("x70_stream_checksum", _x70_sql(), "EXT-08", "EXT-09", "EXT-AUDIT", tier=1)
+def x70_stream_checksum(spark, sf_dir):
+    """Continuously-maintained ingest checksum: the x66 bucketed XOR
+    checksum as STREAMING STATE (bucket-count-sized forever), replayed
+    with availableNow and hash-compared to the batch checksum of the same
+    table — the live source-side half of a 100 TB reconciliation that
+    never rescans the source. See streaming/jobs.run_stream_checksum."""
+    from .streaming.jobs import run_stream_checksum
+
+    return run_stream_checksum(spark, sf_dir, n_buckets=CHECKSUM_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (x69)
+# ---------------------------------------------------------------------------
+
+IVM_CUTOVER = "1997-01-01 00:00:00"
+
+
+@register(
+    "x69_incremental_agg_maintenance",
+    f"""SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mn_v,
+       CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mx_v
+FROM orders GROUP BY 1, 2""",
+    "EXT-AGG", "EXT-IVM",
+    tier=1,
+)
+def x69_incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-view update algebra: the stored per-group summary of
+    pre-cutover orders merged with the summary of the post-cutover delta
+    — base rows are never rescanned (delta-sized agg + a summary⋈summary
+    join). The oracle is the FULL re-aggregate over all orders, so hash
+    parity proves the incremental merge equals recomputation."""
+    from .operators import aggregates as AG
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(IVM_CUTOVER).cast("timestamp_ntz")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    base = AG.grouped_summary(orders.filter(F.col("o_orderdate") < cut), keys, cents)
+    delta = AG.grouped_summary(
+        orders.filter(
+            F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cut)
+        ),
+        keys,
+        cents,
+    )
+    return AG.merge_summaries(base, delta, keys)
+
+
+# ---------------------------------------------------------------------------
 # link analysis (x68)
 # ---------------------------------------------------------------------------
 

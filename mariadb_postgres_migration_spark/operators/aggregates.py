@@ -42,3 +42,49 @@ def max_id(df: DataFrame, id_col: str = "id") -> DataFrame:
     (index.mjs:122) is the caller's concern (sink post-hook, OP-06).
     """
     return df.agg(F.max(id_col).alias("max_id"))
+
+
+#: the maintained-aggregate schema: (keys..., n, sum_v, mn_v, mx_v).
+_IVM_METRICS = ("n", "sum_v", "mn_v", "mx_v")
+
+
+def grouped_summary(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
+    """The algebraic per-group summary this module's IVM maintains:
+    count / sum / min / max over an integer-stable ``value``."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value).cast("long").alias("sum_v"),
+        F.min(value).cast("long").alias("mn_v"),
+        F.max(value).cast("long").alias("mx_v"),
+    )
+
+
+def merge_summaries(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Incremental view maintenance for insert-only deltas: merge a stored
+    per-group summary with the delta's summary WITHOUT touching base rows.
+
+    count/sum merge by addition, min/max by comparison — all four are
+    algebraic under inserts, so the update costs one delta-sized
+    aggregation plus a summary⋈summary join on the group keys; at 100 TB
+    the base table is never rescanned (the whole point of maintaining the
+    view). Deletions would break min/max (they are not subtractable) —
+    that variant needs the full re-aggregate, which is exactly what the
+    x69 oracle computes, making oracle parity a proof of the algebra.
+    """
+    b = base.select(*keys, *[F.col(m).alias(f"b_{m}") for m in _IVM_METRICS])
+    d = delta.select(*keys, *[F.col(m).alias(f"d_{m}") for m in _IVM_METRICS])
+    z = F.lit(0).cast("long")
+    j = b.join(d, on=keys, how="full_outer")
+    return j.select(
+        *keys,
+        (F.coalesce("b_n", z) + F.coalesce("d_n", z)).alias("n"),
+        (F.coalesce("b_sum_v", z) + F.coalesce("d_sum_v", z)).alias("sum_v"),
+        F.least(
+            F.coalesce("b_mn_v", F.col("d_mn_v")),
+            F.coalesce("d_mn_v", F.col("b_mn_v")),
+        ).alias("mn_v"),
+        F.greatest(
+            F.coalesce("b_mx_v", F.col("d_mx_v")),
+            F.coalesce("d_mx_v", F.col("b_mx_v")),
+        ).alias("mx_v"),
+    )

@@ -72,3 +72,24 @@ def read_jsonl_table(
 def write_jsonl(df: DataFrame, path: str) -> None:
     """Executor-parallel JSON-Lines write (one shard per partition)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc_table(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (columnar like parquet: predicate pushdown, column
+    pruning, and stripe-level min/max skipping all apply). Schema is
+    optional — ORC embeds one — but pinning it keeps reads stable when a
+    path mixes files written by different producers."""
+    _ensure_read_conf(spark)
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Executor-parallel ORC write with the same layout posture as the
+    parquet sinks: shape file count/order upstream via repartition /
+    clustered writes; zlib default compression."""
+    df.write.mode("overwrite").orc(path)

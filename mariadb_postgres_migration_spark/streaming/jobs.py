@@ -396,3 +396,52 @@ def run_stream_incremental_dedup(
         .select("doc_id", "source", "is_dup_of_corpus")
     )
     return _run_to_memory(kept, "complete")
+
+
+def run_stream_checksum(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> DataFrame:
+    """Continuously-maintained table checksum over the events ingest
+    stream (EXT-08/09 meets the x66 reconciliation surface).
+
+    XOR is its own inverse and order-independent, so the per-bucket
+    (count, xor-of-digest-chunks) aggregate is EXACTLY maintainable as
+    streaming state: each micro-batch folds its rows into the bucket
+    accumulators and the state is forever bucket-count-sized, never
+    row-count-sized. After the bounded availableNow replay the state
+    must equal the batch checksum of the same table — the oracle — and
+    in production the standing query's state IS the live source-side
+    checksum that x66-style comparison reads instead of rescanning
+    100 TB."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run_to_memory(events_checksum_agg(ev, n_buckets), "complete")
+
+
+def events_checksum_agg(ev: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """The bucketed-XOR checksum aggregation over an events-shaped frame —
+    works unchanged on a batch OR streaming DataFrame (the multi-micro-
+    batch accumulation equivalence is pinned in tests/test_stream_checksum
+    by replaying a 3-file directory one file per trigger)."""
+    from ..operators.reconcile import CHUNK_OFFSETS, hex_chunk, row_digest
+
+    dg = row_digest(
+        F.col("event_id"),
+        F.coalesce(F.col("user_id"), F.lit(-1)),
+        F.coalesce(F.col("event_type"), F.lit("~")),
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(-1)),
+        F.coalesce(F.floor(F.col("value") * 100 + 0.5).cast("long"), F.lit(-1)),
+        F.coalesce(F.col("props"), F.lit("~")),
+    )
+    return (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(n_buckets)).cast("long").alias("bucket"),
+            hex_chunk(dg, CHUNK_OFFSETS[0]).alias("__c1"),
+            hex_chunk(dg, CHUNK_OFFSETS[1]).alias("__c2"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("bit_xor(__c1)").alias("x1"),
+            F.expr("bit_xor(__c2)").alias("x2"),
+        )
+    )
