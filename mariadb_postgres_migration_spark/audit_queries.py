@@ -411,7 +411,14 @@ SELECT 'diff', key, {z}, {z}, {z}, {z}, {zd}, {zd}, change
 FROM ({member_oracle('x67_snapshot_diff')})
 UNION ALL
 SELECT 'pr', node, {z}, score_q, {z}, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x68_pagerank')})"""
+FROM ({member_oracle('x68_pagerank')})
+UNION ALL
+SELECT 'ivm', {z}, {z}, n, sum_v, mn_v, CAST(mx_v AS DOUBLE), {zd},
+       o_orderstatus || '|' || o_orderpriority
+FROM ({member_oracle('x69_incremental_agg_maintenance')})
+UNION ALL
+SELECT 'scks', bucket, {z}, n, x1, x2, {zd}, {zd}, NULL
+FROM ({member_oracle('x70_stream_checksum')})"""
 
 
 @register(
@@ -423,10 +430,12 @@ def x65_health_suite(spark, sf_dir):
     """Driver-verified representative for the r5 pipeline-health surface:
     the expectations audit (x61), SCD2 intervals (x62), exact heavy
     hitters (x63), corpus drift (x64), migration checksum (x66),
-    snapshot diff (x67) and fixed-point PageRank (x68) union-folded into
-    one kind-tagged shape — the same consolidation the x42/x49/x50
-    suites use to give every new operator family a row inside the
-    driver's 50-query window.
+    snapshot diff (x67), fixed-point PageRank (x68), incremental
+    aggregate maintenance (x69) and the streamed checksum (x70 — a real
+    availableNow Structured Streaming replay inside a driver-hashed row,
+    like x49's streamed PII member) union-folded into one kind-tagged
+    shape — the same consolidation the x42/x49/x50 suites use to give
+    every new operator family a row inside the driver's 50-query window.
 
     The two token-consuming members (x63/x64) share ONE persisted
     tokenize pass via the ``__toks`` pass-through in ``_with_tokens``;
@@ -468,5 +477,16 @@ def x65_health_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x68_pagerank(spark, sf_dir), "pr",
             id1=F.col("node"), v1=F.col("score_q"),
+        ))
+        .unionAll(_suite_shape(
+            x69_incremental_agg_maintenance(spark, sf_dir), "ivm",
+            v1=F.col("n"), v2=F.col("sum_v"), v3=F.col("mn_v"),
+            d1=F.col("mx_v"),
+            s1=F.concat_ws("|", "o_orderstatus", "o_orderpriority"),
+        ))
+        .unionAll(_suite_shape(
+            x70_stream_checksum(spark, sf_dir), "scks",
+            id1=F.col("bucket"), v1=F.col("n"), v2=F.col("x1"),
+            v3=F.col("x2"),
         ))
     )

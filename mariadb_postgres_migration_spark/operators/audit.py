@@ -177,6 +177,8 @@ def _mg_candidates(k: int):
     count > N/(k+1) survives in at least one partition (pigeonhole)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         summary: collections.Counter = collections.Counter()
 
         def prune() -> None:
@@ -188,8 +190,14 @@ def _mg_candidates(k: int):
                     summary[t] -= kth
 
         for pdf in batches:
-            for arr in pdf["__toks"]:
-                summary.update(arr)
+            if len(pdf) == 0:
+                continue
+            # vectorized batch count (C-speed unique, no per-doc Python
+            # loop), then one dict-merge into the running summary
+            flat = np.concatenate(pdf["__toks"].to_numpy())
+            if len(flat):
+                terms, counts = np.unique(flat, return_counts=True)
+                summary.update(dict(zip(terms.tolist(), counts.tolist())))
             prune()
         yield pd.DataFrame({"term": list(summary.keys()) or pd.Series([], dtype=str)})
 

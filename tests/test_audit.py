@@ -134,6 +134,10 @@ def test_frequent_terms_rejects_vocabulary_scale_thresholds(spark, sf_dir, monke
 
 
 def test_corpus_drift_reuses_the_term_exchange(spark, sf_dir):
+    # a cached tokenize fragment from an earlier test substitutes an
+    # InMemoryRelation into ONE branch and hides the exchange reuse this
+    # test asserts — pin a cache-free plan
+    spark.catalog.clearCache()
     docs = read_parquet_table(spark, sf_dir, "documents")
     df = A.corpus_drift(docs)
     rows = df.collect()  # run first: AQE only materializes reuse in the final plan
