@@ -12,6 +12,7 @@ rest of the tail.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .extension_queries import _TOKS_CTE, _suite_shape
@@ -268,6 +269,86 @@ def x67_snapshot_diff(spark, sf_dir):
     return R.snapshot_diff(
         orders, _corrupt_orders(orders), "o_orderkey", _orders_digest()
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (x71)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+@register(
+    "x71_funnel_stages",
+    """WITH b AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                 OVER (PARTITION BY user_id) AS t1 FROM b),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+                 OVER (PARTITION BY user_id) AS t2 FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+                 OVER (PARTITION BY user_id) AS t3 FROM w2)
+SELECT user_id,
+       CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+            + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS stage,
+       t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+FROM (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM w3 GROUP BY user_id)""",
+    "EXT-WINDOW", "EXT-FUNNEL",
+    tier=1,
+)
+def x71_funnel_stages(spark, sf_dir):
+    """Ordered-sequence funnel (signup → click → purchase): per user, the
+    earliest signup, the earliest click AFTER it, the earliest purchase
+    after THAT, and the furthest stage reached.
+
+    Three stacked whole-partition window minima over the SAME user_id
+    partitioning — Catalyst plans ONE exchange with three Window
+    operators on top (each stage's timestamp conditions on the previous
+    stage's, which is why this is not a plain pivoted aggregate), then
+    the per-user collapse reuses the partitioning again. No self-joins:
+    the naive per-stage-join formulation pays S-1 extra shuffles of the
+    full event table for an S-stage funnel."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return funnel_stages(e.select("user_id", us.alias("us"), "event_type"))
+
+
+def funnel_stages(d):
+    """Core funnel walk over a (user_id, us, event_type) frame — split out
+    so tests can drive every partial-stage path on synthetic streams."""
+    w = Window.partitionBy("user_id")
+    d = d.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("us"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[1]) & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[2]) & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1_us"),
+        F.max("t2").alias("t2_us"),
+        F.max("t3").alias("t3_us"),
+    )
+    stage = (
+        F.col("t1_us").isNotNull().cast("int")
+        + F.col("t2_us").isNotNull().cast("int")
+        + F.col("t3_us").isNotNull().cast("int")
+    ).cast("long")
+    return per_user.select("user_id", stage.alias("stage"), "t1_us", "t2_us", "t3_us")
 
 
 # ---------------------------------------------------------------------------

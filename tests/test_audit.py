@@ -147,3 +147,46 @@ def test_corpus_drift_reuses_the_term_exchange(spark, sf_dir):
     for r in rows:
         assert r["n_a"] + r["n_b"] >= 20
         assert r["drift_ratio"] > 0
+
+
+def test_mg_guarantee_fuzzed_against_random_corpora_and_splits():
+    """Property (hypothesis): for ANY token multiset, batch split, and
+    counter budget k, every term with total count > n/(k+1) survives the
+    batched Misra-Gries summary — the bound frequent_terms' exactness
+    rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        k=st.integers(min_value=1, max_value=12),
+        n_batches=st.integers(min_value=1, max_value=5),
+        data=st.data(),
+    )
+    def run(tokens, k, n_batches, data):
+        words = [f"t{i}" for i in tokens]
+        # random contiguous split into n_batches document groups
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(words)), min_size=n_batches - 1,
+                    max_size=n_batches - 1,
+                )
+            )
+        )
+        bounds = [0, *cuts, len(words)]
+        batches = [
+            pd.DataFrame({"__toks": [words[a:b]]}) for a, b in zip(bounds, bounds[1:])
+        ]
+        out = pd.concat(list(A._mg_candidates(k)(iter(batches))))
+        kept = set(out["term"])
+        assert len(kept) <= k
+        n = len(words)
+        from collections import Counter
+
+        for term, cnt in Counter(words).items():
+            if cnt > n / (k + 1):
+                assert term in kept, f"{term} (count {cnt} > {n}/{k + 1}) dropped"
+
+    run()

@@ -56,3 +56,50 @@ def test_pagerank_is_partitioning_independent(spark, sf_dir):
     a = sorted(map(tuple, G.pagerank(e, iters=2).collect()))
     b = sorted(map(tuple, G.pagerank(e.repartition(13), iters=2).collect()))
     assert a == b
+
+
+# --- x71 funnel ---------------------------------------------------------
+
+
+def _funnel_rows(spark, rows):
+    from mariadb_postgres_migration_spark.audit_queries import funnel_stages
+
+    d = spark.createDataFrame(rows, "user_id long, us long, event_type string")
+    return {r["user_id"]: r for r in funnel_stages(d).collect()}
+
+
+def test_funnel_partial_stages_and_strict_ordering(spark):
+    rows = [
+        # A: clean 3-stage path
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # B: click BEFORE signup must not count; purchase needs a click after
+        (2, 10, "click"), (2, 20, "signup"), (2, 30, "purchase"),
+        # C: signup only
+        (3, 10, "signup"),
+        # D: never signed up
+        (4, 10, "click"), (4, 20, "purchase"),
+        # E: purchase before the qualifying click -> stage 2
+        (5, 10, "signup"), (5, 20, "purchase"), (5, 30, "click"),
+    ]
+    got = _funnel_rows(spark, rows)
+    assert got[1]["stage"] == 3 and (got[1]["t1_us"], got[1]["t2_us"], got[1]["t3_us"]) == (10, 20, 30)
+    assert got[2]["stage"] == 1 and got[2]["t2_us"] is None  # strict order
+    assert got[3]["stage"] == 1
+    assert got[4]["stage"] == 0
+    assert got[5]["stage"] == 2 and got[5]["t3_us"] is None
+
+
+def test_funnel_plans_one_exchange_for_all_windows(spark, sf_dir):
+    from mariadb_postgres_migration_spark.audit_queries import x71_funnel_stages
+
+    spark.catalog.clearCache()
+    df = x71_funnel_stages(spark, sf_dir)
+    df.collect()
+    # the AQE rendering repeats the tree under "Initial Plan" — count only
+    # the final plan's exchanges
+    plan = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    n_reused = plan.count("ReusedExchange")
+    # three stacked windows + the per-user collapse share ONE user_id shuffle
+    assert n_exchanges - n_reused <= 1, plan[:1500]
+    assert plan.count("Window [min(") == 3
