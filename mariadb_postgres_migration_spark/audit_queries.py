@@ -525,6 +525,24 @@ def x65_health_suite(spark, sf_dir):
     toked = D._persist(
         T._with_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text")
     )
+    # the checksum and diff members consume the SAME two slim (key, digest)
+    # frames — build and persist them once instead of re-scanning orders
+    # and re-hashing every row per member (the standalone x66/x67 each pay
+    # their own pass; the suite shares it)
+    orders = _t(spark, sf_dir, "orders")
+    src_slim = D._persist(
+        orders.select(F.col("o_orderkey").alias("key"), _orders_digest().alias("dg"))
+    )
+    tgt_slim = D._persist(
+        _corrupt_orders(orders).select(
+            F.col("o_orderkey").alias("key"), _orders_digest().alias("dg")
+        )
+    )
+    cks = R.checksum_compare(
+        R.table_checksum(src_slim, F.col("key"), F.col("dg"), n_buckets=CHECKSUM_BUCKETS),
+        R.table_checksum(tgt_slim, F.col("key"), F.col("dg"), n_buckets=CHECKSUM_BUCKETS),
+    )
+    diff = R.snapshot_diff(src_slim, tgt_slim, "key", F.col("dg"))
     return (
         _suite_shape(
             x61_expectations_audit(spark, sf_dir), "audit",
@@ -547,12 +565,12 @@ def x65_health_suite(spark, sf_dir):
             s1=F.col("term"),
         ))
         .unionAll(_suite_shape(
-            x66_migration_checksum(spark, sf_dir), "cksum",
+            cks, "cksum",
             id1=F.col("bucket"), v1=F.col("n_src"), v2=F.col("n_tgt"),
             v3=F.col("match"),
         ))
         .unionAll(_suite_shape(
-            x67_snapshot_diff(spark, sf_dir), "diff",
+            diff, "diff",
             id1=F.col("key"), s1=F.col("change"),
         ))
         .unionAll(_suite_shape(
