@@ -272,6 +272,41 @@ def x67_snapshot_diff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# bloom-accelerated incremental dedup (x72)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x72_bloom_incremental_dedup",
+    # the bloom is a pruning layer over IDENTICAL semantics — reuse x45's
+    # membership oracle verbatim (extension_queries registers it first)
+    member_oracle("x45_incremental_dedup"),
+    "EXT-01", "EXT-BLOOM",
+    tier=1,
+)
+def x72_bloom_incremental_dedup(spark, sf_dir):
+    """x45's snapshot-vs-corpus membership with a hand-rolled JVM Bloom
+    filter in front (operators/bloom.py): corpus fingerprints build a
+    2048-word bit array via one map-side-combined bit_or shuffle; the
+    new snapshot probes it broadcast, and only bloom-POSITIVES pay the
+    exact corpus join. No false negatives by construction, so the result
+    is EXACT — the oracle is x45's plain membership SQL, and any bloom
+    bug shows up as a hash mismatch."""
+    from .functions.text import normalize_text
+    from .operators.bloom import bloom_filtered_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select(fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    return bloom_filtered_membership(new, corpus, "fp").select(
+        "doc_id", "source", F.col("is_member").alias("is_dup_of_corpus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # funnel analysis (x71)
 # ---------------------------------------------------------------------------
 
