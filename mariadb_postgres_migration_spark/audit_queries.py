@@ -387,6 +387,37 @@ def funnel_stages(d):
 
 
 # ---------------------------------------------------------------------------
+# streamed stateful funnel (x73)
+# ---------------------------------------------------------------------------
+
+
+def _register_x73():
+    """x71's oracle can only be referenced after x71 registers (below in
+    this module) — registration is deferred to module bottom."""
+
+    @register(
+        "x73_stream_funnel",
+        member_oracle("x71_funnel_stages"),
+        "EXT-09", "EXT-FUNNEL",
+        tier=1,
+    )
+    def x73_stream_funnel(spark, sf_dir):
+        """The x71 funnel as a CUSTOM stateful streaming operator
+        (``applyInPandasWithState``): per-user state = the qualifying
+        stage timestamps, advanced monotonically per micro-batch under
+        the in-time-order arrival contract. A bounded in-order replay
+        equals the batch window cascade exactly, so x71's oracle is
+        reused verbatim; cross-batch equivalence is pinned in
+        tests/test_stream_funnel.py with a one-time-slice-per-trigger
+        replay."""
+        from .streaming.jobs import run_stream_funnel
+
+        return run_stream_funnel(spark, sf_dir)
+
+    return x73_stream_funnel
+
+
+# ---------------------------------------------------------------------------
 # streamed incremental checksum (x70)
 # ---------------------------------------------------------------------------
 
@@ -624,3 +655,7 @@ def x65_health_suite(spark, sf_dir):
             v3=F.col("x2"),
         ))
     )
+
+
+#: deferred: x73 reuses x71's oracle, which registers above.
+x73_stream_funnel = _register_x73()

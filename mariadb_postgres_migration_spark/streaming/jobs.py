@@ -445,3 +445,83 @@ def events_checksum_agg(ev: DataFrame, n_buckets: int = 64) -> DataFrame:
             F.expr("bit_xor(__c2)").alias("x2"),
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id BIGINT, stage BIGINT, t1_us BIGINT, t2_us BIGINT, t3_us BIGINT,"
+    " emit BIGINT"
+)
+
+
+def funnel_state_stream(events: DataFrame, stages=("signup", "click", "purchase")):
+    """Per-user funnel state machine via ``applyInPandasWithState``
+    (EXT-09): state = the three qualifying stage timestamps so far; each
+    micro-batch's rows are processed in (ts, event_id) order and advance
+    the state monotonically. Assumes in-time-order arrival ACROSS batches
+    (the streaming funnel contract everywhere); within a batch, sorting
+    makes the first qualifying event the minimum, so a bounded in-order
+    replay equals the batch window cascade (x71's oracle) exactly.
+    ``emit`` counts state versions so a multi-batch consumer can keep the
+    latest row per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s0, s1, s2 = stages
+
+    def step(key, pdf_iter, state):
+        t1, t2, t3, n_emit = state.get if state.exists else (-1, -1, -1, 0)
+        rows = pd.concat(list(pdf_iter)).sort_values(["us", "event_id"])
+        for us, et in zip(rows["us"], rows["event_type"]):
+            us = int(us)
+            if et == s0 and t1 < 0:
+                t1 = us
+            elif et == s1 and t1 >= 0 and us > t1 and t2 < 0:
+                t2 = us
+            elif et == s2 and t2 >= 0 and us > t2 and t3 < 0:
+                t3 = us
+        n_emit += 1
+        state.update((t1, t2, t3, n_emit))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [(t1 >= 0) + (t2 >= 0) + (t3 >= 0)],
+                "t1_us": [t1 if t1 >= 0 else None],
+                "t2_us": [t2 if t2 >= 0 else None],
+                "t3_us": [t3 if t3 >= 0 else None],
+                "emit": [n_emit],
+            }
+        )
+
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            step,
+            FUNNEL_OUT_SCHEMA,
+            "t1 BIGINT, t2 BIGINT, t3 BIGINT, n BIGINT",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the streamed funnel; keeps each user's LATEST
+    state version so the result is the final funnel table whatever the
+    micro-batch split was (tests replay one time-ordered file per
+    trigger and compare to batch x71)."""
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    res = _run_to_memory(funnel_state_stream(events), "append")
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit"))
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "stage", "t1_us", "t2_us", "t3_us")
+    )
