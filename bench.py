@@ -77,8 +77,13 @@ HEADLINE = [
     "x56_substring_dedup_spans",
     "x60_multimodal_pixel_stats",
     # r5: pipeline-health suite (expectations audit + SCD2 + exact heavy
-    # hitters + corpus drift + checksum/diff + pagerank as members)
+    # hitters + corpus drift + checksum/diff + pagerank + IVM + streamed
+    # checksum as members)
     "x65_health_suite",
+    # r5 tail: funnel (batch + stateful-stream form) and the bloom tier
+    "x71_funnel_stages",
+    "x72_bloom_incremental_dedup",
+    "x73_stream_funnel",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -87,7 +92,7 @@ HEADLINE = [
 #: totals compare equal work — the full-suite total keeps absorbing every
 #: new operator and is NOT an apples-to-apples series.
 R4_COMPARABLE = [
-    n for n in HEADLINE if not n.startswith(("x4", "x5", "x6", "c"))
+    n for n in HEADLINE if not n.startswith(("x4", "x5", "x6", "x7", "c"))
 ]
 
 

@@ -2563,7 +2563,10 @@ def c2_curation_pipeline_lsh(spark, sf_dir):
 REGISTRY["c2_curation_pipeline_lsh"].oracle = _c2_sql()
 
 
-_X60_SQL = """WITH dims AS (
+_X60_SQL = """WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents),
+       dims AS (
          SELECT doc_id, text,
                 16 + (CASE WHEN length(text) = 0 THEN 0
                            ELSE ascii(substr(text, 1, 1)) END % 16) * 4 AS w,
@@ -2571,7 +2574,7 @@ _X60_SQL = """WITH dims AS (
                       // (16 + (CASE WHEN length(text) = 0 THEN 0
                                      ELSE ascii(substr(text, 1, 1)) END % 16) * 4),
                       16) AS h
-         FROM documents),
+         FROM ascii_docs),
        px AS (
          SELECT doc_id, w, h,
                 list_transform(range(1, CAST(w * h AS BIGINT) + 1),

@@ -94,7 +94,14 @@ def bloom_might_contain(
         .groupBy(key_col)
         .agg(F.min("__hit").alias("bloom_positive"))
     )
-    return probes.join(verdicts, on=key_col, how="inner")
+    # null-SAFE equality: a NULL probe key must keep its row (verdict from
+    # hashing the null-concat positions; the exact join downstream still
+    # reports non-membership) — a plain inner join would silently drop it
+    return probes.join(
+        verdicts.withColumnRenamed(key_col, "__vk"),
+        on=F.col(key_col).eqNullSafe(F.col("__vk")),
+        how="inner",
+    ).drop("__vk")
 
 
 def bloom_filtered_membership(
@@ -104,9 +111,13 @@ def bloom_filtered_membership(
     bloom-pruned: negatives short-circuit to ``false`` without touching
     the corpus; only positives pay the exact (distinct-corpus) join.
     Output: ``new``'s columns plus ``is_member``."""
+    from .dedup import _persist
+
     distinct_corpus = corpus_keys.select(key_col).distinct()
     bloom = bloom_build(distinct_corpus, key_col)
-    flagged = bloom_might_contain(new, key_col, bloom)
+    # persisted: both the negative and positive branches consume flagged —
+    # without the barrier the probe scan + verdict join would run twice
+    flagged = _persist(bloom_might_contain(new, key_col, bloom))
     negatives = flagged.filter(~F.col("bloom_positive")).withColumn(
         "is_member", F.lit(False)
     )

@@ -44,14 +44,21 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     ``new(v) = (15·SCALE) div (100·N) + (85·(insum(v) + dang div N)) div 100``
     with ``insum`` the sum of ``score(src) div outdeg(src)`` over
     in-edges and ``dang`` the total score of dangling nodes."""
-    e = edges.select("src", "dst").distinct().persist()
-    nodes = (
+    from .dedup import _persist
+
+    # cached via the shared registry so bench/test harnesses can drain them
+    # (release_cached_intermediates) instead of leaking storage per call
+    e = _persist(edges.select("src", "dst").distinct())
+    nodes = _persist(
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
-        .persist()
     )
     n_nodes = nodes.count()  # 1-value job; also materializes the caches
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("v").alias("node"), F.lit(0).cast("long").alias("score_q")
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
 
     base = (15 * PR_SCALE) // (100 * n_nodes)

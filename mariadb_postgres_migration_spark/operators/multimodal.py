@@ -396,6 +396,23 @@ def decode_bmp_pixels(b: bytes):
     if not top_down:
         rows = rows[::-1]
     if bpp == 8:
+        # spec: 8bpp pixels are COLOR TABLE indices. Map through the BGRA
+        # palette when one is present (between the info header and the
+        # pixel array); a grayscale ramp collapses back to (h, w). The
+        # engine's own closed-form payloads are written palette-less
+        # (pix_off == 54) with index == intensity — that documented
+        # synthetic case falls through to raw indices.
+        pal_off = 14 + hdr_size
+        n_pal = struct.unpack_from("<I", b, 46)[0] or 256
+        if pix_off >= pal_off + 4 * n_pal and n_pal <= 256:
+            pal = np.frombuffer(
+                b, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+            ).reshape(n_pal, 4)
+            idx = np.minimum(rows, n_pal - 1)  # defensive: spec caps idx < n_pal
+            bgr = pal[:, :3]
+            if (bgr[:, 0] == bgr[:, 1]).all() and (bgr[:, 1] == bgr[:, 2]).all():
+                return bgr[idx, 0].copy()
+            return bgr[idx][:, :, ::-1].copy()
         return rows.copy()
     return rows.reshape(h, w, 3).copy()
 
@@ -531,8 +548,13 @@ def attach_consistent_bmp_payload(
     first width*height UTF-8 bytes of the text. Every field a real decoder
     checks (planes, BI_RGB, pixel-array length) is valid, and the pixel
     content is a CLOSED FORM of the text — so a SQL oracle can verify
-    pixel statistics computed by the real numpy decoder."""
-    text = F.col(text_col)
+    pixel statistics computed by the real numpy decoder.
+
+    Pixels come from the PRINTABLE-ASCII projection of the text: for any
+    multi-byte codepoint, byte indexing (this builder + the decoder) and
+    character indexing (the SQL oracle) would diverge, so non-ASCII is
+    stripped identically on both sides before the payload is formed."""
+    text = F.regexp_replace(F.col(text_col), "[^ -~]", "")
     pix_full = F.encode(text, "UTF-8")
     npix = F.length(pix_full)
     first = F.when(F.length(text) == 0, 0).otherwise(

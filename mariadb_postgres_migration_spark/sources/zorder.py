@@ -40,10 +40,16 @@ ZORDER_BITS = 16
 
 def _scaled(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Map a numeric column into [0, 2^bits) by min/max scaling. Constant
-    columns (max == min) map to 0. Done in double then floored — the
-    ordering, not the exact bucket, is what z-ordering needs."""
+    columns (max == min) and NULLs map to bucket 0 — NULLs get their own
+    bottom corner of the curve instead of silently landing in the TOP
+    bucket (``least`` skips NULL args, so an unguarded NULL would sort as
+    the maximum and poison that file's min/max range). Done in double
+    then floored — the ordering, not the exact bucket, is what z-ordering
+    needs."""
     span = cmax - cmin
-    frac = F.when(span > 0, (col.cast("double") - cmin) / span).otherwise(F.lit(0.0))
+    frac = F.when(
+        col.isNotNull() & (span > 0), (col.cast("double") - cmin) / span
+    ).otherwise(F.lit(0.0))
     # clamp the max value into the top bucket instead of 2^bits
     return F.least(
         F.floor(frac * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)

@@ -55,3 +55,12 @@ def test_membership_exact_and_short_circuits(spark):
     assert len(out) == 300
     for i in range(300):
         assert out[i] == (i % 3 == 0)
+
+
+def test_null_probe_keys_survive_as_nonmembers(spark):
+    corpus = _keys(spark, [f"c{i}" for i in range(50)])
+    new = spark.createDataFrame(
+        [(1, "c1"), (2, None), (3, "zzz")], "doc_id long, k string"
+    )
+    out = {r["doc_id"]: r["is_member"] for r in B.bloom_filtered_membership(new, corpus, "k").collect()}
+    assert out == {1: True, 2: False, 3: False}  # NULL key kept, non-member

@@ -103,3 +103,8 @@ def test_funnel_plans_one_exchange_for_all_windows(spark, sf_dir):
     # three stacked windows + the per-user collapse share ONE user_id shuffle
     assert n_exchanges - n_reused <= 1, plan[:1500]
     assert plan.count("Window [min(") == 3
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert G.pagerank(e, iters=2).collect() == []

@@ -141,3 +141,53 @@ def test_resize_real_roundtrips_through_decoder(spark, sf_dir):
         arr = decode_bmp_pixels(bytes(r["payload"]))
         assert arr is not None and arr.shape == (8, 8, 3)
         assert r["mime"] == "image/bmp"
+
+
+def test_bmp8_palette_mapping():
+    """8bpp pixels are color-table indices: a non-identity grayscale
+    palette must map through, a color palette must expand to RGB, and a
+    palette-less synthetic payload keeps raw indices (the engine's own
+    closed-form contract)."""
+    import struct
+
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    def bmp8(idx_rows, palette=None):
+        h, w = len(idx_rows), len(idx_rows[0])
+        stride = ((w + 3) // 4) * 4
+        n_pal = len(palette) if palette else 0
+        pix_off = 54 + 4 * n_pal
+        body = b"".join(
+            bytes(r) + b"\x00" * (stride - w) for r in reversed(idx_rows)
+        )
+        hdr = (
+            b"BM"
+            + struct.pack("<I", pix_off + len(body))
+            + b"\x00" * 4
+            + struct.pack("<I", pix_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, n_pal, 0)
+        )
+        pal = b"".join(bytes([b_, g, r, 0]) for (b_, g, r) in (palette or []))
+        return hdr + pal + body
+
+    rows = [[0, 1, 2, 3]]
+    # inverted grayscale ramp: index i -> gray 250 - 10i
+    gray_pal = [(250 - 10 * i,) * 3 for i in range(4)]
+    out = decode_bmp_pixels(bmp8(rows, gray_pal))
+    assert out.shape == (1, 4)
+    assert out.tolist() == [[250, 240, 230, 220]]
+
+    # color palette: index expands to its RGB entry
+    color_pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3)]  # BGR tuples
+    out = decode_bmp_pixels(bmp8(rows, color_pal))
+    assert out.shape == (1, 4, 3)
+    assert out[0, 0].tolist() == [30, 20, 10]  # RGB of entry 0
+    assert out[0, 3].tolist() == [3, 2, 1]
+
+    # palette-less (pix_off == 54): raw indices pass through
+    out = decode_bmp_pixels(bmp8(rows, None))
+    assert np.array_equal(out, np.array(rows, dtype=np.uint8))

@@ -89,3 +89,15 @@ def test_zorder_prunes_second_dimension_where_single_key_cannot(spark, sf_dir, t
         back.join(events, on=["event_id", "user_id", "value"], how="inner").count()
         == events.count()
     )
+
+
+def test_null_dimension_values_sort_to_the_bottom_bucket(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0), (3, 3.0), (None, 1.0), (2, None)], "x long, y double"
+    )
+    rows = df.withColumn("z", zorder_code(df, ["x", "y"], bits=2)).collect()
+    by_xy = {(r["x"], r["y"]): r["z"] for r in rows}
+    # a NULL in a dimension contributes bucket 0 (bottom corner), never the top
+    assert by_xy[(None, 1.0)] < by_xy[(3, 3.0)]
+    assert by_xy[(2, None)] < by_xy[(3, 3.0)]
+    assert by_xy[(0, 0.0)] == 0
