@@ -522,7 +522,8 @@ WITH comments AS (
 SELECT id,
        CASE WHEN n >= 1 THEN
            list_reverse(list_filter(prev,
-               p -> p.bdel IS NULL OR p.bdel >= created_us))[CAST(n AS INT)].bid
+               p -> p.bdel IS NULL OR created_us IS NULL
+                    OR p.bdel >= created_us))[CAST(n AS INT)].bid
        ELSE NULL END AS response_to
 FROM walked
 """

@@ -348,6 +348,14 @@ def lsh_candidate_pairs(
     the whole signature subtree n_bands times), and the per-band self-join
     is the posting-list pair generator — one groupBy(band_key) instead of a
     self-join that recomputes signatures under both sides."""
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by band_rows="
+            f"{band_rows}: the remainder hashes would be computed and "
+            "shuffled but silently excluded from every band (paying for "
+            f"{num_hashes} signatures with the recall of "
+            f"{num_hashes - num_hashes % band_rows})"
+        )
     n_bands = num_hashes // band_rows
     band_keys = F.array(
         *[

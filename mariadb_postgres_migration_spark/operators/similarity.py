@@ -102,8 +102,11 @@ def knn_bruteforce(
     import numpy as np
     import pandas as pd
 
+    # q_id types from the probe side, n_id from the CORPUS side — the two
+    # frames may legitimately carry different id types (review r5)
     idt = queries.schema[id_col].dataType.simpleString()
-    out_schema = f"q_id {idt}, n_id {idt}, score double"
+    nidt = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {idt}, n_id {nidt}, score double"
     qsel = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     )
@@ -112,11 +115,11 @@ def knn_bruteforce(
     probes = qsel.limit(max_broadcast_probes + 1).collect()
     if not probes:
         return corpus.sparkSession.createDataFrame(
-            [], f"q_id {idt}, n_id {idt}, rk long, score double"
+            [], f"q_id {idt}, n_id {nidt}, rk long, score double"
         )
     if len(probes) > max_broadcast_probes:
         return _knn_bruteforce_blocked(
-            corpus, qsel, id_col, vec_col, idt, k, score_decimals,
+            corpus, qsel, id_col, vec_col, idt, nidt, k, score_decimals,
             max_broadcast_probes,
         )
     q_ids = np.array([r["q_id"] for r in probes])
@@ -183,6 +186,7 @@ def _knn_bruteforce_blocked(
     id_col: str,
     vec_col: str,
     idt: str,
+    nidt: str,
     k: int,
     score_decimals: int,
     block_rows: int,
@@ -240,7 +244,7 @@ def _knn_bruteforce_blocked(
     partial = (
         q.groupBy("blk", "shard")
         .cogroup(c.groupBy("blk", "shard"))
-        .applyInPandas(cell_topk, f"q_id {idt}, n_id {idt}, score double")
+        .applyInPandas(cell_topk, f"q_id {idt}, n_id {nidt}, score double")
     )
     return _rank_merge(partial, k)
 
@@ -307,15 +311,7 @@ def with_hyperplane_bands(
     from .dedup import materialize
 
     signs = hyperplane_signs(n_planes=n_bands * band_planes)
-    signs2d = "array(" + ",".join(
-        "array(" + ",".join(f"{s}D" for s in row) + ")" for row in signs
-    ) + ")"
-    dots = (
-        f"transform({signs2d}, s -> aggregate(zip_with("
-        f"cast({vec_col} as array<double>), s, (x, y) -> x * y), "
-        f"cast(0 as double), (a, x) -> a + x))"
-    )
-    df = materialize(df, F.expr(dots), "__dots")
+    df = materialize(df, F.expr(_hyperplane_dots_expr(vec_col, signs)), "__dots")
     bit = (
         lambda p: f"(CASE WHEN element_at(__dots, {p + 1}) > 0 THEN '1' ELSE '0' END)"
     )
@@ -326,6 +322,21 @@ def with_hyperplane_bands(
         for b in range(n_bands)
     )
     return df.withColumn(out_col, F.explode(F.expr(f"array({keys})"))).drop("__dots")
+
+
+
+def _require_integral_ids(df: DataFrame, id_col: str, where: str) -> None:
+    """The BLAS kernels below declare long id output schemas and build
+    np.int64 id arrays — honest about the contract instead of failing with
+    an opaque Arrow/ValueError on string/UUID ids (review r5). The
+    type-generic path is :func:`knn_bruteforce`, which threads id types."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"{where}: id column '{id_col}' must be integral, got {t}; "
+            "map string ids to a surrogate long first (or use the "
+            "type-generic knn_bruteforce tier)"
+        )
 
 
 def embedding_near_dup_pairs_bucketed(
@@ -369,6 +380,8 @@ def embedding_near_dup_pairs_bucketed(
     exactly."""
     import numpy as np
     import pandas as pd
+
+    _require_integral_ids(corpus, id_col, "embedding_near_dup_pairs_bucketed")
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         # One band cell = one Arrow batch: gram matrix via BLAS, upper
@@ -432,6 +445,8 @@ def ivf_assign(
     ever flipping an assignment against the oracle."""
     import numpy as np
     import pandas as pd
+
+    _require_integral_ids(corpus, id_col, "ivf_assign")
 
     cent_rows = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("c_vec")
@@ -519,6 +534,31 @@ N_PLANES = 8
 EMB_DIM = 64
 
 
+def _hyperplane_dots_expr(vec_col: str, signs: list[list[float]]) -> str:
+    """The shared SRP projection SQL: per plane, the dot product of the
+    vector with a ±1 literal row, via one in-row transform/aggregate pass.
+
+    Guarded on dimension: ``zip_with`` PADS a length-mismatched pair with
+    nulls, which nulls every dot and silently collapses ALL vectors into
+    one bucket (the single-cell O(n²) cliff) — so a vector whose length
+    differs from the sign matrix raises immediately instead."""
+    dim = len(signs[0])
+    signs2d = "array(" + ",".join(
+        "array(" + ",".join(f"{s}D" for s in row) + ")" for row in signs
+    ) + ")"
+    dots = (
+        f"transform({signs2d}, s -> aggregate(zip_with("
+        f"cast({vec_col} as array<double>), s, (x, y) -> x * y), "
+        f"cast(0 as double), (a, x) -> a + x))"
+    )
+    return (
+        f"CASE WHEN size({vec_col}) = {dim} THEN {dots} "
+        f"ELSE cast(raise_error(concat('hyperplane SRP: embedding length ', "
+        f"cast(size({vec_col}) as string), ' != expected dim {dim}')) "
+        f"as array<double>) END"
+    )
+
+
 def hyperplane_signs(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplane matrix: sign(p, d) from the parity of the
     first md5 nibble of ``"{p}_{d}"``. Computed driver-side ONCE and embedded
@@ -542,22 +582,16 @@ def with_hyperplane_bucket(
     keep_dots: bool = False,
 ) -> DataFrame:
     """Signed-random-projection bucket: bit p = (v · h_p > 0), bucket =
-    Σ 2^p·bit_p. One in-row pass computes all 16 dots (2-D literal sign
-    matrix + transform), materialized behind a barrier so the 16 bit tests
+    Σ 2^p·bit_p. One in-row pass computes all 8 dots (2-D literal sign
+    matrix + transform), materialized behind a barrier so the 8 bit tests
     read a bound attribute. Row-local — no shuffle; vectors landing in the
-    same cell are cosine-near candidates. Plane count sets the recall/cost point: 8 planes = 256 cells (~1/256 of the corpus per probe); more planes shrink candidate sets and recall together."""
+    same cell are cosine-near candidates. Plane count sets the recall/cost
+    point: 8 planes = 256 cells (~1/256 of the corpus per probe); more
+    planes shrink candidate sets and recall together."""
     from .dedup import materialize
 
     signs = hyperplane_signs()
-    signs2d = "array(" + ",".join(
-        "array(" + ",".join(f"{s}D" for s in row) + ")" for row in signs
-    ) + ")"
-    dots = (
-        f"transform({signs2d}, s -> aggregate(zip_with("
-        f"cast({vec_col} as array<double>), s, (x, y) -> x * y), "
-        f"cast(0 as double), (a, x) -> a + x))"
-    )
-    df = materialize(df, F.expr(dots), "__dots")
+    df = materialize(df, F.expr(_hyperplane_dots_expr(vec_col, signs)), "__dots")
     bucket = " + ".join(
         f"(CASE WHEN element_at(__dots, {p + 1}) > 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(len(signs))
@@ -635,6 +669,12 @@ def kmeans_train(
     all members drop out (standard Lloyd's); iteration count is fixed and
     small, lineage stays shallow, no driver-side data loops.
     """
+    if iters < 1:
+        raise ValueError(
+            f"kmeans_train needs iters >= 1 (got {iters}); with zero "
+            "refinement steps there is no mean table to return — use the "
+            "seed centroids directly"
+        )
     q = float(KMEANS_QUANT)
     cent = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("c_vec")
@@ -814,6 +854,7 @@ def semdedup(
     corpus size, keeping cells ~constant), and AQE splits skewed cells
     across reducers. The final keep flag is a broadcast-size left join of
     dropped ids back onto the assignment spine."""
+    _require_integral_ids(corpus, id_col, "semdedup")
     import numpy as np
     import pandas as pd
 
@@ -1043,19 +1084,21 @@ def knn_ivfpq(
     Q = np.zeros((len(qids), dim), dtype=np.float64)
     for r in probe_rows:
         Q[qidx[r["q_id"]]] = np.asarray(r["q_vec"], dtype=np.float64)
-    dtables = np.stack(
-        [
-            np.stack([_pq_subspace_d2(Q, C, mm, sub)[:, j] for j in range(len(codes_ids))], axis=1)
-            for mm in range(m)
-        ],
-        axis=1,
-    )  # (nq, m, K)
+    # (nq, m, K): one _pq_subspace_d2 call per subspace — each call already
+    # returns the full (nq, K) table (the old per-column comprehension
+    # recomputed it K times per subspace for identical output)
+    dtables = np.stack([_pq_subspace_d2(Q, C, mm, sub) for mm in range(m)], axis=1)
     code_pos = {int(c): i for i, c in enumerate(codes_ids)}
     bc = corpus.sparkSession.sparkContext.broadcast((qids, dtables, code_pos))
 
-    cand = enc.join(
-        F.broadcast(probe.select("q_id", "cell")), "cell"
-    ).filter(F.col("v_id") != F.col("q_id"))
+    # rebuild the (q_id, cell) join side from the ALREADY-collected probe
+    # rows instead of re-evaluating the crossJoin+rank subtree a second time
+    probe_cells = corpus.sparkSession.createDataFrame(
+        [(r["q_id"], r["cell"]) for r in probe_rows], "q_id long, cell long"
+    )
+    cand = enc.join(F.broadcast(probe_cells), "cell").filter(
+        F.col("v_id") != F.col("q_id")
+    )
 
     def adc_score(batches):
         qids_b, dt, cpos = bc.value

@@ -60,9 +60,17 @@ def resolve_backrefs(
         F.struct(F.col(order_col).alias("bid"), F.col(deleted_col).alias("bdel"))
     ).over(frame)
     n = caret_count(F.col(content_col))
-    # keep a predecessor unless deleted strictly before this row's creation
+    # keep a predecessor unless deleted strictly before this row's creation;
+    # an unknown (NULL) creation time KEEPS the predecessor — deletion-
+    # before-creation cannot be established, and the reference's JS
+    # comparison (null > x → false) agrees. Without the explicit NULL arm,
+    # `bdel >= NULL` is NULL and the filter would silently SKIP, diverging
+    # from the Python/grouped tiers (review r5).
     alive = F.filter(
-        prev, lambda p: p["bdel"].isNull() | (p["bdel"] >= F.col(created_col))
+        prev,
+        lambda p: p["bdel"].isNull()
+        | F.col(created_col).isNull()
+        | (p["bdel"] >= F.col(created_col)),
     )
     resolved = F.when(
         n >= 1, F.try_element_at(F.reverse(alive), n.cast("int"))["bid"]
@@ -206,6 +214,8 @@ def resolve_backrefs_py(ids, contents, createds, deleteds):
     N leading carets, scan predecessors j = i-1, i-2, …; skip j if
     deleted_at[j] is set and created_at[i] > deleted_at[j]; the Nth
     non-skipped j supplies its id; running out of predecessors leaves None.
+    An unknown (None/NaT) created_at[i] keeps every predecessor — the
+    same null semantics as the JVM tier's explicit NULL arm.
     """
     out = []
     for i, content in enumerate(contents):
@@ -217,9 +227,12 @@ def resolve_backrefs_py(ids, contents, createds, deleteds):
             out.append(None)
             continue
         remaining, target = n, None
+        ci = createds[i]
         for j in range(i - 1, -1, -1):
             dj = deleteds[j]
-            if dj is not None and createds[i] > dj:
+            # None guard first: `None > dj` raises on plain datetimes (and
+            # pandas NaT comparisons are False) — unknown creation keeps j
+            if dj is not None and ci is not None and ci > dj:
                 continue  # deleted before row i existed: invisible to it
             remaining -= 1
             if remaining == 0:

@@ -195,3 +195,28 @@ def test_grouped_streaming_chunk_boundaries_and_null_keys(spark, make_df):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert len(got) == len(rows), "rows were dropped or duplicated"
     assert got == _expected(rows)
+
+
+def test_null_created_at_keeps_deleted_predecessors_in_all_tiers(spark):
+    """A referring row with UNKNOWN creation time cannot be proven to
+    postdate any deletion, so every tier must KEEP deleted predecessors
+    (JS reference: null > x is false). Previously the JVM filter's
+    `bdel >= NULL` silently skipped them and the pure-Python walk raised
+    TypeError on `None > datetime`."""
+    rows = [
+        (1, 1, "x", BASE, BASE + timedelta(minutes=5)),  # deleted predecessor
+        (2, 1, "^x", None, None),  # NULL created_at, one caret
+    ]
+    # pure-Python walk: no crash, predecessor kept
+    resp = resolve_backrefs_py(
+        [r[0] for r in rows], [r[2] for r in rows],
+        [r[3] for r in rows], [r[4] for r in rows],
+    )
+    assert resp == [None, 1]
+
+    df = spark.createDataFrame(
+        rows, "id long, video_id long, content string, created_at timestamp, deleted_at timestamp"
+    )
+    for fn in (resolve_backrefs, resolve_backrefs_grouped):
+        got = {r["id"]: r["response_to"] for r in fn(df).select("id", "response_to").collect()}
+        assert got == {1: None, 2: 1}, fn.__name__
