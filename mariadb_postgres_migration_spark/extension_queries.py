@@ -1260,7 +1260,8 @@ def _x39_sql() -> str:
     w, st = T.CHUNK_WINDOW, T.CHUNK_STRIDE
     return f"""WITH normtext AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
 toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM normtext),
-base AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+base AS (SELECT doc_id, w, len(w) AS n FROM toks
+         WHERE len(w) >= 1 AND w[1] <> ''),
 st AS (SELECT doc_id, w, CAST(n AS BIGINT) AS n_tok,
               unnest(range(0, n, {st})) AS start,
               generate_subscripts(range(0, n, {st}), 1) - 1 AS chunk_id

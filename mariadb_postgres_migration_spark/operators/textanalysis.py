@@ -561,13 +561,16 @@ def chunk_overlap(
 
     Row-local explode — chunk starts are an in-row ``sequence``, each chunk
     an ``slice`` + join over the materialized token array; zero shuffle,
-    output rows ≈ n_tok/stride per doc. Empty docs yield no chunks (both
-    engines agree by an explicit n_tok ≥ 1 guard), and generation stops at
-    the first chunk that reaches the document's end — no redundant tail
-    chunk fully contained in its predecessor."""
+    output rows ≈ n_tok/stride per doc. Empty/whitespace-only docs yield
+    no chunks — the guard filters the PHANTOM token explicitly, because
+    split-tokenizing '' returns [''] in BOTH engines (size 1, not 0), so
+    a bare n_tok ≥ 1 check would emit an empty chunk row (review r5).
+    Generation stops at the first chunk that reaches the document's end —
+    no redundant tail chunk fully contained in its predecessor."""
     toked = _with_tokens(docs, id_col, text_col)
     n_tok = F.size("__toks")
-    chunks = toked.filter(n_tok >= 1).select(
+    nonempty = (n_tok >= 1) & (F.element_at("__toks", 1) != F.lit(""))
+    chunks = toked.filter(nonempty).select(
         "doc_id",
         n_tok.cast("long").alias("n_tok"),
         F.posexplode(F.sequence(F.lit(0), n_tok - 1, F.lit(stride))).alias(

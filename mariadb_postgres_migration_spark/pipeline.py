@@ -147,9 +147,19 @@ def fill_playlist_video(
     NULL; hence a LEFT join here (the sink schema marks playlist_id
     nullable). r1 shipped an inner join with a docstring claiming the drop
     was reference parity — that claim was wrong (ADVICE r1)."""
-    build = playlists.filter(F.col("title") == F.lit(title)).select(
-        F.col("user_id").try_cast("long").alias("user_id"),
-        F.col("id").try_cast("long").alias("playlist_id"),
+    build = (
+        playlists.filter(F.col("title") == F.lit(title))
+        .select(
+            F.col("user_id").try_cast("long").alias("user_id"),
+            F.col("id").try_cast("long").alias("playlist_id"),
+        )
+        # ONE playlist per user: the reference's Map.set overwrites, so a
+        # user with duplicate same-title playlists contributes a single
+        # entry (its pick is insertion-order-nondeterministic in JS; max id
+        # is the deterministic stand-in). Without this, each probe row
+        # fans out once per duplicate playlist (review r5).
+        .groupBy("user_id")
+        .agg(F.max("playlist_id").alias("playlist_id"))
     )
     probe_cols = rows.columns
     vid = (

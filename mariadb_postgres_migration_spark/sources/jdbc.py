@@ -75,12 +75,21 @@ class JdbcSource:
         if self.driver:
             opts["driver"] = self.driver
         if self.partition_column:
+            # Spark requires ALL of partitionColumn/lowerBound/upperBound/
+            # numPartitions or none — emitting a partial set fails at read
+            # time with an opaque IllegalArgumentException, so fail HERE
+            # with the remedy named (bounds come from autorange_bounds)
+            if self.lower_bound is None or self.upper_bound is None:
+                raise ValueError(
+                    f"JdbcSource(table={self.table!r}): partition_column="
+                    f"{self.partition_column!r} needs BOTH lower_bound and "
+                    "upper_bound (use autorange_bounds(spark, src) to probe "
+                    "them), or drop partition_column for a single-split read"
+                )
             opts["partitionColumn"] = self.partition_column
             opts["numPartitions"] = str(self.num_partitions)
-            if self.lower_bound is not None:
-                opts["lowerBound"] = str(self.lower_bound)
-            if self.upper_bound is not None:
-                opts["upperBound"] = str(self.upper_bound)
+            opts["lowerBound"] = str(self.lower_bound)
+            opts["upperBound"] = str(self.upper_bound)
         opts.update(self.extra)
         return opts
 
@@ -173,7 +182,7 @@ def write_jdbc_upsert(
     try:
         existing = (
             spark.read.format("jdbc")
-            .options(**{**sink.options(), "dbtable": sink.table})
+            .options(**sink.options())  # already carries dbtable=sink.table
             .load()
             .select(*keys)
         )

@@ -72,22 +72,6 @@ def _ensure_read_conf(spark: SparkSession) -> None:
     _ensure_package_on_workers(spark)
 
 
-def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Repartition tiny scans up to the session's core count.
-
-    A single small parquet file is one row group and therefore ONE task, so
-    every downstream per-row computation (shingling, hashing, distance) runs
-    serially no matter how many cores exist. At 100 TB a scan arrives as
-    thousands of splits and this is a no-op; the repartition only fires when
-    the scan has fewer partitions than cores, i.e. exactly when the shuffled
-    volume is trivially small.
-    """
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 #: Footer-peeked storage type of ``events.ts``, cached per (path, mtime)
 #: (one footer read per path per process; data is never scanned for the
 #: peek). The mtime in the key invalidates the pin when a fixture is

@@ -61,8 +61,14 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        # memory sink table survives query stop; copy out while session lives
-        return spark.table(name)
+        # detach the result from the memory-sink view (localCheckpoint
+        # truncates lineage to materialized blocks) and DROP the view —
+        # otherwise every streaming run pins its full result set in the
+        # driver for the session's lifetime; checkpoint blocks are instead
+        # reclaimed by the ContextCleaner once the DataFrame is GC'd
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
 
 
 def run_stream_to_jdbc_upsert(

@@ -128,3 +128,13 @@ def test_jdbc_upsert_skips_existing_keys(spark, derby_url):
     assert back[1] == "a" and back[2] == "b" and back[3] == "c"  # untouched
     assert back[4] == "d" and back[5] == "e"  # fresh keys inserted
     assert len(back) == 5  # in-batch dup (3,C2)/(3,C3) deduped, no key twice
+
+
+def test_partition_column_without_bounds_fails_fast():
+    import pytest
+
+    src = JdbcSource(
+        url="jdbc:postgresql://h/db", table="t", partition_column="id"
+    )
+    with pytest.raises(ValueError, match="BOTH lower_bound and upper_bound"):
+        src.options()

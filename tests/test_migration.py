@@ -272,3 +272,25 @@ def test_migrate_with_audit_counts_ride_the_writes(spark, w0bm):
         df.write.format("noop").mode("overwrite").save()
     for name, df in audited.items():
         assert obs[name].get["rows"] == df.count(), name
+
+
+def test_duplicate_same_title_playlists_collapse_to_one(spark):
+    """The reference's Map.set keeps ONE playlist per user; duplicate
+    same-title playlists must not fan the probe rows out (review r5;
+    deterministic pick = max playlist id)."""
+    from pyspark.sql import functions as F
+
+    from mariadb_postgres_migration_spark.pipeline import fill_playlist_video
+
+    playlists = spark.createDataFrame(
+        [(1, 7, "Favorites"), (2, 7, "Favorites"), (3, 8, "Favorites")],
+        "id long, user_id long, title string",
+    )
+    rows = spark.createDataFrame(
+        [(7, 100, "2024-01-01 00:00:00"), (8, 200, "2024-01-02 00:00:00")],
+        "user_id long, video_id long, created_at string",
+    )
+    out = fill_playlist_video(rows, playlists, "Favorites").collect()
+    assert len(out) == 2  # one sink row per probe row, never per duplicate
+    got = {r["video_id"]: r["playlist_id"] for r in out}
+    assert got == {100: 2, 200: 3}

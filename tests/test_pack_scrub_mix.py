@@ -223,3 +223,16 @@ def test_chunk_overlap_covers_every_token_property(spark):
             assert cs[-1]["start"] + cs[-1]["chunk_len"] == n
 
     check()
+
+
+def test_chunk_overlap_empty_text_yields_no_chunks(spark):
+    """split('') is [''] in both engines — the phantom token must not
+    become an empty chunk row (review r5)."""
+    from mariadb_postgres_migration_spark.operators.textanalysis import chunk_overlap
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    rows = chunk_overlap(docs).collect()
+    assert {r["doc_id"] for r in rows} == {3}
