@@ -312,7 +312,11 @@ def set3_except_anti(spark, sf_dir):
     index.mjs:55): customers with no orders."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o.distinct()).distinct()
+    # subtract == SQL EXCEPT. The previous exceptAll(distinct).distinct()
+    # form diverges when the LEFT side has duplicates: exceptAll removes
+    # one occurrence per right row, so a twice-duplicated key with one
+    # order survived where EXCEPT excludes it (review r5)
+    return c.subtract(o)
 
 
 # --------------------------------------------------------------------------
@@ -862,109 +866,6 @@ def q22_idle_high_balance(spark, sf_dir):
             F.count("*").alias("n_cust"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
-    )
-
-
-@register(
-    "q8_market_share",
-    """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
-              round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
-                                  THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
-                                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
-                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                               * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
-                    4) AS mkt_share
-       FROM lineitem l
-       JOIN orders o ON l.l_orderkey = o.o_orderkey
-       JOIN customer c ON o.o_custkey = c.c_custkey
-       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-       JOIN region r ON cn.n_regionkey = r.r_regionkey
-       JOIN part p ON l.l_partkey = p.p_partkey
-       JOIN supplier s ON l.l_suppkey = s.s_suppkey
-       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-       WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
-       GROUP BY year(o.o_orderdate)""",
-    "EXT-AGG", "EXT-JOIN",
-    tier=1,
-)
-def q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold to
-    ASIA customers, per year — a conditional-ratio aggregate over a 7-table
-    snowflake where nation joins under two roles (customer side filters the
-    region, supplier side tags the share numerator). All dims broadcast;
-    both ratio terms are exact decimal sums cast to double AFTER
-    aggregation, so the per-group division is engine-stable (a double sum
-    would land on rounding boundaries differently per accumulation
-    order)."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    s = _t(spark, sf_dir, "supplier")
-    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
-    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    rev = _decimal_revenue()
-    num = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(
-        F.lit(0).cast("decimal(18,4)")
-    )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").cast("long").alias("l_year"))
-        .agg(
-            F.round(
-                F.sum(num).cast("double") / F.sum(rev).cast("double"), 4
-            ).alias("mkt_share")
-        )
-    )
-
-
-@register(
-    "q15_top_supplier",
-    """WITH rev AS (SELECT l_suppkey,
-                          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                                   * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-                            AS total_revenue
-                   FROM lineitem
-                   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-                   GROUP BY l_suppkey)
-       SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
-       FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-       WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""",
-    "EXT-AGG",
-    tier=1,
-)
-def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: aggregate → scalar-max subquery → equality select.
-    The per-supplier revenue table computes once; its max broadcasts as a
-    1-row cross join (never a re-aggregation per row); revenue is an exact
-    decimal sum so the max-equality predicate is engine-stable."""
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
-    )
-    # rev feeds BOTH the max-aggregate and the join: localCheckpoint
-    # materializes the (small, per-supplier) table once so lineitem is
-    # scanned and aggregated a single time, not once per consumer
-    rev = l.groupBy("l_suppkey").agg(
-        F.sum(_decimal_revenue()).cast("double").alias("total_revenue")
-    ).localCheckpoint()
-    top = rev.agg(F.max("total_revenue").alias("__max"))
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        rev.join(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("__max"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
     )
 
 
@@ -1707,7 +1608,14 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
     s = _t(spark, sf_dir, "supplier")
-    rev = l.groupBy("l_suppkey").agg(F.sum(_decimal_revenue()).alias("total_rev"))
+    # rev feeds BOTH the scalar max and the equality join; localCheckpoint
+    # materializes the (supplier-sized) table once so lineitem is scanned
+    # and aggregated a single time — measured: 2 lineitem scans without it
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(_decimal_revenue()).alias("total_rev"))
+        .localCheckpoint()
+    )
     mx = rev.agg(F.max("total_rev").alias("__mx"))
     return (
         rev.join(F.broadcast(mx))

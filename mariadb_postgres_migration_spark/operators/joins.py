@@ -103,15 +103,34 @@ def dict_apply_to_array(
         )
     )
     value_type = regrouped.schema["__rebuilt"].dataType
+    # row_key contract: unique per row (the reference keys on videos.id).
+    # A violated contract MERGES every same-key row's elements into one
+    # rebuilt array and hands it to all of them — corrupt output with no
+    # error. The rebuilt length always equals the input length for a
+    # well-keyed row, so the per-row guard below turns the corruption into
+    # an immediate raise instead (review r5); a single NULL-keyed row is
+    # handled correctly via the null-safe join-back.
+    guard = (
+        f"CASE WHEN size(__rebuilt) = size({array_col}) THEN __rebuilt "
+        f"ELSE cast(raise_error(concat('dict_apply_to_array: row_key "
+        f"\\'{row_key}\\' is not unique (rebuilt ', cast(size(__rebuilt) "
+        f"as string), ' elements for an array of ', "
+        f"cast(size({array_col}) as string), ')')) "
+        f"as {value_type.simpleString()}) END"
+    )
     rebuilt = (
         F.when(F.col(array_col).isNull(), F.lit(None).cast(value_type))
         .when(F.size(array_col) == 0, F.array().cast(value_type))
-        .otherwise(F.col("__rebuilt"))
+        .otherwise(F.expr(guard))
     )
     return (
-        df.join(regrouped, on=row_key, how="left")
+        df.join(
+            regrouped.withColumnRenamed(row_key, "__rk"),
+            on=F.col(row_key).eqNullSafe(F.col("__rk")),
+            how="left",
+        )
         .withColumn(array_col, rebuilt)
-        .drop("__rebuilt")
+        .drop("__rebuilt", "__rk")
     )
 
 
@@ -147,7 +166,10 @@ def as_of_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(payload_dt).alias("__r"),
     )
-    r = right.select(
+    # a right row with UNKNOWN ts can never satisfy `right_ts <= left_ts`;
+    # unfiltered it would sort FIRST (NULLs-first ordering) and its payload
+    # would carry forward into every left row (review r5)
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

@@ -74,9 +74,14 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
                 int.from_bytes(b[20:22], "little"),
             )
         if dib in (40, 52, 56, 108, 124):  # BITMAPINFOHEADER family
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            if w < 0:
+                # unlike height, a negative biWidth has NO spec meaning —
+                # reject the malformed header rather than emit width=-N
+                return None
             return (
                 "image/bmp",
-                int.from_bytes(b[18:22], "little", signed=True),
+                w,
                 # negative height = top-down row order; magnitude is the size
                 abs(int.from_bytes(b[22:26], "little", signed=True)),
             )
@@ -101,6 +106,11 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
             if i + 4 > len(b):
                 return None
             marker = b[i + 1]
+            if marker == 0xD9:
+                # EOI ends the stream and carries NO length — walking past
+                # it would read bogus lengths from trailing garbage and
+                # could land on a fake SOF there (review r5)
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
@@ -220,7 +230,9 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
                 if parsed is not None:
                     mime, w, h = parsed
                 else:
-                    mime = meta["mime"]
+                    # meta itself may be NULL — degrade the row, never
+                    # crash the job on a subscripted None (review r5)
+                    mime = meta["mime"] if meta is not None else None
                     w, h = _decode_image_stub(b)
                 widths.append(w)
                 heights.append(h)
@@ -228,7 +240,10 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "n_bytes": [
+                        m["n_bytes"] if m is not None else len(bytes(p or b""))
+                        for m, p in zip(pdf["meta"], pdf["payload"])
+                    ],
                     "width": widths,
                     "height": heights,
                     "mime": mimes,

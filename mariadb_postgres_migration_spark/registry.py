@@ -40,6 +40,10 @@ DRIVER_WINDOW = 50
 
 def register(name: str, oracle: str | None, *ops: str, tier: int = 0):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent dict overwrite turned two TPC-H variants into dead
+            # code for a full round (review r5) — duplicates are a bug
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, ops=ops, tier=tier)
         return fn
 

@@ -62,3 +62,14 @@ def test_asof_matches_bruteforce_timestamps(spark, case):
     got = as_of_join(ldf, rdf, ["k"], "lts", "rts", ["rts", "val"], suffix="_m")
     got_ts = {r["lid"]: r["rts_m"] for r in got.collect()}
     assert got_ts == _expected(left, right)
+
+
+def test_null_right_ts_never_matches(spark):
+    from mariadb_postgres_migration_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, None, 9), (1, 50, 7)], "k long, rts long, val long"
+    )
+    out = as_of_join(left, right, ["k"], "lts", "rts", ["val"]).collect()
+    assert len(out) == 1 and out[0]["val_asof"] == 7  # NULL-ts row excluded

@@ -43,3 +43,22 @@ def test_null_array_stays_null(applied):
 
 def test_dictionary_miss_maps_to_null_element(applied):
     assert applied[4] == ["B", None]
+
+
+def test_duplicate_row_key_raises_instead_of_merging(spark):
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (1, ["b"])], "rid long, tags array<string>"
+    )
+    d = spark.createDataFrame([("a", "A"), ("b", "B")], "k string, v string")
+    with pytest.raises(Exception, match="row_key 'rid' is not unique"):
+        dict_apply_to_array(df, "tags", d, "k", "v", "rid").collect()
+
+
+def test_single_null_row_key_still_maps(spark):
+    df = spark.createDataFrame([(None, ["a"])], "rid long, tags array<string>")
+    d = spark.createDataFrame([("a", "A")], "k string, v string")
+    rows = dict_apply_to_array(df, "tags", d, "k", "v", "rid").collect()
+    assert len(rows) == 1 and rows[0]["tags"] == ["A"]

@@ -193,3 +193,22 @@ def test_attach_bmp_payload_is_spec_valid_bmp(spark, sf_dir):
         w = 16 + (ord(text[0]) if text else 0) % 64
         h = 16 + len(pix) % 64
         assert built[r["doc_id"]] == _bmp_bytes(w, h, pix)
+
+
+def test_header_parser_rejects_malformed_and_trailing_garbage():
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    # negative biWidth has no spec meaning -> reject
+    neg_w = bytearray(b"BM" + b"\x00" * 52)
+    neg_w[14:18] = (40).to_bytes(4, "little")
+    neg_w[18:22] = (-100).to_bytes(4, "little", signed=True)
+    neg_w[22:26] = (10).to_bytes(4, "little", signed=True)
+    assert parse_image_header(bytes(neg_w)) is None
+
+    # EOI terminates the JPEG scan: a fake SOF in trailing garbage after
+    # FFD9 must not produce fabricated dimensions
+    fake_sof = b"\xff\xc0\x00\x11\x08\x00\x10\x00\x20"
+    jpeg = b"\xff\xd8" + b"\xff\xd9" + fake_sof
+    assert parse_image_header(jpeg) is None
