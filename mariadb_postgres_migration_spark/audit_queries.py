@@ -179,8 +179,8 @@ _TGT_CTE = f"""tgt AS (
   FROM orders WHERE o_orderkey % {ADD_MOD} = 0)"""
 
 
-def _orders_digest(prefix: str = "") -> "F.Column":
-    c = lambda name: F.col(prefix + name) if prefix else F.col(name)  # noqa: E731
+def _orders_digest() -> "F.Column":
+    c = F.col
     return R.row_digest(
         c("o_orderkey"),
         F.coalesce(c("o_custkey"), F.lit(-1)),
@@ -391,30 +391,24 @@ def funnel_stages(d):
 # ---------------------------------------------------------------------------
 
 
-def _register_x73():
-    """x71's oracle can only be referenced after x71 registers (below in
-    this module) — registration is deferred to module bottom."""
+@register(
+    "x73_stream_funnel",
+    member_oracle("x71_funnel_stages"),  # x71 registers above in this module
+    "EXT-09", "EXT-FUNNEL",
+    tier=1,
+)
+def x73_stream_funnel(spark, sf_dir):
+    """The x71 funnel as a CUSTOM stateful streaming operator
+    (``applyInPandasWithState``): per-user state = the qualifying
+    stage timestamps, advanced monotonically per micro-batch under
+    the in-time-order arrival contract. A bounded in-order replay
+    equals the batch window cascade exactly, so x71's oracle is
+    reused verbatim; cross-batch equivalence is pinned in
+    tests/test_stream_funnel.py with a one-time-slice-per-trigger
+    replay."""
+    from .streaming.jobs import run_stream_funnel
 
-    @register(
-        "x73_stream_funnel",
-        member_oracle("x71_funnel_stages"),
-        "EXT-09", "EXT-FUNNEL",
-        tier=1,
-    )
-    def x73_stream_funnel(spark, sf_dir):
-        """The x71 funnel as a CUSTOM stateful streaming operator
-        (``applyInPandasWithState``): per-user state = the qualifying
-        stage timestamps, advanced monotonically per micro-batch under
-        the in-time-order arrival contract. A bounded in-order replay
-        equals the batch window cascade exactly, so x71's oracle is
-        reused verbatim; cross-batch equivalence is pinned in
-        tests/test_stream_funnel.py with a one-time-slice-per-trigger
-        replay."""
-        from .streaming.jobs import run_stream_funnel
-
-        return run_stream_funnel(spark, sf_dir)
-
-    return x73_stream_funnel
+    return run_stream_funnel(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +555,7 @@ SELECT 'pr', node, {z}, score_q, {z}, {z}, {zd}, {zd}, NULL
 FROM ({member_oracle('x68_pagerank')})
 UNION ALL
 SELECT 'ivm', {z}, {z}, n, sum_v, mn_v, CAST(mx_v AS DOUBLE), {zd},
-       o_orderstatus || '|' || o_orderpriority
+       concat_ws('|', o_orderstatus, o_orderpriority)
 FROM ({member_oracle('x69_incremental_agg_maintenance')})
 UNION ALL
 SELECT 'scks', bucket, {z}, n, x1, x2, {zd}, {zd}, NULL
@@ -656,6 +650,3 @@ def x65_health_suite(spark, sf_dir):
         ))
     )
 
-
-#: deferred: x73 reuses x71's oracle, which registers above.
-x73_stream_funnel = _register_x73()

@@ -1854,10 +1854,9 @@ def _suite_shape(df, kind, **cols):
     return df.select(*out)
 
 
-def _member_oracle(name: str) -> str:
-    from .registry import REGISTRY
-
-    return REGISTRY[name].oracle
+# suite-composition helper: the canonical member-oracle lookup lives in
+# registry.py — alias it so every suite module uses the same implementation
+from .registry import member_oracle as _member_oracle  # noqa: E402
 
 
 def _x49_sql() -> str:
@@ -1956,7 +1955,7 @@ def _x50_sql() -> str:
        CAST(keep AS VARCHAR) AS s1
 FROM ({_member_oracle('x32_gopher_repetition')})
 UNION ALL
-SELECT 'sample', doc_id, {z}, {z}, {z}, {z}, {zd}, {zd}, lang || '|' || source
+SELECT 'sample', doc_id, {z}, {z}, {z}, {z}, {zd}, {zd}, concat_ws('|', lang, source)
 FROM ({_member_oracle('x33_stratified_sample')})
 UNION ALL
 SELECT 'kmeans', cell, pos, n_members, {z}, {z}, CAST(val AS DOUBLE), {zd}, NULL

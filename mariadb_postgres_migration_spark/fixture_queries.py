@@ -22,15 +22,12 @@ clustered write, OP-32 DAG) it is exercised in tests/ instead and noted here.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import caret_count
 from .operators.aggregates import max_id
 from .operators.threading import resolve_backrefs, resolve_backrefs_scaled
-from .registry import PASSWORD_PLACEHOLDER, REGISTRY, SEP, _t, member_oracle, register
+from .registry import PASSWORD_PLACEHOLDER, SEP, _t, member_oracle, register
 
 
 # --------------------------------------------------------------------------

@@ -75,7 +75,15 @@ def pipe_transform(
             batch.clear()
 
         for row in rows:
-            batch.append((row[id_col], row[input_col]))
+            v = row[input_col]
+            if v is None:
+                # NULL maps to NULL like the pandas-UDF and native tiers —
+                # it never enters the line protocol (joining None raises,
+                # and the subprocess couldn't represent it anyway)
+                yield from flush()  # preserve relative output order
+                yield (row[id_col], None)
+                continue
+            batch.append((row[id_col], v))
             if len(batch) >= max_batch_lines:
                 yield from flush()
         yield from flush()

@@ -70,3 +70,15 @@ def test_pipe_chunking_preserves_order(spark):
     assert len(out) == 500
     for r in out:
         assert r["normalized"] == f"tag_{r['tag_id']}"
+
+
+def test_pipe_tier_maps_null_to_null(spark):
+    """NULL inputs must come back NULL (parity with the pandas-UDF and
+    native tiers), not crash the line protocol (review r5)."""
+    df = spark.createDataFrame(
+        [(1, "A B"), (2, None), (3, "c  d")], "id long, text string"
+    )
+    out = {r["id"]: r["norm"] for r in
+           pipe_transform(df, "text", command=NORMALIZE_CMD, id_col="id", out_col="norm").collect()}
+    assert out[2] is None
+    assert out[1] is not None and out[3] is not None
