@@ -411,6 +411,35 @@ def x73_stream_funnel(spark, sf_dir):
     return run_stream_funnel(spark, sf_dir)
 
 
+@register(
+    "x74_stream_windowed_topk",
+    """WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                 count(*) AS n
+          FROM events
+          WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+          GROUP BY 1, 2)
+SELECT window_start_us, CAST(rk AS BIGINT) AS rk, item, CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start_us
+                                   ORDER BY n DESC, item) AS rk
+      FROM c)
+WHERE rk <= 3""",
+    "EXT-06", "EXT-08", "EXT-HH",
+    tier=1,
+)
+def x74_stream_windowed_topk(spark, sf_dir):
+    """Per-hour top-3 interacted items as a STREAMING aggregation: the
+    watermarked (window, item) counts are native streaming state (never
+    raw events); the rank runs on the finalized counts after replay (per
+    closed window in production) — window functions over a live streaming
+    aggregate are unsupported, and top-k needs the window closed anyway.
+    Ties break by item id; the oracle is the batch windowed GROUP BY +
+    row_number."""
+    from .streaming.jobs import run_stream_windowed_topk
+
+    return run_stream_windowed_topk(spark, sf_dir, width_s=3600, k=3)
+
+
 # ---------------------------------------------------------------------------
 # streamed incremental checksum (x70)
 # ---------------------------------------------------------------------------

@@ -531,3 +531,47 @@ def run_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "stage", "t1_us", "t2_us", "t3_us")
     )
+
+
+def run_stream_windowed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    width_s: int = 3600,
+    k: int = 3,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """EXT-06 meets the heavy-hitter surface: per tumbling window, the
+    top-k interacted items (events' ``props.k``) by count.
+
+    The STREAMING side maintains only the (window, item) counts — a
+    native watermarked aggregation whose state is windows x items, never
+    raw events. Ranking is deliberately OUTSIDE the stream: window
+    functions over a streaming aggregate are unsupported (and top-k
+    per window needs the window CLOSED anyway), so the rank runs on the
+    materialized counts after replay — in production, on each window's
+    finalized rows as the watermark passes. Ties break by item id for
+    cross-engine rank stability."""
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withColumn(
+            "item", F.get_json_object("props", "$.k").try_cast("long")
+        )
+        .filter(F.col("item").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{width_s} seconds").alias("w"), "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"), "item", "n"
+        )
+    )
+    done = _run_to_memory(counts, "complete")
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("window_start_us").orderBy(
+        F.desc("n"), F.asc("item")
+    )
+    return (
+        done.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("window_start_us", "rk", "item", "n")
+    )
