@@ -307,6 +307,169 @@ def x72_bloom_incremental_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# entity resolution pipeline (c3) and exact rolling anomaly (x75)
+# ---------------------------------------------------------------------------
+
+
+#: every REREG_MOD-th customer re-registers in "source B" with a typo'd
+#: name (last char → 'Z'), shifted into its own record-id space.
+ER_REREG_MOD, ER_OFFSET = 3, 10_000_000
+
+_C3_RECORDS_CTE = f"""recs AS (
+  SELECT c_custkey AS rec, c_name AS name, c_nationkey AS nat,
+         c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {ER_OFFSET},
+         substr(c_name, 1, length(c_name) - 1) || 'Z',
+         c_nationkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % {ER_REREG_MOD} = 0)"""
+
+
+def _c3_sql() -> str:
+    return f"""WITH RECURSIVE {_C3_RECORDS_CTE},
+p AS (SELECT a.rec AS key_a, b.rec AS key_b
+      FROM recs a JOIN recs b
+        ON a.nat = b.nat AND a.seg = b.seg AND a.rec < b.rec
+      WHERE levenshtein(a.name, b.name) <= 1),
+e AS (SELECT key_a AS src, key_b AS dst FROM p
+      UNION ALL SELECT key_b, key_a FROM p),
+reach AS (SELECT rec AS k, rec AS n FROM recs
+          UNION SELECT r.k, e.dst FROM reach r JOIN e ON e.src = r.n),
+comp AS (SELECT k, min(n) AS comp FROM reach GROUP BY k),
+sc AS (SELECT comp.k, comp.comp, recs.bal
+       FROM comp JOIN recs ON comp.k = recs.rec),
+best AS (SELECT comp, k AS rep FROM (
+           SELECT comp, k, row_number() OVER (PARTITION BY comp
+                    ORDER BY bal DESC, k) AS rk FROM sc)
+         WHERE rk = 1)
+SELECT sc.k AS rec_id, b.rep AS canonical_id, (sc.k = b.rep) AS keep
+FROM sc JOIN best b ON sc.comp = b.comp"""
+
+
+@register("c3_entity_resolution", _c3_sql(), "EXT-02", "EXT-ER", tier=1)
+def c3_entity_resolution(spark, sf_dir):
+    """Composed record-linkage pipeline — the customer-record counterpart
+    of the c1/c2 document pipelines, on a deterministic two-source
+    scenario: every third customer "re-registers" with a last-char typo
+    in its own id space, and the pipeline must re-unify them.
+
+    Stages, each on its scale tier: blocked candidate generation (x59's
+    blocked-equi-join plan, with a COMPOSITE (nation, segment) block —
+    TPC-H names are pairwise dist-1, so name-prefix blocking alone
+    degenerates into one giant cluster; composite blocking is exactly how
+    real ER handles low-entropy name spaces), star-contraction
+    clustering, and a keep-best collapse (highest balance wins, ties →
+    min record id, so the ORIGINAL registration beats its re-registered
+    copy). The oracle replays the identical graph via recursive CTE."""
+    c = _t(spark, sf_dir, "customer")
+    rec_a = c.select(
+        F.col("c_custkey").alias("rec"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    rec_b = (
+        c.filter(F.col("c_custkey") % ER_REREG_MOD == 0)
+        .select(
+            (F.col("c_custkey") + ER_OFFSET).alias("rec"),
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("Z")
+            ).alias("name"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    recs = D._persist(rec_a.unionByName(rec_b))
+    a = recs.select(
+        F.col("rec").alias("key_a"), F.col("name").alias("name_a"), "nat", "seg"
+    )
+    b = recs.select(
+        F.col("rec").alias("key_b"), F.col("name").alias("name_b"), "nat", "seg"
+    )
+    pairs = (
+        a.join(b, on=["nat", "seg"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+    )
+    comp = D.connected_components_star(pairs)
+    out = D.dedup_keep_best(
+        recs.select(F.col("rec").alias("doc_id"), "bal"),
+        pairs,
+        F.col("bal"),
+        components=comp,
+    )
+    return out.select(
+        F.col("doc_id").alias("rec_id"),
+        F.col("rep").alias("canonical_id"),
+        "keep",
+    )
+
+
+ANOM_WINDOW = 20  #: trailing values per user feeding the baseline
+ANOM_MIN_N = 8  #: don't flag until the baseline has this many samples
+ANOM_Z = 3  #: the |x - mean| > z·sigma threshold
+
+
+@register(
+    "x75_rolling_anomaly",
+    f"""WITH c AS (SELECT event_id, user_id, ts,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         FROM events),
+w AS (SELECT event_id, user_id, cents,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(coalesce(sum(cents) OVER win, 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(cents * cents) OVER win, 0) AS BIGINT) AS ss
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, n,
+       (n >= {ANOM_MIN_N} AND
+        (n * cents - s) * (n * cents - s) > {ANOM_Z * ANOM_Z} * (n * ss - s * s))
+         AS anomaly
+FROM w""",
+    "EXT-WINDOW", "EXT-ANOM",
+    tier=1,
+)
+def x75_rolling_anomaly(spark, sf_dir):
+    """Per-user rolling z-score anomaly flags in EXACT integer algebra:
+    |x − mean| > z·sigma over the trailing window rearranges to
+    (n·x − S)² > z²·(n·SS − S²) with S/SS as quantized-cent sums — no
+    float arithmetic ANYWHERE, so flags are bit-identical at any
+    parallelism and across engines (sums of longs are order-free; a
+    float mean/std would sit exactly on threshold boundaries). The
+    baseline excludes the current row (frame ends at 1 PRECEDING) so a
+    spike cannot mask itself, and young baselines (< min_n samples)
+    never flag. One user-keyed shuffle; the window state is the frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    d = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", cents.alias("cents")
+    )
+    d = d.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0))
+        .cast("long")
+        .alias("ss"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    flag = (F.col("n") >= ANOM_MIN_N) & (dev * dev > ANOM_Z * ANOM_Z * var_n2)
+    return d.select("event_id", "user_id", "n", flag.alias("anomaly"))
+
+
+# ---------------------------------------------------------------------------
 # funnel analysis (x71)
 # ---------------------------------------------------------------------------
 

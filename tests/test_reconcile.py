@@ -99,3 +99,68 @@ def test_hex_chunk_parity_with_python(spark):
         )
         py_val = int(s[start - 1 : start + 7], 16)
         assert duck_val == spark_val == py_val
+
+
+# --- c3 entity resolution / x75 rolling anomaly -------------------------
+
+
+def test_c3_reunifies_every_reregistered_record(spark, sf_dir):
+    from mariadb_postgres_migration_spark.audit_queries import (
+        ER_OFFSET,
+        ER_REREG_MOD,
+        c3_entity_resolution,
+    )
+
+    out = {r["rec_id"]: r for r in c3_entity_resolution(spark, sf_dir).collect()}
+    b_recs = [k for k in out if k >= ER_OFFSET]
+    assert b_recs  # the scenario actually injected re-registrations
+    for bk in b_recs:
+        a_twin = bk - ER_OFFSET
+        assert a_twin % ER_REREG_MOD == 0
+        # the typo'd copy and its original must land in the SAME cluster
+        assert out[bk]["canonical_id"] == out[a_twin]["canonical_id"], bk
+        # equal balances -> min-id tie-break -> the ORIGINAL is canonical,
+        # so a re-registered copy is never its own cluster representative
+        assert not out[bk]["keep"]
+    # exactly one representative per cluster
+    canon = {}
+    for r in out.values():
+        canon.setdefault(r["canonical_id"], []).append(r["keep"])
+    for cid, keeps in canon.items():
+        assert sum(keeps) == 1, cid
+
+
+def test_x75_flags_exactly_the_hand_computed_spikes(spark):
+    from mariadb_postgres_migration_spark.operators import audit  # noqa: F401
+    from mariadb_postgres_migration_spark.audit_queries import (
+        ANOM_MIN_N,
+        x75_rolling_anomaly,
+    )
+    import mariadb_postgres_migration_spark.audit_queries as AQ
+    from pyspark.sql import functions as F
+
+    # steady 10.00 baseline, one 100.00 spike late, one early outlier that
+    # must NOT flag (baseline too young)
+    rows = []
+    for i in range(1, 31):
+        v = 100.0 if i == 25 else (55.0 if i == 3 else 10.0)
+        rows.append((i, 1, f"2024-01-01 00:{i:02d}:00", v))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    # drive the registered query body directly on the synthetic frame
+    orig_t = AQ._t
+    AQ._t = lambda spark, sf_dir, name: events
+    try:
+        got = {r["event_id"]: r for r in x75_rolling_anomaly(spark, "unused").collect()}
+    finally:
+        AQ._t = orig_t
+    assert got[25]["anomaly"] is True  # the spike against a mature baseline
+    assert got[3]["anomaly"] is False  # n < min_n: young baseline never flags
+    assert got[3]["n"] < ANOM_MIN_N
+    flagged = {k for k, r in got.items() if r["anomaly"]}
+    # event 26 sees the 100 spike inside its baseline (inflated variance)
+    # but 10.0 is still within 3 sigma of the contaminated window; only
+    # the spike itself flags
+    assert flagged == {25}, flagged
