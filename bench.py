@@ -80,10 +80,14 @@ HEADLINE = [
     # hitters + corpus drift + checksum/diff + pagerank + IVM + streamed
     # checksum as members)
     "x65_health_suite",
-    # r5 tail: funnel (batch + stateful-stream form) and the bloom tier
+    # r5 tail: funnel (batch + stateful-stream form), bloom tier, windowed
+    # top-k stream, exact rolling anomaly, entity-resolution pipeline
     "x71_funnel_stages",
     "x72_bloom_incremental_dedup",
     "x73_stream_funnel",
+    "x74_stream_windowed_topk",
+    "x75_rolling_anomaly",
+    "c3_entity_resolution",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone

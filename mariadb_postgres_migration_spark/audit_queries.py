@@ -330,7 +330,9 @@ def _c3_sql() -> str:
     return f"""WITH RECURSIVE {_C3_RECORDS_CTE},
 p AS (SELECT a.rec AS key_a, b.rec AS key_b
       FROM recs a JOIN recs b
-        ON a.nat = b.nat AND a.seg = b.seg AND a.rec < b.rec
+        ON a.nat = b.nat AND a.seg = b.seg
+       AND substr(a.name, 12, 5) = substr(b.name, 12, 5)
+       AND a.rec < b.rec
       WHERE levenshtein(a.name, b.name) <= 1),
 e AS (SELECT key_a AS src, key_b AS dst FROM p
       UNION ALL SELECT key_b, key_a FROM p),
@@ -358,7 +360,9 @@ def c3_entity_resolution(spark, sf_dir):
     blocked-equi-join plan, with a COMPOSITE (nation, segment) block —
     TPC-H names are pairwise dist-1, so name-prefix blocking alone
     degenerates into one giant cluster; composite blocking is exactly how
-    real ER handles low-entropy name spaces), star-contraction
+    real ER handles low-entropy name spaces; a mid-name band — stable under
+    the last-char typo — adds a third attribute that bounds block size),
+    star-contraction
     clustering, and a keep-best collapse (highest balance wins, ties →
     min record id, so the ORIGINAL registration beats its re-registered
     copy). The oracle replays the identical graph via recursive CTE."""
@@ -383,14 +387,17 @@ def c3_entity_resolution(spark, sf_dir):
         )
     )
     recs = D._persist(rec_a.unionByName(rec_b))
+    band = F.substring("name", 12, 5)
     a = recs.select(
-        F.col("rec").alias("key_a"), F.col("name").alias("name_a"), "nat", "seg"
+        F.col("rec").alias("key_a"), F.col("name").alias("name_a"),
+        "nat", "seg", band.alias("band"),
     )
     b = recs.select(
-        F.col("rec").alias("key_b"), F.col("name").alias("name_b"), "nat", "seg"
+        F.col("rec").alias("key_b"), F.col("name").alias("name_b"),
+        "nat", "seg", band.alias("band"),
     )
     pairs = (
-        a.join(b, on=["nat", "seg"])
+        a.join(b, on=["nat", "seg", "band"])
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
