@@ -103,7 +103,10 @@ R4_COMPARABLE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:  # '…/sf0.1' → 0.1; any other path shape records sf as unknown
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
 
     load_all_query_modules()
     spark = get_session(
@@ -173,11 +176,14 @@ def main() -> int:
     headline = [
         n for n in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if n
     ] or HEADLINE
+    unknown = [n for n in headline if n not in REGISTRY]
+    if unknown:
+        # a typo'd name silently shrinking the recorded totals is the same
+        # coverage hole the registry's duplicate guard closes — fail loudly
+        raise SystemExit(f"bench: unknown query names {unknown}")
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in headline:
-        if name not in REGISTRY:
-            continue
         cold[name] = round(run(name), 3)  # warmup = this query's cold run
         # min of two steady runs: the shared local JVM still has GC/JIT
         # noise a real cluster doesn't; min is the standard de-noiser.

@@ -53,8 +53,15 @@ def register(name: str, oracle: str | None, *ops: str, tier: int = 0):
 def member_oracle(name: str) -> str:
     """A registered member query's oracle SQL, for composition into a
     consolidation suite's oracle — suites built this way track member
-    edits by construction instead of hand-duplicating SQL."""
-    return REGISTRY[name].oracle
+    edits by construction instead of hand-duplicating SQL. Raises for a
+    rows-only member (oracle None): silently returning None would embed
+    the literal text 'None' into the composed SQL and surface as a
+    confusing DuckDB syntax error far from the cause."""
+    oracle = REGISTRY[name].oracle
+    if oracle is None:
+        raise ValueError(f"member {name!r} has no oracle (rows-only check) "
+                         "and cannot be composed into a suite oracle")
+    return oracle
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -22,7 +22,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.parquet.aggregatePushdown": "true",
+    # NOTE: parquet aggregate pushdown (MIN/MAX/COUNT from footers) only
+    # exists in the DSv2 scan, and parquet stays on the v1 path unless
+    # spark.sql.sources.useV1SourceList excludes it — setting the conf
+    # alone was inert and claimed an optimization the engine never got
+    # (review r5). The v1 path is kept deliberately: it is the tested,
+    # default-everywhere reader.
     "spark.sql.session.timeZone": "UTC",
     # small dims (region/nation/playlists-analog) must broadcast; 64 MiB keeps
     # genuinely-large build sides on the shuffle path.

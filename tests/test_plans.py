@@ -309,3 +309,44 @@ def test_c1_pipeline_reuses_persisted_stages(q):
     )
 
     release_cached_intermediates()
+
+
+def test_exchange_counts_pin_single_shuffle_analytics(q):
+    """The shuffle-count contract the inspect docstring promises: SCD2 and
+    the rolling anomaly are one-user-keyed-exchange algorithms; extra
+    exchanges = a plan regression."""
+    from mariadb_postgres_migration_spark.plans.inspect import exchange_count
+
+    assert exchange_count(q("x62_scd2_intervals")) == 1
+    assert exchange_count(q("x75_rolling_anomaly")) == 1
+
+
+def test_read_schema_parser_survives_nested_types(q):
+    """The multimodal pruning assertions depend on columns AFTER a nested
+    struct being visible — a first-'>'-terminated regex dropped them and
+    false-passed the payload-pruning test (review r5)."""
+    cols = read_schema_columns(q("x13_multimodal_meta"))
+    assert cols  # parses at all
+    df = q("x14_multimodal_decode")
+    cols14 = read_schema_columns(df)
+    # meta is struct<...>; payload (sorts after it) must still be seen
+    assert any(c == "payload" or c == "doc_id" for c in cols14)
+
+
+def test_pushed_filter_predicates_stay_whole(q):
+    """Binary pushed filters must not fragment at their internal comma."""
+    preds = pushed_filters(q("op10_equality_filter"))
+    assert preds
+    for p in preds:
+        assert p.count("(") == p.count(")"), p  # balanced → whole predicate
+
+
+def test_python_eval_counts_cogrouped_kernels(spark, sf_dir):
+    """FlatMapCoGroupsInPandas is a Python surface and must count (the
+    blocked kNN tier uses cogroup().applyInPandas — review r5)."""
+    from mariadb_postgres_migration_spark.operators.similarity import knn_bruteforce
+    from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    blocked = knn_bruteforce(emb, emb, k=2, max_broadcast_probes=3)
+    assert python_eval_count(blocked) >= 1
