@@ -87,19 +87,47 @@ def read_schema_columns(df: DataFrame) -> set[str]:
     return cols
 
 
+#: shuffle partitionings an Exchange node can carry. Broadcast exchanges
+#: (``BroadcastExchange`` nodes / ``HashedRelationBroadcastMode``) are
+#: deliberately NOT shuffles and must not count.
+_SHUFFLE_PARTITIONINGS = ("hashpartitioning", "rangepartitioning", "SinglePartition")
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle exchanges in the plan — hash, range AND single-partition
-    (a global agg/limit that regresses into an extra shuffle counts)."""
+    (a global agg/limit that regresses into an extra shuffle counts).
+
+    Formatted mode prints the node as ``(3) Exchange`` with the
+    partitioning on a separate ``Arguments: hashpartitioning(...)`` line —
+    the node header and its partitioning NEVER share a line, so substring
+    counting on ``"Exchange hashpartitioning"`` is always 0 (the r5
+    vacuous-zero bug). Parse the node-detail blocks instead: a block whose
+    header is an ``Exchange`` node counts iff its Arguments line starts
+    with a shuffle partitioning.
+    """
     text = formatted_plan(df)
-    return (
-        text.count("Exchange hashpartitioning")
-        + text.count("Exchange rangepartitioning")
-        + text.count("Exchange SinglePartition")
-    )
+    count = 0
+    node_header = re.compile(r"^\(\d+\) Exchange\b")
+    for block in re.split(r"\n\s*\n", text):
+        lines = block.lstrip("\n").split("\n")
+        if not lines or not node_header.match(lines[0].strip()):
+            continue
+        for line in lines[1:]:
+            line = line.strip()
+            if line.startswith("Arguments: "):
+                arg = line[len("Arguments: ") :]
+                if arg.startswith(_SHUFFLE_PARTITIONINGS):
+                    count += 1
+                break
+    return count
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    """Broadcast hash joins in the plan, counted on the numbered node
+    headers only — formatted mode prints every node TWICE (once in the
+    tree summary, once as a detail block), so a raw substring count
+    reports 2× the truth."""
+    return len(re.findall(r"^\(\d+\) BroadcastHashJoin\b", formatted_plan(df), re.MULTILINE))
 
 
 #: every plan-node name that executes Python. ``FlatMapCoGroupsInPandas``
@@ -120,6 +148,11 @@ def python_eval_count(df: DataFrame) -> int:
     """Python-executed operators in the plan (row UDFs, pandas UDFs, the
     grouped/cogrouped/iterator Arrow forms, mapInArrow). The hot-path
     contract: zero unless the operator is explicitly UDF-tier (OP-31
-    normalize, multimodal decode, grouped threading, BLAS kernels)."""
+    normalize, multimodal decode, grouped threading, BLAS kernels).
+    Counted on numbered node headers only — formatted mode prints every
+    node twice (tree summary + detail block)."""
     text = formatted_plan(df)
-    return sum(text.count(marker) for marker in _PYTHON_MARKERS)
+    return sum(
+        len(re.findall(rf"^\(\d+\) {marker}\b", text, re.MULTILINE))
+        for marker in _PYTHON_MARKERS
+    )

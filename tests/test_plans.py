@@ -350,3 +350,31 @@ def test_python_eval_counts_cogrouped_kernels(spark, sf_dir):
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     blocked = knn_bruteforce(emb, emb, k=2, max_broadcast_probes=3)
     assert python_eval_count(blocked) >= 1
+
+
+def test_inspect_counters_see_known_nodes(spark, sf_dir):
+    """Anti-vacuous-zero self-test: each inspect counter must return >0 on
+    a plan KNOWN to contain its node. The trap bit twice — r5's
+    read_schema_columns bracket bug, then exchange_count at r5 HEAD
+    (formatted mode never prints 'Exchange hashpartitioning' on one line)
+    — so every counter gets a positive control here."""
+    import pyspark.sql.functions as F
+
+    from mariadb_postgres_migration_spark.plans.inspect import exchange_count
+    from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+    base = spark.range(1000).withColumn("k", F.col("id") % 7)
+    assert exchange_count(base.groupBy("k").count()) == 1  # hashpartitioning
+    assert exchange_count(base.agg(F.sum("id"))) == 1  # SinglePartition
+    assert exchange_count(base.orderBy("k")) == 1  # rangepartitioning
+    assert exchange_count(spark.range(10)) == 0  # negative control
+
+    dim = spark.range(7).withColumnRenamed("id", "k")
+    joined = base.join(F.broadcast(dim), "k")
+    assert broadcast_join_count(joined) == 1
+    assert exchange_count(joined) == 0  # broadcast is NOT a shuffle
+
+    nat = read_parquet_table(spark, sf_dir, "nation")
+    scan = nat.filter(F.col("n_regionkey") == 1).select("n_name")
+    assert pushed_filters(scan)
+    assert "n_name" in read_schema_columns(scan)
