@@ -69,25 +69,18 @@ HEADLINE = [
     "x42_pipeline_suite",
     "x49_dedup_quality_suite",
     "x50_scale_analysis_suite",
-    # r5: composed end-to-end curation chain + the span/PQ additions
+    # r5: composed end-to-end curation chain
     "c1_curation_pipeline",
-    "c2_curation_pipeline_lsh",
-    "x54_pq_encode",
-    "x55_knn_ivfpq",
-    "x56_substring_dedup_spans",
-    "x60_multimodal_pixel_stats",
     # r5: pipeline-health suite (expectations audit + SCD2 + exact heavy
     # hitters + corpus drift + checksum/diff + pagerank + IVM + streamed
     # checksum as members)
     "x65_health_suite",
-    # r5 tail: funnel (batch + stateful-stream form), bloom tier, windowed
-    # top-k stream, exact rolling anomaly, entity-resolution pipeline
-    "x71_funnel_stages",
-    "x72_bloom_incremental_dedup",
-    "x73_stream_funnel",
-    "x74_stream_windowed_topk",
-    "x75_rolling_anomaly",
-    "c3_entity_resolution",
+    # r6: driver-window consolidation suites for the r5 tail — x54/x55/x58
+    # /x60/x72/x56 run inside x76 and x71/x73/x74/x75/c2/c3/x57 inside x77,
+    # so their r5 standalone rows were dropped as double counts (the same
+    # consolidation x42/x49/x50 applied to x32-x53)
+    "x76_retrieval_suite",
+    "x77_behavioral_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -95,9 +88,82 @@ HEADLINE = [
 #: Summed separately in the final line (`value_r4set`) so round-over-round
 #: totals compare equal work — the full-suite total keeps absorbing every
 #: new operator and is NOT an apples-to-apples series.
+#: FROZEN as an explicit list (r6): the r5 prefix-based exclusion would
+#: silently eject any future query whose name starts x4/x5/x6/x7/c and
+#: shrink the series by accident — membership changes must now be a
+#: reviewed diff of this literal.
 R4_COMPARABLE = [
-    n for n in HEADLINE if not n.startswith(("x4", "x5", "x6", "x7", "c"))
+    "op18_flagship_group_concat",
+    "op20_backref_threading",
+    "op20_backref_threading_hof",
+    "op20_backref_threading_grouped",
+    "op15_three_way_join",
+    "op31_normalize_text",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume_flow",
+    "q10_returned_item_revenue",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicate_join",
+    "j1_asof_join",
+    "j2_interval_join",
+    "w1_topk_per_group",
+    "p1_percentiles_by_flag",
+    "p2_percentile_disc_distributed",
+    "x02_dedup_ngram_jaccard",
+    "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash",
+    "x05_dedup_embedding_cosine",
+    "x06_knn_bruteforce",
+    "x07_knn_ivf",
+    "x25_knn_hyperplane_lsh",
+    "x09_quality_score",
+    "x08_11_text_profile",
+    "x12_winnow_fingerprints",
+    "x15_window_tumbling",
+    "x27_dedup_connected_components",
+    "x28_term_doc_freq",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
 ]
+
+#: Consolidation suites → their member queries, benched individually (warm
+#: only) AFTER the suite itself so a member regression is attributable
+#: without de-consolidating the driver row. Member times appear on the
+#: suite_member_timings detail line, NOT in the final-line totals (the
+#: suite already counts that work once).
+SUITE_MEMBERS = {
+    "x49_dedup_quality_suite": [
+        "x41_dedup_cc_star", "x45_incremental_dedup", "x46_best_per_source",
+        "x47_dedup_keep_best", "x43_stream_pii_scrub",
+    ],
+    "x50_scale_analysis_suite": [
+        "x32_gopher_repetition", "x33_stratified_sample",
+        "x34_ivf_train_kmeans", "x38_embedding_quantize_int8",
+        "x44_bpe_pair_counts", "x48_knn_multiprobe_lsh", "x51_semdedup",
+        "x52_unigram_logprob", "x53_bm25_topk",
+    ],
+    "x65_health_suite": [
+        "x61_expectations_audit", "x62_scd2_intervals", "x63_frequent_terms",
+        "x64_corpus_drift", "x66_migration_checksum", "x67_snapshot_diff",
+        "x68_pagerank", "x69_incremental_agg_maintenance",
+        "x70_stream_checksum",
+    ],
+    "x76_retrieval_suite": [
+        "x54_pq_encode", "x55_knn_ivfpq", "x58_pq_train_codebooks",
+        "x60_multimodal_pixel_stats", "x72_bloom_incremental_dedup",
+        "x56_substring_dedup_spans",
+    ],
+    "x77_behavioral_suite": [
+        "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",
+        "x75_rolling_anomaly", "c3_entity_resolution",
+        "x57_stream_incremental_dedup", "c2_curation_pipeline_lsh",
+    ],
+}
 
 
 def main() -> int:
@@ -188,6 +254,20 @@ def main() -> int:
         # min of two steady runs: the shared local JVM still has GC/JIT
         # noise a real cluster doesn't; min is the standard de-noiser.
         timings[name] = round(min(run(name), run(name)), 3)
+
+    # Per-member attribution for the consolidation suites: one untimed
+    # compile/warm run, one timed run per member. Detail-line only — the
+    # suite row already counts this work once in the totals.
+    member_timings: dict[str, dict[str, float]] = {}
+    for suite, members in SUITE_MEMBERS.items():
+        if suite not in headline:
+            continue
+        member_timings[suite] = {}
+        for m in members:
+            run(m)
+            member_timings[suite][m] = round(run(m), 3)
+    if member_timings:
+        print(json.dumps({"detail": "suite_member_timings", "suites": member_timings}))
 
     total = round(sum(timings.values()), 3)
     # Per-query detail goes on its OWN line: the harness that records this

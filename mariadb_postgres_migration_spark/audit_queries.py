@@ -15,7 +15,17 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .extension_queries import _TOKS_CTE, _suite_shape
+from .extension_queries import (
+    _TOKS_CTE,
+    _suite_shape,
+    c2_curation_pipeline_lsh,
+    x54_pq_encode,
+    x55_knn_ivfpq,
+    x56_substring_dedup_spans,
+    x57_stream_incremental_dedup,
+    x58_pq_train_codebooks,
+    x60_multimodal_pixel_stats,
+)
 from .operators import audit as A
 from .operators import dedup as D
 from .operators import graph as G
@@ -849,3 +859,165 @@ def x65_health_suite(spark, sf_dir):
         ))
     )
 
+
+
+def _x76_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'pq' AS kind, v_id AS id1, {z} AS id2,
+       {z} AS v1, {z} AS v2, {z} AS v3,
+       CAST(err2 AS DOUBLE) AS d1, {zd} AS d2, codes AS s1
+FROM ({member_oracle('x54_pq_encode')})
+UNION ALL
+SELECT 'ivfpq', q_id, n_id, rk, {z}, {z}, CAST(adist AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x55_knn_ivfpq')})
+UNION ALL
+SELECT 'pqtrain', m, code, pos, n_members, {z}, CAST(val AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x58_pq_train_codebooks')})
+UNION ALL
+SELECT 'pix', doc_id, width, height, px_min, px_max,
+       CAST(px_sum AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x60_multimodal_pixel_stats')})
+UNION ALL
+SELECT 'bloom', doc_id, {z}, CAST(is_dup_of_corpus AS BIGINT), {z}, {z},
+       {zd}, {zd}, source
+FROM ({member_oracle('x72_bloom_incremental_dedup')})
+UNION ALL
+SELECT 'spans', doc_id, span_start, span_end, n_windows, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x56_substring_dedup_spans')})"""
+
+
+@register(
+    "x76_retrieval_suite",
+    _x76_sql(),
+    "EXT-01", "EXT-02", "EXT-03", "EXT-04", "EXT-05", "EXT-BLOOM",
+)
+def x76_retrieval_suite(spark, sf_dir):
+    """Driver-verified representative for the r5 retrieval/encoding tail:
+    product-quantization encode (x54), full IVF-PQ ADC search (x55), PQ
+    codebook training (x58), REAL pixel-decode stats over BMP/PNG bytes
+    (x60), the exact-by-construction bloom-accelerated incremental dedup
+    (x72) and span-level exact-substring dedup (x56), union-folded into
+    the shared kind-tagged suite shape — the same consolidation that gave
+    every r4 operator a driver row via x49/x50 and the r5 health surface
+    one via x65. px_sum rides a double slot: pixel sums are bounded far
+    below 2^53, so the BIGINT→DOUBLE cast is exact in both engines."""
+    return (
+        _suite_shape(
+            x54_pq_encode(spark, sf_dir), "pq",
+            id1=F.col("v_id"), d1=F.col("err2"), s1=F.col("codes"),
+        )
+        .unionAll(_suite_shape(
+            x55_knn_ivfpq(spark, sf_dir), "ivfpq",
+            id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
+            d1=F.col("adist"),
+        ))
+        .unionAll(_suite_shape(
+            x58_pq_train_codebooks(spark, sf_dir), "pqtrain",
+            id1=F.col("m"), id2=F.col("code"), v1=F.col("pos"),
+            v2=F.col("n_members"), d1=F.col("val"),
+        ))
+        .unionAll(_suite_shape(
+            x60_multimodal_pixel_stats(spark, sf_dir), "pix",
+            id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
+            v2=F.col("px_min"), v3=F.col("px_max"),
+            d1=F.col("px_sum").cast("double"),
+        ))
+        .unionAll(_suite_shape(
+            x72_bloom_incremental_dedup(spark, sf_dir), "bloom",
+            id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
+            s1=F.col("source"),
+        ))
+        .unionAll(_suite_shape(
+            x56_substring_dedup_spans(spark, sf_dir), "spans",
+            id1=F.col("doc_id"), id2=F.col("span_start"),
+            v1=F.col("span_end"), v2=F.col("n_windows"),
+        ))
+    )
+
+
+def _x77_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'funnel' AS kind, user_id AS id1, stage AS id2,
+       t1_us AS v1, t2_us AS v2, t3_us AS v3,
+       {zd} AS d1, {zd} AS d2, NULL AS s1
+FROM ({member_oracle('x71_funnel_stages')})
+UNION ALL
+SELECT 'sfunnel', user_id, stage, t1_us, t2_us, t3_us, {zd}, {zd}, NULL
+FROM ({member_oracle('x73_stream_funnel')})
+UNION ALL
+SELECT 'stopk', window_start_us, rk, item, n, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x74_stream_windowed_topk')})
+UNION ALL
+SELECT 'anom', event_id, user_id, n, CAST(anomaly AS BIGINT), {z},
+       {zd}, {zd}, NULL
+FROM ({member_oracle('x75_rolling_anomaly')})
+UNION ALL
+SELECT 'er', rec_id, canonical_id, CAST(keep AS BIGINT), {z}, {z},
+       {zd}, {zd}, NULL
+FROM ({member_oracle('c3_entity_resolution')})
+UNION ALL
+SELECT 'sdedup', doc_id, {z}, CAST(is_dup_of_corpus AS BIGINT), {z}, {z},
+       {zd}, {zd}, source
+FROM ({member_oracle('x57_stream_incremental_dedup')})
+UNION ALL
+SELECT 'cur', doc_id, {z}, n_tokens, {z}, {z}, CAST(quality AS DOUBLE),
+       {zd}, lang_pred
+FROM ({member_oracle('c2_curation_pipeline_lsh')})"""
+
+
+@register(
+    "x77_behavioral_suite",
+    _x77_sql(),
+    "EXT-01", "EXT-02", "EXT-05", "EXT-06", "EXT-08", "EXT-09",
+    "EXT-FUNNEL", "EXT-ANOM", "EXT-ER", "EXT-HH",
+)
+def x77_behavioral_suite(spark, sf_dir):
+    """Driver-verified representative for the r5 behavioral/streaming
+    tail: the batch funnel (x71) and its ``applyInPandasWithState``
+    streamed twin (x73 — the codebase's only custom-stateful-operator
+    form, driver-hashed here for the first time), the streamed windowed
+    top-k (x74), the exact rolling anomaly detector (x75), blocked
+    entity resolution (c3), streamed incremental dedup (x57) and the
+    LSH-tier curation pipeline (c2), union-folded into the shared
+    kind-tagged suite shape. Three members are real availableNow
+    Structured Streaming replays inside one driver-hashed row."""
+    return (
+        _suite_shape(
+            x71_funnel_stages(spark, sf_dir), "funnel",
+            id1=F.col("user_id"), id2=F.col("stage"), v1=F.col("t1_us"),
+            v2=F.col("t2_us"), v3=F.col("t3_us"),
+        )
+        .unionAll(_suite_shape(
+            x73_stream_funnel(spark, sf_dir), "sfunnel",
+            id1=F.col("user_id"), id2=F.col("stage"), v1=F.col("t1_us"),
+            v2=F.col("t2_us"), v3=F.col("t3_us"),
+        ))
+        .unionAll(_suite_shape(
+            x74_stream_windowed_topk(spark, sf_dir), "stopk",
+            id1=F.col("window_start_us"), id2=F.col("rk"),
+            v1=F.col("item"), v2=F.col("n"),
+        ))
+        .unionAll(_suite_shape(
+            x75_rolling_anomaly(spark, sf_dir), "anom",
+            id1=F.col("event_id"), id2=F.col("user_id"), v1=F.col("n"),
+            v2=F.col("anomaly").cast("long"),
+        ))
+        .unionAll(_suite_shape(
+            c3_entity_resolution(spark, sf_dir), "er",
+            id1=F.col("rec_id"), id2=F.col("canonical_id"),
+            v1=F.col("keep").cast("long"),
+        ))
+        .unionAll(_suite_shape(
+            x57_stream_incremental_dedup(spark, sf_dir), "sdedup",
+            id1=F.col("doc_id"),
+            v1=F.col("is_dup_of_corpus").cast("long"),
+            s1=F.col("source"),
+        ))
+        .unionAll(_suite_shape(
+            c2_curation_pipeline_lsh(spark, sf_dir), "cur",
+            id1=F.col("doc_id"), v1=F.col("n_tokens"),
+            d1=F.col("quality"), s1=F.col("lang_pred"),
+        ))
+    )

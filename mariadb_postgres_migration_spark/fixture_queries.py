@@ -64,6 +64,7 @@ def op02_projected_scan(spark, sf_dir):
     "op03_sorted_scan",
     """SELECT event_id, user_id, event_type FROM events ORDER BY user_id, event_id""",
     "OP-01", "OP-03",
+    tier=1,
 )
 def op03_sorted_scan(spark, sf_dir):
     """OP-01/OP-03 (queries.mjs:3-5): full scan of every events row + the
@@ -80,6 +81,7 @@ def op03_sorted_scan(spark, sf_dir):
     "op05_conflict_dedup",
     "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
     "OP-05",
+    tier=1,
 )
 def op05_conflict_dedup(spark, sf_dir):
     """OP-05 (index.mjs:55 ``ON CONFLICT DO NOTHING``): the queryable core is
@@ -97,6 +99,7 @@ def op05_conflict_dedup(spark, sf_dir):
               epoch_us(ts) AS created_at_us
        FROM events""",
     "OP-02", "OP-08",
+    tier=1,
 )
 def op08_rename_projection(spark, sf_dir):
     """OP-02/OP-08 (queries.mjs:6-7, column_sets.mjs:73-91): projected scan
@@ -485,6 +488,7 @@ def op16_17_lookup_join_suite(spark, sf_dir):
     "op19_max_id",
     "SELECT CAST(max(o_orderkey) + 1 AS BIGINT) AS next_id FROM orders",
     "OP-19", "OP-06",
+    tier=1,
 )
 def op19_max_id(spark, sf_dir):
     """OP-19/OP-06 (queries.mjs:15, index.mjs:120-126): top-1 id as max();
@@ -492,6 +496,79 @@ def op19_max_id(spark, sf_dir):
     return max_id(_t(spark, sf_dir, "orders"), "o_orderkey").select(
         (F.col("max_id") + 1).cast("long").alias("next_id")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1/§2.2 consolidation suites — the micro scan/sink queries, merged so
+# their driver rows free window slots for the r5 extension families (the
+# x49/x50/x65 trick applied to the fixture ops). The standalone members
+# stay registered at tier 1: they keep their plan-contract pins (op03's
+# range exchange, op08's pruned ReadSchema) and local oracle rows.
+# --------------------------------------------------------------------------
+
+@register(
+    "op03_08_scan_suite",
+    """SELECT 'sorted' AS kind, event_id AS id1, user_id AS id2,
+              event_type AS s1, CAST(0 AS BIGINT) AS v1
+       FROM events
+       UNION ALL
+       SELECT 'renamed', event_id, user_id, event_type, epoch_us(ts)
+       FROM events""",
+    "OP-01", "OP-02", "OP-03", "OP-08",
+)
+def op03_08_scan_suite(spark, sf_dir):
+    """OP-01/02/03/08 driver row: the full sorted scan (op03) and the
+    rename projection (op08) union-folded into one kind-tagged shape.
+    The global sort is semantically order-only, so the driver's
+    order-insensitive hash sees the same rows either way; the standalone
+    tier-1 op03 pins the rangepartitioning exchange in tests."""
+    e = _t(spark, sf_dir, "events")
+    sorted_scan = e.orderBy("user_id", "event_id").select(
+        F.lit("sorted").alias("kind"),
+        F.col("event_id").cast("long").alias("id1"),
+        F.col("user_id").cast("long").alias("id2"),
+        F.col("event_type").alias("s1"),
+        F.lit(0).cast("long").alias("v1"),
+    )
+    renamed = e.select(
+        F.lit("renamed").alias("kind"),
+        F.col("event_id").cast("long").alias("id1"),
+        F.col("user_id").cast("long").alias("id2"),
+        F.col("event_type").alias("s1"),
+        F.unix_micros("ts").alias("v1"),
+    )
+    return sorted_scan.unionAll(renamed)
+
+
+@register(
+    "op05_19_sink_suite",
+    """SELECT 'dedup' AS kind, l_partkey AS v1, l_suppkey AS v2
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       UNION ALL
+       SELECT 'next_id', CAST(max(o_orderkey) + 1 AS BIGINT), CAST(0 AS BIGINT)
+       FROM orders""",
+    "OP-05", "OP-06", "OP-19",
+)
+def op05_19_sink_suite(spark, sf_dir):
+    """OP-05/06/19 driver row: conflict-key dedup (the queryable core of
+    ``ON CONFLICT DO NOTHING``) plus the max+1 sequence-restart scalar,
+    kind-tagged in one shape."""
+    dedup = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.lit("dedup").alias("kind"),
+            F.col("l_partkey").cast("long").alias("v1"),
+            F.col("l_suppkey").cast("long").alias("v2"),
+        )
+    )
+    next_id = max_id(_t(spark, sf_dir, "orders"), "o_orderkey").select(
+        F.lit("next_id").alias("kind"),
+        (F.col("max_id") + 1).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return dedup.unionAll(next_id)
 
 
 # --------------------------------------------------------------------------
