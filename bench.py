@@ -155,8 +155,8 @@ SUITE_MEMBERS = {
     ],
     "x76_retrieval_suite": [
         "x54_pq_encode", "x55_knn_ivfpq", "x58_pq_train_codebooks",
-        "x60_multimodal_pixel_stats", "x72_bloom_incremental_dedup",
-        "x56_substring_dedup_spans",
+        "x60_multimodal_pixel_stats", "x78_gif_pixel_stats",
+        "x72_bloom_incremental_dedup", "x56_substring_dedup_spans",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

@@ -25,6 +25,7 @@ from .extension_queries import (
     x57_stream_incremental_dedup,
     x58_pq_train_codebooks,
     x60_multimodal_pixel_stats,
+    x78_gif_pixel_stats,
 )
 from .operators import audit as A
 from .operators import dedup as D
@@ -884,7 +885,11 @@ SELECT 'bloom', doc_id, {z}, CAST(is_dup_of_corpus AS BIGINT), {z}, {z},
 FROM ({member_oracle('x72_bloom_incremental_dedup')})
 UNION ALL
 SELECT 'spans', doc_id, span_start, span_end, n_windows, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x56_substring_dedup_spans')})"""
+FROM ({member_oracle('x56_substring_dedup_spans')})
+UNION ALL
+SELECT 'gifpix', doc_id, width, height, px_min, px_max,
+       CAST(px_sum AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x78_gif_pixel_stats')})"""
 
 
 @register(
@@ -895,8 +900,9 @@ FROM ({member_oracle('x56_substring_dedup_spans')})"""
 def x76_retrieval_suite(spark, sf_dir):
     """Driver-verified representative for the r5 retrieval/encoding tail:
     product-quantization encode (x54), full IVF-PQ ADC search (x55), PQ
-    codebook training (x58), REAL pixel-decode stats over BMP/PNG bytes
-    (x60), the exact-by-construction bloom-accelerated incremental dedup
+    codebook training (x58), REAL pixel-decode stats over BMP bytes (x60)
+    and over LZW-compressed GIF bytes (x78, pure-Python LZW decoder),
+    the exact-by-construction bloom-accelerated incremental dedup
     (x72) and span-level exact-substring dedup (x56), union-folded into
     the shared kind-tagged suite shape — the same consolidation that gave
     every r4 operator a driver row via x49/x50 and the r5 health surface
@@ -932,6 +938,12 @@ def x76_retrieval_suite(spark, sf_dir):
             x56_substring_dedup_spans(spark, sf_dir), "spans",
             id1=F.col("doc_id"), id2=F.col("span_start"),
             v1=F.col("span_end"), v2=F.col("n_windows"),
+        ))
+        .unionAll(_suite_shape(
+            x78_gif_pixel_stats(spark, sf_dir), "gifpix",
+            id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
+            v2=F.col("px_min"), v3=F.col("px_max"),
+            d1=F.col("px_sum").cast("double"),
         ))
     )
 

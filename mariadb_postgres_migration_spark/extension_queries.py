@@ -2605,3 +2605,20 @@ def x60_multimodal_pixel_stats(spark, sf_dir):
     return pixel_stats(
         attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
     )
+
+
+@register("x78_gif_pixel_stats", _X60_SQL, "EXT-04", tier=1)
+def x78_gif_pixel_stats(spark, sf_dir):
+    """EXT-04 GIF tier: the SAME closed-form pixel content as x60, but
+    carried through spec-valid GIF87a payloads — real LZW compression on
+    the fixture side (operators/multimodal.encode_gif8) and the real
+    pure-Python LZW decoder + grayscale-palette collapse on the query
+    side (decode_gif_pixels). Because the closed form is identical, the
+    x60 oracle verifies this path unchanged; with it, BMP, PNG and GIF
+    pixel decode are all genuinely exercised and JPEG is the engine's one
+    remaining (documented) pixel-decode stub."""
+    from .operators.multimodal import attach_consistent_gif_payload, pixel_stats
+
+    return pixel_stats(
+        attach_consistent_gif_payload(_t(spark, sf_dir, "documents"))
+    )

@@ -6,11 +6,13 @@ binary into its own parquet column chunk, so metadata-only queries never
 read payload bytes (column pruning is the 100 TB win here).
 
 Decode / feature-extract runs as Arrow-batched Python over ``mapInPandas``.
-The actual codec libraries (PIL/ffmpeg) are not in this container, so the
-codec call is STUBBED behind ``_decode_image_stub`` — a deterministic fake
-deriving "metadata" from the payload bytes. The Spark-side contract (schema,
-batch iteration, partition behavior) is real and tested; swapping the stub
-for a real codec changes one function.
+Header parsing (PNG/BMP/GIF/JPEG) and PIXEL decoding for BMP, PNG and GIF
+are REAL — pure numpy/stdlib codecs below (zlib inflate + PNG filters,
+BMP palettes/padding, GIF LZW). The one remaining stub is JPEG pixel
+decode (``_decode_image_stub``): its entropy decode genuinely needs a
+codec library (PIL/libjpeg) absent in this container. The Spark-side
+contract (schema, batch iteration, partition behavior) is identical
+either way; swapping the stub for a real codec changes one function.
 """
 
 from __future__ import annotations
@@ -508,14 +510,220 @@ def decode_png_pixels(b: bytes):
     return out.reshape(h, w, channels).copy()
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decompression (GIF89a spec appendix F): variable
+    code width starting at min_code_size+1, clear/end codes, MSB-of-stream
+    = LSB-first bit packing. Returns a list of palette indices (length
+    capped at n_pixels) or None on a malformed stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def _reset():
+        nonlocal table, code_size, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        next_code = end + 1
+
+    code_size = min_code_size + 1
+    next_code = end + 1
+    _reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                _reset()
+                prev = None
+                continue
+            if code == end:
+                return out[:n_pixels]
+            if code < next_code and code < len(table):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels] if out else None
+
+
+def decode_gif_pixels(b: bytes):
+    """REAL GIF pixel decoder — pure Python LZW (spec appendix F) + numpy
+    palette mapping: first frame, global or local color table, interlaced
+    or sequential row order. Returns (h, w) uint8 when the palette is a
+    grayscale ramp, else (h, w, 3) RGB; None for non-GIF / malformed
+    payloads. JPEG remains the one pixel-decode stub in the engine (its
+    entropy decode genuinely needs a codec library)."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0 or pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if mcs < 2 or mcs > 8:
+                return None
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            rows = np.asarray(idx, np.uint8).reshape(h, w)
+            if iflags & 0x40:  # deinterlace: 4 passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(rows)
+                out[order] = rows
+                rows = out
+            rows = np.minimum(rows, len(pal) - 1)
+            if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+                return pal[rows, 0].copy()
+            return pal[rows].copy()
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_pixels(b: bytes):
     """Dispatch to the real decoders; None when only header metadata (or
-    nothing) is recoverable — JPEG/GIF pixel decode genuinely needs codec
-    libraries that are absent here and stays out of scope, documented."""
+    nothing) is recoverable — JPEG pixel decode genuinely needs a codec
+    library that is absent here and stays out of scope, documented."""
     arr = decode_bmp_pixels(b)
     if arr is not None:
         return arr
-    return decode_png_pixels(b)
+    arr = decode_png_pixels(b)
+    if arr is not None:
+        return arr
+    return decode_gif_pixels(b)
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression (the encoder side of appendix F) —
+    dictionary of index strings, emitted LSB-first with growing code
+    width, CLEAR when the table hits 4096. Test/fixture-side counterpart
+    of :func:`_gif_lzw_decode`; round-trip pinned in
+    tests/test_pixel_codecs.py."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def _emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    _emit(clear, code_size)
+    cur = b""
+    for i in indices:
+        nxt = cur + bytes([i])
+        if nxt in table:
+            cur = nxt
+            continue
+        _emit(table[cur], code_size)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            _emit(clear, code_size)
+            table = {bytes([j]): j for j in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        cur = bytes([i])
+    if cur:
+        _emit(table[cur], code_size)
+    _emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif8(arr) -> bytes:
+    """REAL GIF87a encoder for 8-bit grayscale arrays: 256-entry grayscale
+    global color table (index == intensity) + LZW-compressed image data.
+    Output round-trips through :func:`decode_gif_pixels`. Fixture-side
+    counterpart of the decoder, same role encode_bmp24 plays for BMP."""
+    import numpy as np
+
+    arr = np.asarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    if arr.ndim == 3:  # collapse gray-RGB; true color is out of fixture scope
+        arr = arr[:, :, 0]
+    header = (
+        b"GIF87a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
+        + bytes(v for i in range(256) for v in (i, i, i))
+    )
+    desc = b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    lzw = _gif_lzw_encode(arr.reshape(-1).tolist(), 8)
+    blocks = bytearray([8])  # min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return header + desc + bytes(blocks) + b"\x3b"
 
 
 def resize_nearest(arr, width: int, height: int):
@@ -602,6 +810,61 @@ def attach_consistent_bmp_payload(
             (F.lit(54) + width * height).cast("long").alias("n_bytes"),
             F.lit("image/bmp").alias("mime"),
         ).alias("meta"),
+    )
+
+
+def attach_consistent_gif_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """GENUINE spec-valid GIF87a payloads with the SAME closed-form pixel
+    content as :func:`attach_consistent_bmp_payload` (printable-ASCII
+    projection of the text, width 16+(first%16)*4, height capped at 16,
+    grayscale palette with index == intensity) — so the x60 SQL oracle
+    verifies stats computed by the real LZW decoder unchanged. LZW
+    compression can't be expressed in JVM column expressions, so this
+    builder runs as one Arrow-batched pass (fixture assembly, not a hot
+    path; the operator under test is the DECODER inside pixel_stats)."""
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = "".join(ch for ch in (text or "") if " " <= ch <= "~").encode()
+                width = 16 + ((b[0] % 16) * 4 if b else 0)
+                height = min(len(b) // width, 16)
+                if height < 1:
+                    continue
+                arr = np.frombuffer(
+                    b, np.uint8, count=width * height
+                ).reshape(height, width)
+                payload = encode_gif8(arr)
+                ids.append(doc_id)
+                payloads.append(payload)
+                metas.append({"n_bytes": len(payload), "mime": "image/gif"})
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("mime", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _build, schema=schema
     )
 
 

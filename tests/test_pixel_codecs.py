@@ -191,3 +191,103 @@ def test_bmp8_palette_mapping():
     # palette-less (pix_off == 54): raw indices pass through
     out = decode_bmp_pixels(bmp8(rows, None))
     assert np.array_equal(out, np.array(rows, dtype=np.uint8))
+
+
+def test_gif_lzw_roundtrip_shapes_and_growth():
+    """encode_gif8 → decode_gif_pixels is identity across dictionary
+    growth, the 4096-entry clear, constant runs, and tiny images."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif8,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (3, 5), (16, 76), (100, 200)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        g = encode_gif8(a)
+        assert parse_image_header(g) == ("image/gif", shape[1], shape[0])
+        d = decode_gif_pixels(g)
+        assert d is not None and d.shape == a.shape and (d == a).all()
+    # > 4096 dictionary entries forces the mid-stream CLEAR path
+    a = np.tile(np.arange(256, dtype=np.uint8), 400).reshape(200, 512)
+    assert (decode_gif_pixels(encode_gif8(a)) == a).all()
+    a = np.full((64, 64), 77, np.uint8)  # max-compression constant image
+    assert (decode_gif_pixels(encode_gif8(a)) == a).all()
+
+
+def test_gif_interlaced_and_color_palette():
+    """Hand-built GIF fixtures: an interlaced grayscale image must come
+    back in display order, and a non-gray palette must map to RGB."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_pixels,
+    )
+
+    h, w = 8, 4
+    arr = (np.arange(h * w, dtype=np.uint8) * 3).reshape(h, w)
+    # interlace pass order for h=8: rows 0, 8.. -> [0], 4.., [4], 2,6, 1,3,5,7
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    stored = arr[order]
+    header = (
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0]) + bytes(v for i in range(256) for v in (i, i, i))
+    )
+    desc = (
+        b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little") + bytes([0x40])  # interlace flag
+    )
+    lzw = _gif_lzw_encode(stored.reshape(-1).tolist(), 8)
+    body = bytes([8, len(lzw)]) + lzw + b"\x00\x3b"
+    out = decode_gif_pixels(header + desc + body)
+    assert out is not None and (out == arr).all()
+
+    # 4-entry RGB local color table, no global table
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    header = b"GIF89a" + b"\x02\x00\x02\x00" + bytes([0x00, 0, 0])
+    desc = (
+        b"\x2c" + b"\x00" * 4 + b"\x02\x00\x02\x00"
+        + bytes([0x80 | 0x01])  # local table, 4 entries
+        + bytes(v for rgb in pal for v in rgb)
+    )
+    lzw = _gif_lzw_encode(idx.reshape(-1).tolist(), 2)
+    body = bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    out = decode_gif_pixels(header + desc + body)
+    assert out is not None and out.shape == (2, 2, 3)
+    assert [tuple(px) for px in out.reshape(-1, 3)] == pal
+
+
+def test_gif_malformed_payloads_decode_to_none():
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif8,
+    )
+
+    whole = encode_gif8(np.zeros((6, 6), np.uint8))
+    assert decode_gif_pixels(b"") is None
+    assert decode_gif_pixels(b"GIF87a\x00") is None
+    assert decode_gif_pixels(whole[:-12]) is None  # truncated data stream
+    assert decode_gif_pixels(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_gif_pixel_stats_match_closed_form(spark, sf_dir):
+    """x78: stats from the REAL LZW decode equal the text closed form —
+    and equal x60's BMP-path stats row for row (same pixel content)."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_gif_payload,
+    )
+    from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(40)
+    gif_stats = {
+        r["doc_id"]: r
+        for r in pixel_stats(attach_consistent_gif_payload(docs)).collect()
+    }
+    bmp_stats = {
+        r["doc_id"]: r
+        for r in pixel_stats(attach_consistent_bmp_payload(docs)).collect()
+    }
+    assert gif_stats and set(gif_stats) == set(bmp_stats)
+    for doc_id, g in gif_stats.items():
+        assert g == bmp_stats[doc_id]
