@@ -220,3 +220,33 @@ def test_null_created_at_keeps_deleted_predecessors_in_all_tiers(spark):
     for fn in (resolve_backrefs, resolve_backrefs_grouped):
         got = {r["id"]: r["response_to"] for r in fn(df).select("id", "response_to").collect()}
         assert got == {1: None, 2: 1}, fn.__name__
+
+
+def test_scaled_bounded_tier_hot_key_frame_and_parity(spark, make_df):
+    """VERDICT r5 item 7: the 100 TB skew story for OP-20 (SCALE.md
+    §Window/threading) pins the BOUNDED tier on a one-hot-video fixture:
+    ``resolve_backrefs_scaled(max_lookback=L)`` must (a) plan a window
+    frame bounded at -L — O(p·L) state on a hot key, never the O(p²)
+    unbounded collect_list frame — and (b) agree with the pure-Python
+    reference walk when N + skipped-deleted ≤ L (this fixture's carets ≤ 3
+    and 10% deletion density keep the needed depth far under L=64)."""
+    from mariadb_postgres_migration_spark.operators.threading import (
+        resolve_backrefs_scaled,
+    )
+
+    n = 20_000
+    rows = []
+    for i in range(1, n + 1):
+        content = "^" * (i % 4) + "t"
+        created = BASE + timedelta(seconds=i)
+        deleted = BASE + timedelta(seconds=i + (i % 3) * 50) if i % 10 == 0 else None
+        rows.append((i, 1, content, created, deleted))  # ONE hot video_id
+    df = make_df(rows).repartition(8)
+    out = resolve_backrefs_scaled(df, order_col="id", max_lookback=64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "-64, -1" in plan, "lookback bound missing from the window frame"
+    assert "unboundedpreceding" not in plan.lower()
+    got = {r["id"]: r["response_to"] for r in out.collect()}
+    expected = _expected(rows)
+    assert got == expected
+    assert sum(v is not None for v in expected.values()) > n // 2
