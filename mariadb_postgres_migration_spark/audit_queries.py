@@ -1033,3 +1033,127 @@ def x77_behavioral_suite(spark, sf_dir):
             d1=F.col("quality"), s1=F.col("lang_pred"),
         ))
     )
+
+
+def _c4_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    return f"""WITH diff AS ({member_oracle('x67_snapshot_diff')})
+SELECT 'repair' AS kind, {z} AS k, change AS s,
+       CAST(count(*) AS BIGINT) AS n1, {z} AS n2, {z} AS ok
+FROM diff GROUP BY change
+UNION ALL
+SELECT 'verify', o_orderkey % {CHECKSUM_BUCKETS}, NULL,
+       CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+FROM orders GROUP BY 2"""
+
+
+@register("c4_migration_repair", _c4_sql(), "EXT-AUDIT", "EXT-CDC", tier=1)
+def c4_migration_repair(spark, sf_dir):
+    """The COMPLETE pt-table-checksum re-sync loop composed end-to-end:
+    checksum both sides (x66 shape) → restrict the row-level diff to the
+    dirty buckets (the ``bucket_filter`` path of ``snapshot_diff``, here
+    exercised by a registered query for the first time) → apply the
+    change set onto the damaged target (``apply_changes``: delete
+    spurious, insert missing, replace changed) → re-checksum the repaired
+    target against the source. Output: the damage summary by change type
+    plus the post-repair per-bucket verdict, which the oracle pins to
+    ALL-match with source-side counts — i.e. the pipeline must actually
+    restore the target to row-identity, not merely claim to.
+
+    Scale: the checksum passes are one scan per side emitting 64 rows;
+    the diff join carries (key, digest) restricted to dirty buckets; the
+    repair joins carry damage-sized key sets (AQE broadcasts them); the
+    re-verify is another pair of single scans. Nothing in the plan holds
+    more than damage-sized state outside a scan."""
+    orders = _t(spark, sf_dir, "orders")
+    tgt = _corrupt_orders(orders)
+    dg = _orders_digest()
+    cks = R.checksum_compare(
+        R.table_checksum(orders, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+        R.table_checksum(tgt, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+    )
+    dirty = cks.filter(~F.col("match")).select("bucket")
+    diff = D._persist(
+        R.snapshot_diff(
+            orders, tgt, "o_orderkey", dg,
+            bucket_filter=dirty, n_buckets=CHECKSUM_BUCKETS,
+        )
+    )
+    repaired = R.apply_changes(tgt, orders, diff, "o_orderkey")
+    verify = R.checksum_compare(
+        R.table_checksum(orders, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+        R.table_checksum(repaired, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+    )
+    z = F.lit(0).cast("long")
+    rep = diff.groupBy("change").count().select(
+        F.lit("repair").alias("kind"), z.alias("k"), F.col("change").alias("s"),
+        F.col("count").cast("long").alias("n1"), z.alias("n2"), z.alias("ok"),
+    )
+    ver = verify.select(
+        F.lit("verify").alias("kind"), F.col("bucket").cast("long").alias("k"),
+        F.lit(None).cast("string").alias("s"), F.col("n_src").cast("long").alias("n1"),
+        F.col("n_tgt").cast("long").alias("n2"), F.col("match").cast("long").alias("ok"),
+    )
+    return rep.unionByName(ver)
+
+
+def _bpe_apply_sql(s: str, a: str, b: str) -> str:
+    """DuckDB mirror of operators.textanalysis._bpe_apply_merge: the same
+    greedy left-to-right fold as a list_reduce over a chr(31)-delimited
+    accumulator string (symbols are printable-ASCII by the word filter,
+    so the delimiter can't collide)."""
+    us = "chr(31)"
+    sfx = f"{us} || {a}"
+    return (
+        f"string_split(substr(list_reduce(list_transform({s}, c -> {us} || c), "
+        f"(acc, x) -> CASE WHEN x = {us} || {b} AND ends_with(acc, {sfx}) "
+        f"THEN substr(acc, 1, length(acc) - length({sfx})) || {us} || {a} || {b} "
+        f"ELSE acc || x END), 2), {us})"
+    )
+
+
+def _x80_sql(iters: int = 3) -> str:
+    parts = [
+        f"""WITH {_TOKS_CTE},
+words AS (SELECT u.word AS w, CAST(count(*) AS BIGINT) AS n
+          FROM toks, UNNEST(w) AS u(word)
+          WHERE u.word <> '' AND regexp_matches(u.word, '^[!-~]+$')
+          GROUP BY 1),
+v0 AS (SELECT list_transform(range(1, length(w) + 1),
+                             i -> substr(w, CAST(i AS INT), 1)) AS s, n
+       FROM words)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(n) AS BIGINT) AS c
+       FROM v{k - 1}, UNNEST(range(1, len(s))) AS u(i) GROUP BY 1, 2),
+m{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+v{k} AS (SELECT {_bpe_apply_sql('s', f'm{k}.a', f'm{k}.b')} AS s, n
+       FROM v{k - 1}, m{k})"""
+        )
+    parts.append(
+        f""",
+sym AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n FROM v{iters}, UNNEST(s) AS u(t))
+"""
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({k} AS BIGINT) AS rk, a AS lhs, b AS rhs, c AS n FROM m{k}"
+            for k in range(1, iters + 1)
+        )
+        + "\nUNION ALL\nSELECT CAST(0 AS BIGINT), NULL, NULL, n FROM sym"
+    )
+    return "".join(parts)
+
+
+@register("x80_bpe_train_merges", _x80_sql(), "EXT-05", tier=1)
+def x80_bpe_train_merges(spark, sf_dir):
+    """ITERATIVE BPE training over the documents word vocabulary: 3 full
+    count → argmax → apply-merge rounds (x44 is the counting step alone),
+    plus the post-training symbol-vocabulary size as proof the folds were
+    applied. Driver state is one 1-row argmax collect per round (bounded
+    by contract, like the k-means centroid step); the corpus is scanned
+    once to build the |V|-row weighted vocabulary and never again. The
+    oracle is 3 unrolled CTE rounds whose merge fold (list_reduce over a
+    delimited accumulator) mirrors the engine's aggregate-HOF fold
+    exactly — greedy, left-to-right, non-overlapping."""
+    return T.bpe_train_merges(_t(spark, sf_dir, "documents"))

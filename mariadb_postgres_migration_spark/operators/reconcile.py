@@ -172,3 +172,36 @@ def snapshot_diff(
         j.select("key", change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def apply_changes(
+    tgt: DataFrame,
+    src: DataFrame,
+    diff: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Repair a damaged migration target from a :func:`snapshot_diff`
+    change set — the re-sync step of the pt-table-checksum workflow
+    (checksum → localize → diff → **apply** → re-verify):
+
+    * ``added``   (spurious in tgt)  → delete the target row;
+    * ``removed`` (missing from tgt) → insert the source row;
+    * ``changed`` (digest mismatch)  → replace with the source row.
+
+    The result is column-identical to ``tgt``'s schema and row-identical
+    to ``src`` (exactness pinned in tests/test_reconcile_repair.py).
+
+    Scale shape: two key-equi joins against a change set that is
+    damage-sized, not table-sized — an anti join drops deleted/stale
+    target rows, a semi join pulls replacement rows from the source, and
+    no shuffle side ever carries more than (key, change) beyond the rows
+    actually touched. AQE turns both into broadcast joins whenever the
+    damage fits, which at 100 TB it should (a diff that does NOT fit the
+    broadcast threshold is the signal to re-run the copy, not repair)."""
+    bad_keys = diff.select(F.col("key").alias(key_col))
+    pull_keys = diff.filter(F.col("change").isin("removed", "changed")).select(
+        F.col("key").alias(key_col)
+    )
+    kept = tgt.join(bad_keys, on=key_col, how="left_anti")
+    pulled = src.join(pull_keys, on=key_col, how="left_semi")
+    return kept.unionByName(pulled.select(*kept.columns))

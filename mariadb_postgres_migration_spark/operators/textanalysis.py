@@ -764,3 +764,100 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def _bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
+    """One BPE merge applied to a symbol array: the left-to-right greedy
+    fold — if the accumulated tail is ``a`` and the next symbol is ``b``,
+    collapse them to ``a+b``; the merged symbol never re-merges with the
+    element that produced it (non-overlapping by construction: 'aaa'
+    under (a,a) → [aa, a]). JVM-side ``aggregate`` HOF, no Python."""
+    ab = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) >= 1) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", iters: int = 3
+) -> DataFrame:
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016): learn
+    ``iters`` merges over the word vocabulary — x44 is one iteration's
+    COUNTING step; this runs the full count → argmax → apply loop and
+    proves the merges were applied (the rank-0 row is the post-training
+    distinct-symbol count, which only comes out right if every fold ran).
+
+    Output: (rk, lhs, rhs, n) — merge ranks 1..iters with their pair
+    counts, plus rank 0 carrying the final symbol-vocabulary size.
+
+    Scale shape: the loop state is the weighted WORD vocabulary (|V|
+    rows, not corpus tokens — one explode+groupBy builds it, after which
+    the corpus is never rescanned), persisted and re-folded per
+    iteration like PageRank's score table. Each iteration is one
+    partial-aggregable pair-count shuffle over |V| rows and ONE 1-row
+    driver collect (the argmax — O(1) driver state by contract, the same
+    bounded-collect pattern as the k-means centroid step). Words are
+    restricted to printable-ASCII so the chr(31)-delimited DuckDB oracle
+    fold (list_reduce) is byte-safe."""
+    from .dedup import _persist
+
+    toked = _with_tokens(docs, id_col, text_col)
+    words = (
+        toked.select(F.explode(F.col("__toks")).alias("w"))
+        .filter((F.col("w") != "") & F.col("w").rlike("^[!-~]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    vocab = _persist(
+        words.select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("s"),
+            "n",
+        )
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rk in range(1, iters + 1):
+        sz = F.size("s")
+        pairs = vocab.filter(sz >= 2).select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("s", 1, sz - 1).alias("a"),
+                    F.slice(F.col("s"), 2, sz - 1).alias("b"),
+                )
+            ).alias("p"),
+            "n",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((rk, a, b, c))
+        vocab = _persist(vocab.select(_bpe_apply_merge(F.col("s"), a, b).alias("s"), "n"))
+    merge_rows = spark.createDataFrame(
+        merges, "rk long, lhs string, rhs string, n long"
+    )
+    vocab_row = (
+        vocab.select(F.explode("s").alias("t"))
+        .agg(F.count_distinct("t").cast("long").alias("n"))
+        .select(
+            F.lit(0).cast("long").alias("rk"),
+            F.lit(None).cast("string").alias("lhs"),
+            F.lit(None).cast("string").alias("rhs"),
+            "n",
+        )
+    )
+    return merge_rows.unionByName(vocab_row)
