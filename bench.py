@@ -137,6 +137,10 @@ R4_COMPARABLE = [
 #: suite_member_timings detail line, NOT in the final-line totals (the
 #: suite already counts that work once).
 SUITE_MEMBERS = {
+    "x42_pipeline_suite": [
+        "x35_pii_scrub", "x36_sequence_pack", "x37_mix_resample",
+        "x39_chunk_overlap", "x40_decontaminate",
+    ],
     "x49_dedup_quality_suite": [
         "x41_dedup_cc_star", "x45_incremental_dedup", "x46_best_per_source",
         "x47_dedup_keep_best", "x43_stream_pii_scrub",

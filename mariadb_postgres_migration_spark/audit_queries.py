@@ -1068,8 +1068,14 @@ def c4_migration_repair(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     tgt = _corrupt_orders(orders)
     dg = _orders_digest()
+    # the source-side checksum is needed twice (locate damage, then
+    # re-verify the repair); it's 64 rows — persist it instead of paying a
+    # second full source scan + digest pass (review r6)
+    src_cks = D._persist(
+        R.table_checksum(orders, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS)
+    )
     cks = R.checksum_compare(
-        R.table_checksum(orders, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+        src_cks,
         R.table_checksum(tgt, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
     )
     dirty = cks.filter(~F.col("match")).select("bucket")
@@ -1081,7 +1087,7 @@ def c4_migration_repair(spark, sf_dir):
     )
     repaired = R.apply_changes(tgt, orders, diff, "o_orderkey")
     verify = R.checksum_compare(
-        R.table_checksum(orders, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
+        src_cks,
         R.table_checksum(repaired, F.col("o_orderkey"), dg, n_buckets=CHECKSUM_BUCKETS),
     )
     z = F.lit(0).cast("long")
@@ -1129,8 +1135,9 @@ v0 AS (SELECT list_transform(range(1, length(w) + 1),
 p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(n) AS BIGINT) AS c
        FROM v{k - 1}, UNNEST(range(1, len(s))) AS u(i) GROUP BY 1, 2),
 m{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
-v{k} AS (SELECT {_bpe_apply_sql('s', f'm{k}.a', f'm{k}.b')} AS s, n
-       FROM v{k - 1}, m{k})"""
+v{k} AS (SELECT CASE WHEN m.a IS NULL THEN s
+                     ELSE {_bpe_apply_sql('s', 'm.a', 'm.b')} END AS s, n
+       FROM v{k - 1} LEFT JOIN m{k} m ON TRUE)"""
         )
     parts.append(
         f""",

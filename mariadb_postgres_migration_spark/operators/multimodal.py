@@ -579,6 +579,8 @@ def decode_gif_pixels(b: bytes):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(b):  # truncated inside the color table
+            return None
         gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
     while pos < len(b):
@@ -598,6 +600,8 @@ def decode_gif_pixels(b: bytes):
             pal = gct
             if iflags & 0x80:  # local color table
                 n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(b):  # truncated inside the color table
+                    return None
                 pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
                 pos += 3 * n
             if pal is None or w == 0 or h == 0 or pos >= len(b):
