@@ -1118,7 +1118,9 @@ def _bpe_apply_sql(s: str, a: str, b: str) -> str:
     )
 
 
-def _x80_sql(iters: int = 3) -> str:
+def _bpe_rounds_cte(iters: int = 3) -> str:
+    """Shared WITH-body for the BPE queries: weighted word vocabulary →
+    ``iters`` unrolled count/argmax/apply rounds, ending at v{iters}."""
     parts = [
         f"""WITH {_TOKS_CTE},
 words AS (SELECT u.word AS w, CAST(count(*) AS BIGINT) AS n
@@ -1139,6 +1141,11 @@ v{k} AS (SELECT CASE WHEN m.a IS NULL THEN s
                      ELSE {_bpe_apply_sql('s', 'm.a', 'm.b')} END AS s, n
        FROM v{k - 1} LEFT JOIN m{k} m ON TRUE)"""
         )
+    return "".join(parts)
+
+
+def _x80_sql(iters: int = 3) -> str:
+    parts = [_bpe_rounds_cte(iters)]
     parts.append(
         f""",
 sym AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n FROM v{iters}, UNNEST(s) AS u(t))
@@ -1164,3 +1171,25 @@ def x80_bpe_train_merges(spark, sf_dir):
     delimited accumulator) mirrors the engine's aggregate-HOF fold
     exactly — greedy, left-to-right, non-overlapping."""
     return T.bpe_train_merges(_t(spark, sf_dir, "documents"))
+
+
+def _x81_sql(iters: int = 3, k: int = 50) -> str:
+    return (
+        _bpe_rounds_cte(iters)
+        + f""",
+cnt AS (SELECT t AS sym, CAST(sum(n) AS BIGINT) AS n
+        FROM v{iters}, UNNEST(s) AS u(t) GROUP BY 1),
+rnk AS (SELECT sym, n, row_number() OVER (ORDER BY n DESC, sym) AS rk FROM cnt)
+SELECT sym, n, CAST(rk AS BIGINT) AS rk FROM rnk WHERE rk <= {k}"""
+    )
+
+
+@register("x81_bpe_encode_topk", _x81_sql(), "EXT-05", tier=1)
+def x81_bpe_encode_topk(spark, sf_dir):
+    """The ENCODE side of the BPE tokenizer: train the x80 merges, apply
+    them, and count the resulting subword symbols corpus-wide (top 50 by
+    count, ties by symbol) — token counting under a LEARNED tokenizer,
+    closing the train→encode loop. Same scale shape as x80 plus one
+    |V|-row explode/partial-agg and a TakeOrderedAndProject top-k; the
+    oracle re-runs the 3 unrolled training rounds and counts v3."""
+    return T.bpe_encode_topk(_t(spark, sf_dir, "documents"))

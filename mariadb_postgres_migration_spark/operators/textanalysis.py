@@ -783,27 +783,12 @@ def _bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
     )
 
 
-def bpe_train_merges(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", iters: int = 3
-) -> DataFrame:
-    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016): learn
-    ``iters`` merges over the word vocabulary — x44 is one iteration's
-    COUNTING step; this runs the full count → argmax → apply loop and
-    proves the merges were applied (the rank-0 row is the post-training
-    distinct-symbol count, which only comes out right if every fold ran).
-
-    Output: (rk, lhs, rhs, n) — merge ranks 1..iters with their pair
-    counts, plus rank 0 carrying the final symbol-vocabulary size.
-
-    Scale shape: the loop state is the weighted WORD vocabulary (|V|
-    rows, not corpus tokens — one explode+groupBy builds it, after which
-    the corpus is never rescanned), persisted and re-folded per
-    iteration like PageRank's score table. Each iteration is one
-    partial-aggregable pair-count shuffle over |V| rows and ONE 1-row
-    driver collect (the argmax — O(1) driver state by contract, the same
-    bounded-collect pattern as the k-means centroid step). Words are
-    restricted to printable-ASCII so the chr(31)-delimited DuckDB oracle
-    fold (list_reduce) is byte-safe."""
+def _bpe_train(
+    docs: DataFrame, id_col: str, text_col: str, iters: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared count → argmax → apply training loop: returns the
+    learned ``(rk, lhs, rhs, count)`` merges and the post-training
+    weighted symbol vocabulary (persisted via the drainable registry)."""
     from .dedup import _persist
 
     toked = _with_tokens(docs, id_col, text_col)
@@ -822,7 +807,6 @@ def bpe_train_merges(
             "n",
         )
     )
-    spark = docs.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rk in range(1, iters + 1):
         sz = F.size("s")
@@ -847,6 +831,32 @@ def bpe_train_merges(
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((rk, a, b, c))
         vocab = _persist(vocab.select(_bpe_apply_merge(F.col("s"), a, b).alias("s"), "n"))
+    return merges, vocab
+
+
+def bpe_train_merges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", iters: int = 3
+) -> DataFrame:
+    """ITERATIVE BPE tokenizer training (Sennrich et al. 2016): learn
+    ``iters`` merges over the word vocabulary — x44 is one iteration's
+    COUNTING step; this runs the full count → argmax → apply loop and
+    proves the merges were applied (the rank-0 row is the post-training
+    distinct-symbol count, which only comes out right if every fold ran).
+
+    Output: (rk, lhs, rhs, n) — merge ranks 1..iters with their pair
+    counts, plus rank 0 carrying the final symbol-vocabulary size.
+
+    Scale shape: the loop state is the weighted WORD vocabulary (|V|
+    rows, not corpus tokens — one explode+groupBy builds it, after which
+    the corpus is never rescanned), persisted and re-folded per
+    iteration like PageRank's score table. Each iteration is one
+    partial-aggregable pair-count shuffle over |V| rows and ONE 1-row
+    driver collect (the argmax — O(1) driver state by contract, the same
+    bounded-collect pattern as the k-means centroid step). Words are
+    restricted to printable-ASCII so the chr(31)-delimited DuckDB oracle
+    fold (list_reduce) is byte-safe."""
+    merges, vocab = _bpe_train(docs, id_col, text_col, iters)
+    spark = docs.sparkSession
     merge_rows = spark.createDataFrame(
         merges, "rk long, lhs string, rhs string, n long"
     )
@@ -861,3 +871,34 @@ def bpe_train_merges(
         )
     )
     return merge_rows.unionByName(vocab_row)
+
+
+def bpe_encode_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iters: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """The ENCODE side of BPE: train ``iters`` merges (same loop as
+    :func:`bpe_train_merges`), then count the resulting subword symbols
+    corpus-wide and return the top ``k`` — "token counting with a learned
+    BPE tokenizer" as one operator. Because the vocabulary carries word
+    frequencies, the corpus-wide symbol counts are an explode + one
+    partial-aggregable shuffle over |V| rows, never a second corpus
+    scan; the rank window's TakeOrderedAndProject keeps the global top-k
+    without a global sort materialization."""
+    _, vocab = _bpe_train(docs, id_col, text_col, iters)
+    counts = (
+        vocab.select(F.explode("s").alias("sym"), "n")
+        .groupBy("sym")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym"))).cast("long"),
+        )
+        .filter(F.col("rk") <= k)
+        .select("sym", "n", "rk")
+    )

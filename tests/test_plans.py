@@ -378,3 +378,35 @@ def test_inspect_counters_see_known_nodes(spark, sf_dir):
     scan = nat.filter(F.col("n_regionkey") == 1).select("n_name")
     assert pushed_filters(scan)
     assert "n_name" in read_schema_columns(scan)
+
+
+def test_c4_repair_plan_contract(q):
+    """c4: checksum→diff→apply→re-verify must stay JVM-only, cartesian-free,
+    and keep the dirty-bucket restriction as broadcast semi-joins."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("c4_migration_repair")
+    text = formatted_plan(df)
+    assert python_eval_count(df) == 0
+    assert "CartesianProduct" not in text
+    assert broadcast_join_count(df) >= 1  # bucket_filter semi-joins broadcast
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
+
+
+def test_bpe_queries_stay_jvm_side(q):
+    """x80/x81: the merge folds are aggregate HOFs — zero Python operators;
+    the only driver interaction is the per-round 1-row argmax collect."""
+    for name in ("x80_bpe_train_merges", "x81_bpe_encode_topk"):
+        df = q(name)
+        assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
