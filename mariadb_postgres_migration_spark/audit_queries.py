@@ -1193,3 +1193,30 @@ def x81_bpe_encode_topk(spark, sf_dir):
     |V|-row explode/partial-agg and a TakeOrderedAndProject top-k; the
     oracle re-runs the 3 unrolled training rounds and counts v3."""
     return T.bpe_encode_topk(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x82_stream_rolling_anomaly",
+    member_oracle("x75_rolling_anomaly"),
+    "EXT-09", "EXT-ANOM",
+    tier=1,
+)
+def x82_stream_rolling_anomaly(spark, sf_dir):
+    """x75 as a STREAMING arbitrary-stateful operator
+    (``applyInPandasWithState`` with a ring-buffer state shape — a
+    second, structurally different custom-state form next to x73's stage
+    machine): per-user state is the trailing ANOM_WINDOW quantized-cent
+    buffer — O(users × window) streaming state, never raw history — and
+    each arriving event is flagged with the same integer algebra the
+    batch window uses, one output row per event. Under the bounded
+    in-time-order availableNow replay the result is row-identical to
+    batch x75, so the oracle is reused verbatim (cross-batch equivalence
+    pinned in tests/test_stream_anomaly.py). Spark 4's
+    ``transformWithStateInPandas`` successor API was probed and is
+    blocked only by the container's missing protobuf package (see
+    streaming/jobs.rolling_anomaly_state_stream)."""
+    from .streaming.jobs import run_stream_rolling_anomaly
+
+    return run_stream_rolling_anomaly(
+        spark, sf_dir, window=ANOM_WINDOW, min_n=ANOM_MIN_N, z=ANOM_Z
+    )

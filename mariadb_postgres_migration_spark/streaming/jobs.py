@@ -575,3 +575,80 @@ def run_stream_windowed_topk(
         .filter(F.col("rk") <= k)
         .select("window_start_us", "rk", "item", "n")
     )
+
+
+ANOMALY_OUT_SCHEMA = "event_id LONG, user_id LONG, n LONG, anomaly BOOLEAN"
+
+
+def rolling_anomaly_state_stream(
+    events: DataFrame, window: int = 20, min_n: int = 8, z: int = 3
+) -> DataFrame:
+    """Streamed per-user rolling anomaly flags as an arbitrary-stateful
+    operator (``applyInPandasWithState``, like x73's funnel but with a
+    RING-BUFFER state shape instead of a stage machine): state per user
+    is the trailing ``window`` quantized-cent values, nothing else, so
+    streaming state is O(users × window) forever. Each arriving event is
+    flagged against the CURRENT baseline with the same pure-integer
+    algebra as batch x75 ((n·x−S)² > z²·(n·SS−S²), baseline excludes the
+    arriving row), then pushed into the buffer — under in-time-order
+    arrival the replay is row-identical to the batch window cascade
+    (x75's oracle). Unlike the funnel's one-row-per-batch state
+    versioning, this operator emits one row PER EVENT, so append-mode
+    output needs no latest-version collapse.
+
+    Spark 4's successor API (``transformWithStateInPandas``) was probed
+    first, but its state server requires the ``protobuf`` Python package,
+    absent from this container (same environmental class as the JPEG
+    codec gap) — the semantics here are API-independent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    z2 = z * z
+
+    def step(key, pdf_iter, state):
+        buf = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdf_iter)).sort_values(["us", "event_id"])
+        out = {"event_id": [], "user_id": [], "n": [], "anomaly": []}
+        for event_id, cents in zip(pdf["event_id"], pdf["cents"]):
+            cents = int(cents)
+            n, s = len(buf), sum(buf)
+            ss = sum(v * v for v in buf)
+            dev = n * cents - s
+            flag = n >= min_n and dev * dev > z2 * (n * ss - s * s)
+            out["event_id"].append(int(event_id))
+            out["user_id"].append(int(key[0]))
+            out["n"].append(n)
+            out["anomaly"].append(bool(flag))
+            buf.append(cents)
+            if len(buf) > window:
+                buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            cents.alias("cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            step,
+            ANOMALY_OUT_SCHEMA,
+            "vals ARRAY<BIGINT>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_rolling_anomaly(
+    spark: SparkSession, sf_dir: str, window: int = 20, min_n: int = 8, z: int = 3
+) -> DataFrame:
+    """Bounded availableNow replay of the streamed rolling anomaly."""
+    events = read_events_stream(spark, sf_dir)
+    return _run_to_memory(
+        rolling_anomaly_state_stream(events, window, min_n, z), "append"
+    )
