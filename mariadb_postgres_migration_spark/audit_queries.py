@@ -16,7 +16,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .extension_queries import (
+    _DS_CTE,
     _TOKS_CTE,
+    JACCARD_THRESHOLD,
     _suite_shape,
     c2_curation_pipeline_lsh,
     x54_pq_encode,
@@ -1219,4 +1221,75 @@ def x82_stream_rolling_anomaly(spark, sf_dir):
 
     return run_stream_rolling_anomaly(
         spark, sf_dir, window=ANOM_WINDOW, min_n=ANOM_MIN_N, z=ANOM_Z
+    )
+
+
+#: nightly-ingest split for x83: every 5th doc is the "new batch".
+NEARDUP_BATCH_MOD = 5
+
+
+def _x83_sql() -> str:
+    def mh(i: int) -> str:
+        seed, off = D.mh_seed_chunk(i)
+        return f"min(substr(md5(sh || '#{seed}'), {off}, {D.CHUNK_LEN})) AS mh{i}"
+
+    mins = ",\n       ".join(mh(i) for i in range(D.NUM_HASHES))
+    n_bands = D.NUM_HASHES // D.BAND_ROWS
+
+    def bands(side: str) -> str:
+        selects = []
+        for b in range(n_bands):
+            cols = " || '|' || ".join(
+                f"mh{i}" for i in range(b * D.BAND_ROWS, (b + 1) * D.BAND_ROWS)
+            )
+            selects.append(
+                f"SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM {side}sig"
+            )
+        return "\nUNION ALL\n".join(selects)
+
+    m = NEARDUP_BATCH_MOD
+    return f"""WITH {_TOKS_CTE},
+{_DS_CTE},
+bsh AS (SELECT * FROM ds WHERE doc_id % {m} = 0),
+csh AS (SELECT * FROM ds WHERE doc_id % {m} <> 0),
+bsig AS (SELECT doc_id, {mins} FROM bsh GROUP BY doc_id),
+csig AS (SELECT doc_id, {mins} FROM csh GROUP BY doc_id),
+bbands AS ({bands('b')}),
+cbands AS ({bands('c')}),
+cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM bbands b JOIN cbands c USING (band_key)),
+bn AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+cn AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+inter AS (SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS i
+          FROM bsh b JOIN csh c USING (sh) GROUP BY 1, 2),
+interc AS (SELECT inter.* FROM inter JOIN cand USING (new_id, corpus_id)),
+pairs AS (SELECT new_id, corpus_id, i / CAST(bn.n + cn.n - i AS DOUBLE) AS jaccard
+          FROM interc JOIN bn ON new_id = bn.doc_id JOIN cn ON corpus_id = cn.doc_id
+          WHERE i / CAST(bn.n + cn.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}),
+best AS (SELECT * FROM (
+           SELECT new_id, corpus_id, jaccard,
+                  row_number() OVER (PARTITION BY new_id
+                                     ORDER BY jaccard DESC, corpus_id) AS rk
+           FROM pairs) WHERE rk = 1),
+spine AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {m} = 0)
+SELECT s.doc_id, best.corpus_id IS NOT NULL AS is_neardup,
+       CAST(coalesce(best.corpus_id, -1) AS BIGINT) AS dup_of,
+       CAST(coalesce(best.jaccard, 0.0) AS DOUBLE) AS jaccard
+FROM spine s LEFT JOIN best ON s.doc_id = best.new_id"""
+
+
+@register("x83_incremental_neardup", _x83_sql(), "EXT-01", "EXT-02", tier=1)
+def x83_incremental_neardup(spark, sf_dir):
+    """Nightly-ingest NEAR-dup (r6): the new batch (every 5th doc) checked
+    against the existing corpus by banded MinHash-LSH candidates + exact
+    Jaccard verification, reporting each batch doc's best corpus match —
+    the near-dup sibling of the exact-fingerprint incremental tiers
+    (x45/x57/x72), completing the ingest-dedup matrix (exact batch, exact
+    streamed, exact bloom-accelerated, NEAR-dup indexed). Candidates are
+    a band-key equi-join of batch bands vs corpus-index bands — never
+    batch × corpus; verification touches candidate pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id") % NEARDUP_BATCH_MOD
+    return D.incremental_neardup(
+        docs.filter(key == 0), docs.filter(key != 0), threshold=JACCARD_THRESHOLD
     )

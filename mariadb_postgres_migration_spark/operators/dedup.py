@@ -339,6 +339,26 @@ def minhash_signatures_inrow(sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
     return s.select("doc_id", *mh)
 
 
+def band_keys_df(
+    sig: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band_key) rows from a signature table: every band's key is
+    the '|'-concat of its minhash chunk strings, prefixed by the band
+    index, emitted by ONE in-row array explode."""
+    n_bands = num_hashes // band_rows
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{i}") for i in range(b * band_rows, (b + 1) * band_rows)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:
@@ -356,18 +376,7 @@ def lsh_candidate_pairs(
             f"{num_hashes} signatures with the recall of "
             f"{num_hashes - num_hashes % band_rows})"
         )
-    n_bands = num_hashes // band_rows
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh{i}") for i in range(b * band_rows, (b + 1) * band_rows)],
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    bands = band_keys_df(sig, num_hashes, band_rows)
     return (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -813,3 +822,85 @@ def duplicate_spans(
         F.max("__end").alias("span_end"),
         F.count("*").alias("n_windows"),
     ).drop("__island")
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Nightly-ingest NEAR-dup: each new-batch doc checked against the
+    existing corpus via banded MinHash-LSH + exact Jaccard verification —
+    the near-dup sibling of the exact-fingerprint incremental dedup
+    (x45/x57/x72). Returns one row per batch doc: ``(doc_id, is_neardup,
+    dup_of, jaccard)`` with the BEST corpus match (highest Jaccard, ties
+    to the lowest corpus id) or (-1, 0.0) when nothing clears the
+    threshold.
+
+    Scale shape: candidates come from a band-key equi-join of the batch's
+    bands against the corpus INDEX's bands — never batch×corpus. At
+    100 TB the corpus (signatures, band keys, shingle arrays) is a
+    precomputed bucketed table maintained incrementally (write survivors'
+    rows back per ingest, the x45 pattern); here both sides derive from
+    the fixture in one scan each. Verification joins only the candidate
+    pairs against the two shingle-ARRAY tables and intersects in-row —
+    no posting-list pair explosion. Batch-side state is batch-sized,
+    corpus-side work is index-lookup-shaped: candidates × O(1)."""
+    bsets = _persist(doc_shingle_sets(batch, id_col, text_col, k))
+    csets = _persist(doc_shingle_sets(corpus, id_col, text_col, k))
+    bbands = band_keys_df(
+        minhash_signatures_inrow(bsets, num_hashes), num_hashes, band_rows
+    ).withColumnRenamed("doc_id", "new_id")
+    cbands = band_keys_df(
+        minhash_signatures_inrow(csets, num_hashes), num_hashes, band_rows
+    ).withColumnRenamed("doc_id", "corpus_id")
+    cand = bbands.join(cbands, "band_key").select("new_id", "corpus_id").distinct()
+    a = bsets.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sh_set").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    b = csets.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh_set").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    pairs = (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (inter / (F.col("na") + F.col("nb") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        pairs.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("new_id").orderBy(
+                    F.desc("jaccard"), F.asc("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    spine = batch.select(F.col(id_col).alias("doc_id")).distinct()
+    return spine.join(
+        best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.col("corpus_id").isNotNull().alias("is_neardup"),
+        F.coalesce("corpus_id", F.lit(-1)).cast("long").alias("dup_of"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).cast("double").alias("jaccard"),
+    )

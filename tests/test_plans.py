@@ -410,3 +410,20 @@ def test_bpe_queries_stay_jvm_side(q):
     )
 
     release_cached_intermediates()
+
+
+def test_x83_incremental_neardup_plan_contract(q):
+    """x83: candidates must come from the band-key equi-join (never a
+    batch x corpus product) and the whole path stays JVM-side."""
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = q("x83_incremental_neardup")
+    text = formatted_plan(df)
+    assert "CartesianProduct" not in text
+    assert python_eval_count(df) == 0
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
