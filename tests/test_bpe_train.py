@@ -62,3 +62,31 @@ def test_engine_matches_oracle_when_merges_run_dry(spark):
     assert len(merge_rows) == 1 and merge_rows[0][1:] == ("a", "a", 5)
     (sym_row,) = [r for r in got if r[0] == 0]
     assert sym_row[3] == 1  # the vocabulary is exactly {'aa'}
+
+
+def _fold_py(syms, a, b):
+    """Pure-Python reference of the greedy merge fold."""
+    acc = []
+    for x in syms:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+def test_fold_fuzz_matches_python_reference(spark):
+    """Property: the JVM aggregate-HOF fold equals the reference fold on
+    random symbol streams (run/overlap interactions beyond the
+    hand-written cases)."""
+    import random
+
+    rng = random.Random(20260814)
+    rows, expected = [], []
+    for _ in range(120):
+        syms = [rng.choice("ab c") for _ in range(rng.randrange(0, 12))]
+        rows.append((syms,))
+        expected.append(_fold_py(syms, "a", "b"))
+    df = spark.createDataFrame(rows, "s array<string>")
+    got = [r[0] for r in df.select(_bpe_apply_merge(F.col("s"), "a", "b")).collect()]
+    assert got == expected

@@ -291,3 +291,35 @@ def test_gif_pixel_stats_match_closed_form(spark, sf_dir):
     assert gif_stats and set(gif_stats) == set(bmp_stats)
     for doc_id, g in gif_stats.items():
         assert g == bmp_stats[doc_id]
+
+
+def test_gif_lzw_fuzz_roundtrip():
+    """Property: _gif_lzw_encode → _gif_lzw_decode is identity for any
+    index stream and any legal min-code-size (covers code-width
+    boundaries, KwKwK, and table-reset interactions the hand-written
+    cases can't enumerate)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        mcs=st.integers(min_value=2, max_value=8),
+        data=st.data(),
+    )
+    def run(mcs, data):
+        idx = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                min_size=1,
+                max_size=400,
+            )
+        )
+        enc = _gif_lzw_encode(idx, mcs)
+        assert _gif_lzw_decode(enc, mcs, len(idx)) == idx
+
+    run()
