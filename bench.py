@@ -81,6 +81,9 @@ HEADLINE = [
     # consolidation x42/x49/x50 applied to x32-x53)
     "x76_retrieval_suite",
     "x77_behavioral_suite",
+    # r6 tail: CDC repair loop, BPE train/encode, streamed anomaly,
+    # incremental near-dup — consolidated same-round
+    "x84_r6_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -161,6 +164,10 @@ SUITE_MEMBERS = {
         "x54_pq_encode", "x55_knn_ivfpq", "x58_pq_train_codebooks",
         "x60_multimodal_pixel_stats", "x78_gif_pixel_stats",
         "x72_bloom_incremental_dedup", "x56_substring_dedup_spans",
+    ],
+    "x84_r6_ops_suite": [
+        "c4_migration_repair", "x80_bpe_train_merges", "x81_bpe_encode_topk",
+        "x82_stream_rolling_anomaly", "x83_incremental_neardup",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

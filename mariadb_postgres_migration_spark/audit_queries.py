@@ -1293,3 +1293,73 @@ def x83_incremental_neardup(spark, sf_dir):
     return D.incremental_neardup(
         docs.filter(key == 0), docs.filter(key != 0), threshold=JACCARD_THRESHOLD
     )
+
+
+def _x84_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'cdc' AS kind, k AS id1, {z} AS id2,
+       n1 AS v1, n2 AS v2, ok AS v3, {zd} AS d1, {zd} AS d2,
+       concat_ws('|', kind, coalesce(s, '~')) AS s1
+FROM ({member_oracle('c4_migration_repair')})
+UNION ALL
+SELECT 'bpetrain', rk, {z}, n, {z}, {z}, {zd}, {zd},
+       concat_ws('|', coalesce(lhs, '~'), coalesce(rhs, '~'))
+FROM ({member_oracle('x80_bpe_train_merges')})
+UNION ALL
+SELECT 'bpeenc', rk, {z}, n, {z}, {z}, {zd}, {zd}, sym
+FROM ({member_oracle('x81_bpe_encode_topk')})
+UNION ALL
+SELECT 'sanom', event_id, user_id, n, CAST(anomaly AS BIGINT), {z},
+       {zd}, {zd}, NULL
+FROM ({member_oracle('x82_stream_rolling_anomaly')})
+UNION ALL
+SELECT 'incnd', doc_id, dup_of, CAST(is_neardup AS BIGINT), {z}, {z},
+       CAST(jaccard AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x83_incremental_neardup')})"""
+
+
+@register(
+    "x84_r6_ops_suite",
+    _x84_sql(),
+    "EXT-01", "EXT-02", "EXT-05", "EXT-09", "EXT-AUDIT", "EXT-CDC", "EXT-ANOM",
+)
+def x84_r6_ops_suite(spark, sf_dir):
+    """Driver-verified representative for the round-6 operator tail — the
+    same consolidation x76/x77 gave the r5 tail, applied in the SAME
+    round the operators landed so none of them waits a round for a
+    driver row: the composed CDC repair loop (c4), iterative BPE train +
+    encode (x80/x81), the ring-buffer streamed rolling anomaly (x82 — a
+    real availableNow stateful replay inside a driver-hashed row), and
+    the index-joined incremental near-dup (x83), union-folded into the
+    shared kind-tagged suite shape."""
+    return (
+        _suite_shape(
+            c4_migration_repair(spark, sf_dir), "cdc",
+            id1=F.col("k"), v1=F.col("n1"), v2=F.col("n2"), v3=F.col("ok"),
+            s1=F.concat_ws("|", F.col("kind"), F.coalesce(F.col("s"), F.lit("~"))),
+        )
+        .unionAll(_suite_shape(
+            x80_bpe_train_merges(spark, sf_dir), "bpetrain",
+            id1=F.col("rk"), v1=F.col("n"),
+            s1=F.concat_ws(
+                "|",
+                F.coalesce(F.col("lhs"), F.lit("~")),
+                F.coalesce(F.col("rhs"), F.lit("~")),
+            ),
+        ))
+        .unionAll(_suite_shape(
+            x81_bpe_encode_topk(spark, sf_dir), "bpeenc",
+            id1=F.col("rk"), v1=F.col("n"), s1=F.col("sym"),
+        ))
+        .unionAll(_suite_shape(
+            x82_stream_rolling_anomaly(spark, sf_dir), "sanom",
+            id1=F.col("event_id"), id2=F.col("user_id"), v1=F.col("n"),
+            v2=F.col("anomaly").cast("long"),
+        ))
+        .unionAll(_suite_shape(
+            x83_incremental_neardup(spark, sf_dir), "incnd",
+            id1=F.col("doc_id"), id2=F.col("dup_of"),
+            v1=F.col("is_neardup").cast("long"), d1=F.col("jaccard"),
+        ))
+    )

@@ -210,6 +210,7 @@ def op11_regex_prefix_predicate(spark, sf_dir):
               TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS round_trip
        FROM events""",
     "OP-12", "OP-13", "OP-14", "OP-24", "OP-25", "OP-27",
+    tier=1,
 )
 def op12_14_repair_parse(spark, sf_dir):
     """The ColumnSet repair/parse layer (SURVEY §2.2/§2.8) in one projection
@@ -425,6 +426,7 @@ def op18_flagship_group_concat(spark, sf_dir):
         SELECT 'regex', event_id, caret_n, NULL, NULL
         FROM ({member_oracle('op11_regex_prefix_predicate')})""",
     "OP-09", "OP-10", "OP-11", "OP-23",
+    tier=1,
 )
 def op09_11_predicate_suite(spark, sf_dir):
     """Driver-verified consolidation of the predicate micro-queries
@@ -449,6 +451,47 @@ def op09_11_predicate_suite(spark, sf_dir):
         F.lit(None).cast("string").alias("s2"),
     )
     return cf.unionAll(rx)
+
+
+@register(
+    "op09_14_scalar_repair_suite",
+    f"""SELECT 'p_' || kind AS kind, id, v AS v1,
+               CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3,
+               CAST(0 AS BIGINT) AS v4, CAST(0 AS BIGINT) AS v5, s1, s2
+        FROM ({member_oracle('op09_11_predicate_suite')})
+        UNION ALL
+        SELECT 'repair', event_id, resolved_id, user_or_default, repaired_us,
+               k, round_trip, NULL, NULL
+        FROM ({member_oracle('op12_14_repair_parse')})""",
+    "OP-09", "OP-10", "OP-11", "OP-12", "OP-13", "OP-14",
+    "OP-23", "OP-24", "OP-25", "OP-27",
+)
+def op09_14_scalar_repair_suite(spark, sf_dir):
+    """r6 window-slot economy (the op03_08/op05_19 merge applied again):
+    the predicate suite and the repair/parse projection union-folded into
+    one kind-tagged driver row, freeing a slot for the x84 r6-operator
+    suite. Members stay registered (op09_11 at tier 1 keeps ITS members'
+    composition; op12_14 keeps the full-fidelity column names)."""
+    z = F.lit(0).cast("long")
+    pred = op09_11_predicate_suite(spark, sf_dir).select(
+        F.concat(F.lit("p_"), F.col("kind")).alias("kind"),
+        F.col("id").cast("long").alias("id"),
+        F.col("v").cast("long").alias("v1"),
+        z.alias("v2"), z.alias("v3"), z.alias("v4"), z.alias("v5"),
+        "s1", "s2",
+    )
+    rep = op12_14_repair_parse(spark, sf_dir).select(
+        F.lit("repair").alias("kind"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("resolved_id").cast("long").alias("v1"),
+        F.col("user_or_default").cast("long").alias("v2"),
+        F.col("repaired_us").cast("long").alias("v3"),
+        F.col("k").cast("long").alias("v4"),
+        F.col("round_trip").cast("long").alias("v5"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    return pred.unionAll(rep)
 
 
 @register(
