@@ -19,6 +19,8 @@ from .extension_queries import (
     _DS_CTE,
     _TOKS_CTE,
     JACCARD_THRESHOLD,
+    _mh_bands_sql,
+    _mh_sig_cols_sql,
     _suite_shape,
     c2_curation_pipeline_lsh,
     x54_pq_encode,
@@ -1229,23 +1231,13 @@ NEARDUP_BATCH_MOD = 5
 
 
 def _x83_sql() -> str:
-    def mh(i: int) -> str:
-        seed, off = D.mh_seed_chunk(i)
-        return f"min(substr(md5(sh || '#{seed}'), {off}, {D.CHUNK_LEN})) AS mh{i}"
-
-    mins = ",\n       ".join(mh(i) for i in range(D.NUM_HASHES))
-    n_bands = D.NUM_HASHES // D.BAND_ROWS
+    # signature + banding SQL comes from the SAME generators x03/c2 use
+    # (extension_queries._mh_sig_cols_sql/_mh_bands_sql — review r6: a
+    # second hand-rolled rendering here could silently drift from them)
+    mins = _mh_sig_cols_sql()
 
     def bands(side: str) -> str:
-        selects = []
-        for b in range(n_bands):
-            cols = " || '|' || ".join(
-                f"mh{i}" for i in range(b * D.BAND_ROWS, (b + 1) * D.BAND_ROWS)
-            )
-            selects.append(
-                f"SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM {side}sig"
-            )
-        return "\nUNION ALL\n".join(selects)
+        return _mh_bands_sql(f"{side}sig")
 
     m = NEARDUP_BATCH_MOD
     return f"""WITH {_TOKS_CTE},
@@ -1332,7 +1324,13 @@ def x84_r6_ops_suite(spark, sf_dir):
     encode (x80/x81), the ring-buffer streamed rolling anomaly (x82 — a
     real availableNow stateful replay inside a driver-hashed row), and
     the index-joined incremental near-dup (x83), union-folded into the
-    shared kind-tagged suite shape."""
+    shared kind-tagged suite shape. BPE training is deterministic, so the
+    suite runs the count→argmax→apply loop ONCE and derives both the x80
+    and x81 member shapes from the shared merges/vocab (the standalone
+    members each pay their own training; review r6)."""
+    _bpe_merges, _bpe_vocab = T._bpe_train(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", 3
+    )
     return (
         _suite_shape(
             c4_migration_repair(spark, sf_dir), "cdc",
@@ -1340,7 +1338,7 @@ def x84_r6_ops_suite(spark, sf_dir):
             s1=F.concat_ws("|", F.col("kind"), F.coalesce(F.col("s"), F.lit("~"))),
         )
         .unionAll(_suite_shape(
-            x80_bpe_train_merges(spark, sf_dir), "bpetrain",
+            T.bpe_merges_output(spark, _bpe_merges, _bpe_vocab), "bpetrain",
             id1=F.col("rk"), v1=F.col("n"),
             s1=F.concat_ws(
                 "|",
@@ -1349,7 +1347,7 @@ def x84_r6_ops_suite(spark, sf_dir):
             ),
         ))
         .unionAll(_suite_shape(
-            x81_bpe_encode_topk(spark, sf_dir), "bpeenc",
+            T.bpe_encode_output(_bpe_vocab), "bpeenc",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("sym"),
         ))
         .unionAll(_suite_shape(

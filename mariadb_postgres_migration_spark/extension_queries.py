@@ -109,27 +109,40 @@ def x02_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _mh_sig_cols_sql() -> str:
+    """The minhash-signature SELECT list (mh0..mhN aggregate minima) —
+    the ONE oracle-side rendering of dedup.mh_seed_chunk's hash family,
+    shared by every banding oracle (x03, c2, x83) so banding semantics
+    cannot drift between them."""
+    def mh(i: int) -> str:
+        seed, off = D.mh_seed_chunk(i)
+        return f"min(substr(md5(sh || '#{seed}'), {off}, {D.CHUNK_LEN})) AS mh{i}"
+
+    return ",\n       ".join(mh(i) for i in range(D.NUM_HASHES))
+
+
+def _mh_bands_sql(sig: str) -> str:
+    """The banded (doc_id, band_key) UNION ALL over a signature CTE named
+    ``sig`` — the oracle-side mirror of dedup.band_keys_df."""
+    band_selects = []
+    for b in range(D.NUM_HASHES // D.BAND_ROWS):
+        cols = " || '|' || ".join(
+            f"mh{i}" for i in range(b * D.BAND_ROWS, (b + 1) * D.BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM {sig}"
+        )
+    return "\nUNION ALL\n".join(band_selects)
+
+
 def _minhash_pairs_cte(src: str) -> str:
     """Banded-MinHash candidate + exact-Jaccard-verify CTE chain over the
     (doc_id, sh) shingle table named ``src``; terminates in ``mhpairs``
     with columns (doc_a, doc_b, jaccard >= threshold). Parameterized on
     the source so the composed pipelines (c2) can run it over a
     survivor-restricted shingle set with byte-identical band semantics."""
-    def mh(i: int) -> str:
-        seed, off = D.mh_seed_chunk(i)
-        return f"min(substr(md5(sh || '#{seed}'), {off}, {D.CHUNK_LEN})) AS mh{i}"
-
-    mins = ",\n       ".join(mh(i) for i in range(D.NUM_HASHES))
-    n_bands = D.NUM_HASHES // D.BAND_ROWS
-    band_selects = []
-    for b in range(n_bands):
-        cols = " || '|' || ".join(
-            f"mh{i}" for i in range(b * D.BAND_ROWS, (b + 1) * D.BAND_ROWS)
-        )
-        band_selects.append(
-            f"SELECT doc_id, '{b}' || '|' || {cols} AS band_key FROM sig"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
+    mins = _mh_sig_cols_sql()
+    bands = _mh_bands_sql("sig")
     return f"""sig AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

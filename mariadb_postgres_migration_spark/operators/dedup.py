@@ -345,6 +345,14 @@ def band_keys_df(
     """(doc_id, band_key) rows from a signature table: every band's key is
     the '|'-concat of its minhash chunk strings, prefixed by the band
     index, emitted by ONE in-row array explode."""
+    if num_hashes % band_rows != 0:
+        # shared guard for BOTH banding consumers (self-join + cross-set):
+        # a remainder would silently compute-and-drop the trailing hashes
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by band_rows="
+            f"{band_rows}: the remainder hashes would be computed and "
+            "shuffled but silently excluded from every band"
+        )
     n_bands = num_hashes // band_rows
     band_keys = F.array(
         *[
@@ -368,15 +376,7 @@ def lsh_candidate_pairs(
     the whole signature subtree n_bands times), and the per-band self-join
     is the posting-list pair generator — one groupBy(band_key) instead of a
     self-join that recomputes signatures under both sides."""
-    if num_hashes % band_rows != 0:
-        raise ValueError(
-            f"num_hashes={num_hashes} must be divisible by band_rows="
-            f"{band_rows}: the remainder hashes would be computed and "
-            "shuffled but silently excluded from every band (paying for "
-            f"{num_hashes} signatures with the recall of "
-            f"{num_hashes - num_hashes % band_rows})"
-        )
-    bands = band_keys_df(sig, num_hashes, band_rows)
+    bands = band_keys_df(sig, num_hashes, band_rows)  # guard lives there
     return (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

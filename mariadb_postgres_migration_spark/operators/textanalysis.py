@@ -856,7 +856,14 @@ def bpe_train_merges(
     restricted to printable-ASCII so the chr(31)-delimited DuckDB oracle
     fold (list_reduce) is byte-safe."""
     merges, vocab = _bpe_train(docs, id_col, text_col, iters)
-    spark = docs.sparkSession
+    return bpe_merges_output(docs.sparkSession, merges, vocab)
+
+
+def bpe_merges_output(spark, merges, vocab: DataFrame) -> DataFrame:
+    """The x80 output shape from an already-run training: merge rows +
+    the rank-0 post-training distinct-symbol count. Split out so a suite
+    can run the deterministic training ONCE and derive both the train
+    and encode outputs from it (review r6: x84 trained twice)."""
     merge_rows = spark.createDataFrame(
         merges, "rk long, lhs string, rhs string, n long"
     )
@@ -886,19 +893,26 @@ def bpe_encode_topk(
     BPE tokenizer" as one operator. Because the vocabulary carries word
     frequencies, the corpus-wide symbol counts are an explode + one
     partial-aggregable shuffle over |V| rows, never a second corpus
-    scan; the rank window's TakeOrderedAndProject keeps the global top-k
-    without a global sort materialization."""
+    scan; the top-k is orderBy+limit (TakeOrderedAndProject) with the
+    rank window applied only to the k survivors (see
+    :func:`bpe_encode_output`)."""
     _, vocab = _bpe_train(docs, id_col, text_col, iters)
+    return bpe_encode_output(vocab, k)
+
+
+def bpe_encode_output(vocab: DataFrame, k: int = 50) -> DataFrame:
+    """The x81 output shape from an already-trained vocabulary: symbol
+    counts, global top-k first via orderBy+limit (TakeOrderedAndProject —
+    the x53 pattern; an unpartitioned row_number window would funnel every
+    symbol row into one reducer before any got filtered), THEN the rank
+    window over just the k survivors."""
     counts = (
         vocab.select(F.explode("s").alias("sym"), "n")
         .groupBy("sym")
         .agg(F.sum("n").cast("long").alias("n"))
     )
-    return (
-        counts.withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym"))).cast("long"),
-        )
-        .filter(F.col("rk") <= k)
-        .select("sym", "n", "rk")
-    )
+    topk = counts.orderBy(F.desc("n"), F.asc("sym")).limit(k)
+    return topk.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym"))).cast("long"),
+    ).select("sym", "n", "rk")
