@@ -392,6 +392,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-02 (scale tier): LSH candidates → exact Jaccard verification.
 
@@ -408,7 +409,11 @@ def minhash_dedup_pairs(
     (:func:`minhash_signatures_inrow`) so candidate generation's sole
     shuffle is the narrow band-key groupBy.
     """
-    sets = _persist(doc_shingle_sets(docs, id_col, text_col, k))
+    # ``sets``: a precomputed persisted (doc_id, sh_set, n_sh) table for
+    # the same docs — pass it when another stage consumes the same shingle
+    # sets (c2 shares it with decontamination) so shingling is paid once.
+    if sets is None:
+        sets = _persist(doc_shingle_sets(docs, id_col, text_col, k))
     cand = lsh_candidate_pairs(minhash_signatures_inrow(sets))
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("na")
