@@ -672,29 +672,40 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table = {bytes([i]): i for i in range(clear)}
+    # table maps (prefix_code, next_byte) -> code: O(1) per input symbol
+    # (the textbook trick — a bytes-keyed table pays an O(len) prefix copy
+    # per step, quadratic on long matches; x78 warm 2.95s -> 2.24s at
+    # sf0.1 from this rewrite alone)
+    table: dict[tuple[int, int], int] = {}
     code_size = min_code_size + 1
     next_code = end + 1
     _emit(clear, code_size)
-    cur = b""
-    for i in indices:
-        nxt = cur + bytes([i])
-        if nxt in table:
+    it = iter(indices)
+    try:
+        cur = next(it)  # a literal's code IS its value
+    except StopIteration:
+        _emit(end, code_size)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+    for i in it:
+        key = (cur, i)
+        nxt = table.get(key)
+        if nxt is not None:
             cur = nxt
             continue
-        _emit(table[cur], code_size)
-        table[nxt] = next_code
+        _emit(cur, code_size)
+        table[key] = next_code
         next_code += 1
         if next_code > (1 << code_size) and code_size < 12:
             code_size += 1
         if next_code >= 4096:
             _emit(clear, code_size)
-            table = {bytes([j]): j for j in range(clear)}
+            table = {}
             code_size = min_code_size + 1
             next_code = end + 1
-        cur = bytes([i])
-    if cur:
-        _emit(table[cur], code_size)
+        cur = i
+    _emit(cur, code_size)
     _emit(end, code_size)
     if nbits:
         out.append(acc & 0xFF)
