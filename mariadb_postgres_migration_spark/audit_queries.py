@@ -1287,6 +1287,40 @@ def x83_incremental_neardup(spark, sf_dir):
     )
 
 
+#: part co-purchase edges: parts sharing an order (via lineitem).
+_COOC_EDGES_CTE = """SELECT p1.p AS a, p2.p AS b
+FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) p1
+JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) p2
+  ON p1.o = p2.o AND p1.p < p2.p"""
+
+
+@register(
+    "x85_triangle_counts", G.triangle_counts_oracle_sql(_COOC_EDGES_CTE),
+    "EXT-GRAPH", tier=1,
+)
+def x85_triangle_counts(spark, sf_dir):
+    """Per-part triangle counts over the part co-purchase graph (parts
+    co-occurring in the same order, via lineitem) — the standard graph
+    cohesion kernel next to x27's connected components and x68's
+    PageRank. The distributed plan is degree-oriented so wedge work is
+    O(m^1.5) even under hub skew (:func:`operators.graph.
+    triangle_counts`); edge construction is a per-order self-join
+    bounded by the order's line count (≤7 in this schema), so it stays
+    linear in lineitem at any scale."""
+    pe = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        pe.alias("x")
+        .join(pe.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+    )
+    return G.triangle_counts(edges)
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1308,7 +1342,10 @@ FROM ({member_oracle('x82_stream_rolling_anomaly')})
 UNION ALL
 SELECT 'incnd', doc_id, dup_of, CAST(is_neardup AS BIGINT), {z}, {z},
        CAST(jaccard AS DOUBLE), {zd}, NULL
-FROM ({member_oracle('x83_incremental_neardup')})"""
+FROM ({member_oracle('x83_incremental_neardup')})
+UNION ALL
+SELECT 'tri', node, {z}, n_tri, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x85_triangle_counts')})"""
 
 
 @register(
@@ -1322,9 +1359,10 @@ def x84_r6_ops_suite(spark, sf_dir):
     round the operators landed so none of them waits a round for a
     driver row: the composed CDC repair loop (c4), iterative BPE train +
     encode (x80/x81), the ring-buffer streamed rolling anomaly (x82 — a
-    real availableNow stateful replay inside a driver-hashed row), and
-    the index-joined incremental near-dup (x83), union-folded into the
-    shared kind-tagged suite shape. BPE training is deterministic, so the
+    real availableNow stateful replay inside a driver-hashed row), the
+    index-joined incremental near-dup (x83), and the degree-oriented
+    triangle counter (x85), union-folded into the shared kind-tagged
+    suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
     members each pay their own training; review r6)."""
@@ -1359,5 +1397,9 @@ def x84_r6_ops_suite(spark, sf_dir):
             x83_incremental_neardup(spark, sf_dir), "incnd",
             id1=F.col("doc_id"), id2=F.col("dup_of"),
             v1=F.col("is_neardup").cast("long"), d1=F.col("jaccard"),
+        ))
+        .unionAll(_suite_shape(
+            x85_triangle_counts(spark, sf_dir), "tri",
+            id1=F.col("node"), v1=F.col("n_tri"),
         ))
     )

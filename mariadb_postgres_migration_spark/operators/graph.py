@@ -133,3 +133,96 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 3) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT v AS node, sq AS score_q FROM s{iters}"
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list ``(a, b)``
+    (self-loops ignored, multi-edges deduplicated) — the standard graph
+    cohesion kernel, with the standard scale trick: **degree orientation**.
+    Each undirected edge is stored once, oriented from the endpoint that
+    is smaller in the (degree, id) total order; a triangle is then
+    enumerated EXACTLY once as the wedge (u→v, u→w, (deg,id) of v < of w)
+    closed by the oriented edge (v→w). Orientation bounds each node's
+    out-degree by O(√m) on any graph, so the wedge join does O(m^1.5)
+    work even under power-law hubs — the un-oriented form explodes
+    quadratically at every hub. The order is COMPARED, never materialized:
+    no global rank window (that would be a single-reducer pass over all
+    nodes); the orientation is a per-edge tuple comparison after two
+    degree joins.
+
+    Exact and engine-portable: the (degree, id) order is deterministic,
+    the enumeration is a 3-way integer equi-join, and counts are integers
+    — a DuckDB oracle reproduces the result bit-for-bit.
+
+    Returns ``(node, n_tri)`` for every node in ≥1 triangle."""
+    from .dedup import _persist
+
+    e = edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    e = _persist(e)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = _persist(
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddeg"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("dv")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("dw")
+    )
+    v_first = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = e1.join(e2, "u").filter(v_first).select("u", "v", "w")
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closer, ["v", "w"])
+    return (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+
+
+def triangle_counts_oracle_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`triangle_counts`: canonicalize to a<b
+    edges, enumerate each triangle exactly once as u<v<w via a 3-way
+    self-join (no degree orientation — the oracle runs at test SF where
+    the quadratic wedge risk is moot), count corners. Per-node triangle
+    counts are enumeration-order independent, so this matches the
+    oriented distributed plan bit-for-bit."""
+    return f"""WITH e_raw AS ({edges_cte}),
+e0 AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM e_raw WHERE a <> b
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corner AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v AS node FROM tri
+  UNION ALL SELECT w AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corner GROUP BY node"""

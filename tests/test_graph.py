@@ -108,3 +108,19 @@ def test_funnel_plans_one_exchange_for_all_windows(spark, sf_dir):
 def test_pagerank_empty_graph_returns_empty(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert G.pagerank(e, iters=2).collect() == []
+
+
+def test_triangle_counts_k4_pendant_and_canonicalization(spark):
+    # K4 on {1,2,3,4}: every node closes 3 triangles. Node 5 is a pendant
+    # (no triangle -> absent from the output). Reversed (5,1), self-loop
+    # (2,2) and duplicate (3,2) edges exercise canonicalization.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 5), (5, 1), (2, 2), (3, 2)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_tri"] for r in G.triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_empty(spark):
+    e = spark.createDataFrame([], "a long, b long")
+    assert G.triangle_counts(e).collect() == []
