@@ -1321,6 +1321,47 @@ def x85_triangle_counts(spark, sf_dir):
     return G.triangle_counts(edges)
 
 
+_X86_SQL = """WITH f AS (
+  SELECT doc_id,
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+              ELSE ascii(substr(coalesce(text, ''), 1, 1)) END AS first,
+         octet_length(encode(coalesce(text, ''))) AS nb
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         8000 + (first % 8) * 1000 AS rate,
+         40 + nb % 216 AS n,
+         1 + first % 127 AS v
+  FROM f)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+       CAST(v AS BIGINT) AS amp_min,
+       CAST(v AS BIGINT) AS amp_max,
+       CAST(v * n AS BIGINT) AS amp_sum
+FROM c"""
+
+
+@register("x86_audio_pcm_stats", _X86_SQL, "EXT-04", tier=1)
+def x86_audio_pcm_stats(spark, sf_dir):
+    """EXT-04 audio tier with a REAL codec under driver hash: spec-valid
+    RIFF/WAVE PCM payloads are assembled JVM-side from closed forms of
+    the text (:func:`operators.multimodal.attach_wav_payload` — rows with
+    an odd first codepoint carry an extra LIST chunk between fmt and
+    data, so only a genuine chunk walker parses half the corpus), then
+    the pure-stdlib+numpy PCM decoder (:func:`operators.multimodal.
+    decode_wav`) re-reads rate and actual int16 samples whose integer
+    stats the oracle recomputes from the same closed forms. With BMP, PNG
+    and GIF pixels (x60/x78) this makes audio the fourth genuinely
+    decoded modality; variable-sample parses (negative amplitudes, 8-bit,
+    stereo, pad bytes, truncation) are unit-pinned in
+    tests/test_wav_codec.py."""
+    from .operators.multimodal import attach_wav_payload, pcm_stats
+
+    return pcm_stats(attach_wav_payload(_t(spark, sf_dir, "documents")))
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1345,7 +1386,11 @@ SELECT 'incnd', doc_id, dup_of, CAST(is_neardup AS BIGINT), {z}, {z},
 FROM ({member_oracle('x83_incremental_neardup')})
 UNION ALL
 SELECT 'tri', node, {z}, n_tri, {z}, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x85_triangle_counts')})"""
+FROM ({member_oracle('x85_triangle_counts')})
+UNION ALL
+SELECT 'wav', doc_id, {z}, n_samples, sample_rate, duration_us,
+       CAST(amp_sum AS DOUBLE), CAST(amp_max AS DOUBLE), NULL
+FROM ({member_oracle('x86_audio_pcm_stats')})"""
 
 
 @register(
@@ -1360,8 +1405,9 @@ def x84_r6_ops_suite(spark, sf_dir):
     driver row: the composed CDC repair loop (c4), iterative BPE train +
     encode (x80/x81), the ring-buffer streamed rolling anomaly (x82 — a
     real availableNow stateful replay inside a driver-hashed row), the
-    index-joined incremental near-dup (x83), and the degree-oriented
-    triangle counter (x85), union-folded into the shared kind-tagged
+    index-joined incremental near-dup (x83), the degree-oriented
+    triangle counter (x85), and the RIFF/WAVE PCM audio decode (x86),
+    union-folded into the shared kind-tagged
     suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
@@ -1401,5 +1447,11 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x85_triangle_counts(spark, sf_dir), "tri",
             id1=F.col("node"), v1=F.col("n_tri"),
+        ))
+        .unionAll(_suite_shape(
+            x86_audio_pcm_stats(spark, sf_dir), "wav",
+            id1=F.col("doc_id"), v1=F.col("n_samples"),
+            v2=F.col("sample_rate"), v3=F.col("duration_us"),
+            d1=F.col("amp_sum"), d2=F.col("amp_max"),
         ))
     )

@@ -955,3 +955,179 @@ def resize_payloads_real(
             )
 
     return multimodal.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM — a REAL codec (pure stdlib + numpy), same contract
+# as the image decoders above. The reference pipes payload bytes through a
+# subprocess verbatim (normalize_tags.mjs:4) and never inspects them; a
+# training-data pipeline needs at least duration/amplitude screening before
+# paying for feature extraction, so the engine decodes PCM itself.
+# --------------------------------------------------------------------------
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("amp_min", LongType()),
+        StructField("amp_max", LongType()),
+        StructField("amp_sum", LongType()),
+    ]
+)
+
+
+def attach_wav_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build a multimodal table whose payloads are GENUINE RIFF/WAVE PCM
+    files, assembled JVM-side from binary concat — 'RIFF' magic, a spec
+    'fmt ' chunk (PCM, mono, 16-bit, real little-endian fields), then a
+    'data' chunk of ``n`` constant int16 samples. Every audible quantity
+    is a closed form of the text (sample value ``1 + first-codepoint %
+    127``, count ``40 + utf8-byte-length % 216``, rate ``8000 + (first %
+    8) * 1000``), which is what makes the decode round-trip oracle-exact
+    (the same move as :func:`attach_bmp_payload`): DuckDB can't parse a
+    RIFF blob, but it can recompute the closed forms — so a driver hash
+    match proves :func:`decode_wav` walked the actual chunk list and read
+    the actual samples. Rows with an odd first codepoint additionally get
+    a LIST/INFO chunk BETWEEN fmt and data, so fixed-offset "parsers"
+    fail on half the corpus: only a real chunk walker survives."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    nbytes = F.length(F.encode(text, "UTF-8"))
+    first = F.when(F.length(text) == 0, 0).otherwise(
+        F.ascii(F.substring(text, 1, 1))
+    )
+    v = (F.lit(1) + first % 127).cast("long")
+    n = (F.lit(40) + nbytes % 216).cast("long")
+    rate = (F.lit(8000) + (first % 8) * 1000).cast("long")
+    datalen = n * 2
+    # optional LIST chunk ('LIST' + le4(4) + 'INFO', 12 bytes) on odd firsts
+    list_chunk = F.when(
+        first % 2 == 1,
+        F.concat(
+            F.unhex(F.lit("4C495354")), _le_bytes(F.lit(4), 4),
+            F.unhex(F.lit("494E464F")),
+        ),
+    ).otherwise(F.unhex(F.lit("")))
+    riff_size = F.lit(36) + datalen + F.when(first % 2 == 1, 12).otherwise(0)
+    header = F.concat(
+        F.unhex(F.lit("52494646")),        # 'RIFF'
+        _le_bytes(riff_size, 4),
+        F.unhex(F.lit("57415645")),        # 'WAVE'
+        F.unhex(F.lit("666D7420")),        # 'fmt '
+        _le_bytes(F.lit(16), 4),           # fmt chunk size
+        _le_bytes(F.lit(1), 2),            # audio format = PCM
+        _le_bytes(F.lit(1), 2),            # channels = mono
+        _le_bytes(rate, 4),
+        _le_bytes(rate * 2, 4),            # byte rate
+        _le_bytes(F.lit(2), 2),            # block align
+        _le_bytes(F.lit(16), 2),           # bits per sample
+        list_chunk,
+        F.unhex(F.lit("64617461")),        # 'data'
+        _le_bytes(datalen, 4),
+    )
+    # n constant samples, each int16 LE == v (v <= 127 -> one UTF-8 byte)
+    data = F.encode(
+        F.repeat(F.concat(F.char(v), F.lit("\x00")), n.cast("int")), "UTF-8"
+    )
+    payload = F.concat(header, data)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit("audio/wav").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def parse_wav(b: bytes):
+    """Real RIFF/WAVE parser: validate the RIFF+WAVE magic, then WALK the
+    chunk list (id, le32 size, body, pad-to-even) — no fixed offsets, so
+    files with extra chunks (LIST/INFO metadata, fact, cue) parse
+    correctly and truncated bodies are rejected rather than mis-read.
+    Returns ``(channels, sample_rate, bits, data_bytes)`` for PCM files,
+    None for anything that is not a complete PCM WAV."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk body
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            fmt = (
+                int.from_bytes(body[0:2], "little"),    # audio format
+                int.from_bytes(body[2:4], "little"),    # channels
+                int.from_bytes(body[4:8], "little"),    # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits per sample
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or data is None or fmt[0] != 1 or fmt[1] == 0:
+        return None
+    return fmt[1], fmt[2], fmt[3], data
+
+
+def decode_wav(b: bytes):
+    """Decode a PCM WAV to ``(sample_rate, samples)`` where samples is an
+    int64 numpy vector of per-frame values (16-bit LE signed or 8-bit
+    unsigned recentred to signed, interleaved channels kept as frames of
+    their first channel for multi-channel input). None if not PCM WAV."""
+    import numpy as np
+
+    parsed = parse_wav(b)
+    if parsed is None:
+        return None
+    channels, rate, bits, data = parsed
+    if rate == 0:
+        return None
+    if bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+            "int64"
+        )
+    elif bits == 8:
+        arr = np.frombuffer(data, dtype="uint8").astype("int64") - 128
+    else:
+        return None
+    if channels > 1:
+        arr = arr[::channels]  # first channel of each frame
+    return rate, arr
+
+
+def pcm_stats(multimodal: DataFrame) -> DataFrame:
+    """EXT-04 audio: Arrow-batched PCM decode over ``mapInPandas`` —
+    per-doc sample rate, frame count, integer duration (micros, truncated
+    — engine-stable, unlike a float division) and integer amplitude
+    stats. Payloads that are not complete PCM WAVs are dropped (the
+    screening contract: undecodable audio never reaches training). All
+    stats are exact integers, so a DuckDB oracle over the fixture's
+    closed forms hash-matches bit-for-bit at any parallelism."""
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k.name: [] for k in WAV_STATS_SCHEMA.fields}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(p) if p is not None else b"")
+                if decoded is None:
+                    continue
+                rate, arr = decoded
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(arr))
+                rows["duration_us"].append(len(arr) * 1_000_000 // rate)
+                rows["amp_min"].append(int(arr.min()) if arr.size else 0)
+                rows["amp_max"].append(int(arr.max()) if arr.size else 0)
+                rows["amp_sum"].append(int(arr.sum()) if arr.size else 0)
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
