@@ -1362,6 +1362,81 @@ def x86_audio_pcm_stats(spark, sf_dir):
     return pcm_stats(attach_wav_payload(_t(spark, sf_dir, "documents")))
 
 
+_X87_K = 64
+_X87_SQL = f"""WITH pairs AS (
+  SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_partkey AS VARCHAR) AS key
+  FROM lineitem),
+h AS (SELECT DISTINCT l_returnflag, l_linestatus,
+             {R.hex_chunk_sql("md5(key)", 1)} AS h
+      FROM pairs),
+r AS (SELECT l_returnflag, l_linestatus, h,
+             row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY h) AS rnk
+      FROM h),
+sk AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS k_used,
+              max(h) AS kth_hash
+       FROM r WHERE rnk <= {_X87_K} GROUP BY 1, 2),
+ex AS (SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT) AS exact_distinct
+       FROM pairs GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, k_used, kth_hash,
+       CAST(CASE WHEN k_used < {_X87_K} THEN k_used
+            ELSE {(_X87_K - 1) * 4294967296} // greatest(kth_hash, 1)
+            END AS BIGINT) AS est_distinct,
+       exact_distinct
+FROM sk JOIN ex USING (l_returnflag, l_linestatus)"""
+
+
+@register("x87_kmv_distinct_sketch", _X87_SQL, "EXT-05", tier=1)
+def x87_kmv_distinct_sketch(spark, sf_dir):
+    """KMV distinct-count sketch per (returnflag, linestatus) stratum: the
+    k smallest 32-bit md5-derived hashes of the distinct part keys give
+    ``est = (k-1)*2^32 div h_k`` — a mergeable, integer-exact
+    cardinality estimator verified next to the exact count
+    (:mod:`operators.sketches`). Spark's WindowGroupLimit pushes the
+    rank filter below the exchange, so each map task ships ≤ k rows per
+    group — the partial-sketch-merge plan, pinned in
+    tests/test_sketches.py."""
+    from .operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_partkey",
+        k=_X87_K,
+    )
+
+
+_X88_SQL = f"""WITH {_TOKS_CTE},
+{_DS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM ds x JOIN ds y USING (sh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       i / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter JOIN sizes na ON doc_a = na.doc_id
+           JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5"""
+
+
+@register("x88_prefix_filter_neardup", _X88_SQL, "EXT-02", tier=1)
+def x88_prefix_filter_neardup(spark, sf_dir):
+    """Prefix-filtered exact Jaccard near-dup join (Bayardo WWW'07):
+    candidates only from collisions among each doc's rarest
+    ``n - ceil(t*n) + 1`` shingles, yet provably no false negatives —
+    the oracle is the EXHAUSTIVE uncapped all-pairs join, so a driver
+    hash match is a proof the prefix filter missed nothing
+    (:func:`operators.dedup.prefix_filter_jaccard_pairs`). Completes the
+    near-dup ladder: df-capped inverted index (x02, approximate under
+    the cap), banded MinHash (x03, probabilistic), SimHash (x04),
+    prefix filter (exact AND explosion-free)."""
+    return D.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), t_num=1, t_den=2
+    )
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1390,7 +1465,14 @@ FROM ({member_oracle('x85_triangle_counts')})
 UNION ALL
 SELECT 'wav', doc_id, {z}, n_samples, sample_rate, duration_us,
        CAST(amp_sum AS DOUBLE), CAST(amp_max AS DOUBLE), NULL
-FROM ({member_oracle('x86_audio_pcm_stats')})"""
+FROM ({member_oracle('x86_audio_pcm_stats')})
+UNION ALL
+SELECT 'kmv', exact_distinct, {z}, k_used, kth_hash, est_distinct,
+       {zd}, {zd}, concat_ws('|', l_returnflag, l_linestatus)
+FROM ({member_oracle('x87_kmv_distinct_sketch')})
+UNION ALL
+SELECT 'ppj', doc_a, doc_b, inter, n_a, n_b, jaccard, {zd}, NULL
+FROM ({member_oracle('x88_prefix_filter_neardup')})"""
 
 
 @register(
@@ -1406,8 +1488,9 @@ def x84_r6_ops_suite(spark, sf_dir):
     encode (x80/x81), the ring-buffer streamed rolling anomaly (x82 — a
     real availableNow stateful replay inside a driver-hashed row), the
     index-joined incremental near-dup (x83), the degree-oriented
-    triangle counter (x85), and the RIFF/WAVE PCM audio decode (x86),
-    union-folded into the shared kind-tagged
+    triangle counter (x85), the RIFF/WAVE PCM audio decode (x86), the
+    KMV distinct sketch (x87) and the prefix-filtered exact near-dup
+    join (x88), union-folded into the shared kind-tagged
     suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
@@ -1453,5 +1536,16 @@ def x84_r6_ops_suite(spark, sf_dir):
             id1=F.col("doc_id"), v1=F.col("n_samples"),
             v2=F.col("sample_rate"), v3=F.col("duration_us"),
             d1=F.col("amp_sum"), d2=F.col("amp_max"),
+        ))
+        .unionAll(_suite_shape(
+            x87_kmv_distinct_sketch(spark, sf_dir), "kmv",
+            id1=F.col("exact_distinct"), v1=F.col("k_used"),
+            v2=F.col("kth_hash"), v3=F.col("est_distinct"),
+            s1=F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus")),
+        ))
+        .unionAll(_suite_shape(
+            x88_prefix_filter_neardup(spark, sf_dir), "ppj",
+            id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("inter"),
+            v2=F.col("n_a"), v3=F.col("n_b"), d1=F.col("jaccard"),
         ))
     )

@@ -909,3 +909,85 @@ def incremental_neardup(
         F.coalesce("corpus_id", F.lit(-1)).cast("long").alias("dup_of"),
         F.coalesce(F.col("jaccard"), F.lit(0.0)).cast("double").alias("jaccard"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXT-02 exact near-dup WITHOUT a document-frequency cap: prefix
+    filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    Search"). Order each doc's shingles by global rarity (ascending df,
+    then shingle text — a total order), keep only the first
+    ``n - ceil(t*n) + 1`` as the doc's PREFIX, and generate candidate
+    pairs from prefix collisions only. Theorem: two sets with Jaccard
+    ≥ t must share a prefix element under any common total order — so
+    unlike the df-capped inverted-index join (:func:`ngram_jaccard_pairs`)
+    or banded MinHash (false negatives by design), this is EXACT while
+    joining only on each doc's rarest few shingles. Stop-shingles are
+    structurally excluded from candidate generation (they rank last and
+    fall outside every prefix), not dropped by a tuning knob — the
+    O(df²) pair explosion cannot happen, which is the property that
+    matters at 10⁹ documents.
+
+    The threshold is the rational ``t_num/t_den`` so the prefix length
+    ``ceil(t*n) = (n*t_num + t_den - 1) div t_den`` is exact integer
+    math; the final Jaccard compare mirrors x02's single double
+    division, identical in both engines.
+
+    Shuffle budget: shingle df (groupBy sh), rarity rank + size (one
+    window pass on doc_id), prefix self-join (on sh — posting lists are
+    prefix-only, so short), candidate verify (two hash joins on doc id +
+    one groupBy pair). The shingle table is persisted once and feeds
+    df, ranking, and both verify sides.
+    """
+    ds = _persist(doc_shingles(docs, id_col, text_col, k))
+    dftab = ds.groupBy("sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        ds.join(dftab, "sh")
+        .withColumn("__rnk", F.row_number().over(w.orderBy("__df", "sh")))
+        .withColumn("__n", F.count("*").over(w))
+    )
+    ceil_tn = (F.col("__n") * t_num + (t_den - 1)).cast("long") / F.lit(t_den)
+    prefix = ranked.filter(
+        F.col("__rnk") <= F.col("__n") - F.floor(ceil_tn) + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(ds.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t_num / t_den)
+    )

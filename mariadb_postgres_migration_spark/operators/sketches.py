@@ -1,0 +1,82 @@
+"""KMV (k-minimum-values) distinct-count sketch (EXT-05 scale analysis).
+
+The reference never counts distincts at all (it migrates rows verbatim,
+index.mjs:21-168); a 100 TB ingest pipeline needs cardinality estimates
+per stratum for shuffle sizing, skew detection, and dedup-rate forecasts
+— exact countDistinct is a full shuffle of every distinct key, while a
+KMV sketch is a k-row summary per group.
+
+Why KMV and not HyperLogLog: KMV's state (the k smallest hash values) and
+its estimate ``(k-1) * 2^32 div h_k`` are pure integer artifacts of an
+md5-derived hash, so a DuckDB oracle reproduces them bit-for-bit — HLL's
+float harmonic mean and engine-specific hash make it unverifiable here.
+Same mergeability story: the union of two KMV sketches is the k smallest
+of the merged value sets, so partial aggregation is exact.
+
+Scale shape: Spark executes the per-group k-smallest as a rank window,
+and (Spark ≥3.5) the WindowGroupLimit rule pushes the ``rank <= k``
+filter below the exchange — each map task ships at most k rows per
+group, which IS the mergeable-sketch plan (pinned in
+tests/test_sketches.py). Two shuffles total: distinct (group, hash) and
+the group window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .reconcile import hex_chunk
+
+#: Estimator scale: hashes are 32-bit (8 md5 hex chars), so the unit
+#: interval is [0, 2^32).
+HASH_SPACE = 1 << 32
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate next to the exact count.
+
+    Output per group: ``k_used`` (min(k, observed distinct hashes)),
+    ``kth_hash`` (the k-th smallest 32-bit hash — the sketch boundary),
+    ``est_distinct`` (``(k-1) * 2^32 div kth_hash``, or the exact count
+    when the group has fewer than k distinct hashes — the sketch is then
+    the full value set and exact by definition), and ``exact_distinct``
+    for error inspection. All integers — no float estimate drift.
+    """
+    hashed = (
+        df.select(*group_cols, F.col(key_col).cast("string").alias("__key"))
+        .distinct()
+        .select(*group_cols, hex_chunk(F.md5(F.col("__key")), 1).alias("h"))
+        .distinct()  # KMV is over the hash SET (collisions merge)
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    topk = hashed.withColumn("__rnk", F.row_number().over(w)).filter(
+        F.col("__rnk") <= k
+    )
+    sk = topk.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = (
+        df.select(*group_cols, key_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    # `div` is true integer division (matching DuckDB's `//`) — a double
+    # divide + floor can land one off when rounding crosses an integer.
+    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        F.expr(
+            f"CAST({(k - 1) * HASH_SPACE} AS BIGINT)"
+            " div greatest(kth_hash, CAST(1 AS BIGINT))"
+        )
+    )
+    return sk.join(exact, group_cols).select(
+        *group_cols,
+        "k_used",
+        "kth_hash",
+        est.cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )

@@ -1,0 +1,131 @@
+"""KMV distinct-count sketch (x87) and prefix-filtered exact near-dup
+join (x88): correctness vs brute-force reimplementations, estimator
+accuracy, and the partial-top-k / no-cartesian plan shapes."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mariadb_postgres_migration_spark.operators.dedup import (
+    prefix_filter_jaccard_pairs,
+)
+from mariadb_postgres_migration_spark.operators.sketches import (
+    HASH_SPACE,
+    kmv_distinct,
+)
+from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
+
+
+def _py_kmv(keys, k):
+    """Reference KMV: k smallest 32-bit md5 prefixes of the key strings."""
+    hs = sorted({int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) for x in keys})
+    top = hs[:k]
+    if len(top) < k:
+        return len(top), (max(top) if top else 0), len(top)
+    return k, top[-1], (k - 1) * HASH_SPACE // max(top[-1], 1)
+
+
+def test_kmv_matches_python_reference(spark):
+    rows = [("a", i % 97) for i in range(500)] + [("b", i % 13) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, key long")
+    got = {
+        r["g"]: (r["k_used"], r["kth_hash"], r["est_distinct"], r["exact_distinct"])
+        for r in kmv_distinct(df, ["g"], "key", k=32).collect()
+    }
+    for g, keys in [("a", range(97)), ("b", range(13))]:
+        k_used, kth, est = _py_kmv(keys, 32)
+        assert got[g] == (k_used, kth, est, len(set(keys)))
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame([("x", i) for i in range(5)], "g string, key long")
+    row = kmv_distinct(df, ["g"], "key", k=64).collect()[0]
+    assert row["k_used"] == 5
+    assert row["est_distinct"] == 5 == row["exact_distinct"]
+
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64).collect()
+    assert out
+    for r in out:
+        if r["k_used"] < 64:
+            assert r["est_distinct"] == r["exact_distinct"]
+        else:
+            # KMV standard error is ~1/sqrt(k-2) ≈ 13% at k=64; allow 4σ
+            assert r["est_distinct"] == pytest.approx(
+                r["exact_distinct"], rel=0.52
+            )
+
+
+def test_kmv_plan_pushes_partial_topk(spark):
+    """The rank-filter must become a WindowGroupLimit (partial top-k per
+    map task BELOW the exchange) — that node IS the mergeable-sketch
+    claim; without it every distinct hash shuffles to the window."""
+    df = spark.createDataFrame(
+        [("g", i) for i in range(100)], "g string, key long"
+    )
+    plan = formatted_plan(kmv_distinct(df, ["g"], "key", k=8))
+    assert "WindowGroupLimit" in plan
+
+
+def _brute_pairs(spark, docs, threshold=0.5):
+    """Exhaustive uncapped Jaccard pairs via the raw shingle self-join."""
+    from mariadb_postgres_migration_spark.operators.dedup import doc_shingles
+
+    ds = doc_shingles(docs)
+    a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+        .filter(F.col("jac") >= threshold)
+    )
+    return {
+        (r["doc_a"], r["doc_b"]): (r["i"], r["na"], r["nb"])
+        for r in j.collect()
+    }
+
+
+def test_prefix_filter_equals_exhaustive_on_fixture(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["n_a"], r["n_b"])
+        for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert got == _brute_pairs(spark, docs)
+    assert got  # fixture corpus must actually contain near-dup pairs
+
+
+def test_prefix_filter_exact_under_stop_shingles(spark):
+    """Construction that defeats a df-cap: the ONLY shared shingles of the
+    near-dup pair are stop-shingles present in every doc. x02's capped
+    index drops them (pair lost); the prefix filter must keep the pair —
+    stop-shingles rank last but still land in the prefix when the doc is
+    short enough, and exactness may never depend on a tuning knob."""
+    stop = "alpha beta gamma delta"  # shingles shared by ALL docs
+    rows = [(i, f"{stop} filler{i} unique{i} token{i}") for i in range(20)]
+    rows += [(100, stop), (101, stop)]  # identical short docs: J = 1.0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert (100, 101) in got
+    assert got == set(_brute_pairs(spark, docs))
+
+
+def test_prefix_filter_no_cartesian(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    plan = formatted_plan(prefix_filter_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
