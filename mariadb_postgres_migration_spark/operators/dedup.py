@@ -953,9 +953,11 @@ def prefix_filter_jaccard_pairs(
         .withColumn("__rnk", F.row_number().over(w.orderBy("__df", "sh")))
         .withColumn("__n", F.count("*").over(w))
     )
-    ceil_tn = (F.col("__n") * t_num + (t_den - 1)).cast("long") / F.lit(t_den)
+    # `div` keeps the ceil fold in integers end-to-end (a double divide
+    # + floor is only exact below 2^53, and the docstring promises exact)
+    ceil_tn = F.expr(f"(__n * {t_num} + {t_den - 1}) div {t_den}")
     prefix = ranked.filter(
-        F.col("__rnk") <= F.col("__n") - F.floor(ceil_tn) + 1
+        F.col("__rnk") <= F.col("__n") - ceil_tn + 1
     ).select("doc_id", "sh")
     cand = (
         prefix.alias("a")

@@ -17,8 +17,9 @@ Scale shape: Spark executes the per-group k-smallest as a rank window,
 and (Spark ≥3.5) the WindowGroupLimit rule pushes the ``rank <= k``
 filter below the exchange — each map task ships at most k rows per
 group, which IS the mergeable-sketch plan (pinned in
-tests/test_sketches.py). Two shuffles total: distinct (group, hash) and
-the group window.
+tests/test_sketches.py). The sketch path is two shuffles: the distinct
+(group, hash) exchange and the group window; the exact-count column is
+a deliberately-paid verification sidecar (see :func:`kmv_distinct`).
 """
 
 from __future__ import annotations
@@ -44,13 +45,21 @@ def kmv_distinct(
     when the group has fewer than k distinct hashes — the sketch is then
     the full value set and exact by definition), and ``exact_distinct``
     for error inspection. All integers — no float estimate drift.
+
+    The sketch path is one scan, one distinct-(group, hash) exchange
+    and a WindowGroupLimit top-k. ``exact_distinct`` is a verification
+    sidecar: it is exactly the full countDistinct the sketch exists to
+    avoid, kept here so every estimate ships next to its ground truth —
+    a production caller at 100 TB would drop that column (and with it
+    the second scan), not the sketch.
     """
-    hashed = (
-        df.select(*group_cols, F.col(key_col).cast("string").alias("__key"))
-        .distinct()
-        .select(*group_cols, hex_chunk(F.md5(F.col("__key")), 1).alias("h"))
-        .distinct()  # KMV is over the hash SET (collisions merge)
-    )
+    # KMV is over the hash SET: distinct on (group, h) directly — an
+    # intermediate distinct on the raw key is redundant (Catalyst
+    # eliminates it) and md5 collisions must merge anyway.
+    hashed = df.select(
+        *group_cols,
+        hex_chunk(F.md5(F.col(key_col).cast("string")), 1).alias("h"),
+    ).distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     topk = hashed.withColumn("__rnk", F.row_number().over(w)).filter(
         F.col("__rnk") <= k

@@ -71,6 +71,26 @@ def test_kmv_plan_pushes_partial_topk(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmv_sketch_path_shape(spark, sf_dir):
+    """Sketch-branch plan contract: the md5 hash is computed at the scan
+    and deduplicated in ONE distinct exchange on (group, hash) — no
+    intermediate distinct on the raw key survives optimization — and the
+    scan reads only the two needed columns."""
+    spark.catalog.clearCache()
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    df = kmv_distinct(li, ["l_returnflag"], "l_partkey", k=16)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    # exchanges: sketch distinct (group,h), window (group), exact-side
+    # distinct (group,key) + its regroup — anything more means a redundant
+    # key-level distinct crept back into the sketch branch
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:2000]
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in plan
+
+
 def _brute_pairs(spark, docs, threshold=0.5):
     """Exhaustive uncapped Jaccard pairs via the raw shingle self-join."""
     from mariadb_postgres_migration_spark.operators.dedup import doc_shingles

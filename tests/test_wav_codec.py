@@ -19,19 +19,17 @@ from mariadb_postgres_migration_spark.operators.multimodal import (
 
 
 def build_wav(samples, rate=8000, bits=16, channels=1, extra_chunks=(),
-              pad_data=False):
+              trailing_chunks=()):
     """Hand-assemble a spec WAV: fmt chunk, optional extra chunks (id,
-    body) before data, optional odd-length data chunk with a pad byte."""
+    body) before data, then the data chunk (padded to even length per
+    RIFF), then optional trailing chunks after data."""
     if bits == 16:
         data = b"".join(struct.pack("<h", s) for s in samples)
     else:
         data = bytes((s + 128) & 0xFF for s in samples)
-    if pad_data:
-        data_chunk = b"data" + struct.pack("<I", len(data)) + data
-        if len(data) % 2:
-            data_chunk += b"\x00"
-    else:
-        data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        data_chunk += b"\x00"
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
         channels * bits // 8, bits,
@@ -42,6 +40,10 @@ def build_wav(samples, rate=8000, bits=16, channels=1, extra_chunks=(),
         if len(cbody) % 2:
             body += b"\x00"
     body += data_chunk
+    for cid, cbody in trailing_chunks:
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) % 2:
+            body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -70,6 +72,18 @@ def test_chunk_walker_skips_extra_chunks_and_pads():
     b = build_wav([7, -7], extra_chunks=[(b"LIST", b"INFOx"), (b"fact", b"\x02\x00\x00\x00")])
     rate, arr = decode_wav(b)
     assert list(arr) == [7, -7]
+
+
+def test_odd_data_chunk_pad_before_trailing_chunk():
+    # three 8-bit samples make an odd data body: the walker must skip the
+    # pad byte to land on the trailing fact chunk (a mis-step would read
+    # a garbage header and reject the file), and the pad byte must not
+    # leak into the decoded samples
+    b = build_wav(
+        [1, 2, 3], bits=8, trailing_chunks=[(b"fact", b"\x03\x00\x00\x00")]
+    )
+    rate, arr = decode_wav(b)
+    assert list(arr) == [1, 2, 3]
 
 
 def test_truncated_and_foreign_payloads_rejected():
