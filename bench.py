@@ -168,6 +168,9 @@ SUITE_MEMBERS = {
     "x84_r6_ops_suite": [
         "c4_migration_repair", "x80_bpe_train_merges", "x81_bpe_encode_topk",
         "x82_stream_rolling_anomaly", "x83_incremental_neardup",
+        "x85_triangle_counts", "x86_audio_pcm_stats",
+        "x87_kmv_distinct_sketch", "x88_prefix_filter_neardup",
+        "x89_cms_point_frequency", "x90_association_lift",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

@@ -1437,6 +1437,98 @@ def x88_prefix_filter_neardup(spark, sf_dir):
     )
 
 
+def _x89_sql() -> str:
+    from .operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    def bucket(j: int) -> str:
+        return (
+            f"{R.hex_chunk_sql(f'''md5(term || '#cms{j}')''', 1)}"
+            f" % {CMS_WIDTH}"
+        )
+
+    counter_rows = "\nUNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j)} AS bucket FROM tok"
+        for j in range(CMS_DEPTH)
+    )
+    probe_rows = "\nUNION ALL ".join(
+        f"SELECT term, {j} AS j, {bucket(j)} AS bucket FROM probes"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""WITH {_TOKS_CTE},
+tok AS (SELECT term FROM toks, UNNEST(w) AS u(term)),
+counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+             FROM ({counter_rows}) GROUP BY j, bucket),
+probes AS (SELECT term FROM (SELECT DISTINCT term FROM tok)
+           ORDER BY md5(term), term LIMIT 30),
+pj AS ({probe_rows}),
+est AS (SELECT pj.term, min(coalesce(c.cnt, 0)) AS est_count
+        FROM pj LEFT JOIN counters c USING (j, bucket) GROUP BY pj.term),
+ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+       FROM tok JOIN probes USING (term) GROUP BY term)
+SELECT term, CAST(est_count AS BIGINT) AS est_count, exact_count
+FROM est JOIN ex USING (term)"""
+
+
+@register("x89_cms_point_frequency", _x89_sql(), "EXT-05", tier=1)
+def x89_cms_point_frequency(spark, sf_dir):
+    """Count-min sketch point-frequency estimates for a deterministic
+    30-term probe panel (min-md5 vocabulary sample), next to the exact
+    counts: the sketch state is a fixed d×W counter table built by one
+    map-side-combined shuffle of ≤ d·W rows per task, and the estimate
+    is the min over d broadcast-joined bucket counters — an upper bound
+    that equals truth unless buckets collide (:mod:`operators.sketches`).
+    Completes the sketch family: Bloom (x72 membership), KMV (x87
+    cardinality), Misra-Gries (x63 heavy hitters), CMS (point counts)."""
+    from .operators.sketches import cms_counters, cms_estimate
+
+    toked = T._with_tokens(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    tokens = D._persist(
+        toked.select(F.explode(F.col("__toks")).alias("term"))
+    )
+    counters = cms_counters(tokens)
+    probes = (
+        tokens.select("term")
+        .distinct()
+        .orderBy(F.md5(F.col("term")), F.col("term"))
+        .limit(30)
+    )
+    probes = D._persist(probes)
+    exact = (
+        tokens.join(F.broadcast(probes), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return cms_estimate(counters, probes).join(exact, "term")
+
+
+_X90_SQL = """WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM items),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i),
+pc AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+       FROM items x JOIN items y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+SELECT item_a, item_b, c_ab, ca.c AS c_a, cb.c AS c_b, n.n_baskets,
+       (c_ab * n.n_baskets) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+FROM pc JOIN ic ca ON item_a = ca.i JOIN ic cb ON item_b = cb.i CROSS JOIN n
+ORDER BY lift DESC, item_a, item_b LIMIT 50"""
+
+
+@register("x90_association_lift", _X90_SQL, "EXT-ANALYTICS", tier=1)
+def x90_association_lift(spark, sf_dir):
+    """Market-basket association mining: top-50 part pairs by lift over
+    the order→part baskets (:func:`operators.basket.association_lift`).
+    Pair generation is the per-basket self-join (bounded by basket
+    size, linear in lineitem); marginals and the basket total are one
+    groupBy + a broadcast 1-row scalar; the only float operation is the
+    single lift division over exact BIGINT products, so top-k selection
+    cannot diverge between engines."""
+    from .operators.basket import association_lift
+
+    return association_lift(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", top_k=50
+    )
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1472,7 +1564,14 @@ SELECT 'kmv', exact_distinct, {z}, k_used, kth_hash, est_distinct,
 FROM ({member_oracle('x87_kmv_distinct_sketch')})
 UNION ALL
 SELECT 'ppj', doc_a, doc_b, inter, n_a, n_b, jaccard, {zd}, NULL
-FROM ({member_oracle('x88_prefix_filter_neardup')})"""
+FROM ({member_oracle('x88_prefix_filter_neardup')})
+UNION ALL
+SELECT 'cms', {z}, {z}, est_count, exact_count, {z}, {zd}, {zd}, term
+FROM ({member_oracle('x89_cms_point_frequency')})
+UNION ALL
+SELECT 'lift', item_a, item_b, c_ab, c_a, c_b, lift,
+       CAST(n_baskets AS DOUBLE), NULL
+FROM ({member_oracle('x90_association_lift')})"""
 
 
 @register(
@@ -1489,9 +1588,10 @@ def x84_r6_ops_suite(spark, sf_dir):
     real availableNow stateful replay inside a driver-hashed row), the
     index-joined incremental near-dup (x83), the degree-oriented
     triangle counter (x85), the RIFF/WAVE PCM audio decode (x86), the
-    KMV distinct sketch (x87) and the prefix-filtered exact near-dup
-    join (x88), union-folded into the shared kind-tagged
-    suite shape. BPE training is deterministic, so the
+    KMV distinct sketch (x87), the prefix-filtered exact near-dup
+    join (x88), the count-min point-frequency sketch (x89) and the
+    market-basket association lift (x90), union-folded into the shared
+    kind-tagged suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
     members each pay their own training; review r6)."""
@@ -1547,5 +1647,16 @@ def x84_r6_ops_suite(spark, sf_dir):
             x88_prefix_filter_neardup(spark, sf_dir), "ppj",
             id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("inter"),
             v2=F.col("n_a"), v3=F.col("n_b"), d1=F.col("jaccard"),
+        ))
+        .unionAll(_suite_shape(
+            x89_cms_point_frequency(spark, sf_dir), "cms",
+            v1=F.col("est_count"), v2=F.col("exact_count"),
+            s1=F.col("term"),
+        ))
+        .unionAll(_suite_shape(
+            x90_association_lift(spark, sf_dir), "lift",
+            id1=F.col("item_a"), id2=F.col("item_b"), v1=F.col("c_ab"),
+            v2=F.col("c_a"), v3=F.col("c_b"), d1=F.col("lift"),
+            d2=F.col("n_baskets").cast("double"),
         ))
     )

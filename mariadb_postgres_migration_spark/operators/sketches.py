@@ -89,3 +89,76 @@ def kmv_distinct(
         est.cast("long").alias("est_distinct"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: point-frequency estimates from fixed d×W counter state.
+# Completes the sketch toolbox next to the Bloom filter (membership,
+# operators/bloom.py), KMV (cardinality, above) and Misra-Gries (heavy
+# hitters, operators/audit.py): CMS answers "how often does THIS term
+# occur" from d*W integers instead of a corpus-sized term table.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(term, j: int):
+    """Row j's bucket for a term: md5 with a per-row seed suffix, first
+    8 hex chars as an integer, mod the width — engine-portable (the
+    DuckDB oracle reproduces it bit-for-bit via the same nibble fold)."""
+    return (
+        hex_chunk(F.md5(F.concat(term, F.lit(f"#cms{j}"))), 1) % CMS_WIDTH
+    ).cast("long")
+
+
+def cms_counters(tokens: DataFrame, term_col: str = "term") -> DataFrame:
+    """Build the (j, bucket, cnt) counter table — the ENTIRE sketch state
+    is ≤ CMS_DEPTH × CMS_WIDTH rows, so the shuffle after the map-side
+    partial aggregate moves at most d·W rows per task regardless of
+    corpus size, and two sketches merge by adding counters (the
+    mergeability that makes this a 100 TB operator)."""
+    rows = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(term_col), j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    return rows.groupBy("j", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, probes: DataFrame, term_col: str = "term"
+) -> DataFrame:
+    """Point-frequency estimate per probe term: ``min`` over the d rows
+    of the term's bucket counters — an upper bound on the true count
+    (never under; over only by bucket collisions). The counter table is
+    d·W rows, so the join is a broadcast by size."""
+    pj = probes.select(
+        F.col(term_col).alias("term"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(term_col), j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", "jb.j", "jb.bucket")
+    return (
+        pj.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

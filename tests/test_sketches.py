@@ -149,3 +149,116 @@ def test_prefix_filter_no_cartesian(spark, sf_dir):
     plan = formatted_plan(prefix_filter_jaccard_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _py_cms(tokens, probes):
+    """Reference CMS: d×W bucket sums, min over rows per probe."""
+    from mariadb_postgres_migration_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    counters = [{} for _ in range(CMS_DEPTH)]
+    for t in tokens:
+        for j in range(CMS_DEPTH):
+            b = int(hashlib.md5(f"{t}#cms{j}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+            counters[j][b] = counters[j].get(b, 0) + 1
+    out = {}
+    for p in probes:
+        out[p] = min(
+            counters[j].get(
+                int(hashlib.md5(f"{p}#cms{j}".encode()).hexdigest()[:8], 16)
+                % CMS_WIDTH,
+                0,
+            )
+            for j in range(CMS_DEPTH)
+        )
+    return out
+
+
+def test_cms_matches_python_reference(spark):
+    from mariadb_postgres_migration_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    tokens = [f"tok{i % 37}" for i in range(400)] + ["rare"]
+    tdf = spark.createDataFrame([(t,) for t in tokens], "term string")
+    probes = ["tok0", "tok36", "rare", "absent"]
+    pdf = spark.createDataFrame([(p,) for p in probes], "term string")
+    got = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(cms_counters(tdf), pdf).collect()
+    }
+    assert got == _py_cms(tokens, probes)
+
+
+def test_cms_never_underestimates_on_fixture(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.queries()["x89_cms_point_frequency"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+
+
+def test_cms_counter_join_is_broadcast(spark):
+    from mariadb_postgres_migration_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from mariadb_postgres_migration_spark.plans.inspect import (
+        broadcast_join_count,
+    )
+
+    tdf = spark.createDataFrame([(f"t{i}",) for i in range(100)], "term string")
+    pdf = spark.createDataFrame([("t1",), ("t2",)], "term string")
+    assert broadcast_join_count(cms_estimate(cms_counters(tdf), pdf)) >= 1
+
+
+def test_association_lift_matches_python_reference(spark):
+    from itertools import combinations
+
+    from mariadb_postgres_migration_spark.operators.basket import (
+        association_lift,
+    )
+
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b"],
+        3: ["b", "c"],
+        4: ["a", "c", "d"],
+        5: ["d"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["c_ab"], r["c_a"], r["c_b"], r["lift"])
+        for r in association_lift(df, "b", "i", top_k=100).collect()
+    }
+    n = len(baskets)
+    counts, pair_counts = {}, {}
+    for items in baskets.values():
+        for i in set(items):
+            counts[i] = counts.get(i, 0) + 1
+        for a, b in combinations(sorted(set(items)), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    exp = {
+        p: (c, counts[p[0]], counts[p[1]], c * n / (counts[p[0]] * counts[p[1]]))
+        for p, c in pair_counts.items()
+    }
+    assert got == exp
+
+
+def test_association_lift_topk_is_distributed(spark, sf_dir):
+    from mariadb_postgres_migration_spark.operators.basket import (
+        association_lift,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    df = association_lift(li, "l_orderkey", "l_partkey", top_k=10)
+    plan = formatted_plan(df)
+    # the global sort must be a partial per-partition top-k, never a
+    # full-shuffle sort of every pair
+    assert "TakeOrderedAndProject" in plan
+    assert len(df.collect()) == 10
