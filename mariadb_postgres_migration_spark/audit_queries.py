@@ -32,6 +32,7 @@ from .extension_queries import (
     x78_gif_pixel_stats,
 )
 from .operators import audit as A
+from .operators import basket as B
 from .operators import dedup as D
 from .operators import graph as G
 from .operators import reconcile as R
@@ -1287,11 +1288,9 @@ def x83_incremental_neardup(spark, sf_dir):
     )
 
 
-#: part co-purchase edges: parts sharing an order (via lineitem).
-_COOC_EDGES_CTE = """SELECT p1.p AS a, p2.p AS b
-FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) p1
-JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) p2
-  ON p1.o = p2.o AND p1.p < p2.p"""
+#: part co-purchase edges: parts sharing an order (via lineitem) — the
+#: one oracle-side rendering of the per-basket self-join, shared with x90.
+_COOC_EDGES_CTE = B.cooc_pairs_sql("lineitem", "l_orderkey", "l_partkey")
 
 
 @register(
@@ -1307,16 +1306,8 @@ def x85_triangle_counts(spark, sf_dir):
     triangle_counts`); edge construction is a per-order self-join
     bounded by the order's line count (≤7 in this schema), so it stays
     linear in lineitem at any scale."""
-    pe = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    edges = (
-        pe.alias("x")
-        .join(pe.alias("y"), "o")
-        .filter(F.col("x.p") < F.col("y.p"))
-        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+    edges = B.cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
     )
     return G.triangle_counts(edges)
 
@@ -1437,6 +1428,9 @@ def x88_prefix_filter_neardup(spark, sf_dir):
     )
 
 
+_X89_PROBES = 30
+
+
 def _x89_sql() -> str:
     from .operators.sketches import CMS_DEPTH, CMS_WIDTH
 
@@ -1459,7 +1453,7 @@ tok AS (SELECT term FROM toks, UNNEST(w) AS u(term)),
 counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
              FROM ({counter_rows}) GROUP BY j, bucket),
 probes AS (SELECT term FROM (SELECT DISTINCT term FROM tok)
-           ORDER BY md5(term), term LIMIT 30),
+           ORDER BY md5(term), term LIMIT {_X89_PROBES}),
 pj AS ({probe_rows}),
 est AS (SELECT pj.term, min(coalesce(c.cnt, 0)) AS est_count
         FROM pj LEFT JOIN counters c USING (j, bucket) GROUP BY pj.term),
@@ -1490,7 +1484,7 @@ def x89_cms_point_frequency(spark, sf_dir):
         tokens.select("term")
         .distinct()
         .orderBy(F.md5(F.col("term")), F.col("term"))
-        .limit(30)
+        .limit(_X89_PROBES)
     )
     probes = D._persist(probes)
     exact = (
@@ -1501,16 +1495,18 @@ def x89_cms_point_frequency(spark, sf_dir):
     return cms_estimate(counters, probes).join(exact, "term")
 
 
-_X90_SQL = """WITH items AS (
+_X90_TOPK = 50
+_X90_SQL = f"""WITH items AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
 n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM items),
 ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i),
-pc AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
-       FROM items x JOIN items y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+pc AS (SELECT a AS item_a, b AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+       FROM ({_COOC_EDGES_CTE}) GROUP BY 1, 2)
 SELECT item_a, item_b, c_ab, ca.c AS c_a, cb.c AS c_b, n.n_baskets,
-       (c_ab * n.n_baskets) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+       (CAST(c_ab AS DOUBLE) * n.n_baskets)
+         / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
 FROM pc JOIN ic ca ON item_a = ca.i JOIN ic cb ON item_b = cb.i CROSS JOIN n
-ORDER BY lift DESC, item_a, item_b LIMIT 50"""
+ORDER BY lift DESC, item_a, item_b LIMIT {_X90_TOPK}"""
 
 
 @register("x90_association_lift", _X90_SQL, "EXT-ANALYTICS", tier=1)
@@ -1525,7 +1521,8 @@ def x90_association_lift(spark, sf_dir):
     from .operators.basket import association_lift
 
     return association_lift(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", top_k=50
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        top_k=_X90_TOPK,
     )
 
 
@@ -1577,7 +1574,8 @@ FROM ({member_oracle('x90_association_lift')})"""
 @register(
     "x84_r6_ops_suite",
     _x84_sql(),
-    "EXT-01", "EXT-02", "EXT-05", "EXT-09", "EXT-AUDIT", "EXT-CDC", "EXT-ANOM",
+    "EXT-01", "EXT-02", "EXT-04", "EXT-05", "EXT-09", "EXT-AUDIT",
+    "EXT-CDC", "EXT-ANOM", "EXT-GRAPH", "EXT-ANALYTICS",
 )
 def x84_r6_ops_suite(spark, sf_dir):
     """Driver-verified representative for the round-6 operator tail — the

@@ -9,6 +9,7 @@ predicates into the scan (verify with ``df.explain`` → ``PushedFilters`` /
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -40,19 +41,33 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     if getattr(sc, "_mps_pkg_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    sources.sort()
+    # Cache key = fingerprint of the source CONTENT (paths + mtimes +
+    # sizes), never the pid: a recycled pid once matched a stale zip from
+    # an older checkout and workers ran week-old code (AttributeError on
+    # a since-added symbol) while the driver ran current code.
+    fp = hashlib.sha256()
+    for full in sources:
+        st = os.stat(full)
+        fp.update(f"{os.path.relpath(full, pkg_dir)}|{st.st_mtime_ns}|{st.st_size}\n".encode())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"mps_pkg_{os.path.basename(pkg_dir)}_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"mps_pkg_{os.path.basename(pkg_dir)}_{fp.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sources:
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+        os.replace(tmp, zpath)  # atomic: concurrent sessions see whole zips
     sc.addPyFile(zpath)
     sc._mps_pkg_shipped = True
 
