@@ -1,6 +1,9 @@
-"""KMV distinct-count sketch (x87) and prefix-filtered exact near-dup
-join (x88): correctness vs brute-force reimplementations, estimator
-accuracy, and the partial-top-k / no-cartesian plan shapes."""
+"""Round-6 sketch/mining operators — KMV distinct sketch (x87),
+prefix-filtered exact near-dup join (x88), count-min sketch (x89),
+association lift (x90): correctness vs brute-force/python
+reimplementations, estimator properties, seeded random-corpus
+exactness, and the partial-top-k / broadcast / no-cartesian plan
+shapes."""
 
 import hashlib
 
@@ -262,3 +265,36 @@ def test_association_lift_topk_is_distributed(spark, sf_dir):
     # full-shuffle sort of every pair
     assert "TakeOrderedAndProject" in plan
     assert len(df.collect()) == 10
+
+
+def test_prefix_filter_equals_exhaustive_on_random_corpora(spark):
+    """Five seeded random corpora with planted near-dup structure: mixes
+    of shared vocabulary (stop-shingles), mutated copies (borderline
+    Jaccard on both sides of 0.5), and exact copies. The prefix filter
+    must equal the exhaustive join on every one."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(40)]
+        rows = []
+        base_docs = []
+        for i in range(15):
+            words = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+            base_docs.append(words)
+            rows.append((i, " ".join(words)))
+        # mutated copies: flip a few words of a base doc
+        for j in range(8):
+            src = base_docs[rng.randrange(len(base_docs))][:]
+            for _ in range(rng.randint(0, max(1, len(src) // 3))):
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+            rows.append((100 + j, " ".join(src)))
+        # exact copies
+        rows.append((200, rows[0][1]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["inter"]
+            for r in prefix_filter_jaccard_pairs(docs).collect()
+        }
+        exp = {p: v[0] for p, v in _brute_pairs(spark, docs).items()}
+        assert got == exp, f"seed {seed}: {got} != {exp}"

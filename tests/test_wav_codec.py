@@ -139,3 +139,65 @@ def test_pcm_stats_drops_undecodable_rows(spark):
     got = pcm_stats(df).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["amp_sum"] == 10
+
+
+def test_wav_fuzz_roundtrip_and_garbage():
+    """Property: any spec-assembled PCM WAV (random samples, rate, bit
+    depth, channel count, extra/trailing chunks with odd bodies) decodes
+    back to its first-channel samples; arbitrary byte garbage never
+    crashes the parser (returns None or a valid parse)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        bits = data.draw(st.sampled_from([8, 16]))
+        channels = data.draw(st.integers(min_value=1, max_value=3))
+        rate = data.draw(st.integers(min_value=1, max_value=192000))
+        lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+        frames = data.draw(
+            st.lists(st.integers(min_value=lo, max_value=hi),
+                     min_size=0, max_size=40)
+        )
+        # interleave: every channel repeats the frame value except ch0
+        inter = [v for v in frames for _ in range(channels)][: len(frames) * channels]
+        extra = data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from([b"LIST", b"fact", b"cue ", b"junk"]),
+                    st.binary(min_size=0, max_size=9),
+                ),
+                max_size=3,
+            )
+        )
+        trailing = data.draw(
+            st.lists(
+                st.tuples(st.sampled_from([b"fact", b"info"]),
+                          st.binary(min_size=0, max_size=9)),
+                max_size=2,
+            )
+        )
+        b = build_wav(inter, rate=rate, bits=bits, channels=channels,
+                      extra_chunks=extra, trailing_chunks=trailing)
+        decoded = decode_wav(b)
+        assert decoded is not None
+        got_rate, arr = decoded
+        assert got_rate == rate
+        assert list(arr) == frames
+
+    run()
+
+
+def test_wav_parser_never_crashes_on_garbage():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=200))
+    def run(junk):
+        parse_wav(junk)                      # must not raise
+        parse_wav(b"RIFF" + junk)
+        parse_wav(b"RIFF\x10\x00\x00\x00WAVE" + junk)
+
+    run()
