@@ -1431,27 +1431,39 @@ def x88_prefix_filter_neardup(spark, sf_dir):
 _X89_PROBES = 30
 
 
-def _x89_sql() -> str:
-    from .operators.sketches import CMS_DEPTH, CMS_WIDTH
+def _cms_bucket_sql(j: int) -> str:
+    from .operators.sketches import CMS_WIDTH
 
-    def bucket(j: int) -> str:
-        return (
-            f"{R.hex_chunk_sql(f'''md5(term || '#cms{j}')''', 1)}"
-            f" % {CMS_WIDTH}"
-        )
+    return (
+        f"{R.hex_chunk_sql(f'''md5(term || '#cms{j}')''', 1)}"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def _cms_counters_with() -> str:
+    """The shared WITH-prefix ending in the ``counters`` CTE — the ONE
+    oracle-side rendering of the d×W counter build, used by both x89
+    (probe estimates) and x91 (streamed counter state)."""
+    from .operators.sketches import CMS_DEPTH
 
     counter_rows = "\nUNION ALL ".join(
-        f"SELECT {j} AS j, {bucket(j)} AS bucket FROM tok"
-        for j in range(CMS_DEPTH)
-    )
-    probe_rows = "\nUNION ALL ".join(
-        f"SELECT term, {j} AS j, {bucket(j)} AS bucket FROM probes"
+        f"SELECT {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM tok"
         for j in range(CMS_DEPTH)
     )
     return f"""WITH {_TOKS_CTE},
 tok AS (SELECT term FROM toks, UNNEST(w) AS u(term)),
 counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
-             FROM ({counter_rows}) GROUP BY j, bucket),
+             FROM ({counter_rows}) GROUP BY j, bucket)"""
+
+
+def _x89_sql() -> str:
+    from .operators.sketches import CMS_DEPTH
+
+    probe_rows = "\nUNION ALL ".join(
+        f"SELECT term, {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM probes"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""{_cms_counters_with()},
 probes AS (SELECT term FROM (SELECT DISTINCT term FROM tok)
            ORDER BY md5(term), term LIMIT {_X89_PROBES}),
 pj AS ({probe_rows}),
@@ -1526,6 +1538,29 @@ def x90_association_lift(spark, sf_dir):
     )
 
 
+def _x91_sql() -> str:
+    return f"{_cms_counters_with()}\nSELECT j, bucket, cnt FROM counters"
+
+
+@register(
+    "x91_stream_cms_counters", _x91_sql(), "EXT-05", "EXT-08", "EXT-09",
+    tier=1,
+)
+def x91_stream_cms_counters(spark, sf_dir):
+    """The x89 count-min counter table maintained as STREAMING STATE
+    over the documents ingest stream (availableNow replay): additive
+    counters make the complete-mode aggregate exact across any
+    micro-batch split, and the state stays ≤ d·W rows forever —
+    sketches and streaming compose for free
+    (:func:`streaming.jobs.stream_cms_counters`; multi-batch
+    accumulation pinned in tests/test_stream_cms.py). The oracle is the
+    batch counter build, so a hash match proves the replayed stream
+    state equals the batch sketch bit-for-bit."""
+    from .streaming.jobs import run_stream_cms
+
+    return run_stream_cms(spark, sf_dir)
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1568,7 +1603,10 @@ FROM ({member_oracle('x89_cms_point_frequency')})
 UNION ALL
 SELECT 'lift', item_a, item_b, c_ab, c_a, c_b, lift,
        CAST(n_baskets AS DOUBLE), NULL
-FROM ({member_oracle('x90_association_lift')})"""
+FROM ({member_oracle('x90_association_lift')})
+UNION ALL
+SELECT 'scms', j, bucket, cnt, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x91_stream_cms_counters')})"""
 
 
 @register(
@@ -1587,9 +1625,10 @@ def x84_r6_ops_suite(spark, sf_dir):
     index-joined incremental near-dup (x83), the degree-oriented
     triangle counter (x85), the RIFF/WAVE PCM audio decode (x86), the
     KMV distinct sketch (x87), the prefix-filtered exact near-dup
-    join (x88), the count-min point-frequency sketch (x89) and the
-    market-basket association lift (x90), union-folded into the shared
-    kind-tagged suite shape. BPE training is deterministic, so the
+    join (x88), the count-min point-frequency sketch (x89), the
+    market-basket association lift (x90) and the streamed CMS counter
+    state (x91 — a second real availableNow replay in this suite),
+    union-folded into the shared kind-tagged suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
     members each pay their own training; review r6)."""
@@ -1656,5 +1695,9 @@ def x84_r6_ops_suite(spark, sf_dir):
             id1=F.col("item_a"), id2=F.col("item_b"), v1=F.col("c_ab"),
             v2=F.col("c_a"), v3=F.col("c_b"), d1=F.col("lift"),
             d2=F.col("n_baskets").cast("double"),
+        ))
+        .unionAll(_suite_shape(
+            x91_stream_cms_counters(spark, sf_dir), "scms",
+            id1=F.col("j"), id2=F.col("bucket"), v1=F.col("cnt"),
         ))
     )

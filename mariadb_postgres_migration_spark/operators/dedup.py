@@ -85,6 +85,10 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     is trivially small. Scoped to compute-heavy operators on purpose — a
     blanket floor in the reader measurably hurt join-heavy queries (extra
     round-robin shuffle on every input defeats broadcast planning)."""
+    if df.isStreaming:
+        # no .rdd on a streaming frame; micro-batch parallelism is the
+        # file source's concern, and the floor is a batch-fixture fix
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -652,3 +652,27 @@ def run_stream_rolling_anomaly(
     return _run_to_memory(
         rolling_anomaly_state_stream(events, window, min_n, z), "append"
     )
+
+
+def stream_cms_counters(docs: DataFrame) -> DataFrame:
+    """The x89 count-min counter aggregation over a documents-shaped
+    frame — batch or streaming UNCHANGED: the d×W counters are additive,
+    so the complete-mode streaming aggregate accumulates exactly across
+    any micro-batch split (the same mergeability that makes the sketch a
+    100 TB operator makes it a streaming operator for free). State is
+    forever ≤ d·W rows — corpus-size-independent, like x70's buckets."""
+    from ..operators.sketches import cms_counters
+    from ..operators.textanalysis import _with_tokens
+
+    toked = _with_tokens(docs, "doc_id", "text")
+    return cms_counters(toked.select(F.explode(F.col("__toks")).alias("term")))
+
+
+def run_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained CMS over the documents ingest stream,
+    replayed bounded (availableNow) and hash-compared to the batch
+    counter table — the live term-frequency sketch a curation pipeline
+    reads instead of re-counting the corpus (multi-micro-batch
+    accumulation equivalence pinned in tests/test_stream_cms.py)."""
+    docs = read_documents_stream(spark, sf_dir)
+    return _run_to_memory(stream_cms_counters(docs), "complete")
