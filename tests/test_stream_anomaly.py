@@ -3,10 +3,9 @@ equal batch x75 even when the in-order replay is split across
 micro-batches. Single-replay oracle parity is covered by
 test_core_queries."""
 
-import tempfile
-import uuid
-
 from pyspark.sql import functions as F
+
+from tests.stream_replay import run_split_replay
 
 from mariadb_postgres_migration_spark.audit_queries import x75_rolling_anomaly
 from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
@@ -28,24 +27,10 @@ def test_stream_anomaly_matches_batch_across_time_ordered_batches(
     for pred in [us <= cut1, (us > cut1) & (us <= cut2), us > cut2]:
         events.filter(pred).coalesce(1).write.mode("append").parquet(src)
 
-    stream = spark.readStream.schema(events.schema).option(
-        "maxFilesPerTrigger", "1"
-    ).parquet(src)
-    name = f"anm_{uuid.uuid4().hex[:10]}"
-    with tempfile.TemporaryDirectory(prefix="mps_ckpt_") as ckpt:
-        q = (
-            rolling_anomaly_state_stream(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        streamed = sorted(map(tuple, spark.table(name).collect()))
-        spark.catalog.dropTempView(name)
+    n_batches, rows = run_split_replay(
+        spark, src, events.schema, rolling_anomaly_state_stream, "append"
+    )
+    streamed = sorted(map(tuple, rows))
     assert n_batches >= 3, f"replay was not split ({n_batches} non-empty batches)"
     batch = sorted(map(tuple, x75_rolling_anomaly(spark, sf_dir).collect()))
     assert streamed == batch

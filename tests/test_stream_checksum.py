@@ -3,10 +3,9 @@ checksum even when the replay is split across MANY micro-batches (the
 whole point of XOR-mergeable state). x70's single-replay oracle parity is
 covered by test_core_queries."""
 
-import tempfile
-import uuid
-
 from pyspark.sql import functions as F
+
+from tests.stream_replay import run_split_replay
 
 from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
 from mariadb_postgres_migration_spark.streaming.jobs import events_checksum_agg
@@ -18,26 +17,12 @@ def test_checksum_state_accumulates_across_micro_batches(spark, sf_dir, tmp_path
     events.repartition(3).write.parquet(src_dir)  # >= 3 data files
 
     batch = sorted(map(tuple, events_checksum_agg(events, 16).collect()))
-
-    stream = spark.readStream.schema(events.schema).option(
-        "maxFilesPerTrigger", "1"  # force one micro-batch PER FILE
-    ).parquet(src_dir)
-    name = f"cks_{uuid.uuid4().hex[:10]}"
-    with tempfile.TemporaryDirectory(prefix="mps_ckpt_") as ckpt:
-        q = (
-            events_checksum_agg(stream, 16)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        n_batches = len(q.recentProgress)
-        streamed = sorted(map(tuple, spark.table(name).collect()))
+    n_batches, rows = run_split_replay(
+        spark, src_dir, events.schema,
+        lambda s: events_checksum_agg(s, 16), "complete",
+    )
     assert n_batches >= 3, f"replay was not split ({n_batches} batches)"
-    assert streamed == batch
+    assert sorted(map(tuple, rows)) == batch
 
 
 def test_checksum_detects_a_single_flipped_row(spark, sf_dir):

@@ -3,8 +3,7 @@ table even when the replay is split across MANY micro-batches (the
 additive-counter mergeability claim). Single-replay oracle parity is
 covered by test_core_queries."""
 
-import tempfile
-import uuid
+from tests.stream_replay import run_split_replay
 
 from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
 from mariadb_postgres_migration_spark.streaming.jobs import stream_cms_counters
@@ -16,23 +15,8 @@ def test_cms_state_accumulates_across_micro_batches(spark, sf_dir, tmp_path):
     docs.repartition(3).write.parquet(src_dir)  # >= 3 data files
 
     batch = sorted(map(tuple, stream_cms_counters(docs).collect()))
-
-    stream = spark.readStream.schema(docs.schema).option(
-        "maxFilesPerTrigger", "1"  # force one micro-batch PER FILE
-    ).parquet(src_dir)
-    name = f"scms_{uuid.uuid4().hex[:10]}"
-    with tempfile.TemporaryDirectory(prefix="mps_ckpt_") as ckpt:
-        q = (
-            stream_cms_counters(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        n_batches = len(q.recentProgress)
-        streamed = sorted(map(tuple, spark.table(name).collect()))
+    n_batches, rows = run_split_replay(
+        spark, src_dir, docs.schema, stream_cms_counters, "complete"
+    )
     assert n_batches >= 3, f"replay was not split ({n_batches} batches)"
-    assert streamed == batch
+    assert sorted(map(tuple, rows)) == batch
