@@ -171,7 +171,9 @@ SUITE_MEMBERS = {
         "x85_triangle_counts", "x86_audio_pcm_stats",
         "x87_kmv_distinct_sketch", "x88_prefix_filter_neardup",
         "x89_cms_point_frequency", "x90_association_lift",
-        "x91_stream_cms_counters",
+        "x91_stream_cms_counters", "x92_exact_quantiles",
+        "x93_weighted_sample", "x94_bfs_hops", "x95_bigram_logprob",
+        "x96_skyline_pareto", "x97_char_entropy",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

@@ -35,6 +35,7 @@ from .operators import audit as A
 from .operators import basket as B
 from .operators import dedup as D
 from .operators import graph as G
+from .operators import order_stats as OS
 from .operators import reconcile as R
 from .operators import textanalysis as T
 from .registry import _t, member_oracle, register
@@ -1318,16 +1319,7 @@ def x85_triangle_counts(spark, sf_dir):
     triangle_counts`); edge construction is the shared per-basket
     self-join (bounded by the order's line count, linear in lineitem)
     plus one pair-count groupBy for the support filter."""
-    pairs = B.cooccurrence_pairs(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
-    )
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= X85_MIN_SUPPORT)
-        .select("a", "b")
-    )
-    return G.triangle_counts(edges)
+    return G.triangle_counts(_x85_edges(spark, sf_dir))
 
 
 _X86_SQL = """WITH f AS (
@@ -1579,6 +1571,192 @@ def x91_stream_cms_counters(spark, sf_dir):
     return run_stream_cms(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# r6 second wave: distributed order statistics, BFS, conditional-LM and
+# character-distribution quality scores (operators/order_stats.py,
+# graph.bfs_hops, textanalysis.bigram_logprob/char_entropy/zlib_ratio).
+# ---------------------------------------------------------------------------
+
+#: integer cents of the lineitem price — the shared half-up fixed-point
+#: recipe (floor(x*100 + 0.5)), exact in both engines.
+_X92_VALS_CTE = (
+    "SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p FROM lineitem"
+)
+
+
+@register(
+    "x92_exact_quantiles", OS.exact_quantiles_sql(_X92_VALS_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x92_exact_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of the lineitem price (integer cents) WITHOUT a
+    global sort: iterative histogram refinement
+    (:func:`operators.order_stats.exact_quantiles`) — one full scan per
+    level, each level's scan predicate-pushed to ~1/1024 of the previous
+    range, final selection a bounded top-k. The oracle computes the same
+    ranks over an explicit row_number sort, so the hash match proves the
+    distributed-selection algorithm exact.
+
+    Completes the percentile ladder: p1 (holistic, small groups), p2
+    (distinct-value histogram — needs |distinct| to fit a per-group
+    window), p3 (approx sketches, bounded error), x92 (exact at ANY
+    value cardinality: the value DOMAIN is bisected, never the value
+    set materialized)."""
+    vals = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("p")
+    )
+    return OS.exact_quantiles(vals, "p")
+
+
+_X93_ROWS_CTE = (
+    "SELECT lang, doc_id, greatest(coalesce(n_chars, 0), 1) AS w FROM documents"
+)
+
+
+@register(
+    "x93_weighted_sample",
+    OS.weighted_sample_sql(_X93_ROWS_CTE, "lang", "doc_id", "w", k=10),
+    "EXT-05", "EXT-ANALYTICS", tier=1,
+)
+def x93_weighted_sample(spark, sf_dir):
+    """Deterministic 10-doc weighted sample per language by sequential
+    Poisson sampling — priority is the exact integer ``(u<<20) div w``
+    (u = md5-derived, w = n_chars), so longer documents are
+    proportionally likelier and both engines rank identical keys. The
+    per-group top-k rides WindowGroupLimit (k rows per group per map
+    task, pinned in tests/test_plans.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)).alias("w"),
+    )
+    return OS.weighted_sample(docs, "lang", "doc_id", "w", k=10)
+
+
+def _x85_edges(spark, sf_dir):
+    """The recurring co-purchase edge list shared by x85 (triangles) and
+    x94 (BFS): support-thresholded part pairs sharing an order."""
+    pairs = B.cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= X85_MIN_SUPPORT)
+        .select("a", "b")
+    )
+
+
+@register(
+    "x94_bfs_hops", G.bfs_hops_oracle_sql(_X85_EDGES_CTE), "EXT-GRAPH",
+    tier=1,
+)
+def x94_bfs_hops(spark, sf_dir):
+    """Minimum hop distance (≤3) from the 5 smallest part ids over the
+    recurring co-purchase graph — frontier-expansion BFS
+    (:func:`operators.graph.bfs_hops`): per level one frontier hash join
+    + distinct + anti-join against visited, frontiers persisted, empty
+    frontier short-circuits. The oracle unrolls the levels as chained
+    CTEs over the SAME edge CTE x85 uses."""
+    return G.bfs_hops(_x85_edges(spark, sf_dir))
+
+
+def _x95_sql() -> str:
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + """,
+bg AS (SELECT doc_id, u.pair[1] AS w1, u.pair[2] AS w2
+       FROM toks, UNNEST(list_transform(range(1, len(w)),
+                                        i -> [w[i], w[i + 1]])) AS u(pair)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab AS (SELECT count(DISTINCT u.term) AS v FROM toks, UNNEST(w) AS u(term)),
+lp AS (SELECT b.doc_id,
+              ln(CAST(c.c12 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE)) AS lp
+       FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 USING (w1), vocab),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+               round(avg(lp), 4) AS avg_logp
+        FROM lp GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_bigram, 0) AS n_bigram,
+       COALESCE(a.avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
+@register("x95_bigram_logprob", _x95_sql(), "EXT-05", tier=1)
+def x95_bigram_logprob(spark, sf_dir):
+    """Add-1-smoothed bigram-LM quality score: mean ln P(w2|w1) per doc
+    under the corpus's own bigram model — the conditional complement to
+    x52's unigram score (word-ORDER anomalies score low even when every
+    word is common). Three shuffles at any scale
+    (:func:`operators.textanalysis.bigram_logprob`)."""
+    return T.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_X96_ROWS_CTE = (
+    "SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS sz, "
+    "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc FROM part"
+)
+
+
+@register(
+    "x96_skyline_pareto",
+    OS.skyline_2d_sql(_X96_ROWS_CTE, "p_brand", "sz", "pc", "p_partkey"),
+    "EXT-ANALYTICS", tier=1,
+)
+def x96_skyline_pareto(spark, sf_dir):
+    """Per-brand Pareto frontier over parts (maximize size, minimize
+    price): the Spark plan is one (brand, size) aggregation + a
+    running-min window over ≤50 rows per brand + a broadcast semi-join
+    back (:func:`operators.order_stats.skyline_2d`); the oracle is the
+    O(n²)-shaped NOT-EXISTS dominance predicate — two independent
+    algorithms, one hash."""
+    rows = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey",
+        F.col("p_size").cast("long").alias("sz"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+    )
+    return OS.skyline_2d(rows, "p_brand", "sz", "pc", "p_partkey")
+
+
+#: x97 normalizes NULL text to '' BEFORE the OP-31 lower/trim/collapse so
+#: empty and NULL docs take the same zero path in both engines.
+_X97_NORM = r"lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))"
+
+_X97_SQL = f"""WITH nt AS (SELECT doc_id, {_X97_NORM} AS t FROM documents),
+ch AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 1) AS ch
+       FROM nt, UNNEST(range(1, len(t) + 1)) AS u(i)),
+cc AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY doc_id, ch),
+ag AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+              CAST(count(*) AS BIGINT) AS n_distinct_chars,
+              sum(cnt * ln(cnt)) AS s
+       FROM cc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_chars, 0) AS n_chars,
+       COALESCE(a.n_distinct_chars, 0) AS n_distinct_chars,
+       COALESCE(round(ln(a.n_chars) - a.s / a.n_chars, 4), 0.0) AS entropy
+FROM documents d LEFT JOIN ag a USING (doc_id)"""
+
+
+@register("x97_char_entropy", _X97_SQL, "EXT-05", tier=1)
+def x97_char_entropy(spark, sf_dir):
+    """Shannon character entropy of the normalized text per document
+    (``H = ln n − (Σ c·ln c)/n`` in ONE aggregate pass) — the
+    repeated-junk / random-blob tails filter
+    (:func:`operators.textanalysis.char_entropy`)."""
+    return T.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register("x98_zlib_ratio", None, "EXT-05", tier=1)
+def x98_zlib_ratio(spark, sf_dir):
+    """DEFLATE compression-ratio boilerplate signal (RefinedWeb-style):
+    integer byte counts from an Arrow-batched ``mapInPandas`` over
+    (id, text) — the deliberate Python-tier operator (zlib has no JVM
+    expression form), shuffle-free. Rows-only registry entry: DuckDB
+    cannot DEFLATE, so the value-level pin is the local ground-truth
+    test (tests/test_order_stats.py)."""
+    return T.zlib_ratio(_t(spark, sf_dir, "documents"))
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1624,7 +1802,27 @@ SELECT 'lift', item_a, item_b, c_ab, c_a, c_b, lift,
 FROM ({member_oracle('x90_association_lift')})
 UNION ALL
 SELECT 'scms', j, bucket, cnt, {z}, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x91_stream_cms_counters')})"""
+FROM ({member_oracle('x91_stream_cms_counters')})
+UNION ALL
+SELECT 'quant', q_pct, rank, value, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x92_exact_quantiles')})
+UNION ALL
+SELECT 'wsamp', doc_id, rk, weight, pri, {z}, {zd}, {zd}, lang
+FROM ({member_oracle('x93_weighted_sample')})
+UNION ALL
+SELECT 'bfs', node, {z}, hop, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x94_bfs_hops')})
+UNION ALL
+SELECT 'bigram', doc_id, {z}, n_bigram, {z}, {z},
+       CAST(avg_logp AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x95_bigram_logprob')})
+UNION ALL
+SELECT 'sky', p_partkey, {z}, sz, pc, {z}, {zd}, {zd}, p_brand
+FROM ({member_oracle('x96_skyline_pareto')})
+UNION ALL
+SELECT 'entropy', doc_id, {z}, n_chars, n_distinct_chars, {z},
+       CAST(entropy AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x97_char_entropy')})"""
 
 
 @register(
@@ -1644,8 +1842,12 @@ def x84_r6_ops_suite(spark, sf_dir):
     triangle counter (x85), the RIFF/WAVE PCM audio decode (x86), the
     KMV distinct sketch (x87), the prefix-filtered exact near-dup
     join (x88), the count-min point-frequency sketch (x89), the
-    market-basket association lift (x90) and the streamed CMS counter
-    state (x91 — a second real availableNow replay in this suite),
+    market-basket association lift (x90), the streamed CMS counter
+    state (x91 — a second real availableNow replay in this suite), the
+    histogram-refined exact quantiles (x92), the sequential-Poisson
+    weighted sample (x93), frontier BFS over the co-purchase graph
+    (x94), the bigram-LM quality score (x95), the per-brand Pareto
+    skyline (x96) and the character-entropy signal (x97),
     union-folded into the shared kind-tagged suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
@@ -1717,5 +1919,32 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x91_stream_cms_counters(spark, sf_dir), "scms",
             id1=F.col("j"), id2=F.col("bucket"), v1=F.col("cnt"),
+        ))
+        .unionAll(_suite_shape(
+            x92_exact_quantiles(spark, sf_dir), "quant",
+            id1=F.col("q_pct"), id2=F.col("rank"), v1=F.col("value"),
+        ))
+        .unionAll(_suite_shape(
+            x93_weighted_sample(spark, sf_dir), "wsamp",
+            id1=F.col("doc_id"), id2=F.col("rk"), v1=F.col("weight"),
+            v2=F.col("pri"), s1=F.col("lang"),
+        ))
+        .unionAll(_suite_shape(
+            x94_bfs_hops(spark, sf_dir), "bfs",
+            id1=F.col("node"), v1=F.col("hop"),
+        ))
+        .unionAll(_suite_shape(
+            x95_bigram_logprob(spark, sf_dir), "bigram",
+            id1=F.col("doc_id"), v1=F.col("n_bigram"), d1=F.col("avg_logp"),
+        ))
+        .unionAll(_suite_shape(
+            x96_skyline_pareto(spark, sf_dir), "sky",
+            id1=F.col("p_partkey"), v1=F.col("sz"), v2=F.col("pc"),
+            s1=F.col("p_brand"),
+        ))
+        .unionAll(_suite_shape(
+            x97_char_entropy(spark, sf_dir), "entropy",
+            id1=F.col("doc_id"), v1=F.col("n_chars"),
+            v2=F.col("n_distinct_chars"), d1=F.col("entropy"),
         ))
     )

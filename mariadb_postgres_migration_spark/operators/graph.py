@@ -226,3 +226,186 @@ corner AS (
   UNION ALL SELECT w AS node FROM tri
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corner GROUP BY node"""
+
+
+def bfs_hops(edges: DataFrame, n_seeds: int = 5, max_hops: int = 3) -> DataFrame:
+    """``(node, hop)`` — minimum hop distance from a seed set over an
+    undirected edge list ``(a, b)``, by frontier-expansion BFS bounded at
+    ``max_hops``. The seed set is the ``n_seeds`` smallest node ids
+    (a deterministic, engine-portable rule that needs no side input);
+    unreached nodes are absent from the output.
+
+    The scale shape is the textbook distributed BFS: per level, one hash
+    join of the symmetric edge list against the current frontier (keyed
+    on the edge source — the frontier can be graph-sized at its widest,
+    so it is NEVER broadcast), a distinct on the discovered endpoints,
+    and an anti-join against the visited set. Each level's frontier and
+    the visited set are persisted so the loop's lineage stays flat
+    (the x27/PageRank persistence discipline), and an empty frontier
+    short-circuits the remaining levels. min-hop correctness needs no
+    tie-breaking: a node enters ``visited`` at the first level that
+    reaches it and the anti-join hides it from every later level.
+    """
+    from .dedup import _persist
+
+    e = _persist(edges.select("a", "b").distinct())
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    frontier = _persist(nodes.sort("node").limit(n_seeds))
+    visited = _persist(frontier.select("node", F.lit(0).cast("long").alias("hop")))
+    for h in range(1, max_hops + 1):
+        nxt = _persist(
+            und.join(frontier.withColumnRenamed("node", "a"), on="a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, on="node", how="left_anti")
+        )
+        if nxt.count() == 0:
+            break
+        visited = _persist(
+            visited.union(nxt.select("node", F.lit(h).cast("long").alias("hop")))
+        )
+        frontier = nxt
+    return visited
+
+
+def bfs_hops_oracle_sql(edges_cte: str, n_seeds: int = 5, max_hops: int = 3) -> str:
+    """DuckDB oracle for :func:`bfs_hops`: the levels are unrolled as
+    chained CTEs (frontier_i = neighbors of frontier_{i-1} minus every
+    earlier level), exactly mirroring the distributed loop — an empty
+    level makes every later level empty, so bounded unrolling equals the
+    short-circuiting Spark loop."""
+    parts = [
+        f"e AS ({edges_cte})",
+        "u AS (SELECT a, b FROM e UNION SELECT b, a FROM e)",
+        "nodes AS (SELECT DISTINCT a AS node FROM u)",
+        f"f0 AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})",
+        "v0 AS (SELECT node, 0 AS hop FROM f0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS (SELECT DISTINCT u.b AS node FROM u"
+            f" JOIN f{h - 1} f ON u.a = f.node"
+            f" WHERE u.b NOT IN (SELECT node FROM v{h - 1}))"
+        )
+        parts.append(
+            f"v{h} AS (SELECT node, hop FROM v{h - 1}"
+            f" UNION ALL SELECT node, {h} FROM f{h})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(hop AS BIGINT) AS hop FROM v{max_hops}"
+    )
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """``(node, deg)`` — the k-core of an undirected edge list ``(a, b)``:
+    the maximal subgraph in which every node has degree ≥ k, with each
+    surviving node's within-core degree. The standard corpus-graph
+    denoiser one step past a support threshold: a part can clear x85's
+    pairwise support and still hang off the graph's periphery; the k-core
+    keeps only the mutually-dense region (Seidman 1983's cohesion
+    measure, and the usual seed set for community mining).
+
+    Computed by the textbook peeling fixpoint: per round, count degrees
+    on the SURVIVING subgraph, drop nodes with degree < k, drop edges
+    touching a dropped node. Each round is one map-side-combined groupBy
+    on the (shrinking) undirected edge list plus two semi-joins — no
+    all-pairs anything. The edge list is undirected ONCE by a row-local
+    explode (never a self-union re-evaluating the upstream pair
+    generation — the x27 lesson, dedup.py), and each round's survivor
+    list is ``localCheckpoint``ed LAZILY so the convergence probe is the
+    action that materializes it AND plan depth stays constant instead of
+    multiplying per round (a persist alone leaves the logical plan
+    growing ~6× per round, which OOMs the driver on plan STRINGS long
+    before any data moves — measured). The loop short-circuits the
+    moment a round removes nothing (further rounds are identity, which
+    is what lets the oracle unroll a FIXED ``max_rounds`` levels and
+    still hash-match an early-converged loop); a loop still unconverged
+    at ``max_rounds`` raises rather than return a superset of the core —
+    convergence on the fixture graph is pinned in tests.
+
+    100 TB shape: the edge list halves-or-better per early round (peeling
+    removes the long low-degree tail first), so total work is a small
+    constant times the first-round degree count; the per-round state that
+    must co-locate is keyed on node ids — hub skew is bounded because a
+    hub's degree row is ONE row after the map-side-combined count.
+    """
+    und = (
+        edges.select("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=False)
+    )
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        keep = (
+            und.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            und.join(keep, on="a", how="left_semi")
+            .join(keep.select(F.col("a").alias("b")), on="b", how="left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            return (
+                nxt.groupBy(F.col("a").alias("node"))
+                .agg(F.count("*").cast("long").alias("deg"))
+            )
+        und, n_edges = nxt, n_nxt
+    raise AssertionError(
+        f"kcore: not converged after {max_rounds} rounds — raise max_rounds"
+        " (the oracle unrolls the same bound, so a silent partial peel"
+        " would be a wrong answer, not a slow one)"
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 3, max_rounds: int = 8) -> str:
+    """DuckDB oracle for :func:`kcore`: ``max_rounds`` unrolled peel
+    levels (degree-filter + edge restriction per level). Because a
+    converged level is a fixpoint, unrolling PAST convergence is
+    identity — so the bounded unroll equals the short-circuiting Spark
+    loop whenever the loop converges within the bound (and the Spark
+    side raises if it doesn't)."""
+    parts = [
+        f"raw AS ({edges_cte})",
+        "e0 AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)",
+    ]
+    for r in range(1, max_rounds + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS (SELECT a AS node, count(*) AS deg FROM"
+            f" (SELECT a, b FROM e{p} UNION ALL SELECT b, a FROM e{p})"
+            f" GROUP BY a)"
+        )
+        parts.append(f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"e{r} AS (SELECT a, b FROM e{p}"
+            f" WHERE a IN (SELECT node FROM k{r})"
+            f" AND b IN (SELECT node FROM k{r}))"
+        )
+    last = max_rounds
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a, b FROM e{last} UNION ALL SELECT b, a FROM e{last})
+GROUP BY a"""
+    )

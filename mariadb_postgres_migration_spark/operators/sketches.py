@@ -162,3 +162,167 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: union / intersection / Jaccard estimates between two
+# strata's sketches. The point of KMV over HLL at 100 TB isn't just
+# cardinality — merged k-min sketches answer SET-RELATION questions
+# ("how many customers do these two segments share?") from k-row
+# summaries, without ever joining the raw key sets (Beyer et al.,
+# SIGMOD 2007, "On synopses for distinct-value estimation under multiset
+# operations").
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_relations(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """For every unordered pair of groups: KMV estimates of the key-set
+    union size, intersection size, and Jaccard similarity, next to the
+    exact values.
+
+    The estimator is the standard merged-sketch form: the pair's merged
+    sketch is the k smallest hashes of ``K(A) ∪ K(B)`` (computable from
+    the two k-row sketches alone); ``union_est`` is the usual
+    ``(k-1)·2^32 div h_k`` over it (exact when the merged hash set has
+    < k values); ``shared_k`` counts merged-sketch members present in
+    BOTH per-group sketches, so ``shared_k / k_used`` estimates the
+    Jaccard coefficient and ``inter_est = shared_k · union_est div
+    k_used`` the intersection size. Every step is integer arithmetic on
+    md5-derived hashes — the DuckDB oracle reproduces the estimates
+    bit-for-bit, which is what makes an *approximate* operator
+    hash-verifiable: the driver pins the estimator's algebra, while the
+    accuracy-vs-exact columns are ±O(1/√k) by construction.
+
+    Plan shape: one distinct-(group, hash) exchange, one WindowGroupLimit
+    top-k (each map task ships ≤ k rows per group), and everything
+    pairwise happens on k-row-per-group sketch frames — the group-pair
+    frame and both sketch sides are broadcast-sized by contract. The
+    ``exact_*`` columns are the verification sidecar (same convention as
+    :func:`kmv_distinct`): they re-join the raw distinct key sets, which
+    is exactly the pairwise work the sketch exists to avoid; a 100 TB
+    caller drops them.
+    """
+    g, key = F.col(group_col), F.col(key_col)
+    keys = df.select(g.alias("g"), key.alias("key")).distinct()
+    hashed = keys.select(
+        "g", hex_chunk(F.md5(F.col("key").cast("string")), 1).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        hashed.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select("g", "h")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g1"))
+        .join(F.broadcast(groups.select(F.col("g").alias("g2"))))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    a = sk.select(F.col("g").alias("g1"), "h")
+    b = sk.select(F.col("g").alias("g2"), "h")
+    merged = (
+        pairs.join(F.broadcast(a), "g1")
+        .select("g1", "g2", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionAll(
+            pairs.join(F.broadcast(b), "g2")
+            .select("g1", "g2", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wp = Window.partitionBy("g1", "g2").orderBy("h")
+    ag = (
+        merged.withColumn("__rnk", F.row_number().over(wp))
+        .filter(F.col("__rnk") <= k)
+        .groupBy("g1", "g2")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("h").alias("kth"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("shared_k"),
+        )
+    )
+    union_est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        F.expr(
+            f"CAST({(k - 1) * HASH_SPACE} AS BIGINT)"
+            " div greatest(kth, CAST(1 AS BIGINT))"
+        )
+    ).cast("long")
+    est = ag.select(
+        "g1", "g2", "k_used", "shared_k",
+        union_est.alias("union_est"),
+    ).select(
+        "g1", "g2", "k_used", "shared_k", "union_est",
+        F.expr("(shared_k * union_est) div k_used").cast("long").alias("inter_est"),
+        F.expr("(1000 * shared_k) div k_used").cast("long").alias("jaccard_milli"),
+    )
+    cnt = keys.groupBy("g").agg(F.count("*").cast("long").alias("c"))
+    ex_inter = (
+        pairs.join(keys.select(F.col("g").alias("g1"), "key"), "g1")
+        .join(keys.select(F.col("g").alias("g2"), "key"), ["g2", "key"])
+        .groupBy("g1", "g2")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return (
+        est.join(F.broadcast(cnt.select(F.col("g").alias("g1"), F.col("c").alias("ca"))), "g1")
+        .join(F.broadcast(cnt.select(F.col("g").alias("g2"), F.col("c").alias("cb"))), "g2")
+        .join(ex_inter, ["g1", "g2"], "left")
+        .select(
+            "g1", "g2", "k_used", "shared_k", "union_est", "inter_est",
+            "jaccard_milli",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+            (F.col("ca") + F.col("cb") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+        )
+    )
+
+
+def kmv_set_relations_sql(rows_cte: str, k: int = 64) -> str:
+    """DuckDB oracle for :func:`kmv_set_relations`. ``rows_cte`` must
+    yield ``(g, key)``; the hash, ranks, merged sketch and estimator are
+    the identical integer algebra (hex_chunk_sql is the shared md5→BIGINT
+    nibble fold)."""
+    from .reconcile import hex_chunk_sql
+
+    h = hex_chunk_sql("md5(CAST(key AS VARCHAR))", 1)
+    return f"""WITH r AS ({rows_cte}),
+keys AS (SELECT DISTINCT g, key FROM r),
+hashed AS (SELECT DISTINCT g, {h} AS h FROM keys),
+sk AS (SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {k}),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+memb AS (SELECT g1, g2, h, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT p.g1, p.g2, s.h, 1 AS ia, 0 AS ib FROM pairs p JOIN sk s ON s.g = p.g1
+    UNION ALL
+    SELECT p.g1, p.g2, s.h, 0 AS ia, 1 AS ib FROM pairs p JOIN sk s ON s.g = p.g2
+  ) GROUP BY g1, g2, h),
+rk AS (SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+       FROM memb),
+ag AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth,
+              CAST(sum(ia * ib) AS BIGINT) AS shared_k
+       FROM rk WHERE rn <= {k} GROUP BY g1, g2),
+est AS (SELECT g1, g2, k_used, shared_k,
+               CAST(CASE WHEN k_used < {k} THEN k_used
+                    ELSE {(k - 1) * HASH_SPACE} // greatest(kth, 1)
+               END AS BIGINT) AS union_est
+        FROM ag),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM keys GROUP BY g),
+exi AS (SELECT p.g1, p.g2, CAST(count(*) AS BIGINT) AS exact_inter
+        FROM pairs p
+        JOIN keys a ON a.g = p.g1
+        JOIN keys b ON b.g = p.g2 AND b.key = a.key
+        GROUP BY p.g1, p.g2)
+SELECT e.g1, e.g2, e.k_used, e.shared_k, e.union_est,
+       CAST((e.shared_k * e.union_est) // e.k_used AS BIGINT) AS inter_est,
+       CAST((1000 * e.shared_k) // e.k_used AS BIGINT) AS jaccard_milli,
+       COALESCE(x.exact_inter, 0) AS exact_inter,
+       CAST(ca.c + cb.c - COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_union
+FROM est e
+JOIN cnt ca ON ca.g = e.g1
+JOIN cnt cb ON cb.g = e.g2
+LEFT JOIN exi x ON x.g1 = e.g1 AND x.g2 = e.g2"""

@@ -916,3 +916,173 @@ def bpe_encode_output(vocab: DataFrame, k: int = 50) -> DataFrame:
         "rk",
         F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym"))).cast("long"),
     ).select("sym", "n", "rk")
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-05 (conditional-LM quality score): per document, the mean
+    natural-log probability of its token *bigrams* under the corpus's own
+    add-1-smoothed bigram model — ``ln((c(w1,w2) + 1) / (c(w1·) + V))``
+    with ``c(w1·)`` the context count (bigrams starting at w1) and ``V``
+    the corpus vocabulary size. The conditional complement to
+    :func:`unigram_logprob`: a doc of common words in improbable ORDER
+    (shuffled text, keyword-stuffed spam) scores near the unigram model
+    but far below the bigram model.
+
+    Output: (doc_id, n_bigram, avg_logp rounded to 4); docs with < 2
+    tokens score 0.0 via the spine join.
+
+    Plan: the bigram list is a higher-order ``transform`` over the bound
+    token array (no second tokenize), exploded once; the model is two
+    partial-aggregated groupBys (pair counts, context counts) plus a
+    1-row vocabulary scalar (broadcast). The per-occurrence join is keyed
+    by (w1, w2) / w1 — hot contexts are what AQE's skew-join splits. Three
+    shuffles total (pair agg, context agg, doc agg) at any corpus size.
+    """
+    toked = _with_tokens(docs, id_col, text_col)
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        # sequence(0, size-2) would DESCEND for size < 2 (Spark generates
+        # decreasing sequences when stop < start) — hence the guard
+        F.expr(
+            "transform(sequence(0, size(__toks) - 2),"
+            " i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bg = toked.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        toked.select(F.explode("__toks").alias("term"))
+        .agg(F.count_distinct("term").alias("__v"))
+    )
+    lp = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("__v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigram"),
+        F.round(F.avg("lp"), 4).alias("avg_logp"),
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigram", F.lit(0)).cast("long").alias("n_bigram"),
+        F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXT-05 (character-distribution quality signal): per document, the
+    Shannon entropy of the normalized text's character distribution —
+    near-zero entropy flags repeated-character junk, unusually high
+    entropy flags base64/hex blobs; both are standard pre-training
+    filters (Gopher's symbol-ratio family, Rae et al. 2021).
+
+    Uses the algebraic form ``H = ln(n) − (Σ c·ln c)/n`` so ONE aggregate
+    pass over the (doc, char) counts suffices — no second join to bring
+    the total back per row.
+
+    Output: (doc_id, n_chars, n_distinct_chars, entropy rounded to 4);
+    empty/NULL docs score 0 via the spine join.
+
+    Plan: character positions explode via ``sequence(1, length(t))`` (the
+    same total-character row count every term-frequency operator already
+    pays), the (doc, char) groupBy partial-aggregates map-side to ≤
+    |alphabet| rows per doc per task, and the doc-level rollup is the
+    second and last shuffle.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text_native(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    chars = (
+        base.filter(F.length("__t") > 0)
+        # sequence(1, 0) would descend for the empty string — hence the filter
+        .select("doc_id", "__t", F.explode(F.expr("sequence(1, length(__t))")).alias("i"))
+        .select("doc_id", F.expr("substr(__t, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))).alias("__s"),
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("n_distinct_chars", F.lit(0)).cast("long").alias("n_distinct_chars"),
+        F.coalesce(
+            F.round(
+                F.log(F.col("n_chars").cast("double")) - F.col("__s") / F.col("n_chars"),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("entropy"),
+    )
+
+
+def zlib_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """EXT-05 (compression-ratio boilerplate signal): per document, the
+    DEFLATE-compressed size of the UTF-8 text next to its raw size, and
+    the integer ratio ``1000·zlib_bytes div raw_bytes`` — highly
+    compressible docs are template/boilerplate repeats, incompressible
+    ones are random blobs; both tails get filtered in production corpus
+    curation (RefinedWeb, Penedo et al. 2023 uses exactly this signal).
+
+    This is a deliberate Python-tier operator (zlib is a C library with
+    no JVM-expression equivalent): Arrow-batched ``mapInPandas`` over
+    only (id, text), one row out per row in, no shuffle at all — the
+    plan is scan → MapInPandas → project, embarrassingly parallel at any
+    scale. All outputs are integers (byte counts), so results are exact
+    and engine-deterministic for a fixed zlib; there is no SQL oracle
+    (DuckDB cannot DEFLATE), making this a rows-only registry entry —
+    the value-level pin lives in tests/test_order_stats.py against
+    locally computed ground truth.
+    """
+    import pandas as pd  # noqa: F401 — signals the pandas requirement
+
+    out_schema = (
+        f"{id_col} long, raw_bytes long, zlib_bytes long, ratio_milli long"
+    )
+
+    def compress(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            rb = [len(b) for b in raw]
+            zb = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": rb,
+                    "zlib_bytes": zb,
+                    "ratio_milli": [
+                        (1000 * z) // r if r else 0 for z, r in zip(zb, rb)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(compress, out_schema)

@@ -427,3 +427,50 @@ def test_x83_incremental_neardup_plan_contract(q):
     )
 
     release_cached_intermediates()
+
+
+def test_r6b_order_stats_plan_contracts(q):
+    """x92-x97: the order-statistics / graph / LM wave stays JVM-only and
+    cartesian-free; x93's per-group top-k must ride WindowGroupLimit
+    (partial top-k below the exchange) and x96's frontier join back to
+    the fact table must broadcast."""
+    from mariadb_postgres_migration_spark.plans.inspect import (
+        formatted_plan,
+        simple_plan,
+    )
+
+    for name in (
+        "x92_exact_quantiles",
+        "x93_weighted_sample",
+        "x94_bfs_hops",
+        "x95_bigram_logprob",
+        "x96_skyline_pareto",
+        "x97_char_entropy",
+    ):
+        df = q(name)
+        assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
+        assert "CartesianProduct" not in formatted_plan(df), name
+
+    assert "WindowGroupLimit" in simple_plan(q("x93_weighted_sample"))
+    assert broadcast_join_count(q("x96_skyline_pareto")) >= 1
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
+
+
+def test_x98_zlib_is_single_arrow_pass(q):
+    """x98: exactly ONE Arrow-batched Python operator (mapInPandas), a
+    two-column read, and no shuffle at all — the plan is scan → Arrow
+    map → project."""
+    from mariadb_postgres_migration_spark.plans.inspect import (
+        exchange_count,
+        read_schema_columns,
+    )
+
+    df = q("x98_zlib_ratio")
+    assert python_eval_count(df) == 1
+    assert exchange_count(df) == 0
+    assert read_schema_columns(df) == {"doc_id", "text"}
