@@ -174,6 +174,8 @@ SUITE_MEMBERS = {
         "x91_stream_cms_counters", "x92_exact_quantiles",
         "x93_weighted_sample", "x94_bfs_hops", "x95_bigram_logprob",
         "x96_skyline_pareto", "x97_char_entropy",
+        "x99_kmv_set_relations", "x100_kcore_peel",
+        "x101_stream_kmv_state", "x102_equidepth_histogram",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

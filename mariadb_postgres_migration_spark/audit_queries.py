@@ -37,6 +37,7 @@ from .operators import dedup as D
 from .operators import graph as G
 from .operators import order_stats as OS
 from .operators import reconcile as R
+from .operators import sketches as SKS
 from .operators import textanalysis as T
 from .registry import _t, member_oracle, register
 
@@ -1632,18 +1633,33 @@ def x93_weighted_sample(spark, sf_dir):
     return OS.weighted_sample(docs, "lang", "doc_id", "w", k=10)
 
 
+#: one edge DataFrame per (application, sf_dir): three graph kernels
+#: (x85 triangles, x94 BFS, x100 k-core) read the same support-thresholded
+#: co-purchase graph, and inside the x84 suite they run in ONE query — the
+#: memo + persist makes the lineitem self-join pay out once per suite
+#: evaluation instead of once per kernel. release_cached_intermediates()
+#: unpersists the frame; the next call re-persists the memoized lineage.
+_X85_EDGE_CACHE: dict = {}
+
+
 def _x85_edges(spark, sf_dir):
-    """The recurring co-purchase edge list shared by x85 (triangles) and
-    x94 (BFS): support-thresholded part pairs sharing an order."""
-    pairs = B.cooccurrence_pairs(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
-    )
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= X85_MIN_SUPPORT)
-        .select("a", "b")
-    )
+    """The recurring co-purchase edge list shared by the graph kernels
+    x85 (triangles), x94 (BFS) and x100 (k-core peel): support-thresholded
+    part pairs sharing an order."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    edges = _X85_EDGE_CACHE.get(key)
+    if edges is None:
+        pairs = B.cooccurrence_pairs(
+            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+        )
+        edges = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") >= X85_MIN_SUPPORT)
+            .select("a", "b")
+        )
+        _X85_EDGE_CACHE[key] = edges
+    return D._persist(edges)
 
 
 @register(
@@ -1757,6 +1773,109 @@ def x98_zlib_ratio(spark, sf_dir):
     return T.zlib_ratio(_t(spark, sf_dir, "documents"))
 
 
+_X99_ROWS_CTE = "SELECT o_orderpriority AS g, o_custkey AS key FROM orders"
+
+
+@register(
+    "x99_kmv_set_relations",
+    SKS.kmv_set_relations_sql(_X99_ROWS_CTE, k=64),
+    "EXT-05", "EXT-ANALYTICS", tier=1,
+)
+def x99_kmv_set_relations(spark, sf_dir):
+    """KMV set algebra between order-priority strata: per unordered pair
+    of priorities, merged-sketch estimates of the customer-set union
+    size, intersection size, and Jaccard similarity next to the exact
+    values (:func:`operators.sketches.kmv_set_relations`, Beyer et al.
+    SIGMOD 2007). The estimator is pure integer arithmetic over
+    md5-derived hashes, so the driver hash-pins an *approximate*
+    operator's algebra exactly; everything pairwise happens on k-row
+    sketch frames."""
+    rows = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_custkey").alias("key")
+    )
+    return SKS.kmv_set_relations(rows, "g", "key", k=64)
+
+
+#: k-core threshold and peel bound for x100 — k=3 keeps a non-trivial
+#: mutually-dense region of the support-2 co-purchase graph at sf0.01
+#: (k=4 empties it); 8 rounds is the PageRank-style fixed iteration
+#: budget both engines unroll identically.
+X100_K, X100_ROUNDS = 3, 8
+
+
+@register(
+    "x100_kcore_peel",
+    G.kcore_oracle_sql(_X85_EDGES_CTE, k=X100_K, rounds=X100_ROUNDS),
+    "EXT-GRAPH", tier=1,
+)
+def x100_kcore_peel(spark, sf_dir):
+    """Bounded k-core peeling over the recurring co-purchase graph
+    (:func:`operators.graph.kcore`): 8 degree-filter rounds toward the
+    3-core, each round one map-side-combined degree count + two
+    semi-joins on the shrinking edge list. Completes the graph kernel
+    set (components x27/x41, PageRank x68, triangles x85, BFS x94) with
+    the standard density denoiser; the oracle unrolls the same 8
+    MATERIALIZED peel levels."""
+    return G.kcore(_x85_edges(spark, sf_dir), k=X100_K, rounds=X100_ROUNDS)
+
+
+def _x101_sql() -> str:
+    from .operators.reconcile import hex_chunk_sql
+    from .operators.sketches import HASH_SPACE
+    from .streaming.jobs import KMV_STATE_K as k
+    norm = r"lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))"
+    h = hex_chunk_sql(f"md5({norm})", 1)
+    return f"""WITH hs AS (SELECT coalesce(lang, '~') AS lang, {h} AS h
+            FROM documents),
+  d AS (SELECT DISTINCT lang, h FROM hs),
+  rk AS (SELECT lang, h,
+                row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         FROM d),
+  sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+                max(h) AS kth_hash
+         FROM rk WHERE rn <= {k} GROUP BY lang)
+SELECT lang, k_used, kth_hash,
+       CAST(CASE WHEN k_used < {k} THEN k_used
+            ELSE {(k - 1) * HASH_SPACE} // greatest(kth_hash, 1)
+       END AS BIGINT) AS est_distinct
+FROM sk"""
+
+
+@register("x101_stream_kmv_state", _x101_sql(), "EXT-09", "EXT-05", tier=1)
+def x101_stream_kmv_state(spark, sf_dir):
+    """The x87 KMV distinct sketch as STREAMING GROUP STATE
+    (:func:`streaming.jobs.stream_kmv_state`): per language, the k
+    smallest fingerprint hashes live as ``applyInPandasWithState`` state
+    (k longs forever), merged per micro-batch by the same k-min set
+    union that makes KMV mergeable across shards — so the replayed
+    sketch is bit-identical to this batch-SQL oracle under ANY
+    micro-batch split, with no arrival-order assumption at all.
+    Multi-batch replay equivalence pinned in tests/test_stream_kmv.py."""
+    from .streaming.jobs import run_stream_kmv
+
+    return run_stream_kmv(spark, sf_dir)
+
+
+@register(
+    "x102_equidepth_histogram",
+    OS.equidepth_histogram_sql(_X92_VALS_CTE, n_bins=10),
+    "EXT-ANALYTICS", tier=1,
+)
+def x102_equidepth_histogram(spark, sf_dir):
+    """Equi-depth decile histogram of the lineitem price (integer cents):
+    boundaries from the x92 exact-quantile selection (ONE shared level-0
+    scan + a tiny pushed-down scan per boundary), assignment as an
+    embarrassingly parallel projection against 9 broadcast-by-literal
+    boundary longs, rollup as a ≤10-group map-side-combined aggregate —
+    the scale-correct NTILE (:func:`operators.order_stats
+    .equidepth_histogram`); the oracle assigns buckets via a correlated
+    strictly-greater count over row_number-selected boundaries."""
+    vals = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("p")
+    )
+    return OS.equidepth_histogram(vals, "p", n_bins=10)
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1822,7 +1941,22 @@ FROM ({member_oracle('x96_skyline_pareto')})
 UNION ALL
 SELECT 'entropy', doc_id, {z}, n_chars, n_distinct_chars, {z},
        CAST(entropy AS DOUBLE), {zd}, NULL
-FROM ({member_oracle('x97_char_entropy')})"""
+FROM ({member_oracle('x97_char_entropy')})
+UNION ALL
+SELECT 'kmvset', k_used, shared_k, union_est, inter_est, jaccard_milli,
+       CAST(exact_inter AS DOUBLE), CAST(exact_union AS DOUBLE),
+       concat_ws('|', g1, g2)
+FROM ({member_oracle('x99_kmv_set_relations')})
+UNION ALL
+SELECT 'kcore', node, {z}, deg, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x100_kcore_peel')})
+UNION ALL
+SELECT 'skmv', k_used, {z}, kth_hash, est_distinct, {z}, {zd}, {zd}, lang
+FROM ({member_oracle('x101_stream_kmv_state')})
+UNION ALL
+SELECT 'histo', bucket, {z}, n_rows, sum_v, min_v, CAST(max_v AS DOUBLE),
+       {zd}, NULL
+FROM ({member_oracle('x102_equidepth_histogram')})"""
 
 
 @register(
@@ -1847,7 +1981,8 @@ def x84_r6_ops_suite(spark, sf_dir):
     histogram-refined exact quantiles (x92), the sequential-Poisson
     weighted sample (x93), frontier BFS over the co-purchase graph
     (x94), the bigram-LM quality score (x95), the per-brand Pareto
-    skyline (x96) and the character-entropy signal (x97),
+    skyline (x96), the character-entropy signal (x97), the KMV
+    set-relation estimates (x99) and the bounded k-core peel (x100),
     union-folded into the shared kind-tagged suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone
@@ -1946,5 +2081,27 @@ def x84_r6_ops_suite(spark, sf_dir):
             x97_char_entropy(spark, sf_dir), "entropy",
             id1=F.col("doc_id"), v1=F.col("n_chars"),
             v2=F.col("n_distinct_chars"), d1=F.col("entropy"),
+        ))
+        .unionAll(_suite_shape(
+            x99_kmv_set_relations(spark, sf_dir), "kmvset",
+            id1=F.col("k_used"), id2=F.col("shared_k"),
+            v1=F.col("union_est"), v2=F.col("inter_est"),
+            v3=F.col("jaccard_milli"),
+            d1=F.col("exact_inter"), d2=F.col("exact_union"),
+            s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
+        ))
+        .unionAll(_suite_shape(
+            x100_kcore_peel(spark, sf_dir), "kcore",
+            id1=F.col("node"), v1=F.col("deg"),
+        ))
+        .unionAll(_suite_shape(
+            x101_stream_kmv_state(spark, sf_dir), "skmv",
+            id1=F.col("k_used"), v1=F.col("kth_hash"),
+            v2=F.col("est_distinct"), s1=F.col("lang"),
+        ))
+        .unionAll(_suite_shape(
+            x102_equidepth_histogram(spark, sf_dir), "histo",
+            id1=F.col("bucket"), v1=F.col("n_rows"), v2=F.col("sum_v"),
+            v3=F.col("min_v"), d1=F.col("max_v"),
         ))
     )

@@ -240,34 +240,42 @@ def bfs_hops(edges: DataFrame, n_seeds: int = 5, max_hops: int = 3) -> DataFrame
     on the edge source — the frontier can be graph-sized at its widest,
     so it is NEVER broadcast), a distinct on the discovered endpoints,
     and an anti-join against the visited set. Each level's frontier and
-    the visited set are persisted so the loop's lineage stays flat
-    (the x27/PageRank persistence discipline), and an empty frontier
-    short-circuits the remaining levels. min-hop correctness needs no
-    tie-breaking: a node enters ``visited`` at the first level that
-    reaches it and the anti-join hides it from every later level.
+    the visited set are lazily ``localCheckpoint``ed so the loop's
+    lineage (and with it the per-level PLANNING cost — persisted frames
+    keep their full analyzed plans, and each level references the prior
+    level's three times, so planning grew multiplicatively: measured
+    0.8s/1.3s/9.3s for levels 1-3 under persist, flat ~0.8s under
+    checkpoint) stays constant; the count probe is the action that
+    materializes each level. An empty frontier short-circuits the
+    remaining levels. min-hop correctness needs no tie-breaking: a node
+    enters ``visited`` at the first level that reaches it and the
+    anti-join hides it from every later level.
     """
-    from .dedup import _persist
-
-    e = _persist(edges.select("a", "b").distinct())
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    frontier = _persist(nodes.sort("node").limit(n_seeds))
-    visited = _persist(frontier.select("node", F.lit(0).cast("long").alias("hop")))
+    frontier = nodes.sort("node").limit(n_seeds).localCheckpoint(eager=False)
+    visited = (
+        frontier.select("node", F.lit(0).cast("long").alias("hop"))
+        .localCheckpoint(eager=False)
+    )
     for h in range(1, max_hops + 1):
-        nxt = _persist(
+        nxt = (
             und.join(frontier.withColumnRenamed("node", "a"), on="a")
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited, on="node", how="left_anti")
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
-        visited = _persist(
+        visited = (
             visited.union(nxt.select("node", F.lit(h).cast("long").alias("hop")))
+            .localCheckpoint(eager=False)
         )
         frontier = nxt
     return visited
@@ -302,32 +310,37 @@ def bfs_hops_oracle_sql(edges_cte: str, n_seeds: int = 5, max_hops: int = 3) -> 
     )
 
 
-def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
-    """``(node, deg)`` — the k-core of an undirected edge list ``(a, b)``:
-    the maximal subgraph in which every node has degree ≥ k, with each
-    surviving node's within-core degree. The standard corpus-graph
-    denoiser one step past a support threshold: a part can clear x85's
-    pairwise support and still hang off the graph's periphery; the k-core
-    keeps only the mutually-dense region (Seidman 1983's cohesion
-    measure, and the usual seed set for community mining).
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """``(node, deg)`` — ``rounds`` peel steps toward the k-core of an
+    undirected edge list ``(a, b)``: per round, count degrees on the
+    SURVIVING subgraph, drop nodes with degree < k, drop edges touching
+    a dropped node. When the peel reaches its fixpoint within the bound,
+    the output IS the k-core (the maximal subgraph where every node has
+    degree ≥ k, Seidman 1983) with each survivor's within-core degree —
+    pinned on a hand-built fixture in tests; on a graph whose periphery
+    unravels slower (long chains peel one layer per round), the output
+    is the round-``rounds`` peel state, still a strict over-approximation
+    that shrinks monotonically. The bounded-iteration form is the same
+    contract as PageRank's 3 steps, k-means' fixed rounds, and BFS's hop
+    cap: both engines compute the identical bounded unroll at any data
+    scale, instead of a convergence loop whose round count (and thus the
+    oracle's shape) would be data-dependent. The k-core is the standard
+    corpus-graph denoiser one step past a support threshold: a part can
+    clear x85's pairwise support and still hang off the periphery; the
+    core keeps only the mutually-dense region.
 
-    Computed by the textbook peeling fixpoint: per round, count degrees
-    on the SURVIVING subgraph, drop nodes with degree < k, drop edges
-    touching a dropped node. Each round is one map-side-combined groupBy
-    on the (shrinking) undirected edge list plus two semi-joins — no
-    all-pairs anything. The edge list is undirected ONCE by a row-local
-    explode (never a self-union re-evaluating the upstream pair
-    generation — the x27 lesson, dedup.py), and each round's survivor
-    list is ``localCheckpoint``ed LAZILY so the convergence probe is the
-    action that materializes it AND plan depth stays constant instead of
+    Each round is one map-side-combined groupBy on the (shrinking)
+    undirected edge list plus two semi-joins — no all-pairs anything.
+    The edge list is undirected ONCE by a row-local explode (never a
+    self-union re-evaluating the upstream pair generation — the x27
+    lesson, dedup.py), and each round's survivor list is
+    ``localCheckpoint``ed LAZILY so the convergence probe is the action
+    that materializes it AND plan depth stays constant instead of
     multiplying per round (a persist alone leaves the logical plan
     growing ~6× per round, which OOMs the driver on plan STRINGS long
     before any data moves — measured). The loop short-circuits the
-    moment a round removes nothing (further rounds are identity, which
-    is what lets the oracle unroll a FIXED ``max_rounds`` levels and
-    still hash-match an early-converged loop); a loop still unconverged
-    at ``max_rounds`` raises rather than return a superset of the core —
-    convergence on the fixture graph is pinned in tests.
+    moment a round removes nothing — every later round is identity, so
+    the early exit is exactly equal to the oracle's full unroll.
 
     100 TB shape: the edge list halves-or-better per early round (peeling
     removes the long low-degree tail first), so total work is a small
@@ -351,7 +364,7 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_edges = und.count()
-    for _ in range(max_rounds):
+    for _ in range(rounds):
         keep = (
             und.groupBy("a")
             .agg(F.count("*").alias("deg"))
@@ -365,43 +378,47 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
         )
         n_nxt = nxt.count()
         if n_nxt == n_edges:
-            return (
-                nxt.groupBy(F.col("a").alias("node"))
-                .agg(F.count("*").cast("long").alias("deg"))
-            )
+            break
         und, n_edges = nxt, n_nxt
-    raise AssertionError(
-        f"kcore: not converged after {max_rounds} rounds — raise max_rounds"
-        " (the oracle unrolls the same bound, so a silent partial peel"
-        " would be a wrong answer, not a slow one)"
+        if n_edges == 0:
+            break
+    return und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
     )
 
 
-def kcore_oracle_sql(edges_cte: str, k: int = 3, max_rounds: int = 8) -> str:
-    """DuckDB oracle for :func:`kcore`: ``max_rounds`` unrolled peel
-    levels (degree-filter + edge restriction per level). Because a
-    converged level is a fixpoint, unrolling PAST convergence is
-    identity — so the bounded unroll equals the short-circuiting Spark
-    loop whenever the loop converges within the bound (and the Spark
-    side raises if it doesn't)."""
+def kcore_oracle_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """DuckDB oracle for :func:`kcore`: ``rounds`` unrolled peel levels
+    (degree-filter + edge restriction per level). Because a converged
+    level is a fixpoint, unrolling PAST convergence is identity — so the
+    bounded unroll equals the short-circuiting Spark loop exactly,
+    converged or not.
+
+    Every level is ``MATERIALIZED``: DuckDB inlines plain CTEs at each
+    reference, and a level references its predecessor ~3× — 8 inlined
+    levels expand to ~3^8 copies of the base-table scan, which exhausts
+    file handles before returning a row. Materialization makes the
+    oracle's work linear in rounds, same as the distributed loop."""
     parts = [
-        f"raw AS ({edges_cte})",
-        "e0 AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)",
+        f"raw AS MATERIALIZED ({edges_cte})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM raw WHERE a <> b)",
     ]
-    for r in range(1, max_rounds + 1):
+    for r in range(1, rounds + 1):
         p = r - 1
         parts.append(
-            f"d{r} AS (SELECT a AS node, count(*) AS deg FROM"
+            f"d{r} AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM"
             f" (SELECT a, b FROM e{p} UNION ALL SELECT b, a FROM e{p})"
             f" GROUP BY a)"
         )
-        parts.append(f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
         parts.append(
-            f"e{r} AS (SELECT a, b FROM e{p}"
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM e{p}"
             f" WHERE a IN (SELECT node FROM k{r})"
             f" AND b IN (SELECT node FROM k{r}))"
         )
-    last = max_rounds
+    last = rounds
     return (
         "WITH " + ",\n".join(parts)
         + f"""

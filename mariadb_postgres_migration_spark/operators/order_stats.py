@@ -82,7 +82,18 @@ def exact_quantiles(
     if not n:
         raise ValueError("exact_quantiles: empty input")
 
+    # histograms are memoized per (lo, width): at level 0 EVERY target
+    # shares the same full range, so one scan serves all of them — the
+    # multi-quantile case costs 1 full scan + one ~1/B-range scan per
+    # target, not |qs| full scans (at deeper levels targets diverge into
+    # disjoint ranges, where per-target scans are the tiny pushed-down
+    # remainders anyway)
+    memo: dict[tuple[int, int], dict[int, int]] = {}
+
     def histogram(lo_t: int, width: int):
+        got = memo.get((lo_t, width))
+        if got is not None:
+            return got
         rows = (
             vals.filter(F.col("__p").between(lo_t, lo_t + width * n_buckets - 1))
             .groupBy(
@@ -91,7 +102,9 @@ def exact_quantiles(
             .agg(F.count("*").alias("__c"))
             .collect()
         )
-        return {r["__b"]: r["__c"] for r in rows}
+        got = {r["__b"]: r["__c"] for r in rows}
+        memo[(lo_t, width)] = got
+        return got
 
     out = None
     for q in qs:
@@ -278,3 +291,77 @@ def weighted_sample_sql(
          FROM pr)
 SELECT {group_col}, CAST(rk AS BIGINT) AS rk, {id_col}, weight, pri
 FROM rk WHERE rk <= {k}"""
+
+
+def equidepth_histogram(
+    vals: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    n_buckets: int = QUANTILE_BUCKETS,
+    refine_limit: int = QUANTILE_REFINE_LIMIT,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of an integer column:
+    ``n_bins`` buckets bounded by the exact ``i/n_bins`` quantiles, with
+    per-bucket ``(n_rows, sum, min, max)`` — the optimizer-statistics /
+    drift-monitoring shape (equi-WIDTH histograms collapse under skew;
+    equi-depth puts the resolution where the data is).
+
+    This is the scale-correct NTILE: a window ``ntile(n)`` ships every
+    row through one ordering per partition — a global sort when the
+    "partition" is the whole corpus. Here the boundaries come from
+    :func:`exact_quantiles` (1 full scan + a tiny pushed-down scan per
+    boundary, thanks to the shared level-0 histogram), land on the
+    driver as ``n_bins - 1`` longs (a bounded collect by contract, like
+    the k-means centroids), and the assignment pass is one embarrassingly
+    parallel projection + one map-side-combined groupBy over ≤ n_bins
+    groups. Rows equal to a boundary fall in the LOWER bucket (strict
+    ``>`` in the assignment), matching percentile_disc's lower-value
+    semantics; duplicate-heavy columns may therefore leave some buckets
+    empty rather than split a tied value across two.
+
+    Returns ``(bucket, n_rows, sum_v, min_v, max_v)``, all BIGINT.
+    """
+    p = F.col(value_col).cast("long")
+    clean = vals.select(p.alias("__p")).filter(F.col("__p").isNotNull())
+    qs = tuple((100 * i) // n_bins for i in range(1, n_bins))
+    bnd = sorted(
+        r["value"]
+        for r in exact_quantiles(
+            clean, "__p", qs=qs, n_buckets=n_buckets, refine_limit=refine_limit
+        ).collect()
+    )
+    bucket = F.lit(0)
+    for b in bnd:
+        bucket = bucket + F.when(F.col("__p") > F.lit(b), 1).otherwise(0)
+    return (
+        clean.select("__p", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("__p").cast("long").alias("sum_v"),
+            F.min("__p").alias("min_v"),
+            F.max("__p").alias("max_v"),
+        )
+    )
+
+
+def equidepth_histogram_sql(vals_cte: str, n_bins: int = 10) -> str:
+    """DuckDB oracle for :func:`equidepth_histogram`: boundaries via the
+    same explicit row_number rank selection as the x92 oracle, assignment
+    via a correlated strictly-greater count — formulations the Spark plan
+    never uses. ``vals_cte`` must yield one BIGINT column ``p``."""
+    qs = tuple((100 * i) // n_bins for i in range(1, n_bins))
+    targets = ", ".join(f"({q})" for q in qs)
+    return f"""WITH vals AS ({vals_cte}),
+  nn AS (SELECT p FROM vals WHERE p IS NOT NULL),
+  ordered AS (SELECT p, row_number() OVER (ORDER BY p) AS rn FROM nn),
+  tot AS (SELECT count(*) AS n FROM nn),
+  bnd AS (SELECT o.p AS b
+          FROM (SELECT CAST(greatest(1, (q * n + 99) // 100) AS BIGINT) AS r
+                FROM (VALUES {targets}) AS t(q), tot) tgt
+          JOIN ordered o ON o.rn = tgt.r)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS BIGINT) AS sum_v, min(p) AS min_v, max(p) AS max_v
+FROM (SELECT p, (SELECT count(*) FROM bnd WHERE nn.p > bnd.b) AS bucket
+      FROM nn)
+GROUP BY bucket"""

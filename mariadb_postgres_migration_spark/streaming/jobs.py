@@ -676,3 +676,92 @@ def run_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation equivalence pinned in tests/test_stream_cms.py)."""
     docs = read_documents_stream(spark, sf_dir)
     return _run_to_memory(stream_cms_counters(docs), "complete")
+
+
+KMV_STATE_K = 64
+
+KMV_OUT_SCHEMA = (
+    "lang STRING, k_used BIGINT, kth_hash BIGINT, est_distinct BIGINT,"
+    " emit BIGINT"
+)
+
+
+def stream_kmv_state(docs: DataFrame, k: int = KMV_STATE_K) -> DataFrame:
+    """EXT-09: the x87 KMV distinct sketch as STREAMING GROUP STATE — the
+    live per-language distinct-CONTENT cardinality a curation pipeline
+    reads for dedup-rate forecasting, instead of re-scanning the corpus.
+    State per language is the k smallest 32-bit fingerprint hashes seen —
+    k longs FOREVER, corpus-size-independent — and merging a batch into
+    the state is the same k-min set union that makes KMV mergeable across
+    shards (sketches.py), so the replayed sketch is bit-identical to the
+    batch sketch under ANY micro-batch split: set union is commutative
+    and associative, no arrival-order dependence at all (unlike x73/x82,
+    this stateful operator doesn't even need in-time-order arrival).
+
+    The fingerprint hash (md5 of OP-31-normalized text → first 8 hex
+    chars as a long) is computed JVM-side BEFORE the stateful step; the
+    Python state function only merges longs into a sorted k-list. Each
+    batch emits a versioned sketch row per language; the bounded-replay
+    runner keeps the latest version (the x73 convention), which equals
+    the batch x87-style sketch — the driver pins that equality against
+    a plain batch-SQL oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.text import normalize_text_native
+    from ..operators.reconcile import hex_chunk
+    from ..operators.sketches import HASH_SPACE
+
+    def step(key, pdf_iter, state):
+        if state.exists:
+            hs, n_emit = set(state.get[0]), state.get[1]
+        else:
+            hs, n_emit = set(), 0
+        for pdf in pdf_iter:
+            hs.update(int(h) for h in pdf["h"])
+        top = sorted(hs)[:k]
+        n_emit += 1
+        state.update((top, n_emit))
+        k_used = len(top)
+        kth = top[-1] if top else 0
+        est = k_used if k_used < k else (k - 1) * HASH_SPACE // max(kth, 1)
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "k_used": [k_used],
+                "kth_hash": [kth],
+                "est_distinct": [est],
+                "emit": [n_emit],
+            }
+        )
+
+    hashed = docs.select(
+        F.coalesce(F.col("lang"), F.lit("~")).alias("lang"),
+        hex_chunk(
+            F.md5(normalize_text_native(F.coalesce(F.col("text"), F.lit("")))), 1
+        ).alias("h"),
+    )
+    return hashed.groupBy("lang").applyInPandasWithState(
+        step,
+        KMV_OUT_SCHEMA,
+        "top ARRAY<BIGINT>, n BIGINT",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded availableNow replay of the streamed KMV sketch; keeps each
+    language's LATEST state version — the final sketch table, equal to
+    the batch computation whatever the micro-batch split was
+    (tests/test_stream_kmv.py replays split files)."""
+    from pyspark.sql import Window
+
+    docs = read_documents_stream(spark, sf_dir)
+    res = _run_to_memory(stream_kmv_state(docs), "append")
+    w = Window.partitionBy("lang").orderBy(F.desc("emit"))
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("lang", "k_used", "kth_hash", "est_distinct")
+    )

@@ -124,3 +124,42 @@ def test_triangle_counts_k4_pendant_and_canonicalization(spark):
 def test_triangle_counts_empty(spark):
     e = spark.createDataFrame([], "a long, b long")
     assert G.triangle_counts(e).collect() == []
+
+
+def test_kcore_k4_with_tail_peels_to_the_clique(spark):
+    # K4 on {1,2,3,4} plus the tail 4-5-6: node 6 (deg 1) peels in round
+    # 1, node 5 (then deg 1) in round 2, and the 3-core is exactly the
+    # clique with every within-core degree 3.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["deg"] for r in G.kcore(e, k=3, rounds=8).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_short_circuit_equals_longer_budget(spark):
+    # converged peel is a fixpoint: a 2-round budget and an 8-round
+    # budget must agree on a graph whose peel converges in round 2
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    fast = sorted(tuple(r) for r in G.kcore(e, k=3, rounds=2).collect())
+    slow = sorted(tuple(r) for r in G.kcore(e, k=3, rounds=8).collect())
+    assert fast == slow
+
+
+def test_kcore_bounded_peel_is_the_round_prefix(spark):
+    # 10-node path, k=2: each round peels one layer off both ends —
+    # after exactly 2 rounds nodes 3..8 survive with end-degrees 1.
+    # (The true 2-core of a path is empty; the bounded form returns the
+    # round-2 peel state, which is the documented contract.)
+    e = spark.createDataFrame([(i, i + 1) for i in range(1, 10)], "a long, b long")
+    got = {r["node"]: r["deg"] for r in G.kcore(e, k=2, rounds=2).collect()}
+    assert got == {3: 1, 4: 2, 5: 2, 6: 2, 7: 2, 8: 1}
+    # ...and the peel eventually empties the path given budget
+    assert G.kcore(e, k=2, rounds=8).collect() == []
+
+
+def test_kcore_threshold_above_max_degree_is_empty(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    assert G.kcore(e, k=3, rounds=4).collect() == []
+    got = {r["node"]: r["deg"] for r in G.kcore(e, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

@@ -274,3 +274,55 @@ def test_zlib_ratio_matches_local_zlib(spark):
     )
     ratios = {r["doc_id"]: r["ratio_milli"] for r in T.zlib_ratio(rep).collect()}
     assert ratios[1] < 50 < ratios[2]
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram
+# ---------------------------------------------------------------------------
+
+
+def _equidepth_truth(values, n_bins):
+    s = sorted(values)
+    n = len(s)
+    qs = [(100 * i) // n_bins for i in range(1, n_bins)]
+    bnd = sorted(s[max(1, (q * n + 99) // 100) - 1] for q in qs)
+    buckets = {}
+    for v in values:
+        b = sum(1 for x in bnd if v > x)
+        st = buckets.setdefault(b, [0, 0, None, None])
+        st[0] += 1
+        st[1] += v
+        st[2] = v if st[2] is None else min(st[2], v)
+        st[3] = v if st[3] is None else max(st[3], v)
+    return {b: tuple(st) for b, st in buckets.items()}
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_equidepth_matches_local_assignment(spark, seed):
+    rng = random.Random(seed)
+    vals = [rng.randrange(0, 10**7) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "p long")
+    got = {
+        r["bucket"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in OS.equidepth_histogram(df, "p", n_bins=10, refine_limit=256).collect()
+    }
+    assert got == _equidepth_truth(vals, 10)
+    # equal-frequency property on distinct-heavy data: every bucket holds
+    # n/bins rows give or take the boundary ties
+    counts = [c for c, *_ in got.values()]
+    assert max(counts) - min(counts) <= 10
+
+
+def test_equidepth_duplicate_heavy_ties_fall_in_lower_bucket(spark):
+    # one value holds 80% of the mass: several boundaries collapse onto
+    # it, the tied rows all land in the LOWEST bucket whose range admits
+    # them (strict > assignment), and the empty buckets simply don't
+    # appear — matches the local reference exactly
+    vals = [5] * 800 + list(range(100, 300))
+    df = spark.createDataFrame([(v,) for v in vals], "p long")
+    got = {
+        r["bucket"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in OS.equidepth_histogram(df, "p", n_bins=10, refine_limit=64).collect()
+    }
+    assert got == _equidepth_truth(vals, 10)
+    assert got[0][0] == 800  # every tied row in bucket 0

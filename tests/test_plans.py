@@ -446,12 +446,16 @@ def test_r6b_order_stats_plan_contracts(q):
         "x95_bigram_logprob",
         "x96_skyline_pareto",
         "x97_char_entropy",
+        "x99_kmv_set_relations",
+        "x100_kcore_peel",
+        "x102_equidepth_histogram",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
         assert "CartesianProduct" not in formatted_plan(df), name
 
     assert "WindowGroupLimit" in simple_plan(q("x93_weighted_sample"))
+    assert "WindowGroupLimit" in simple_plan(q("x99_kmv_set_relations"))
     assert broadcast_join_count(q("x96_skyline_pareto")) >= 1
 
     from mariadb_postgres_migration_spark.operators.dedup import (

@@ -16,6 +16,7 @@ from mariadb_postgres_migration_spark.operators.dedup import (
 from mariadb_postgres_migration_spark.operators.sketches import (
     HASH_SPACE,
     kmv_distinct,
+    kmv_set_relations,
 )
 from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 from mariadb_postgres_migration_spark.sources.parquet import read_parquet_table
@@ -298,3 +299,76 @@ def test_prefix_filter_equals_exhaustive_on_random_corpora(spark):
         }
         exp = {p: v[0] for p, v in _brute_pairs(spark, docs).items()}
         assert got == exp, f"seed {seed}: {got} != {exp}"
+
+
+def _py_kmv_set_relations(groups, k=64):
+    """Reference for kmv_set_relations: per-group sketch = k smallest
+    32-bit md5 prefixes; per pair the merged top-k with membership
+    flags drives the integer estimator algebra."""
+    h = lambda x: int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+    sk = {g: sorted({h(x) for x in keys})[:k] for g, keys in groups.items()}
+    out = {}
+    for g1 in sorted(groups):
+        for g2 in sorted(groups):
+            if not g1 < g2:
+                continue
+            a, b = set(sk[g1]), set(sk[g2])
+            merged = sorted(a | b)[:k]
+            k_used = len(merged)
+            shared = sum(1 for x in merged if x in a and x in b)
+            kth = merged[-1]
+            union_est = (
+                k_used if k_used < k else (k - 1) * HASH_SPACE // max(kth, 1)
+            )
+            ea, eb = set(groups[g1]), set(groups[g2])
+            out[(g1, g2)] = (
+                k_used, shared, union_est,
+                (shared * union_est) // k_used,
+                (1000 * shared) // k_used,
+                len(ea & eb), len(ea | eb),
+            )
+    return out
+
+
+def test_kmv_set_relations_matches_python_reference(spark):
+    groups = {
+        "a": list(range(0, 400)),
+        "b": list(range(200, 600)),
+        "c": list(range(0, 1000, 3)),
+    }
+    rows = [(g, x) for g, keys in groups.items() for x in keys]
+    df = spark.createDataFrame(rows, "g string, key long")
+    got = {
+        (r["g1"], r["g2"]): (
+            r["k_used"], r["shared_k"], r["union_est"], r["inter_est"],
+            r["jaccard_milli"], r["exact_inter"], r["exact_union"],
+        )
+        for r in kmv_set_relations(df, "g", "key", k=64).collect()
+    }
+    assert got == _py_kmv_set_relations(groups, k=64)
+
+
+def test_kmv_set_relations_is_exact_below_k(spark):
+    # every group under k distinct keys => the merged sketch IS the full
+    # hash union, so (absent 32-bit collisions on 30 keys) the estimates
+    # equal the exact values and the Jaccard is the true one in milli
+    groups = {"x": list(range(20)), "y": list(range(10, 30))}
+    rows = [(g, v) for g, keys in groups.items() for v in keys]
+    df = spark.createDataFrame(rows, "g string, key long")
+    [r] = kmv_set_relations(df, "g", "key", k=64).collect()
+    assert r["union_est"] == r["exact_union"] == 30
+    assert r["inter_est"] == r["exact_inter"] == 10
+    assert r["jaccard_milli"] == (1000 * 10) // 30
+
+
+def test_kmv_set_relations_plan_rides_window_group_limit(spark, sf_dir):
+    from mariadb_postgres_migration_spark.sources.parquet import (
+        read_parquet_table as rd,
+    )
+    df = rd(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_custkey").alias("key")
+    )
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+    plan = simple_plan(kmv_set_relations(df, "g", "key", k=64))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
