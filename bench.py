@@ -176,6 +176,7 @@ SUITE_MEMBERS = {
         "x96_skyline_pareto", "x97_char_entropy",
         "x99_kmv_set_relations", "x100_kcore_peel",
         "x101_stream_kmv_state", "x102_equidepth_histogram",
+        "x103_ols_trend", "x104_editdist1_join",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

@@ -31,6 +31,7 @@ from .extension_queries import (
     x60_multimodal_pixel_stats,
     x78_gif_pixel_stats,
 )
+from .operators import aggregates as AGG
 from .operators import audit as A
 from .operators import basket as B
 from .operators import dedup as D
@@ -1876,6 +1877,56 @@ def x102_equidepth_histogram(spark, sf_dir):
     return OS.equidepth_histogram(vals, "p", n_bins=10)
 
 
+_X103_ROWS_CTE = (
+    "SELECT user_id AS g, epoch_us(ts) // 86400000000 AS x, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events"
+)
+
+
+@register(
+    "x103_ols_trend",
+    AGG.ols_trend_sql(_X103_ROWS_CTE, "user_id"),
+    "EXT-ANALYTICS", tier=1,
+)
+def x103_ols_trend(spark, sf_dir):
+    """Per-user OLS spend-trend line over the events stream
+    (:func:`operators.aggregates.ols_trend`): slope/intercept of
+    quantized cents over epoch-days — integer-exact centered sums, one
+    keyed min-join + one map-side-combined aggregate; only the final
+    slope combination runs in doubles, over the identical expression
+    tree in both engines. The drift detector that tells 'this user's
+    value is trending' apart from x75's point anomalies."""
+    ev = _t(spark, sf_dir, "events")
+    return AGG.ols_trend(
+        ev,
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS timestamp)) div 86400000000"),
+        F.floor(F.col("value") * 100 + 0.5),
+    )
+
+
+_X104_ROWS_CTE = "SELECT c_custkey AS rid, c_name AS s FROM customer"
+
+
+@register(
+    "x104_editdist1_join",
+    D.editdist1_pairs_sql(_X104_ROWS_CTE),
+    "EXT-02", tier=1,
+)
+def x104_editdist1_join(spark, sf_dir):
+    """EXACT edit-distance-≤1 name-pair join over customers via FastSS
+    deletion neighborhoods (:func:`operators.dedup.editdist1_pairs`) —
+    one high-entropy equi-join + row-local levenshtein verify, while the
+    oracle runs the exhaustive O(n²) levenshtein matrix, so the driver
+    hash match is the zero-false-negative proof run as data. The
+    single-typo record-linkage tier next to x88's token-set Jaccard
+    filter and c3's blocked fuzzy ER."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("s")
+    )
+    return D.editdist1_pairs(cust, "rid", "s")
+
+
 def _x84_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
@@ -1956,7 +2007,14 @@ FROM ({member_oracle('x101_stream_kmv_state')})
 UNION ALL
 SELECT 'histo', bucket, {z}, n_rows, sum_v, min_v, CAST(max_v AS DOUBLE),
        {zd}, NULL
-FROM ({member_oracle('x102_equidepth_histogram')})"""
+FROM ({member_oracle('x102_equidepth_histogram')})
+UNION ALL
+SELECT 'ols', user_id, {z}, n, {z}, {z}, CAST(slope AS DOUBLE),
+       CAST(intercept AS DOUBLE), NULL
+FROM ({member_oracle('x103_ols_trend')})
+UNION ALL
+SELECT 'ed1', id_a, id_b, dist, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x104_editdist1_join')})"""
 
 
 @register(
@@ -2103,5 +2161,14 @@ def x84_r6_ops_suite(spark, sf_dir):
             x102_equidepth_histogram(spark, sf_dir), "histo",
             id1=F.col("bucket"), v1=F.col("n_rows"), v2=F.col("sum_v"),
             v3=F.col("min_v"), d1=F.col("max_v"),
+        ))
+        .unionAll(_suite_shape(
+            x103_ols_trend(spark, sf_dir), "ols",
+            id1=F.col("user_id"), v1=F.col("n"),
+            d1=F.col("slope"), d2=F.col("intercept"),
+        ))
+        .unionAll(_suite_shape(
+            x104_editdist1_join(spark, sf_dir), "ed1",
+            id1=F.col("id_a"), id2=F.col("id_b"), v1=F.col("dist"),
         ))
     )

@@ -88,3 +88,113 @@ def merge_summaries(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataF
             F.coalesce("d_mx_v", F.col("b_mx_v")),
         ).alias("mx_v"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (EXT-ANALYTICS): the
+    slope/intercept of integer ``y`` over integer ``x`` — "is this user's
+    spend rising", "is this part's price drifting" — as ONE extra
+    aggregate pass, never a per-group regression loop.
+
+    Numeric contract (the property that makes an OLS hash-verifiable
+    across engines): ``x``/``y`` must already be integers (epoch-days,
+    cents). Both are CENTERED per group on their minimum — an OLS line is
+    shift-invariant, and centering keeps Σdx·dy / Σdx² within BIGINT at
+    any group size (uncentered epoch-day×cent products overflow int64
+    around 10^9 rows per group) — so every SUM is exact, order-free
+    integer arithmetic. Only the final slope/intercept combination runs
+    in doubles, and both engines evaluate the IDENTICAL expression tree
+    over identical integers, so IEEE round-to-nearest produces the same
+    bits (the x90 cast-before-multiply convention); outputs round to 6.
+
+    Plan: one groupBy for the per-group minima, a keyed join back (the
+    spine is group-keyed — millions of groups shuffle fine), and one
+    map-side-combined sums aggregate. Groups with < ``min_n`` rows or a
+    degenerate x-range (den = 0) are dropped.
+
+    Returns ``(group, n, slope, intercept)``.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    mins = base.groupBy("g").agg(
+        F.min("x").alias("x0"), F.min("y").alias("y0")
+    )
+    c = base.join(mins, "g").select(
+        "g",
+        (F.col("x") - F.col("x0")).alias("dx"),
+        (F.col("y") - F.col("y0")).alias("dy"),
+        "x0", "y0",
+    )
+    s = c.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.first("x0").alias("x0"),
+        F.first("y0").alias("y0"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = num / den
+    # intercept in ORIGINAL coordinates: the centered-line intercept
+    # (Σdy − slope·Σdx)/n, shifted back by (y0 − slope·x0)
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+        + F.col("y0").cast("double")
+        - slope * F.col("x0").cast("double")
+    )
+    return (
+        s.filter((F.col("n") >= min_n) & (den != F.lit(0.0)))
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+    )
+
+
+def ols_trend_sql(
+    rows_cte: str, group_col: str, min_n: int = 2
+) -> str:
+    """DuckDB oracle for :func:`ols_trend`: the identical centered sums
+    and the identical double expression tree (NOT regr_slope — its
+    float accumulation order is engine-internal; this mirror keeps every
+    sum integer-exact so the doubles agree bit-for-bit). ``rows_cte``
+    must yield ``(g, x, y)`` integers."""
+    return f"""WITH r AS ({rows_cte}),
+  nn AS (SELECT g, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+         FROM r WHERE x IS NOT NULL AND y IS NOT NULL),
+  mins AS (SELECT g, min(x) AS x0, min(y) AS y0 FROM nn GROUP BY g),
+  c AS (SELECT nn.g, nn.x - m.x0 AS dx, nn.y - m.y0 AS dy, m.x0, m.y0
+        FROM nn JOIN mins m ON nn.g = m.g),
+  s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               min(x0) AS x0, min(y0) AS y0
+        FROM c GROUP BY g),
+  e AS (SELECT g, n, x0, y0,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s)
+SELECT g AS {group_col}, n,
+       round(num / den, 6) AS slope,
+       round((syd - (num / den) * sxd) / CAST(n AS DOUBLE)
+             + CAST(y0 AS DOUBLE) - (num / den) * CAST(x0 AS DOUBLE),
+             6) AS intercept
+FROM e WHERE n >= {min_n} AND den <> 0.0"""

@@ -997,3 +997,73 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= t_num / t_den)
     )
+
+
+def editdist1_pairs(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
+    """EXACT edit-distance-≤1 similarity self-join via deletion
+    neighborhoods (the FastSS / SymSpell candidate scheme, Bocek et al.
+    2007): every string explodes into the bag ``{s} ∪ del1(s)`` (itself
+    plus each single-character deletion), candidates are id-ordered pairs
+    sharing ANY bag element — one equi-join shuffle, NO cartesian — and a
+    JVM ``levenshtein`` verification keeps exactly the true pairs.
+
+    Zero false negatives by construction: if ``d(a,b) ≤ 1`` then either
+    ``a = b``, or one is a deletion of the other (so ``b ∈ del1(a)`` or
+    ``a ∈ del1(b)``), or they differ by one substitution at position i
+    (so ``del_i(a) = del_i(b)``) — in every case the bags intersect. The
+    driver hash match against the exhaustive all-pairs oracle is the
+    completeness proof run as data. The same machinery extends to
+    distance k with k-deletion neighborhoods (bag size C(n,k)); k=1 is
+    the id/name-typo dedup workhorse.
+
+    Scale shape: bag size is length+1 rows per string — the exploded
+    table is O(total characters), same order as any tokenize pass; the
+    equi-join key is high-entropy (a variant is nearly the whole string),
+    so buckets stay small under any realistic key distribution; the
+    verify step is a row-local integer function. Contrast the oracle's
+    O(n²) levenshtein matrix.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, ``dist ≤ 1``.
+    """
+    base = df.select(F.col(id_col).alias("rid"), F.col(s_col).alias("s"))
+    variants = base.select(
+        "rid", "s",
+        F.explode(
+            F.concat(
+                F.array(F.col("s")),
+                F.expr(
+                    "transform(sequence(1, length(s)),"
+                    " i -> concat(substr(s, 1, i - 1), substr(s, i + 1)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("rid").alias("id_a"), F.col("s").alias("sa"), "v"
+    )
+    b = variants.select(
+        F.col("rid").alias("id_b"), F.col("s").alias("sb"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def editdist1_pairs_sql(rows_cte: str) -> str:
+    """DuckDB oracle for :func:`editdist1_pairs`: the exhaustive
+    all-pairs levenshtein join the Spark plan exists to avoid —
+    algorithmically independent, so the hash match proves the deletion
+    neighborhood missed nothing. ``rows_cte`` must yield ``(rid, s)``."""
+    return f"""WITH r AS ({rows_cte})
+SELECT a.rid AS id_a, b.rid AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM r a JOIN r b ON a.rid < b.rid
+WHERE levenshtein(a.s, b.s) <= 1"""

@@ -326,3 +326,53 @@ def test_equidepth_duplicate_heavy_ties_fall_in_lower_bucket(spark):
     }
     assert got == _equidepth_truth(vals, 10)
     assert got[0][0] == 800  # every tied row in bucket 0
+
+
+# ---------------------------------------------------------------------------
+# ols_trend (operators/aggregates.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ols_trend_matches_numpy_polyfit(spark):
+    from mariadb_postgres_migration_spark.operators.aggregates import ols_trend
+
+    rng = random.Random(5)
+    rows = []
+    for g in range(4):
+        base, slope = rng.randrange(1000, 5000), rng.randrange(-50, 50)
+        for x in range(0, 40):
+            rows.append((g, 20000 + x, base + slope * x + rng.randrange(-9, 10)))
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"])
+        for r in ols_trend(df, "g", F.col("x"), F.col("y")).collect()
+    }
+    import numpy as np
+
+    for g in range(4):
+        xs = [x for gg, x, _ in rows if gg == g]
+        ys = [y for gg, _, y in rows if gg == g]
+        sl, ic = np.polyfit(xs, ys, 1)
+        n, gsl, gic = got[g]
+        assert n == 40
+        assert abs(gsl - sl) < 1e-4, (g, gsl, sl)
+        assert abs(gic - ic) < 1e-2, (g, gic, ic)
+
+
+def test_ols_trend_exact_line_and_degenerate_groups(spark):
+    from mariadb_postgres_migration_spark.operators.aggregates import ols_trend
+
+    rows = (
+        # group 1: exact line y = 3x + 7 -> recovered exactly
+        [(1, x, 3 * x + 7) for x in range(10)]
+        # group 2: a single row (n < min_n) -> dropped
+        + [(2, 5, 100)]
+        # group 3: all x equal (den = 0) -> dropped
+        + [(3, 4, 10), (3, 4, 99)]
+    )
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        r["g"]: (r["slope"], r["intercept"])
+        for r in ols_trend(df, "g", F.col("x"), F.col("y")).collect()
+    }
+    assert got == {1: (3.0, 7.0)}

@@ -449,6 +449,7 @@ def test_r6b_order_stats_plan_contracts(q):
         "x99_kmv_set_relations",
         "x100_kcore_peel",
         "x102_equidepth_histogram",
+        "x103_ols_trend",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"

@@ -372,3 +372,100 @@ def test_kmv_set_relations_plan_rides_window_group_limit(spark, sf_dir):
     plan = simple_plan(kmv_set_relations(df, "g", "key", k=64))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# editdist1_pairs (operators/dedup.py) — deletion-neighborhood exact join
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist1_covers_insert_delete_substitute(spark):
+    from mariadb_postgres_migration_spark.operators.dedup import editdist1_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "kitten"),   # dist 0 (exact duplicate)
+        (3, "mitten"),   # substitution of 1
+        (4, "kittens"),  # insertion
+        (5, "itten"),    # deletion
+        (6, "sitting"),  # dist 3 from kitten — excluded
+        (7, "kitchen"),  # dist 2 — excluded
+    ]
+    df = spark.createDataFrame(rows, "rid long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist1_pairs(df, "rid", "s").collect()
+    }
+    exp = {
+        (a, b): _lev(sa, sb)
+        for a, sa in rows
+        for b, sb in rows
+        if a < b and _lev(sa, sb) <= 1
+    }
+    assert got == exp
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 4) in got and (1, 5) in got and (1, 3) in got
+    assert (1, 6) not in got and (1, 7) not in got
+
+
+def test_editdist1_equals_bruteforce_on_random_strings(spark):
+    from mariadb_postgres_migration_spark.operators.dedup import editdist1_pairs
+
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        base = ["".join(rng.choice("abcd") for _ in range(rng.randint(2, 8)))
+                for _ in range(25)]
+        mut = []
+        for i, s in enumerate(base[:12]):
+            l = list(s)
+            op = rng.randrange(3)
+            pos = rng.randrange(len(l))
+            if op == 0:
+                l[pos] = rng.choice("abcd")
+            elif op == 1:
+                l.insert(pos, rng.choice("abcd"))
+            else:
+                del l[pos]
+            mut.append("".join(l))
+        strings = base + mut
+        rows = list(enumerate(strings))
+        df = spark.createDataFrame(rows, "rid long, s string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in editdist1_pairs(df, "rid", "s").collect()
+        }
+        exp = {
+            (a, b): _lev(sa, sb)
+            for a, sa in rows
+            for b, sb in rows
+            if a < b and _lev(sa, sb) <= 1
+        }
+        assert got == exp, f"seed {seed}"
+
+
+def test_editdist1_plan_has_no_cartesian(spark, sf_dir):
+    from mariadb_postgres_migration_spark.operators.dedup import editdist1_pairs
+    from mariadb_postgres_migration_spark.sources.parquet import (
+        read_parquet_table as rd,
+    )
+
+    cust = rd(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("s")
+    )
+    plan = formatted_plan(editdist1_pairs(cust, "rid", "s"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
