@@ -176,7 +176,8 @@ SUITE_MEMBERS = {
         "x96_skyline_pareto", "x97_char_entropy",
         "x99_kmv_set_relations", "x100_kcore_peel",
         "x101_stream_kmv_state", "x102_equidepth_histogram",
-        "x103_ols_trend", "x104_editdist1_join",
+        "x103_ols_trend", "x104_editdist1_join", "x105_random_walks",
+        "x106_table_profile", "x107_cohort_retention",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

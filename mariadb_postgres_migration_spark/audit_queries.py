@@ -37,6 +37,7 @@ from .operators import basket as B
 from .operators import dedup as D
 from .operators import graph as G
 from .operators import order_stats as OS
+from .operators import profile as PRF
 from .operators import reconcile as R
 from .operators import sketches as SKS
 from .operators import textanalysis as T
@@ -1905,6 +1906,67 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+_X107_EVENTS_CTE = "SELECT user_id AS u, epoch_us(ts) AS us FROM events"
+
+
+@register(
+    "x107_cohort_retention",
+    A.cohort_retention_sql(_X107_EVENTS_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x107_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle over the events stream
+    (:func:`operators.audit.cohort_retention`): users cohorted by the
+    epoch-week of their first event, cells count distinct users active
+    at each week offset — all-integer fixed-quantum bucketing, two
+    map-side-combined aggregates + one user-keyed join, output
+    O(weeks²/2) at any corpus size."""
+    return A.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+#: (column, kind) spec shared by the x106 Spark profile and its oracle.
+_X106_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+@register(
+    "x106_table_profile",
+    PRF.profile_table_sql("orders", _X106_COLS),
+    "EXT-AUDIT", tier=1,
+)
+def x106_table_profile(spark, sf_dir):
+    """One-pass ANALYZE-style profile of the orders table
+    (:func:`operators.profile.profile_table`): per column, rows/nulls/
+    exact distincts/min/max through the repo's canonical string forms
+    (ints, half-up cents, epoch-micros). The shape check next to x66's
+    row checksum: the checksum says WHETHER the migration broke, the
+    profile says WHAT (null-rate jump, truncated max, collapsed
+    cardinality). One aggregate pass; the multi-column exact distinct
+    rides Spark's Expand."""
+    return PRF.profile_table(_t(spark, sf_dir, "orders"), _X106_COLS)
+
+
+@register(
+    "x105_random_walks",
+    G.random_walks_oracle_sql(_X85_EDGES_CTE),
+    "EXT-GRAPH", tier=1,
+)
+def x105_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus over the co-purchase
+    graph (:func:`operators.graph.random_walks`): 50 seeds × 3 steps,
+    each step's neighbor pick md5-ranked so the embedding corpus is
+    reproducible and both engines unroll identical walks — the
+    graph→skip-gram training-data bridge. One ranked-adjacency build +
+    one keyed join per step."""
+    return G.random_walks(_x85_edges(spark, sf_dir))
+
+
 _X104_ROWS_CTE = "SELECT c_custkey AS rid, c_name AS s FROM customer"
 
 
@@ -2014,7 +2076,18 @@ SELECT 'ols', user_id, {z}, n, {z}, {z}, CAST(slope AS DOUBLE),
 FROM ({member_oracle('x103_ols_trend')})
 UNION ALL
 SELECT 'ed1', id_a, id_b, dist, {z}, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x104_editdist1_join')})"""
+FROM ({member_oracle('x104_editdist1_join')})
+UNION ALL
+SELECT 'walk', seed, step, node, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x105_random_walks')})
+UNION ALL
+SELECT 'prof', n_rows, n_null, n_distinct, {z}, {z}, {zd}, {zd},
+       concat_ws('|', column_name, coalesce(min_s, '~'), coalesce(max_s, '~'))
+FROM ({member_oracle('x106_table_profile')})
+UNION ALL
+SELECT 'cohort', cohort_week, week_offset, n_users, {z}, {z}, {zd}, {zd},
+       NULL
+FROM ({member_oracle('x107_cohort_retention')})"""
 
 
 @register(
@@ -2170,5 +2243,23 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x104_editdist1_join(spark, sf_dir), "ed1",
             id1=F.col("id_a"), id2=F.col("id_b"), v1=F.col("dist"),
+        ))
+        .unionAll(_suite_shape(
+            x105_random_walks(spark, sf_dir), "walk",
+            id1=F.col("seed"), id2=F.col("step"), v1=F.col("node"),
+        ))
+        .unionAll(_suite_shape(
+            x106_table_profile(spark, sf_dir), "prof",
+            id1=F.col("n_rows"), id2=F.col("n_null"), v1=F.col("n_distinct"),
+            s1=F.concat_ws(
+                "|", F.col("column_name"),
+                F.coalesce(F.col("min_s"), F.lit("~")),
+                F.coalesce(F.col("max_s"), F.lit("~")),
+            ),
+        ))
+        .unionAll(_suite_shape(
+            x107_cohort_retention(spark, sf_dir), "cohort",
+            id1=F.col("cohort_week"), id2=F.col("week_offset"),
+            v1=F.col("n_users"),
         ))
     )

@@ -298,3 +298,62 @@ def corpus_drift(docs: DataFrame, min_support: int = 20) -> DataFrame:
         .crossJoin(totals)
         .select("term", "n_a", "n_b", F.round(ratio, 6).alias("drift_ratio"))
     )
+
+
+#: epoch-week quantum for cohort retention: 7 days of microseconds.
+WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle (EXT-ANALYTICS): users are cohorted by
+    the epoch-week of their FIRST event; for every week they are active
+    afterward, the (cohort_week, week_offset) cell counts them — the
+    standard product-analytics retention matrix ("of the users acquired
+    in week W, how many came back k weeks later"), and for a training
+    corpus the freshness profile of contributing users/sources.
+
+    All-integer arithmetic: epoch-weeks are ``epoch_us div WEEK_US``
+    (no calendar/timezone semantics to disagree on — the same
+    fixed-quantum bucketing the tumbling windows use), offsets are week
+    differences, cells are counts.
+
+    Plan: one user-keyed aggregate for the cohort week (min over first
+    events), one distinct on (user, active-week) — both map-side-combined
+    — a user-keyed join back, and the final (cohort, offset) rollup whose
+    output is O(weeks²/2), tiny at any corpus size. No windows, no
+    per-user state.
+
+    Returns ``(cohort_week, week_offset, n_users)``.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div {WEEK_US}")
+        .alias("wk"),
+    ).filter(F.col("wk").isNotNull())
+    cohort = base.groupBy("u").agg(F.min("wk").alias("cw"))
+    active = base.distinct()
+    return (
+        active.join(cohort, "u")
+        .select("u", "cw", (F.col("wk") - F.col("cw")).alias("off"))
+        .distinct()
+        .groupBy(F.col("cw").alias("cohort_week"), F.col("off").alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def cohort_retention_sql(events_cte: str) -> str:
+    """DuckDB oracle for :func:`cohort_retention`; ``events_cte`` must
+    yield ``(u, us)`` with ``us`` epoch-microseconds."""
+    return f"""WITH e AS ({events_cte}),
+  b AS (SELECT u, us // {WEEK_US} AS wk FROM e WHERE us IS NOT NULL),
+  cohort AS (SELECT u, min(wk) AS cw FROM b GROUP BY u),
+  active AS (SELECT DISTINCT u, wk FROM b),
+  cells AS (SELECT DISTINCT a.u, c.cw, a.wk - c.cw AS off
+            FROM active a JOIN cohort c ON a.u = c.u)
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY cw, off"""

@@ -426,3 +426,122 @@ SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
 FROM (SELECT a, b FROM e{last} UNION ALL SELECT b, a FROM e{last})
 GROUP BY a"""
     )
+
+
+def random_walks(
+    edges: DataFrame, n_seeds: int = 50, walk_len: int = 3
+) -> DataFrame:
+    """Deterministic "random" walks over an undirected edge list ``(a,
+    b)`` — the DeepWalk/node2vec corpus generator (Perozzi et al. KDD
+    2014): walks are the sentences a skip-gram embedding trains on, so
+    this is the graph→training-data bridge operator. Seeds are the
+    ``n_seeds`` smallest node ids; each walk takes ``walk_len`` steps.
+
+    Determinism (what makes an embedding corpus reproducible AND the
+    operator hash-verifiable): step t from node ``cur`` on the walk
+    started at ``seed`` picks neighbor rank ``md5(seed|t|cur) mod
+    deg(cur) + 1`` in the (node, neighbor-id-ordered) adjacency ranking —
+    pure integer arithmetic both engines reproduce bit-for-bit, with the
+    statistical mixing of a hash. No RNG state, no seed plumbing, and
+    identical output at any parallelism.
+
+    Plan: the ranked adjacency (one window over per-node neighbor lists
+    — groups are node degrees, never corpus-sized) is built ONCE and
+    lazily checkpointed; each step is one keyed join against it (walk
+    frontier keyed on ``cur`` — never broadcast, walks can be
+    graph-sized). ``walk_len`` joins total, lineage flat.
+
+    Returns ``(seed, step, node)``: step 0 is the seed row.
+    """
+    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy("b")
+    adj = (
+        und.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("a")).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    frontier = (
+        nodes.sort("node")
+        .limit(n_seeds)
+        .select(F.col("node").alias("seed"), F.col("node").alias("cur"))
+        .localCheckpoint(eager=False)
+    )
+    out = frontier.select(
+        "seed", F.lit(0).cast("long").alias("step"), F.col("cur").alias("node")
+    )
+    from .reconcile import hex_chunk
+
+    for t in range(1, walk_len + 1):
+        pick = hex_chunk(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("seed").cast("string"),
+                    F.lit(str(t)),
+                    F.col("cur").cast("string"),
+                )
+            ),
+            1,
+        )
+        frontier = (
+            frontier.join(adj, frontier["cur"] == adj["a"])
+            .filter(adj["rn"] == pick % adj["deg"] + 1)
+            .select("seed", adj["b"].alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(
+            frontier.select(
+                "seed", F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out
+
+
+def random_walks_oracle_sql(
+    edges_cte: str, n_seeds: int = 50, walk_len: int = 3
+) -> str:
+    """DuckDB oracle for :func:`random_walks`: the identical md5-ranked
+    neighbor picks, steps unrolled as MATERIALIZED CTEs."""
+    from .reconcile import hex_chunk_sql
+
+    parts = [
+        f"raw AS MATERIALIZED ({edges_cte})",
+        "e AS MATERIALIZED (SELECT DISTINCT a, b FROM raw WHERE a <> b)",
+        "u AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e)",
+        "adj AS MATERIALIZED (SELECT a, b,"
+        " CAST(row_number() OVER (PARTITION BY a ORDER BY b) AS BIGINT) AS rn,"
+        " CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS deg FROM u)",
+        f"f0 AS MATERIALIZED (SELECT node AS seed, node AS cur FROM"
+        f" (SELECT DISTINCT a AS node FROM u) ORDER BY node LIMIT {n_seeds})",
+    ]
+    sel = ["SELECT seed, CAST(0 AS BIGINT) AS step, cur AS node FROM f0"]
+    for t in range(1, walk_len + 1):
+        pick = hex_chunk_sql(
+            f"md5(concat_ws('|', CAST(f.seed AS VARCHAR), '{t}',"
+            f" CAST(f.cur AS VARCHAR)))",
+            1,
+        )
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT f.seed, adj.b AS cur"
+            f" FROM f{t - 1} f JOIN adj ON adj.a = f.cur"
+            f" AND adj.rn = ({pick}) % adj.deg + 1)"
+        )
+        sel.append(
+            f"SELECT seed, CAST({t} AS BIGINT) AS step, cur AS node FROM f{t}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)

@@ -190,3 +190,90 @@ def test_mg_guarantee_fuzzed_against_random_corpora_and_splits():
                 assert term in kept, f"{term} (count {cnt} > {n}/{k + 1}) dropped"
 
     run()
+
+
+def test_profile_table_counts_nulls_distincts_and_canonical_minmax(spark):
+    from mariadb_postgres_migration_spark.operators.profile import profile_table
+
+    import datetime as dt
+
+    rows = [
+        (1, "a", 1.005, dt.datetime(2024, 1, 1)),
+        (2, "b", 2.344, dt.datetime(2024, 6, 1)),
+        (3, None, None, None),
+        (None, "b", 2.344, dt.datetime(2024, 6, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, s string, v double, t timestamp"
+    )
+    got = {
+        r["column_name"]: (
+            r["n_rows"], r["n_null"], r["n_distinct"], r["min_s"], r["max_s"]
+        )
+        for r in profile_table(
+            df, [("k", "int"), ("s", "str"), ("v", "cents"), ("t", "ts")]
+        ).collect()
+    }
+    assert got["k"] == (4, 1, 3, "1", "3")
+    assert got["s"] == (4, 1, 2, "a", "b")
+    # cents: the half-up recipe operates on the BINARY double both engines
+    # share — 1.005 stores as 1.00499…, so floor(x*100 + 0.5) = 100 in
+    # both (what matters is identity, not decimal prettiness)
+    assert got["v"] == (4, 1, 2, "100", "234")
+    # ts: epoch micros of the typed min/max
+    assert got["t"][0:3] == (4, 1, 2)
+    assert got["t"][3] == str(
+        int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    )
+
+
+def test_profile_table_is_one_pass(spark, sf_dir):
+    from mariadb_postgres_migration_spark.operators.profile import profile_table
+    from mariadb_postgres_migration_spark.sources.parquet import (
+        read_parquet_table as rd,
+    )
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    df = profile_table(
+        rd(spark, sf_dir, "orders"),
+        [("o_orderkey", "int"), ("o_totalprice", "cents")],
+    )
+    plan = formatted_plan(df)
+    # exactly one scan NODE in the plan tree (one-pass claim; the node
+    # prints once in the tree as "Scan parquet  (n)" and once again in
+    # the details section) and the Expand that implements exact
+    # multi-column distinct inside that single pass
+    assert plan.count("Scan parquet  (") == 1
+    assert "Expand" in plan
+
+
+def test_cohort_retention_hand_checked(spark):
+    from mariadb_postgres_migration_spark.operators.audit import (
+        WEEK_US,
+        cohort_retention,
+    )
+
+    import datetime as dt
+
+    def ts(week, day=0):
+        return dt.datetime.fromtimestamp(
+            (week * 7 + day) * 86400, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+    rows = [
+        # user 1: first in week 100, back in weeks 101 and 103 (twice)
+        (1, ts(100)), (1, ts(101)), (1, ts(103)), (1, ts(103, 2)),
+        # user 2: same cohort, only week 100
+        (2, ts(100, 3)),
+        # user 3: cohort week 101, back week 102
+        (3, ts(101)), (3, ts(102)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        (100, 0): 2, (100, 1): 1, (100, 3): 1,
+        (101, 0): 1, (101, 1): 1,
+    }

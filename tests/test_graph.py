@@ -163,3 +163,55 @@ def test_kcore_threshold_above_max_degree_is_empty(spark):
     assert G.kcore(e, k=3, rounds=4).collect() == []
     got = {r["node"]: r["deg"] for r in G.kcore(e, k=2, rounds=4).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_random_walks_match_local_simulation(spark):
+    import hashlib
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(
+        (r["seed"], r["step"], r["node"])
+        for r in G.random_walks(e, n_seeds=3, walk_len=4).collect()
+    )
+
+    # local reimplementation: same adjacency ranking, same md5 pick
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    exp = []
+    for seed in sorted(adj)[:3]:
+        cur = seed
+        exp.append((seed, 0, cur))
+        for t in range(1, 5):
+            h = int(
+                hashlib.md5(f"{seed}|{t}|{cur}".encode()).hexdigest()[:8], 16
+            )
+            cur = adj[cur][h % len(adj[cur])]
+            exp.append((seed, t, cur))
+    assert got == sorted(exp)
+
+
+def test_random_walks_steps_are_edges_and_deterministic(spark, sf_dir):
+    from mariadb_postgres_migration_spark.audit_queries import _x85_edges
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    e = _x85_edges(spark, sf_dir)
+    w1 = sorted(map(tuple, G.random_walks(e, n_seeds=10, walk_len=2).collect()))
+    release_cached_intermediates()
+    w2 = sorted(map(tuple, G.random_walks(_x85_edges(spark, sf_dir), n_seeds=10, walk_len=2).collect()))
+    assert w1 == w2  # identical across runs/partitionings
+    # every (step t-1 -> t) hop is a real undirected edge
+    und = {(a, b) for a, b in ((r["a"], r["b"]) for r in e.collect())}
+    und |= {(b, a) for a, b in und}
+    walks = {}
+    for seed, step, node in w1:
+        walks.setdefault(seed, {})[step] = node
+    for seed, steps in walks.items():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in und
+    release_cached_intermediates()

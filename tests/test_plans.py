@@ -450,6 +450,10 @@ def test_r6b_order_stats_plan_contracts(q):
         "x100_kcore_peel",
         "x102_equidepth_histogram",
         "x103_ols_trend",
+        "x104_editdist1_join",
+        "x105_random_walks",
+        "x106_table_profile",
+        "x107_cohort_retention",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
