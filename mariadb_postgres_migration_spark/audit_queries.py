@@ -2113,7 +2113,12 @@ def x84_r6_ops_suite(spark, sf_dir):
     weighted sample (x93), frontier BFS over the co-purchase graph
     (x94), the bigram-LM quality score (x95), the per-brand Pareto
     skyline (x96), the character-entropy signal (x97), the KMV
-    set-relation estimates (x99) and the bounded k-core peel (x100),
+    set-relation estimates (x99), the bounded k-core peel (x100), the
+    streamed KMV sketch state (x101 — a third availableNow replay), the
+    equi-depth histogram (x102), the OLS trend (x103), the
+    deletion-neighborhood edit-distance join (x104), the random-walk
+    corpus (x105), the one-pass table profile (x106) and the cohort
+    retention triangle (x107),
     union-folded into the shared kind-tagged suite shape. BPE training is deterministic, so the
     suite runs the count→argmax→apply loop ONCE and derives both the x80
     and x81 member shapes from the shared merges/vocab (the standalone

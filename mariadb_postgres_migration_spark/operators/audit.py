@@ -336,10 +336,13 @@ def cohort_retention(
     ).filter(F.col("wk").isNotNull())
     cohort = base.groupBy("u").agg(F.min("wk").alias("cw"))
     active = base.distinct()
+    # (u, cw, off) is already unique here: active is distinct on (u, wk),
+    # cohort is 1 row per u, and off is a bijection of wk for fixed u —
+    # no second distinct (review r6b: it re-shuffled the whole active set
+    # for no semantic effect)
     return (
         active.join(cohort, "u")
-        .select("u", "cw", (F.col("wk") - F.col("cw")).alias("off"))
-        .distinct()
+        .select("u", (F.col("wk") - F.col("cw")).alias("off"), "cw")
         .groupBy(F.col("cw").alias("cohort_week"), F.col("off").alias("week_offset"))
         .agg(F.count("*").cast("long").alias("n_users"))
     )
@@ -352,7 +355,7 @@ def cohort_retention_sql(events_cte: str) -> str:
   b AS (SELECT u, us // {WEEK_US} AS wk FROM e WHERE us IS NOT NULL),
   cohort AS (SELECT u, min(wk) AS cw FROM b GROUP BY u),
   active AS (SELECT DISTINCT u, wk FROM b),
-  cells AS (SELECT DISTINCT a.u, c.cw, a.wk - c.cw AS off
+  cells AS (SELECT a.u, c.cw, a.wk - c.cw AS off
             FROM active a JOIN cohort c ON a.u = c.u)
 SELECT cw AS cohort_week, off AS week_offset,
        CAST(count(*) AS BIGINT) AS n_users

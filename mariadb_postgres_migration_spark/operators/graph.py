@@ -453,7 +453,17 @@ def random_walks(
 
     Returns ``(seed, step, node)``: step 0 is the seed row.
     """
-    e = edges.select("a", "b").filter(F.col("a") != F.col("b")).distinct()
+    # canonicalize BEFORE the explode: an input carrying both orientations
+    # of an undirected edge must collapse to one, or the adjacency ranking
+    # holds duplicate neighbor rows and rn/deg (hence every md5 pick)
+    # diverge from the oracle's UNION-dedup'd adjacency (review r6b —
+    # latent with _x85_edges' canonical a<b pairs, wrong for any caller
+    # passing a symmetric edge list)
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     und = (
         e.select(
             F.explode(

@@ -215,3 +215,16 @@ def test_random_walks_steps_are_edges_and_deterministic(spark, sf_dir):
         for t in range(1, max(steps) + 1):
             assert (steps[t - 1], steps[t]) in und
     release_cached_intermediates()
+
+
+def test_random_walks_collapse_symmetric_edge_lists(spark):
+    # an input carrying BOTH orientations of an edge must walk exactly
+    # like the canonical single-orientation list — duplicate adjacency
+    # rows would skew deg and every md5 pick (review r6b)
+    canon = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)], "a long, b long"
+    )
+    w1 = sorted(map(tuple, G.random_walks(canon, n_seeds=3, walk_len=3).collect()))
+    w2 = sorted(map(tuple, G.random_walks(sym, n_seeds=3, walk_len=3).collect()))
+    assert w1 == w2
