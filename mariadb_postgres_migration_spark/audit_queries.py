@@ -1906,6 +1906,28 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+_X108_ROWS_CTE = "SELECT o_orderpriority AS g, o_custkey AS k FROM orders"
+
+
+@register(
+    "x108_bitmap_set_relations",
+    SKS.bitmap_set_relations_sql(_X108_ROWS_CTE),
+    "EXT-ANALYTICS", "EXT-AUDIT", tier=1,
+)
+def x108_bitmap_set_relations(spark, sf_dir):
+    """EXACT customer-set overlap between order priorities via bitmap
+    indexes (:func:`operators.sketches.bitmap_set_relations`): distinct
+    custkeys pack into 62-bit words by one map-side-combined bit_or,
+    intersections are bit_count(a & b) word joins — while the oracle
+    runs plain pairwise COUNT(DISTINCT) joins, so the hash match
+    cross-checks two independent algorithms. The dense-domain exact
+    complement to x99's KMV estimates."""
+    rows = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_custkey").alias("k")
+    )
+    return SKS.bitmap_set_relations(rows, "g", "k")
+
+
 _X107_EVENTS_CTE = "SELECT user_id AS u, epoch_us(ts) AS us FROM events"
 
 
@@ -2087,7 +2109,11 @@ FROM ({member_oracle('x106_table_profile')})
 UNION ALL
 SELECT 'cohort', cohort_week, week_offset, n_users, {z}, {z}, {zd}, {zd},
        NULL
-FROM ({member_oracle('x107_cohort_retention')})"""
+FROM ({member_oracle('x107_cohort_retention')})
+UNION ALL
+SELECT 'bitmap', n_a, n_b, n_inter, n_union, jaccard_milli, {zd}, {zd},
+       concat_ws('|', g1, g2)
+FROM ({member_oracle('x108_bitmap_set_relations')})"""
 
 
 @register(
@@ -2266,5 +2292,11 @@ def x84_r6_ops_suite(spark, sf_dir):
             x107_cohort_retention(spark, sf_dir), "cohort",
             id1=F.col("cohort_week"), id2=F.col("week_offset"),
             v1=F.col("n_users"),
+        ))
+        .unionAll(_suite_shape(
+            x108_bitmap_set_relations(spark, sf_dir), "bitmap",
+            id1=F.col("n_a"), id2=F.col("n_b"), v1=F.col("n_inter"),
+            v2=F.col("n_union"), v3=F.col("jaccard_milli"),
+            s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
         ))
     )

@@ -326,3 +326,107 @@ FROM est e
 JOIN cnt ca ON ca.g = e.g1
 JOIN cnt cb ON cb.g = e.g2
 LEFT JOIN exi x ON x.g1 = e.g1 AND x.g2 = e.g2"""
+
+
+#: bits packed per bitmap word — 62 keeps every mask positive in a signed
+#: BIGINT (shift ≤ 61), sidestepping sign-bit semantics differences.
+BITMAP_WORD_BITS = 62
+
+
+def bitmap_set_relations(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """EXACT pairwise set relations between groups via bitmap indexes —
+    the dense-id complement to :func:`kmv_set_relations`: per group, the
+    distinct non-negative integer keys pack into (word_idx → 62-bit word)
+    rows built by one map-side-combined ``bit_or``; a pair's intersection
+    is then ``Σ bit_count(wa & wb)`` over an inner word join, union falls
+    out by inclusion-exclusion from per-group popcounts. The classic OLAP
+    bitmap-index trick: set operations become bitwise ops on tables
+    |key domain| / 62 rows per group, independent of row count.
+
+    The ORACLE computes the same relations with plain pairwise
+    ``COUNT(DISTINCT)`` joins — no bitmaps anywhere — so the driver hash
+    match cross-checks two fully independent algorithms (the same
+    two-algorithm pattern as x96's skyline).
+
+    When to use which: bitmaps are exact and cheap while the key domain
+    is dense (words ~ domain/62 regardless of group count); KMV (x99)
+    stays k rows per group for ANY domain, at ±O(1/√k) error. Requires
+    non-negative integer keys; negative/sparse-huge domains re-map
+    through a dictionary first.
+
+    Returns ``(g1, g2, n_a, n_b, n_inter, n_union, jaccard_milli)``.
+    """
+    w = BITMAP_WORD_BITS
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(key_col).cast("long").alias("k")
+    ).filter(F.col("k") >= 0)
+    words = (
+        base.select(
+            "g",
+            F.expr(f"k div {w}").alias("widx"),
+            # shiftleft via expr: the python F.shiftleft only takes a
+            # LITERAL shift amount, not a per-row column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(k % {w} AS INT))").alias("m"),
+        )
+        .groupBy("g", "widx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    pop = words.groupBy("g").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n")
+    )
+    a = words.select(F.col("g").alias("g1"), "widx", F.col("bits").alias("ba"))
+    b = words.select(F.col("g").alias("g2"), "widx", F.col("bits").alias("bb"))
+    inter = (
+        a.join(b, "widx")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    pa = pop.select(F.col("g").alias("g1"), F.col("n").alias("n_a"))
+    pb = pop.select(F.col("g").alias("g2"), F.col("n").alias("n_b"))
+    pairs = pa.join(F.broadcast(pb)).filter(F.col("g1") < F.col("g2"))
+    out = (
+        pairs.join(inter, ["g1", "g2"], "left")
+        .select(
+            "g1", "g2", "n_a", "n_b",
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+        )
+        .select(
+            "g1", "g2", "n_a", "n_b", "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return out.select(
+        "*",
+        F.expr("(1000 * n_inter) div n_union").cast("long").alias("jaccard_milli"),
+    )
+
+
+def bitmap_set_relations_sql(rows_cte: str) -> str:
+    """DuckDB oracle for :func:`bitmap_set_relations`: plain pairwise
+    distinct-set joins, no bitmap anywhere — the independent algorithm
+    whose agreement proves the bit packing. ``rows_cte`` must yield
+    ``(g, k)``."""
+    return f"""WITH r AS ({rows_cte}),
+  keys AS (SELECT DISTINCT g, k FROM r WHERE k >= 0),
+  cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY g),
+  pairs AS (SELECT a.g AS g1, b.g AS g2, a.n AS n_a, b.n AS n_b
+            FROM cnt a JOIN cnt b ON a.g < b.g),
+  inter AS (SELECT x.g AS g1, y.g AS g2, CAST(count(*) AS BIGINT) AS n_inter
+            FROM keys x JOIN keys y ON x.g < y.g AND x.k = y.k
+            GROUP BY x.g, y.g)
+SELECT p.g1, p.g2, p.n_a, p.n_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       CAST((1000 * COALESCE(i.n_inter, 0))
+            // (p.n_a + p.n_b - COALESCE(i.n_inter, 0)) AS BIGINT)
+         AS jaccard_milli
+FROM pairs p LEFT JOIN inter i ON i.g1 = p.g1 AND i.g2 = p.g2"""

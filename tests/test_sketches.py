@@ -469,3 +469,55 @@ def test_editdist1_plan_has_no_cartesian(spark, sf_dir):
     plan = formatted_plan(editdist1_pairs(cust, "rid", "s"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bitmap_set_relations
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_set_relations_exact_vs_python_sets(spark):
+    from mariadb_postgres_migration_spark.operators.sketches import (
+        bitmap_set_relations,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    groups = {
+        "a": {rng.randrange(0, 500) for _ in range(300)},
+        "b": {rng.randrange(200, 700) for _ in range(300)},
+        "c": {rng.randrange(0, 5000) for _ in range(100)},  # sparse tail
+    }
+    # duplicates in the raw rows must not matter
+    rows = [(g, k) for g, ks in groups.items() for k in ks for _ in (0, 1)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        (r["g1"], r["g2"]): (
+            r["n_a"], r["n_b"], r["n_inter"], r["n_union"], r["jaccard_milli"]
+        )
+        for r in bitmap_set_relations(df, "g", "k").collect()
+    }
+    for (g1, g2), vals in got.items():
+        sa, sb = groups[g1], groups[g2]
+        i, u = len(sa & sb), len(sa | sb)
+        assert vals == (len(sa), len(sb), i, u, (1000 * i) // u), (g1, g2)
+    assert len(got) == 3
+
+
+def test_bitmap_word_boundary_keys(spark):
+    from mariadb_postgres_migration_spark.operators.sketches import (
+        BITMAP_WORD_BITS,
+        bitmap_set_relations,
+    )
+
+    w = BITMAP_WORD_BITS
+    # keys straddling word boundaries incl. bit 61 (the top packed bit)
+    ka = {0, w - 1, w, 2 * w - 1, 2 * w, 61}
+    kb = {w - 1, 2 * w, 5 * w + 3}
+    rows = [("a", k) for k in ka] + [("b", k) for k in kb]
+    df = spark.createDataFrame(rows, "g string, k long")
+    [r] = bitmap_set_relations(df, "g", "k").collect()
+    assert (r["n_a"], r["n_b"]) == (len(ka), len(kb))
+    assert r["n_inter"] == len(ka & kb) == 2
+    assert r["n_union"] == len(ka | kb)
