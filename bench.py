@@ -178,7 +178,7 @@ SUITE_MEMBERS = {
         "x101_stream_kmv_state", "x102_equidepth_histogram",
         "x103_ols_trend", "x104_editdist1_join", "x105_random_walks",
         "x106_table_profile", "x107_cohort_retention",
-        "x108_bitmap_set_relations",
+        "x108_bitmap_set_relations", "x109_markov_transitions",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

@@ -1906,6 +1906,25 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+_X109_EVENTS_CTE = (
+    "SELECT user_id AS u, epoch_us(ts) AS us, event_id, event_type AS et "
+    "FROM events"
+)
+
+
+@register(
+    "x109_markov_transitions",
+    A.markov_transitions_sql(_X109_EVENTS_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x109_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (:func:`operators.audit.markov_transitions`): (from→to) counts from
+    one user-keyed lead window + integer per-mille row-normalized
+    probabilities — the all-paths complement to x71's fixed funnel."""
+    return A.markov_transitions(_t(spark, sf_dir, "events"))
+
+
 _X108_ROWS_CTE = "SELECT o_orderpriority AS g, o_custkey AS k FROM orders"
 
 
@@ -2113,7 +2132,11 @@ FROM ({member_oracle('x107_cohort_retention')})
 UNION ALL
 SELECT 'bitmap', n_a, n_b, n_inter, n_union, jaccard_milli, {zd}, {zd},
        concat_ws('|', g1, g2)
-FROM ({member_oracle('x108_bitmap_set_relations')})"""
+FROM ({member_oracle('x108_bitmap_set_relations')})
+UNION ALL
+SELECT 'markov', n, p_milli, {z}, {z}, {z}, {zd}, {zd},
+       concat_ws('|', from_type, to_type)
+FROM ({member_oracle('x109_markov_transitions')})"""
 
 
 @register(
@@ -2298,5 +2321,10 @@ def x84_r6_ops_suite(spark, sf_dir):
             id1=F.col("n_a"), id2=F.col("n_b"), v1=F.col("n_inter"),
             v2=F.col("n_union"), v3=F.col("jaccard_milli"),
             s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
+        ))
+        .unionAll(_suite_shape(
+            x109_markov_transitions(spark, sf_dir), "markov",
+            id1=F.col("n"), id2=F.col("p_milli"),
+            s1=F.concat_ws("|", F.col("from_type"), F.col("to_type")),
         ))
     )

@@ -360,3 +360,65 @@ def cohort_retention_sql(events_cte: str) -> str:
 SELECT cw AS cohort_week, off AS week_offset,
        CAST(count(*) AS BIGINT) AS n_users
 FROM cells GROUP BY cw, off"""
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (EXT-ANALYTICS): for every ordered pair of consecutive events of one
+    user, count (from_type → to_type) and emit the per-from-state
+    transition probability in integer per-mille — the behavioral
+    transition matrix behind "what do users do after a click", session
+    modeling, and anomalous-flow detection (a sequence-level complement
+    to x71's fixed funnel: the funnel asks about ONE path, the matrix
+    measures them all).
+
+    Plan: one user-keyed window (ordered by ts, id — the SAME exchange
+    every per-user sequence operator here shares) produces the lead
+    type, then a (from, to) groupBy over ≤ |types|² groups and a
+    broadcast-sized join to the from-state totals. Probabilities are
+    integer per-mille (``1000·n div n_from``) — no float division in the
+    verified surface.
+
+    Returns ``(from_type, to_type, n, p_milli)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    steps = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    trans = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.expr("(1000 * n) div n_from").cast("long").alias("p_milli"),
+        )
+    )
+
+
+def markov_transitions_sql(events_cte: str) -> str:
+    """DuckDB oracle for :func:`markov_transitions`; ``events_cte`` must
+    yield ``(u, us, event_id, et)``."""
+    return f"""WITH e AS ({events_cte}),
+  steps AS (SELECT et AS from_type,
+                   lead(et) OVER (PARTITION BY u ORDER BY us, event_id)
+                     AS to_type
+            FROM e),
+  trans AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM steps WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type),
+  tot AS (SELECT from_type, sum(n) AS n_from FROM trans GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n,
+       CAST((1000 * t.n) // x.n_from AS BIGINT) AS p_milli
+FROM trans t JOIN tot x ON t.from_type = x.from_type"""

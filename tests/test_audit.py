@@ -277,3 +277,38 @@ def test_cohort_retention_hand_checked(spark):
         (100, 0): 2, (100, 1): 1, (100, 3): 1,
         (101, 0): 1, (101, 1): 1,
     }
+
+
+def test_markov_transitions_hand_checked(spark):
+    from mariadb_postgres_migration_spark.operators.audit import (
+        markov_transitions,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, et):
+        return (i, u, t0 + dt.timedelta(minutes=i), et)
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "a"), ev(4, 1, "c"),
+        # user 2: a -> b (no cross-user transition to user 1's events)
+        ev(5, 2, "a"), ev(6, 2, "b"),
+        # user 3: single event -> contributes nothing
+        ev(7, 3, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_milli"])
+        for r in markov_transitions(df).collect()
+    }
+    # from 'a': a->b twice, a->c once; from 'b': b->a once
+    assert got == {
+        ("a", "b"): (2, 666),
+        ("a", "c"): (1, 333),
+        ("b", "a"): (1, 1000),
+    }
