@@ -1906,6 +1906,36 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+_X110_EDGES_CTE = f"""SELECT a, b, 1000 // c AS w FROM (
+  SELECT a, b, count(*) AS c FROM ({_COOC_EDGES_CTE}) GROUP BY a, b)
+WHERE c >= {X85_MIN_SUPPORT}"""
+
+
+@register(
+    "x110_cheapest_paths",
+    G.cheapest_paths_oracle_sql(_X110_EDGES_CTE),
+    "EXT-GRAPH", tier=1,
+)
+def x110_cheapest_paths(spark, sf_dir):
+    """Bounded Bellman-Ford over the support-weighted co-purchase graph
+    (:func:`operators.graph.cheapest_paths`): minimum path cost from the
+    5 smallest parts using ≤ 3 edges, edge weight = ``1000 div support``
+    so well-trodden co-purchase links are cheap — the weighted
+    complement to x94's hop BFS. 'Cheapest ≤k-edge path' is the k-round
+    Bellman-Ford invariant, well-defined on its own terms; all-integer
+    costs, rounds unrolled identically by the oracle."""
+    pairs = B.cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    ew = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= X85_MIN_SUPPORT)
+        .select("a", "b", F.expr("1000 div __c").alias("w"))
+    )
+    return G.cheapest_paths(ew)
+
+
 _X109_EVENTS_CTE = (
     "SELECT user_id AS u, epoch_us(ts) AS us, event_id, event_type AS et "
     "FROM events"
@@ -2136,7 +2166,10 @@ FROM ({member_oracle('x108_bitmap_set_relations')})
 UNION ALL
 SELECT 'markov', n, p_milli, {z}, {z}, {z}, {zd}, {zd},
        concat_ws('|', from_type, to_type)
-FROM ({member_oracle('x109_markov_transitions')})"""
+FROM ({member_oracle('x109_markov_transitions')})
+UNION ALL
+SELECT 'bford', node, {z}, cost, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x110_cheapest_paths')})"""
 
 
 @register(
@@ -2326,5 +2359,9 @@ def x84_r6_ops_suite(spark, sf_dir):
             x109_markov_transitions(spark, sf_dir), "markov",
             id1=F.col("n"), id2=F.col("p_milli"),
             s1=F.concat_ws("|", F.col("from_type"), F.col("to_type")),
+        ))
+        .unionAll(_suite_shape(
+            x110_cheapest_paths(spark, sf_dir), "bford",
+            id1=F.col("node"), v1=F.col("cost"),
         ))
     )

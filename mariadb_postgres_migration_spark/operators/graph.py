@@ -555,3 +555,98 @@ def random_walks_oracle_sql(
             f"SELECT seed, CAST({t} AS BIGINT) AS step, cur AS node FROM f{t}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def cheapest_paths(
+    edges_w: DataFrame, n_seeds: int = 5, max_edges: int = 3
+) -> DataFrame:
+    """``(node, cost)`` — minimum path cost from a seed set using at most
+    ``max_edges`` edges, over an undirected weighted edge list ``(a, b,
+    w)`` with non-negative integer weights: bounded Bellman-Ford, the
+    weighted complement to :func:`bfs_hops` (hops ask "how far", costs
+    ask "how cheaply"). Seeds are the ``n_seeds`` smallest node ids,
+    cost 0.
+
+    "Cheapest path using ≤ k edges" is exactly the k-round Bellman-Ford
+    invariant, so the bounded form is well-defined on its own terms (not
+    a truncation of some other answer) and both engines unroll the same
+    k relaxations. Per round: one keyed join of the current best-cost
+    table against the edge list (never broadcast — the frontier is the
+    whole reached set), a map-side-combined min per node, and a min-merge
+    with the previous round's table; rounds are lazily
+    ``localCheckpoint``ed like every iterative kernel here. All-integer
+    costs — no float accumulation anywhere.
+    """
+    e = (
+        edges_w.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b"), F.col("w")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.w")
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    best = (
+        nodes.sort("node")
+        .limit(n_seeds)
+        .select("node", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_edges):
+        relaxed = (
+            und.join(best.withColumnRenamed("node", "a"), on="a")
+            .select(F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .unionAll(best)
+            .groupBy("node")
+            .agg(F.min("cost").cast("long").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+        best = relaxed
+    return best
+
+
+def cheapest_paths_oracle_sql(
+    edges_cte: str, n_seeds: int = 5, max_edges: int = 3
+) -> str:
+    """DuckDB oracle for :func:`cheapest_paths`: the identical k
+    relaxations unrolled as MATERIALIZED CTEs. ``edges_cte`` must yield
+    ``(a, b, w)``."""
+    parts = [
+        f"raw AS MATERIALIZED ({edges_cte})",
+        "e AS MATERIALIZED (SELECT least(a, b) AS a, greatest(a, b) AS b,"
+        " CAST(min(w) AS BIGINT) AS w FROM raw WHERE a <> b GROUP BY 1, 2)",
+        "u AS MATERIALIZED (SELECT a, b, w FROM e"
+        " UNION ALL SELECT b, a, w FROM e)",
+        f"b0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS cost FROM"
+        f" (SELECT DISTINCT a AS node FROM u) ORDER BY node LIMIT {n_seeds})",
+    ]
+    for r in range(1, max_edges + 1):
+        p = r - 1
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT node, CAST(min(cost) AS BIGINT)"
+            f" AS cost FROM ("
+            f"SELECT u.b AS node, x.cost + u.w AS cost"
+            f" FROM b{p} x JOIN u ON u.a = x.node"
+            f" UNION ALL SELECT node, cost FROM b{p}"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, cost FROM b{max_edges}"
+    )

@@ -228,3 +228,42 @@ def test_random_walks_collapse_symmetric_edge_lists(spark):
     w1 = sorted(map(tuple, G.random_walks(canon, n_seeds=3, walk_len=3).collect()))
     w2 = sorted(map(tuple, G.random_walks(sym, n_seeds=3, walk_len=3).collect()))
     assert w1 == w2
+
+
+def test_cheapest_paths_hand_checked_weighted_graph(spark):
+    # seeds (3 smallest): 1, 2, 3. Edge weights force a cheap detour:
+    # 1-4 direct costs 10, but 1-2(1) + 2-4(2) costs 3 within 2 edges.
+    edges = [(1, 2, 1), (2, 4, 2), (1, 4, 10), (4, 5, 1), (3, 6, 7)]
+    e = spark.createDataFrame(edges, "a long, b long, w long")
+    got = {
+        r["node"]: r["cost"]
+        for r in G.cheapest_paths(e, n_seeds=3, max_edges=3).collect()
+    }
+    assert got == {
+        1: 0, 2: 0, 3: 0,          # seeds
+        4: 2,                       # via 2 (2-4), beats 1-4 (10) and 1-2-4 (3)
+        5: 3,                       # 2-4-5 = 2+1
+        6: 7,                       # 3-6
+    }
+
+
+def test_cheapest_paths_edge_budget_binds(spark):
+    # path 1-2-3-4-5 (all weight 1), seed = node 1 only: with a 2-edge
+    # budget node 4 is unreachable (inf -> absent), with 3 it costs 3
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)], "a long, b long, w long"
+    )
+    got2 = {r["node"]: r["cost"] for r in G.cheapest_paths(e, n_seeds=1, max_edges=2).collect()}
+    got3 = {r["node"]: r["cost"] for r in G.cheapest_paths(e, n_seeds=1, max_edges=3).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2}
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_cheapest_paths_keeps_min_over_parallel_edges(spark):
+    # duplicate/parallel edges collapse to their min weight; reversed
+    # orientation is the same edge
+    e = spark.createDataFrame(
+        [(1, 2, 9), (2, 1, 4), (1, 2, 6)], "a long, b long, w long"
+    )
+    got = {r["node"]: r["cost"] for r in G.cheapest_paths(e, n_seeds=1, max_edges=1).collect()}
+    assert got == {1: 0, 2: 4}

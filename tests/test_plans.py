@@ -456,6 +456,7 @@ def test_r6b_order_stats_plan_contracts(q):
         "x107_cohort_retention",
         "x108_bitmap_set_relations",
         "x109_markov_transitions",
+        "x110_cheapest_paths",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
