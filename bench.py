@@ -179,7 +179,7 @@ SUITE_MEMBERS = {
         "x103_ols_trend", "x104_editdist1_join", "x105_random_walks",
         "x106_table_profile", "x107_cohort_retention",
         "x108_bitmap_set_relations", "x109_markov_transitions",
-        "x110_cheapest_paths",
+        "x110_cheapest_paths", "x111_percentile_rank",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

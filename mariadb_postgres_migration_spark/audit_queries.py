@@ -1906,6 +1906,27 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+_X111_ROWS_CTE = (
+    "SELECT doc_id AS rid, CAST(n_chars AS BIGINT) AS v FROM documents"
+)
+
+
+@register(
+    "x111_percentile_rank",
+    OS.percentile_rank_sql(_X111_ROWS_CTE, "doc_id", "n_chars"),
+    "EXT-ANALYTICS", "EXT-05", tier=1,
+)
+def x111_percentile_rank(spark, sf_dir):
+    """Exact per-mille percentile-rank normalization of document lengths
+    (:func:`operators.order_stats.percentile_rank`): the rank-transform
+    feature scaling, built as a distinct-value CDF + value-keyed join
+    back — never the global percent_rank window the oracle runs, so the
+    hash match cross-checks the CDF join against the textbook window."""
+    return OS.percentile_rank(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars"
+    )
+
+
 _X110_EDGES_CTE = f"""SELECT a, b, 1000 // c AS w FROM (
   SELECT a, b, count(*) AS c FROM ({_COOC_EDGES_CTE}) GROUP BY a, b)
 WHERE c >= {X85_MIN_SUPPORT}"""
@@ -2169,7 +2190,10 @@ SELECT 'markov', n, p_milli, {z}, {z}, {z}, {zd}, {zd},
 FROM ({member_oracle('x109_markov_transitions')})
 UNION ALL
 SELECT 'bford', node, {z}, cost, {z}, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x110_cheapest_paths')})"""
+FROM ({member_oracle('x110_cheapest_paths')})
+UNION ALL
+SELECT 'prank', doc_id, {z}, n_chars, pr_milli, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x111_percentile_rank')})"""
 
 
 @register(
@@ -2363,5 +2387,9 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x110_cheapest_paths(spark, sf_dir), "bford",
             id1=F.col("node"), v1=F.col("cost"),
+        ))
+        .unionAll(_suite_shape(
+            x111_percentile_rank(spark, sf_dir), "prank",
+            id1=F.col("doc_id"), v1=F.col("n_chars"), v2=F.col("pr_milli"),
         ))
     )

@@ -365,3 +365,64 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
 FROM (SELECT p, (SELECT count(*) FROM bnd WHERE nn.p > bnd.b) AS bucket
       FROM nn)
 GROUP BY bucket"""
+
+
+def percentile_rank(
+    vals: DataFrame,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact per-mille percentile rank of every row's integer value —
+    ``1000·(rank−1) div (n−1)`` with ``rank`` the 1-based position of the
+    FIRST occurrence of the value in the global order (percent_rank
+    semantics) — the rank-transform feature normalization (quantile
+    scaling) a training pipeline applies to heavy-tailed numerics.
+
+    The scale story: a window ``percent_rank()`` over the whole corpus is
+    a single-partition global sort. Here the CDF is built on the DISTINCT
+    VALUE table instead — per value one count, a running sum over the
+    |distinct|-row table (that window IS single-partition, but over
+    distinct values, not rows — the p2 trade), then a value-keyed join
+    back to the fact rows. Exact for any row count; the |distinct| bound
+    is the operator's contract (quantized cents, scores, sizes — not
+    free-text keys).
+
+    Returns ``(id, value, pr_milli)``.
+    """
+    base = vals.select(
+        F.col(id_col).alias("rid"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    counts = base.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cdf = counts.select(
+        "v",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("below"),
+    )
+    n = base.count()
+    denom = max(n - 1, 1)
+    return (
+        base.join(cdf, "v")
+        .select(
+            F.col("rid").alias(id_col),
+            F.col("v").alias(value_col),
+            F.expr(f"(1000 * below) div {denom}").cast("long").alias("pr_milli"),
+        )
+    )
+
+
+def percentile_rank_sql(rows_cte: str, id_col: str, value_col: str) -> str:
+    """DuckDB oracle for :func:`percentile_rank`: the window
+    ``percent_rank()`` itself, floored to per-mille — the formulation the
+    Spark plan avoids, so the hash match cross-checks the CDF join
+    against the textbook window. ``rows_cte`` must yield
+    ``(rid, v)`` with BIGINT v."""
+    return f"""WITH r AS ({rows_cte}),
+  nn AS (SELECT rid, v FROM r WHERE v IS NOT NULL),
+  pr AS (SELECT rid, v,
+                CAST(rank() OVER (ORDER BY v) - 1 AS BIGINT) AS below,
+                CAST(count(*) OVER () AS BIGINT) AS n
+         FROM nn)
+SELECT rid AS {id_col}, v AS {value_col},
+       CAST((1000 * below) // greatest(n - 1, 1) AS BIGINT) AS pr_milli
+FROM pr"""

@@ -376,3 +376,37 @@ def test_ols_trend_exact_line_and_degenerate_groups(spark):
         for r in ols_trend(df, "g", F.col("x"), F.col("y")).collect()
     }
     assert got == {1: (3.0, 7.0)}
+
+
+# ---------------------------------------------------------------------------
+# percentile_rank
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_rank_matches_local_percent_rank(spark):
+    rng = random.Random(23)
+    vals = [rng.randrange(0, 50) for _ in range(400)]  # heavy ties
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "rid long, v long")
+    got = {
+        r["rid"]: (r["v"], r["pr_milli"])
+        for r in OS.percentile_rank(df, "rid", "v").collect()
+    }
+    s = sorted(vals)
+    n = len(vals)
+    for rid, v in rows:
+        below = sum(1 for x in s if x < v)  # rank()-1 == count strictly below
+        assert got[rid] == (v, (1000 * below) // (n - 1)), rid
+    # extremes: global min -> 0, global max -> <= 1000
+    assert min(p for _, p in got.values()) == 0
+    assert max(p for _, p in got.values()) <= 1000
+
+
+def test_percentile_rank_single_row_and_constant_column(spark):
+    df1 = spark.createDataFrame([(1, 7)], "rid long, v long")
+    [r] = OS.percentile_rank(df1, "rid", "v").collect()
+    assert (r["rid"], r["pr_milli"]) == (1, 0)  # denom clamps to 1
+    dfc = spark.createDataFrame([(i, 5) for i in range(10)], "rid long, v long")
+    assert {
+        r["pr_milli"] for r in OS.percentile_rank(dfc, "rid", "v").collect()
+    } == {0}

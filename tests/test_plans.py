@@ -457,6 +457,7 @@ def test_r6b_order_stats_plan_contracts(q):
         "x108_bitmap_set_relations",
         "x109_markov_transitions",
         "x110_cheapest_paths",
+        "x111_percentile_rank",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
