@@ -180,6 +180,7 @@ SUITE_MEMBERS = {
         "x106_table_profile", "x107_cohort_retention",
         "x108_bitmap_set_relations", "x109_markov_transitions",
         "x110_cheapest_paths", "x111_percentile_rank",
+        "x112_decayed_value", "x113_mad_robust",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

@@ -1906,6 +1906,44 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+@register(
+    "x113_mad_robust", OS.mad_robust_sql(_X92_VALS_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x113_mad_robust(spark, sf_dir):
+    """Exact median + median absolute deviation of the lineitem price
+    (integer cents) — the outlier-immune center/scale pair
+    (:func:`operators.order_stats.mad_robust`), computed as two
+    histogram-refinement selections (~2 predicate-pushed scans at any
+    cardinality, never a sort); the oracle runs both medians as explicit
+    row_number rank selections."""
+    vals = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("p")
+    )
+    return OS.mad_robust(vals, "p")
+
+
+_X112_EVENTS_CTE = (
+    "SELECT user_id AS u, epoch_us(ts) AS us, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events"
+)
+
+
+@register(
+    "x112_decayed_value",
+    A.decayed_value_sql(_X112_EVENTS_CTE, "user_id"),
+    "EXT-ANALYTICS", tier=1,
+)
+def x112_decayed_value(spark, sf_dir):
+    """Recency-weighted per-user value with half-life decay quantized to
+    integer right-shifts (:func:`operators.audit.decayed_value`):
+    ``cents >> (age div half_life)`` — a staircase exponential that is
+    exact, order-free integer arithmetic in both engines (float decay is
+    unhashable); reference point = corpus max ts, a 1-row broadcast.
+    One scan + one user-keyed aggregate."""
+    return A.decayed_value(_t(spark, sf_dir, "events"))
+
+
 _X111_ROWS_CTE = (
     "SELECT doc_id AS rid, CAST(n_chars AS BIGINT) AS v FROM documents"
 )
@@ -2193,7 +2231,14 @@ SELECT 'bford', node, {z}, cost, {z}, {z}, {zd}, {zd}, NULL
 FROM ({member_oracle('x110_cheapest_paths')})
 UNION ALL
 SELECT 'prank', doc_id, {z}, n_chars, pr_milli, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x111_percentile_rank')})"""
+FROM ({member_oracle('x111_percentile_rank')})
+UNION ALL
+SELECT 'decay', user_id, n_events, raw_cents, decayed_cents, {z},
+       {zd}, {zd}, NULL
+FROM ({member_oracle('x112_decayed_value')})
+UNION ALL
+SELECT 'mad', n, {z}, median, mad, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x113_mad_robust')})"""
 
 
 @register(
@@ -2391,5 +2436,14 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x111_percentile_rank(spark, sf_dir), "prank",
             id1=F.col("doc_id"), v1=F.col("n_chars"), v2=F.col("pr_milli"),
+        ))
+        .unionAll(_suite_shape(
+            x112_decayed_value(spark, sf_dir), "decay",
+            id1=F.col("user_id"), id2=F.col("n_events"),
+            v1=F.col("raw_cents"), v2=F.col("decayed_cents"),
+        ))
+        .unionAll(_suite_shape(
+            x113_mad_robust(spark, sf_dir), "mad",
+            id1=F.col("n"), v1=F.col("median"), v2=F.col("mad"),
         ))
     )

@@ -422,3 +422,78 @@ def markov_transitions_sql(events_cte: str) -> str:
 SELECT t.from_type, t.to_type, t.n,
        CAST((1000 * t.n) // x.n_from AS BIGINT) AS p_milli
 FROM trans t JOIN tot x ON t.from_type = x.from_type"""
+
+
+#: half-life for the decayed-value aggregate, in days.
+DECAY_HALF_LIFE_DAYS = 7
+
+
+def decayed_value(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = DECAY_HALF_LIFE_DAYS,
+) -> DataFrame:
+    """Recency-weighted per-user value (EXT-ANALYTICS): each event's
+    quantized cents are halved once per ``half_life_days`` elapsed since
+    the event (relative to the corpus's newest event), then summed per
+    user — the freshness-decayed engagement score behind recommendation
+    and churn features, where yesterday's purchase should outweigh last
+    quarter's.
+
+    The exactness trick: exponential decay is usually ``v·2^(−age/h)``
+    in floats — unhashable across engines. Quantizing the exponent to
+    WHOLE half-lives makes the weight an integer right-shift
+    (``cents >> (age_days div h)``): a staircase approximation of the
+    exponential (each event keeps full value until its next half-life
+    boundary), fully deterministic, order-free integer sums. The
+    reference point (max ts) is a 1-row aggregate broadcast into the
+    row-local shift — one scan, one user-keyed aggregate.
+
+    Returns ``(user, n_events, raw_cents, decayed_cents)``.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).filter(F.col("us").isNotNull())
+    mx = base.agg(F.max("us").alias("mx"))
+    h_us = half_life_days * 86_400_000_000
+    return (
+        base.join(F.broadcast(mx))
+        .select(
+            "u", "cents",
+            # clamp: Java shiftright masks the shift mod 64 (a 64-shift
+            # would WRAP to 0 shift), DuckDB saturates — 62 floors any
+            # ancient event to 0/-1 identically in both engines
+            F.expr(
+                f"shiftright(cents,"
+                f" CAST(least((mx - us) div {h_us}, 62) AS INT))"
+            )
+            .cast("long")
+            .alias("dec"),
+        )
+        .groupBy(F.col("u").alias(user_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum("dec").cast("long").alias("decayed_cents"),
+        )
+    )
+
+
+def decayed_value_sql(
+    events_cte: str, user_col: str, half_life_days: int = DECAY_HALF_LIFE_DAYS
+) -> str:
+    """DuckDB oracle for :func:`decayed_value`; ``events_cte`` must yield
+    ``(u, us, cents)``."""
+    h_us = half_life_days * 86_400_000_000
+    return f"""WITH e AS ({events_cte}),
+  nn AS (SELECT u, us, cents FROM e WHERE us IS NOT NULL),
+  mx AS (SELECT max(us) AS mx FROM nn)
+SELECT u AS {user_col}, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(cents >> CAST((mx - us) // {h_us} AS INTEGER)) AS BIGINT)
+         AS decayed_cents
+FROM nn, mx GROUP BY u"""

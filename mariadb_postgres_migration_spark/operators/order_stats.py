@@ -426,3 +426,60 @@ def percentile_rank_sql(rows_cte: str, id_col: str, value_col: str) -> str:
 SELECT rid AS {id_col}, v AS {value_col},
        CAST((1000 * below) // greatest(n - 1, 1) AS BIGINT) AS pr_milli
 FROM pr"""
+
+
+def mad_robust(
+    vals: DataFrame,
+    value_col: str,
+    n_buckets: int = QUANTILE_BUCKETS,
+    refine_limit: int = QUANTILE_REFINE_LIMIT,
+) -> DataFrame:
+    """Exact robust center/scale of an integer column: the median and
+    the median absolute deviation ``MAD = median(|x − median|)`` — the
+    outlier-immune alternative to mean/std (a single corrupt 10^12-cent
+    row shifts a mean arbitrarily but moves a median one rank), and the
+    robust-z building block (flag when ``|x − med| > k·MAD``) production
+    data-quality monitors prefer over x75's moment-based z-score.
+
+    Composition of :func:`exact_quantiles` run twice: once over the
+    values, once over the absolute deviations from the found median —
+    each pass is the same predicate-pushed histogram-refinement
+    selection (1 full scan + a geometric tail), so exact MAD costs ~2
+    scans at any cardinality, never a sort. Driver state stays the
+    bounded histogram walk; the 1-value medians ride the same contract
+    as the quantile walk itself.
+
+    Returns one row: ``(n, median, mad)``, all BIGINT.
+    """
+    p = F.col(value_col).cast("long")
+    clean = vals.select(p.alias("__p")).filter(F.col("__p").isNotNull())
+    n = clean.count()
+    med = exact_quantiles(
+        clean, "__p", qs=(50,), n_buckets=n_buckets, refine_limit=refine_limit
+    ).first()["value"]
+    dev = clean.select(F.abs(F.col("__p") - F.lit(med)).alias("__d"))
+    mad = exact_quantiles(
+        dev, "__d", qs=(50,), n_buckets=n_buckets, refine_limit=refine_limit
+    ).first()["value"]
+    return clean.sparkSession.range(1).select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(med).cast("long").alias("median"),
+        F.lit(mad).cast("long").alias("mad"),
+    )
+
+
+def mad_robust_sql(vals_cte: str) -> str:
+    """DuckDB oracle for :func:`mad_robust`: both medians via explicit
+    row_number rank selection (the same lower-percentile_disc rank math
+    as the x92 oracle), the second over the absolute deviations."""
+    return f"""WITH vals AS ({vals_cte}),
+  nn AS (SELECT p FROM vals WHERE p IS NOT NULL),
+  tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+  med AS (SELECT p AS m FROM
+            (SELECT p, row_number() OVER (ORDER BY p) AS rn FROM nn), tot
+          WHERE rn = greatest(1, (50 * n + 99) // 100)),
+  dev AS (SELECT abs(p - m) AS d FROM nn, med),
+  mad AS (SELECT d FROM
+            (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dev), tot
+          WHERE rn = greatest(1, (50 * n + 99) // 100))
+SELECT tot.n, med.m AS median, mad.d AS mad FROM tot, med, mad"""

@@ -312,3 +312,29 @@ def test_markov_transitions_hand_checked(spark):
         ("a", "c"): (1, 333),
         ("b", "a"): (1, 1000),
     }
+
+
+def test_decayed_value_hand_checked_staircase(spark):
+    from mariadb_postgres_migration_spark.operators.audit import decayed_value
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # newest event (defines the reference point): full value
+        (1, 1, t0, 40.0),
+        # 7 days old = exactly one half-life: halved
+        (2, 1, t0 - dt.timedelta(days=7), 40.0),
+        # 6.99 days old: still full value (staircase, not smooth decay)
+        (3, 1, t0 - dt.timedelta(days=7) + dt.timedelta(seconds=1), 40.0),
+        # 21 days old = three half-lives: 4000 >> 3 = 500
+        (4, 2, t0 - dt.timedelta(days=21), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["raw_cents"], r["decayed_cents"])
+        for r in decayed_value(df).collect()
+    }
+    assert got == {1: (3, 12000, 4000 + 2000 + 4000), 2: (1, 4000, 500)}

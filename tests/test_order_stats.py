@@ -410,3 +410,24 @@ def test_percentile_rank_single_row_and_constant_column(spark):
     assert {
         r["pr_milli"] for r in OS.percentile_rank(dfc, "rid", "v").collect()
     } == {0}
+
+
+def test_mad_matches_local_and_shrugs_off_outliers(spark):
+    rng = random.Random(31)
+    vals = [rng.randrange(900, 1100) for _ in range(999)]
+    dirty = vals + [10**12]  # one corrupt row
+
+    def local_mad(v):
+        s = sorted(v)
+        n = len(s)
+        m = s[max(1, (50 * n + 99) // 100) - 1]
+        d = sorted(abs(x - m) for x in v)
+        return m, d[max(1, (50 * n + 99) // 100) - 1]
+
+    df = spark.createDataFrame([(v,) for v in dirty], "p long")
+    [r] = OS.mad_robust(df, "p", refine_limit=128).collect()
+    m, mad = local_mad(dirty)
+    assert (r["n"], r["median"], r["mad"]) == (1000, m, mad)
+    # robustness: the corrupt row barely moves the estimates
+    m0, mad0 = local_mad(vals)
+    assert abs(m - m0) < 10 and abs(mad - mad0) < 10

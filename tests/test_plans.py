@@ -458,6 +458,8 @@ def test_r6b_order_stats_plan_contracts(q):
         "x109_markov_transitions",
         "x110_cheapest_paths",
         "x111_percentile_rank",
+        "x112_decayed_value",
+        "x113_mad_robust",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
