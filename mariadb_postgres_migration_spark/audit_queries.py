@@ -1907,6 +1907,23 @@ def x103_ols_trend(spark, sf_dir):
 
 
 @register(
+    "x114_frequent_trigrams",
+    A.frequent_trigrams_sql(
+        "SELECT user_id AS u, epoch_us(ts) AS us, event_id, event_type AS et"
+        " FROM events"
+    ),
+    "EXT-ANALYTICS", tier=1,
+)
+def x114_frequent_trigrams(spark, sf_dir):
+    """Top-20 length-3 event sequences across users
+    (:func:`operators.audit.frequent_trigrams`): the sequence-mining
+    step past x109's pair matrix — behavioral motifs only visible as
+    counted n-grams. Two leads on ONE user-keyed exchange, a ≤|types|³
+    groupBy, and a distributed sort+limit top-k."""
+    return A.frequent_trigrams(_t(spark, sf_dir, "events"))
+
+
+@register(
     "x113_mad_robust", OS.mad_robust_sql(_X92_VALS_CTE),
     "EXT-ANALYTICS", tier=1,
 )
@@ -2238,7 +2255,10 @@ SELECT 'decay', user_id, n_events, raw_cents, decayed_cents, {z},
 FROM ({member_oracle('x112_decayed_value')})
 UNION ALL
 SELECT 'mad', n, {z}, median, mad, {z}, {zd}, {zd}, NULL
-FROM ({member_oracle('x113_mad_robust')})"""
+FROM ({member_oracle('x113_mad_robust')})
+UNION ALL
+SELECT 'trigram', rk, {z}, n, {z}, {z}, {zd}, {zd}, trigram
+FROM ({member_oracle('x114_frequent_trigrams')})"""
 
 
 @register(
@@ -2445,5 +2465,9 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x113_mad_robust(spark, sf_dir), "mad",
             id1=F.col("n"), v1=F.col("median"), v2=F.col("mad"),
+        ))
+        .unionAll(_suite_shape(
+            x114_frequent_trigrams(spark, sf_dir), "trigram",
+            id1=F.col("rk"), v1=F.col("n"), s1=F.col("trigram"),
         ))
     )

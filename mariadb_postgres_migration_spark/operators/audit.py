@@ -497,3 +497,62 @@ SELECT u AS {user_col}, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents >> CAST((mx - us) // {h_us} AS INTEGER)) AS BIGINT)
          AS decayed_cents
 FROM nn, mx GROUP BY u"""
+
+
+def frequent_trigrams(
+    events: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k most frequent length-3 event sequences across users
+    (EXT-ANALYTICS): the sequence-mining step past x109's transition
+    matrix — a Markov matrix can score any path as a product of pairs,
+    but real behavioral motifs ("view→view→purchase") are only visible
+    as counted n-grams (a transition matrix cannot distinguish ABA from
+    ABB traffic mixes with identical pair counts).
+
+    Plan: TWO leads over the same user-keyed window (one exchange — the
+    shared per-user sequence partitioning), a (t1, t2, t3) groupBy over
+    ≤ |types|³ groups, and a rank-free distributed top-k
+    (TakeOrderedAndProject via sort+limit) with the trigram text as a
+    deterministic tiebreak.
+
+    Returns ``(rk, trigram, n)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    tri = (
+        events.select(
+            F.col(type_col).alias("t1"),
+            F.lead(type_col, 1).over(w).alias("t2"),
+            F.lead(type_col, 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .sort(F.desc("n"), F.asc("trigram"))
+        .limit(k)
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("trigram"))
+    return tri.select(
+        F.row_number().over(wr).cast("long").alias("rk"), "trigram", "n"
+    )
+
+
+def frequent_trigrams_sql(events_cte: str, k: int = 20) -> str:
+    """DuckDB oracle for :func:`frequent_trigrams`; ``events_cte`` must
+    yield ``(u, us, event_id, et)``."""
+    return f"""WITH e AS ({events_cte}),
+  s AS (SELECT et AS t1,
+               lead(et, 1) OVER w AS t2,
+               lead(et, 2) OVER w AS t3
+        FROM e WINDOW w AS (PARTITION BY u ORDER BY us, event_id)),
+  tri AS (SELECT concat_ws('>', t1, t2, t3) AS trigram,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE t3 IS NOT NULL GROUP BY 1),
+  top AS (SELECT * FROM tri ORDER BY n DESC, trigram LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram) AS BIGINT) AS rk,
+       trigram, n
+FROM top"""

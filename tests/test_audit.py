@@ -338,3 +338,26 @@ def test_decayed_value_hand_checked_staircase(spark):
         for r in decayed_value(df).collect()
     }
     assert got == {1: (3, 12000, 4000 + 2000 + 4000), 2: (1, 4000, 500)}
+
+
+def test_frequent_trigrams_hand_checked(spark):
+    from mariadb_postgres_migration_spark.operators.audit import (
+        frequent_trigrams,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {1: "aabab", 2: "aab", 3: "ab"}  # user 3: too short, no trigram
+    rows = []
+    i = 0
+    for u, s in seqs.items():
+        for ch in s:
+            rows.append((i, u, t0 + dt.timedelta(minutes=i), ch))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = [(r["rk"], r["trigram"], r["n"]) for r in frequent_trigrams(df, k=3).collect()]
+    # user1: aab, aba, bab ; user2: aab  -> aab x2, others x1 (tie on text)
+    assert got == [(1, "a>a>b", 2), (2, "a>b>a", 1), (3, "b>a>b", 1)]
