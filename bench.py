@@ -181,7 +181,7 @@ SUITE_MEMBERS = {
         "x108_bitmap_set_relations", "x109_markov_transitions",
         "x110_cheapest_paths", "x111_percentile_rank",
         "x112_decayed_value", "x113_mad_robust",
-        "x114_frequent_trigrams",
+        "x114_frequent_trigrams", "c6_funnel_latency",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

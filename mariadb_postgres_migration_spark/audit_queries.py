@@ -1906,6 +1906,51 @@ def x103_ols_trend(spark, sf_dir):
     )
 
 
+def _c6_sql() -> str:
+    wk = A.WEEK_US
+    return f"""WITH f AS ({member_oracle('x71_funnel_stages')}),
+  conv AS (SELECT user_id, t1_us // {wk} AS cw, t3_us - t1_us AS lat
+           FROM f WHERE stage = 3),
+  rk AS (SELECT cw, lat,
+                row_number() OVER (PARTITION BY cw ORDER BY lat, user_id)
+                  AS rn,
+                count(*) OVER (PARTITION BY cw) AS n
+         FROM conv)
+SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(n AS BIGINT) AS n_conv,
+       CAST(lat AS BIGINT) AS median_latency_us
+FROM rk WHERE rn = greatest(1, (50 * n + 99) // 100)"""
+
+
+@register("c6_funnel_latency", _c6_sql(), "EXT-FUNNEL", "EXT-ANALYTICS", tier=1)
+def c6_funnel_latency(spark, sf_dir):
+    """Composed pipeline: per signup-week cohort, the median
+    signup→purchase latency among fully converted users — x71's stage
+    machinery (three stacked window minima on one user exchange) feeding
+    the discrete-percentile rank selection, cohorted by the x107
+    epoch-week quantum. The time-to-convert answer product teams ask
+    right after the funnel itself; all integer microseconds."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f = funnel_stages(e.select("user_id", us.alias("us"), "event_type"))
+    conv = f.filter(F.col("stage") == 3).select(
+        "user_id",
+        F.expr(f"t1_us div {A.WEEK_US}").alias("cw"),
+        (F.col("t3_us") - F.col("t1_us")).alias("lat"),
+    )
+    wr = Window.partitionBy("cw").orderBy("lat", "user_id")
+    wc = Window.partitionBy("cw")
+    return (
+        conv.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.greatest(F.lit(1), F.expr("(50 * n + 99) div 100")))
+        .select(
+            F.col("cw").cast("long").alias("cohort_week"),
+            F.col("n").cast("long").alias("n_conv"),
+            F.col("lat").cast("long").alias("median_latency_us"),
+        )
+    )
+
+
 @register(
     "x114_frequent_trigrams",
     A.frequent_trigrams_sql(
@@ -2258,7 +2303,11 @@ SELECT 'mad', n, {z}, median, mad, {z}, {zd}, {zd}, NULL
 FROM ({member_oracle('x113_mad_robust')})
 UNION ALL
 SELECT 'trigram', rk, {z}, n, {z}, {z}, {zd}, {zd}, trigram
-FROM ({member_oracle('x114_frequent_trigrams')})"""
+FROM ({member_oracle('x114_frequent_trigrams')})
+UNION ALL
+SELECT 'c6', cohort_week, n_conv, median_latency_us, {z}, {z}, {zd}, {zd},
+       NULL
+FROM ({member_oracle('c6_funnel_latency')})"""
 
 
 @register(
@@ -2469,5 +2518,10 @@ def x84_r6_ops_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x114_frequent_trigrams(spark, sf_dir), "trigram",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("trigram"),
+        ))
+        .unionAll(_suite_shape(
+            c6_funnel_latency(spark, sf_dir), "c6",
+            id1=F.col("cohort_week"), id2=F.col("n_conv"),
+            v1=F.col("median_latency_us"),
         ))
     )

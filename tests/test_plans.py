@@ -461,6 +461,7 @@ def test_r6b_order_stats_plan_contracts(q):
         "x112_decayed_value",
         "x113_mad_robust",
         "x114_frequent_trigrams",
+        "c6_funnel_latency",
     ):
         df = q(name)
         assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
