@@ -367,6 +367,7 @@ def markov_transitions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """First-order Markov transition counts over per-user event sequences
     (EXT-ANALYTICS): for every ordered pair of consecutive events of one
@@ -386,7 +387,7 @@ def markov_transitions(
 
     Returns ``(from_type, to_type, n, p_milli)``.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     steps = (
         events.select(
             F.col(type_col).alias("from_type"),
@@ -465,8 +466,9 @@ def decayed_value(
         .select(
             "u", "cents",
             # clamp: Java shiftright masks the shift mod 64 (a 64-shift
-            # would WRAP to 0 shift), DuckDB saturates — 62 floors any
-            # ancient event to 0/-1 identically in both engines
+            # would WRAP to 0 shift); clamping BOTH engines at 62 floors
+            # any ancient event to 0 (or -1 for negative cents) the same
+            # way — the oracle (decayed_value_sql) carries the same clamp
             F.expr(
                 f"shiftright(cents,"
                 f" CAST(least((mx - us) div {h_us}, 62) AS INT))"
@@ -494,8 +496,8 @@ def decayed_value_sql(
   mx AS (SELECT max(us) AS mx FROM nn)
 SELECT u AS {user_col}, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(cents) AS BIGINT) AS raw_cents,
-       CAST(sum(cents >> CAST((mx - us) // {h_us} AS INTEGER)) AS BIGINT)
-         AS decayed_cents
+       CAST(sum(cents >> CAST(least((mx - us) // {h_us}, 62) AS INTEGER))
+            AS BIGINT) AS decayed_cents
 FROM nn, mx GROUP BY u"""
 
 
@@ -505,6 +507,7 @@ def frequent_trigrams(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Top-k most frequent length-3 event sequences across users
     (EXT-ANALYTICS): the sequence-mining step past x109's transition
@@ -521,7 +524,7 @@ def frequent_trigrams(
 
     Returns ``(rk, trigram, n)``.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     tri = (
         events.select(
             F.col(type_col).alias("t1"),

@@ -251,7 +251,16 @@ def bfs_hops(edges: DataFrame, n_seeds: int = 5, max_hops: int = 3) -> DataFrame
     enters ``visited`` at the first level that reaches it and the
     anti-join hides it from every later level.
     """
-    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    # canonicalize with least/greatest (matching random_walks/cheapest_paths,
+    # review r6 advice): a caller passing a symmetric edge list must collapse
+    # to one row per undirected edge — BFS output is insensitive to the
+    # duplicate (per-level distinct), but the join does double work
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     nodes = (
         e.select(F.col("a").alias("node"))
@@ -288,7 +297,10 @@ def bfs_hops_oracle_sql(edges_cte: str, n_seeds: int = 5, max_hops: int = 3) -> 
     level makes every later level empty, so bounded unrolling equals the
     short-circuiting Spark loop."""
     parts = [
-        f"e AS ({edges_cte})",
+        f"raw AS ({edges_cte})",
+        # least/greatest canonicalization mirrors the Spark loop exactly
+        "e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b"
+        " FROM raw WHERE a <> b)",
         "u AS (SELECT a, b FROM e UNION SELECT b, a FROM e)",
         "nodes AS (SELECT DISTINCT a AS node FROM u)",
         f"f0 AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})",
@@ -348,8 +360,12 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
     must co-locate is keyed on node ids — hub skew is bounded because a
     hub's degree row is ONE row after the map-side-combined count.
     """
+    # least/greatest canonicalization (matching random_walks, review r6
+    # advice): a symmetric input must collapse to one row per undirected
+    # edge BEFORE the explode doubles it, or degrees double and the k
+    # threshold is effectively halved
     und = (
-        edges.select("a", "b")
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .select(
@@ -401,7 +417,9 @@ def kcore_oracle_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
     oracle's work linear in rounds, same as the distributed loop."""
     parts = [
         f"raw AS MATERIALIZED ({edges_cte})",
-        "e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM raw WHERE a <> b)",
+        # least/greatest canonicalization mirrors the Spark loop exactly
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a,"
+        " greatest(a, b) AS b FROM raw WHERE a <> b)",
     ]
     for r in range(1, rounds + 1):
         p = r - 1

@@ -361,3 +361,56 @@ def test_frequent_trigrams_hand_checked(spark):
     got = [(r["rk"], r["trigram"], r["n"]) for r in frequent_trigrams(df, k=3).collect()]
     # user1: aab, aba, bab ; user2: aab  -> aab x2, others x1 (tie on text)
     assert got == [(1, "a>a>b", 2), (2, "a>b>a", 1), (3, "b>a>b", 1)]
+
+
+def test_decayed_value_shift_clamp_matches_oracle_for_negatives(spark):
+    """Shift-clamp boundary (review r7 advice + brief): an event older
+    than 64 half-lives makes the raw shift >= 64 — Java's shiftright
+    masks mod 64 (wrapping to full value!), DuckDB's >> saturates to 0.
+    The 62 clamp must live in BOTH engines so a NEGATIVE value (a
+    refund) floors to -1 on both sides, not 0-vs--1 or a wrap."""
+    import datetime as dt
+
+    import duckdb
+
+    from mariadb_postgres_migration_spark.operators.audit import (
+        decayed_value,
+        decayed_value_sql,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # newest event anchors the reference point
+        (1, 1, t0, 10.0),
+        # refund older than 64 half-lives (7d half-life → >448 days):
+        # raw shift 65 would WRAP in Java (>> 1) and saturate in DuckDB
+        (2, 1, t0 - 455 * day, -10.0),
+        # refund exactly at the clamp (62 half-lives = 434 days): -1
+        (3, 2, t0 - 434 * day, -10.0),
+        # positive value past the clamp: floors to 0 on both sides
+        (4, 2, t0 - 500 * day, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["raw_cents"], r["decayed_cents"])
+        for r in decayed_value(df).collect()
+    }
+    # u1: 1000 + (-1000 >> 62 == -1) ; u2: (-1) + 0
+    assert got == {1: (2, 0, 999), 2: (2, 0, -1)}
+
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    cte = " UNION ALL ".join(
+        f"SELECT CAST({u} AS BIGINT) AS u, CAST({us(ts)} AS BIGINT) AS us,"
+        f" CAST({int(v * 100)} AS BIGINT) AS cents"
+        for (_e, u, ts, v) in rows
+    )
+    want = {
+        int(u): (int(n), int(rc), int(dc))
+        for u, n, rc, dc in duckdb.connect()
+        .execute(decayed_value_sql(cte, "user_id"))
+        .fetchall()
+    }
+    assert want == got

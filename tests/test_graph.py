@@ -217,6 +217,23 @@ def test_random_walks_steps_are_edges_and_deterministic(spark, sf_dir):
     release_cached_intermediates()
 
 
+def test_kcore_and_bfs_collapse_symmetric_edge_lists(spark):
+    # same contract as random_walks (review r7 advice): BOTH orientations
+    # of an undirected edge must collapse to one, or kcore doubles every
+    # degree (halving the effective k) and bfs joins do double work
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    canon = spark.createDataFrame(edges, "a long, b long")
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "a long, b long"
+    )
+    kc_canon = sorted(tuple(r) for r in G.kcore(canon, k=3, rounds=8).collect())
+    kc_sym = sorted(tuple(r) for r in G.kcore(sym, k=3, rounds=8).collect())
+    assert kc_canon == kc_sym == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    bfs_canon = sorted(tuple(r) for r in G.bfs_hops(canon, n_seeds=1).collect())
+    bfs_sym = sorted(tuple(r) for r in G.bfs_hops(sym, n_seeds=1).collect())
+    assert bfs_canon == bfs_sym
+
+
 def test_random_walks_collapse_symmetric_edge_lists(spark):
     # an input carrying BOTH orientations of an edge must walk exactly
     # like the canonical single-orientation list — duplicate adjacency
