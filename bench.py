@@ -82,8 +82,10 @@ HEADLINE = [
     "x76_retrieval_suite",
     "x77_behavioral_suite",
     # r6 tail: CDC repair loop, BPE train/encode, streamed anomaly,
-    # incremental near-dup — consolidated same-round
-    "x84_r6_ops_suite",
+    # incremental near-dup — consolidated same-round; r7 split the
+    # 35-member suite in two for attribution and blast-radius
+    "x84a_sketch_stream_suite",
+    "x84b_graph_pipeline_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -134,6 +136,25 @@ R4_COMPARABLE = [
     "q9_product_type_profit",
 ]
 
+#: The r6-comparable series (frozen at r7): the r4 set PLUS the stable
+#: consolidation suites. x84a/x84b jointly run the exact member set the
+#: r6 x84_r6_ops_suite ran (split for attribution in r7), so their sum is
+#: comparable to r6's x84 row; x50 absorbed x12 in r7 (x12 also stays
+#: standalone in the r4 set, so the r6set double-counts its ~0.3s — the
+#: freeze keeps the series consistent from here forward rather than
+#: perfectly disjoint). Emitted as `value_r6set` on the final line.
+R6_COMPARABLE = R4_COMPARABLE + [
+    "x42_pipeline_suite",
+    "x49_dedup_quality_suite",
+    "x50_scale_analysis_suite",
+    "x65_health_suite",
+    "c1_curation_pipeline",
+    "x76_retrieval_suite",
+    "x77_behavioral_suite",
+    "x84a_sketch_stream_suite",
+    "x84b_graph_pipeline_suite",
+]
+
 #: Consolidation suites → their member queries, benched individually (warm
 #: only) AFTER the suite itself so a member regression is attributable
 #: without de-consolidating the driver row. Member times appear on the
@@ -153,6 +174,7 @@ SUITE_MEMBERS = {
         "x34_ivf_train_kmeans", "x38_embedding_quantize_int8",
         "x44_bpe_pair_counts", "x48_knn_multiprobe_lsh", "x51_semdedup",
         "x52_unigram_logprob", "x53_bm25_topk",
+        "x12_winnow_fingerprints",  # folded in r7 (standalone → tier 1)
     ],
     "x65_health_suite": [
         "x61_expectations_audit", "x62_scd2_intervals", "x63_frequent_terms",
@@ -165,23 +187,26 @@ SUITE_MEMBERS = {
         "x60_multimodal_pixel_stats", "x78_gif_pixel_stats",
         "x72_bloom_incremental_dedup", "x56_substring_dedup_spans",
     ],
-    "x84_r6_ops_suite": [
-        "c4_migration_repair", "x80_bpe_train_merges", "x81_bpe_encode_topk",
-        "x82_stream_rolling_anomaly", "x83_incremental_neardup",
-        "x85_triangle_counts", "x86_audio_pcm_stats",
-        "x87_kmv_distinct_sketch", "x88_prefix_filter_neardup",
-        "x89_cms_point_frequency", "x90_association_lift",
+    "x84a_sketch_stream_suite": [
+        "x80_bpe_train_merges", "x81_bpe_encode_topk",
+        "x87_kmv_distinct_sketch", "x89_cms_point_frequency",
         "x91_stream_cms_counters", "x92_exact_quantiles",
-        "x93_weighted_sample", "x94_bfs_hops", "x95_bigram_logprob",
-        "x96_skyline_pareto", "x97_char_entropy",
-        "x99_kmv_set_relations", "x100_kcore_peel",
-        "x101_stream_kmv_state", "x102_equidepth_histogram",
-        "x103_ols_trend", "x104_editdist1_join", "x105_random_walks",
-        "x106_table_profile", "x107_cohort_retention",
-        "x108_bitmap_set_relations", "x109_markov_transitions",
-        "x110_cheapest_paths", "x111_percentile_rank",
+        "x93_weighted_sample", "x95_bigram_logprob", "x97_char_entropy",
+        "x99_kmv_set_relations", "x101_stream_kmv_state",
+        "x102_equidepth_histogram", "x106_table_profile",
+        "x108_bitmap_set_relations", "x111_percentile_rank",
         "x112_decayed_value", "x113_mad_robust",
-        "x114_frequent_trigrams", "c6_funnel_latency",
+        "x114_frequent_trigrams",
+    ],
+    "x84b_graph_pipeline_suite": [
+        "c4_migration_repair", "x82_stream_rolling_anomaly",
+        "x83_incremental_neardup", "x85_triangle_counts",
+        "x86_audio_pcm_stats", "x88_prefix_filter_neardup",
+        "x90_association_lift", "x94_bfs_hops", "x96_skyline_pareto",
+        "x100_kcore_peel", "x103_ols_trend", "x104_editdist1_join",
+        "x105_random_walks", "x107_cohort_retention",
+        "x109_markov_transitions", "x110_cheapest_paths",
+        "c6_funnel_latency",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",
@@ -250,6 +275,13 @@ def main() -> int:
         spark._jvm.System.gc()
         return elapsed
 
+    # environment probe (see session.tws_available): flips to True the
+    # round the container gains protobuf — then the SCALE.md-pre-written
+    # transformWithStateInPandas migration is a same-round task
+    from mariadb_postgres_migration_spark.session import tws_available
+
+    print(json.dumps({"detail": "env_probe", "transformWithState": tws_available()}))
+
     # session warmup: pay JVM/Arrow startup once
     REGISTRY["op01_full_scan"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
@@ -293,6 +325,12 @@ def main() -> int:
             member_timings[suite][m] = round(run(m), 3)
     if member_timings:
         print(json.dumps({"detail": "suite_member_timings", "suites": member_timings}))
+        # The driver records only a ~2000-char stdout tail, which evicted
+        # this detail line from BENCH_r06.json (judge-verified) — with ~60%
+        # of the bench inside suites, a member regression was invisible in
+        # the recorded artifact. Persist the dict to a COMMITTED file per
+        # round so member attribution is diagnosable from the repo alone.
+        _write_member_artifact(member_timings)
 
     total = round(sum(timings.values()), 3)
     # Per-query detail goes on its OWN line: the harness that records this
@@ -321,10 +359,43 @@ def main() -> int:
             value_r4set=round(
                 sum(t for n, t in timings.items() if n in R4_COMPARABLE), 3
             ),
+            value_r6set=round(
+                sum(t for n, t in timings.items() if n in R6_COMPARABLE), 3
+            ),
         )
     )
     spark.stop()
     return 0
+
+
+def _current_round() -> int:
+    """The round number for the member-timing artifact name:
+    $SPARK_GRAFT_ROUND if set, else 1 + the highest BENCH_r{N}.json the
+    driver has recorded next to this file (the bench that is running NOW
+    becomes that next round's artifact)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _write_member_artifact(member_timings: dict[str, dict[str, float]]) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    bdir = os.path.join(here, ".benchmarks")
+    os.makedirs(bdir, exist_ok=True)
+    path = os.path.join(bdir, f"members_r{_current_round():02d}.json")
+    with open(path, "w") as f:
+        json.dump({"suites": member_timings}, f, indent=1, sort_keys=True)
+    print(f"suite member timings written to {path}")
 
 
 def _host_calibration(spark) -> dict[str, float]:
@@ -369,6 +440,7 @@ def compact_final_line(
     cpus: int,
     calib: dict[str, float] | None = None,
     value_r4set: float | None = None,
+    value_r6set: float | None = None,
 ) -> str:
     """Serialize the machine-readable summary line, always < FINAL_LINE_BUDGET.
 
@@ -387,9 +459,10 @@ def compact_final_line(
             "n_queries": len(timings),
             "n_elided": len(timings) - keep,
             "cold_value": cold_value,
-            # the round-4-comparable subset's warm total (the full value
-            # absorbs every newly added operator and is not a series)
+            # the round-4- and round-6-comparable subsets' warm totals (the
+            # full value absorbs every newly added operator, not a series)
             "value_r4set": value_r4set,
+            "value_r6set": value_r6set,
             "sf": sf,
             "cpus": cpus,
             # fixed-work host-speed probes (see _host_calibration): divide

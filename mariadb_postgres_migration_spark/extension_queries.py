@@ -503,6 +503,7 @@ def x08_11_text_profile(spark, sf_dir):
                 FROM grams)
        SELECT DISTINCT doc_id, fp FROM mins, UNNEST(list_distinct(m)) AS u(fp)""",
     "EXT-05",
+    tier=1,  # r7: driver row moved into x50_scale_analysis_suite ('winnow')
 )
 def x12_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (k=3-gram md5, window-4 min)."""
@@ -1992,7 +1993,10 @@ SELECT 'unigram', doc_id, {z}, n_tok, {z}, {z}, CAST(avg_logp AS DOUBLE), {zd}, 
 FROM ({_member_oracle('x52_unigram_logprob')})
 UNION ALL
 SELECT 'bm25', doc_id, {z}, rk, {z}, {z}, CAST(score AS DOUBLE), {zd}, NULL
-FROM ({_member_oracle('x53_bm25_topk')})"""
+FROM ({_member_oracle('x53_bm25_topk')})
+UNION ALL
+SELECT 'winnow', doc_id, {z}, {z}, {z}, {z}, {zd}, {zd}, fp
+FROM ({_member_oracle('x12_winnow_fingerprints')})"""
 
 
 @register("x50_scale_analysis_suite", _x50_sql(), "EXT-02", "EXT-03", "EXT-05")
@@ -2001,11 +2005,12 @@ def x50_scale_analysis_suite(spark, sf_dir):
     Gopher repetition signals (x32), deterministic stratified sampling
     (x33), k-means IVF training (x34), int8 embedding quantization (x38),
     BPE-style pair counting (x44), multi-probe SRP-LSH kNN (x48), SemDeDup
-    semantic dedup (x51), the corpus-LM unigram quality score (x52), and
-    Okapi BM25 top-k retrieval (x53) union-folded into one kind-tagged
-    shape.
+    semantic dedup (x51), the corpus-LM unigram quality score (x52),
+    Okapi BM25 top-k retrieval (x53), and — since r7 — winnowing
+    fingerprints (x12, standalone demoted to tier 1) union-folded into
+    one kind-tagged shape.
 
-    The five token-consuming members (x32/x33/x44/x52/x53) share ONE
+    The six token-consuming members (x32/x33/x44/x52/x53/x12) share ONE
     persisted tokenize pass — _with_tokens recognizes the pre-tokenized
     frame and passes it through, so the suite pays tokenization once
     instead of five times per action. Measured neutral at sf0.1 (the
@@ -2062,6 +2067,12 @@ def x50_scale_analysis_suite(spark, sf_dir):
         .unionAll(_suite_shape(
             x53_bm25_topk(spark, sf_dir, docs=toked), "bm25",
             id1=F.col("doc_id"), v1=F.col("rk"), d1=F.col("score"),
+        ))
+        # r7: x12's driver row lives here now (standalone demoted to tier
+        # 1) — a sixth consumer of the shared tokenize pass
+        .unionAll(_suite_shape(
+            T.winnow_fingerprints(toked, k=3, window=4), "winnow",
+            id1=F.col("doc_id"), s1=F.col("fp"),
         ))
     )
 

@@ -38,6 +38,21 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def tws_available() -> bool:
+    """Whether Spark 4's ``transformWithStateInPandas`` successor API can
+    run here: its state server needs the ``protobuf`` Python package,
+    absent from the current container (streaming/jobs.py documents the
+    probe). bench.py logs this each run so the round the environment
+    gains the dependency, the x73/x82 migration (pre-written in SCALE.md)
+    becomes a same-round task instead of a rediscovery."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def get_session(
     app_name: str = "mps-engine",
     master: str | None = None,

@@ -54,6 +54,20 @@ def test_every_extension_family_in_window():
     assert not missing, f"extension families with no driver-verified query: {missing}"
 
 
+def test_every_named_extension_family_in_window():
+    """The coverage guard from the r6 verdict: EVERY extension-family id
+    used anywhere in the registry (EXT-AUDIT, EXT-GRAPH, EXT-CDC, ... —
+    not just the numbered EXT-01..09) must appear in at least one tier-0
+    query's ops tuple, so a future consolidation can't silently drop a
+    family out of the driver-verified window."""
+    all_families = {
+        op for q in REGISTRY.values() for op in q.ops if op.startswith("EXT-")
+    }
+    covered = {op for q in _tier0().values() for op in q.ops}
+    missing = sorted(all_families - covered)
+    assert not missing, f"extension families with no driver-verified query: {missing}"
+
+
 def test_every_tier0_query_has_an_oracle():
     """Tier-0 entries take driver correctness slots — each must carry SQL
     for the full rows+schema+hash check, never the weaker rows-only path."""
