@@ -521,3 +521,101 @@ def test_bitmap_word_boundary_keys(spark):
     assert (r["n_a"], r["n_b"]) == (len(ka), len(kb))
     assert r["n_inter"] == len(ka & kb) == 2
     assert r["n_union"] == len(ka | kb)
+
+
+def test_editdist1_non_ascii_codepoint_exact(spark):
+    """Edge coverage per the r6 brief: the deletion-neighborhood lemma is
+    byte-vs-codepoint sensitive. Spark's substr/length/levenshtein are
+    all CODEPOINT-based (probed: levenshtein('café','cafe')=1,
+    length('😀')=1 — even astral-plane chars count once), so the engine
+    is codepoint-exact end-to-end; this pins it against a pure-Python
+    exhaustive levenshtein over accents, CJK, combining marks and
+    surrogate-pair emoji. NOTE the registered x104 ORACLE (DuckDB
+    levenshtein) is BYTE-based ('café'→'cafe' = 2 there) — valid only
+    because the registered fixture column is pure ASCII, guarded by
+    test_x104_fixture_is_ascii below."""
+    from mariadb_postgres_migration_spark.operators.dedup import editdist1_pairs
+
+    import random
+
+    alphabet = "aé日😀́ü語b"  # incl. combining acute (U+0301)
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        base = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(20)
+        ]
+        mut = []
+        for s in base[:10]:
+            l = list(s)  # python str = codepoint list, incl. astral
+            op = rng.randrange(3)
+            pos = rng.randrange(len(l))
+            if op == 0:
+                l[pos] = rng.choice(alphabet)
+            elif op == 1:
+                l.insert(pos, rng.choice(alphabet))
+            elif len(l) > 1:
+                del l[pos]
+            mut.append("".join(l))
+        rows = list(enumerate(base + mut))
+        df = spark.createDataFrame(rows, "rid long, s string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in editdist1_pairs(df, "rid", "s").collect()
+        }
+        exp = {
+            (a, b): _lev(sa, sb)
+            for a, sa in rows
+            for b, sb in rows
+            if a < b and _lev(sa, sb) <= 1
+        }
+        assert got == exp, f"seed {seed}"
+
+
+def test_x104_fixture_is_ascii(spark, sf_dir):
+    """Guards the x104 oracle's validity domain: DuckDB's levenshtein
+    counts BYTES while Spark's counts codepoints, so the registered
+    query's hash-compare is only sound over ASCII inputs. If the fixture
+    column ever grows non-ASCII names, this fails before the driver
+    row silently diverges (the engine itself is codepoint-exact — see
+    test_editdist1_non_ascii_codepoint_exact)."""
+    from mariadb_postgres_migration_spark.registry import _t
+
+    n_bad = (
+        _t(spark, sf_dir, "customer")
+        .filter(~F.col("c_name").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+    )
+    assert n_bad == 0
+
+
+def test_bitmap_word_boundary_matches_duckdb_oracle(spark):
+    """x108 edge coverage per the r6 brief: keys straddling the 62-bit
+    word boundary, run through BOTH the Spark bitmap algebra and the
+    DuckDB COUNT(DISTINCT) oracle — the same cross-engine compare the
+    driver does, pinned at the exact packing edge (bits 0, 61, 62, 123,
+    124) where a shift or div off-by-one would corrupt the words."""
+    import duckdb
+
+    from mariadb_postgres_migration_spark.operators.sketches import (
+        BITMAP_WORD_BITS,
+        bitmap_set_relations,
+        bitmap_set_relations_sql,
+    )
+
+    w = BITMAP_WORD_BITS
+    ka = sorted({0, w - 1, w, 2 * w - 1, 2 * w, 61, 10 * w})
+    kb = sorted({w - 1, 2 * w, 5 * w + 3, 10 * w, 1})
+    rows = [("a", k) for k in ka] + [("b", k) for k in kb]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = sorted(tuple(r) for r in bitmap_set_relations(df, "g", "k").collect())
+    cte = " UNION ALL ".join(
+        f"SELECT '{g}' AS g, CAST({k} AS BIGINT) AS k" for g, k in rows
+    )
+    want = sorted(
+        tuple(int(v) if isinstance(v, int) else v for v in row)
+        for row in duckdb.connect()
+        .execute(bitmap_set_relations_sql(cte))
+        .fetchall()
+    )
+    assert got == want
