@@ -185,6 +185,7 @@ SUITE_MEMBERS = {
     "x76_retrieval_suite": [
         "x54_pq_encode", "x55_knn_ivfpq", "x58_pq_train_codebooks",
         "x60_multimodal_pixel_stats", "x78_gif_pixel_stats",
+        "x115_jpeg_pixel_stats",  # r7: the JPEG decode path
         "x72_bloom_incremental_dedup", "x56_substring_dedup_spans",
     ],
     "x84a_sketch_stream_suite": [

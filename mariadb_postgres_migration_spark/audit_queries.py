@@ -30,6 +30,7 @@ from .extension_queries import (
     x58_pq_train_codebooks,
     x60_multimodal_pixel_stats,
     x78_gif_pixel_stats,
+    x115_jpeg_pixel_stats,
 )
 from .operators import aggregates as AGG
 from .operators import audit as A
@@ -903,7 +904,11 @@ FROM ({member_oracle('x56_substring_dedup_spans')})
 UNION ALL
 SELECT 'gifpix', doc_id, width, height, px_min, px_max,
        CAST(px_sum AS DOUBLE), {zd}, NULL
-FROM ({member_oracle('x78_gif_pixel_stats')})"""
+FROM ({member_oracle('x78_gif_pixel_stats')})
+UNION ALL
+SELECT 'jpgpix', doc_id, width, height, px_min, px_max,
+       CAST(px_sum AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x115_jpeg_pixel_stats')})"""
 
 
 @register(
@@ -914,8 +919,10 @@ FROM ({member_oracle('x78_gif_pixel_stats')})"""
 def x76_retrieval_suite(spark, sf_dir):
     """Driver-verified representative for the r5 retrieval/encoding tail:
     product-quantization encode (x54), full IVF-PQ ADC search (x55), PQ
-    codebook training (x58), REAL pixel-decode stats over BMP bytes (x60)
-    and over LZW-compressed GIF bytes (x78, pure-Python LZW decoder),
+    codebook training (x58), REAL pixel-decode stats over BMP bytes
+    (x60), LZW-compressed GIF bytes (x78, pure-Python LZW decoder) and —
+    since r7 — Huffman-coded baseline JPEG bytes (x115, pure-numpy
+    Huffman + dequant + IDCT, operators/jpeg.py),
     the exact-by-construction bloom-accelerated incremental dedup
     (x72) and span-level exact-substring dedup (x56), union-folded into
     the shared kind-tagged suite shape — the same consolidation that gave
@@ -955,6 +962,13 @@ def x76_retrieval_suite(spark, sf_dir):
         ))
         .unionAll(_suite_shape(
             x78_gif_pixel_stats(spark, sf_dir), "gifpix",
+            id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
+            v2=F.col("px_min"), v3=F.col("px_max"),
+            d1=F.col("px_sum").cast("double"),
+        ))
+        # r7: the baseline-JPEG decode path (the last codec stub, closed)
+        .unionAll(_suite_shape(
+            x115_jpeg_pixel_stats(spark, sf_dir), "jpgpix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),

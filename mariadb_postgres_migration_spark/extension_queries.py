@@ -2650,11 +2650,55 @@ def x78_gif_pixel_stats(spark, sf_dir):
     the fixture side (operators/multimodal.encode_gif8) and the real
     pure-Python LZW decoder + grayscale-palette collapse on the query
     side (decode_gif_pixels). Because the closed form is identical, the
-    x60 oracle verifies this path unchanged; with it, BMP, PNG and GIF
-    pixel decode are all genuinely exercised and JPEG is the engine's one
-    remaining (documented) pixel-decode stub."""
+    x60 oracle verifies this path unchanged."""
     from .operators.multimodal import attach_consistent_gif_payload, pixel_stats
 
     return pixel_stats(
         attach_consistent_gif_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+_BPR = "2 + (CASE WHEN length(t) = 0 THEN 0 ELSE ascii(substr(t, 1, 1)) END % 4)"
+
+_X115_SQL = f"""WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+         FROM documents),
+       dims AS (
+         SELECT doc_id, t, {_BPR} AS bpr,
+                least(length(t) // ({_BPR}), 8) AS nrows
+         FROM ascii_docs),
+       px AS (
+         SELECT doc_id, bpr, nrows,
+                list_transform(range(1, CAST(bpr * nrows AS BIGINT) + 1),
+                               i -> ascii(substr(t, CAST(i AS INTEGER), 1)))
+                    AS p
+         FROM dims WHERE nrows >= 1)
+       SELECT doc_id,
+              CAST(bpr * 8 AS BIGINT) AS width,
+              CAST(nrows * 8 AS BIGINT) AS height,
+              CAST(list_min(p) AS BIGINT) AS px_min,
+              CAST(list_max(p) AS BIGINT) AS px_max,
+              CAST(64 * list_sum(p) AS BIGINT) AS px_sum
+       FROM px"""
+
+
+@register("x115_jpeg_pixel_stats", _X115_SQL, "EXT-04", tier=1)
+def x115_jpeg_pixel_stats(spark, sf_dir):
+    """EXT-04 JPEG tier (r7) — the LAST pixel-decode stub closed: each
+    text byte becomes one CONSTANT 8x8 block in a spec-valid
+    baseline-sequential JPEG (full forward-DCT + Annex-K-Huffman
+    encoder on the fixture side), and the query side runs the REAL
+    pure-numpy decoder (operators/jpeg.py: marker walk, canonical
+    Huffman, dequant, batched IDCT, level shift). Constant blocks under
+    an all-ones quant table make the lossy codec exactly lossless (zero
+    AC energy, exact DC), so the oracle recomputes the decoded-pixel
+    stats in closed form: every used text byte appears exactly 64 times.
+    The decoder's general paths (AC coefficients, 4:2:0 subsampling,
+    color, restart markers) are pinned against an independent loop-IDCT
+    in tests/test_jpeg_codec.py; with this row, BMP, PNG, GIF, JPEG and
+    WAV all have driver-hashed REAL decode paths."""
+    from .operators.multimodal import attach_consistent_jpeg_payload, pixel_stats
+
+    return pixel_stats(
+        attach_consistent_jpeg_payload(_t(spark, sf_dir, "documents"))
     )

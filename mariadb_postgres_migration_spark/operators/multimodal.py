@@ -6,14 +6,13 @@ binary into its own parquet column chunk, so metadata-only queries never
 read payload bytes (column pruning is the 100 TB win here).
 
 Decode / feature-extract runs as Arrow-batched Python over ``mapInPandas``.
-Header parsing (PNG/BMP/GIF/JPEG) and PIXEL decoding for BMP, PNG and GIF
-are REAL — pure numpy/stdlib codecs below (zlib inflate + PNG filters,
-BMP palettes/padding, GIF LZW). The one remaining stub is JPEG pixel
-decode (``_decode_image_stub``): its entropy decode genuinely needs a
-codec library (PIL/libjpeg) absent in this container. The Spark-side
-contract (schema, batch iteration, partition behavior) is identical
-either way; swapping the stub for a real codec changes one function.
-"""
+Header parsing (PNG/BMP/GIF/JPEG) and PIXEL decoding for BMP, PNG, GIF
+and (since r7) baseline-sequential JPEG are all REAL — pure numpy/stdlib
+codecs (zlib inflate + PNG filters, BMP palettes/padding, GIF LZW here;
+JPEG Huffman + dequant + IDCT in operators/jpeg.py). ``_decode_image_stub``
+remains only as the documented total-function fallback for payloads with
+no recognized signature (and for JPEG's out-of-subset progressive/
+arithmetic variants)."""
 
 from __future__ import annotations
 
@@ -568,8 +567,7 @@ def decode_gif_pixels(b: bytes):
     palette mapping: first frame, global or local color table, interlaced
     or sequential row order. Returns (h, w) uint8 when the palette is a
     grayscale ramp, else (h, w, 3) RGB; None for non-GIF / malformed
-    payloads. JPEG remains the one pixel-decode stub in the engine (its
-    entropy decode genuinely needs a codec library)."""
+    payloads."""
     import numpy as np
 
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -640,15 +638,22 @@ def decode_gif_pixels(b: bytes):
 
 def decode_pixels(b: bytes):
     """Dispatch to the real decoders; None when only header metadata (or
-    nothing) is recoverable — JPEG pixel decode genuinely needs a codec
-    library that is absent here and stays out of scope, documented."""
+    nothing) is recoverable. Since r7 this includes baseline-sequential
+    JPEG (operators/jpeg.py — pure numpy Huffman + dequant + IDCT), so
+    every image container the engine recognizes has a REAL pixel path;
+    only progressive/arithmetic JPEG variants fall through to None."""
     arr = decode_bmp_pixels(b)
     if arr is not None:
         return arr
     arr = decode_png_pixels(b)
     if arr is not None:
         return arr
-    return decode_gif_pixels(b)
+    arr = decode_gif_pixels(b)
+    if arr is not None:
+        return arr
+    from .jpeg import decode_jpeg_pixels
+
+    return decode_jpeg_pixels(b)
 
 
 def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
@@ -878,9 +883,74 @@ def attach_consistent_gif_payload(
             ),
         ]
     )
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        _build, schema=schema
+    from .dedup import ensure_min_parallelism
+
+    # a one-row-group fixture scan serializes the pure-Python LZW encode
+    # on a single core (see ensure_min_parallelism — no-op at real scale)
+    return ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(_build, schema=schema)
+
+
+def attach_consistent_jpeg_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """GENUINE baseline JPEG payloads whose decode is EXACTLY predictable:
+    each printable-ASCII byte of the text becomes one CONSTANT 8x8 block
+    (blocks-per-row 2 + first%4 → width 16..40, rows capped at 8). With
+    the all-ones quant table a constant block has all-zero AC and an
+    exact DC, so the lossy codec is lossless on this content (see
+    operators/jpeg.py docstring) and the x115 SQL oracle can verify the
+    REAL Huffman+IDCT decode path in closed form: every text byte
+    appears exactly 64 times in the decoded image. Full-path fixture
+    assembly (forward DCT, Huffman, byte stuffing) runs Arrow-batched,
+    like the GIF builder — fixture cost, not the operator under test."""
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = "".join(ch for ch in (text or "") if " " <= ch <= "~").encode()
+                bpr = 2 + (b[0] % 4 if b else 0)
+                rows = min(len(b) // bpr, 8)
+                if rows < 1:
+                    continue
+                vals = np.frombuffer(b, np.uint8, count=bpr * rows).reshape(
+                    rows, bpr
+                )
+                payload = encode_jpeg_gray(vals.repeat(8, 0).repeat(8, 1))
+                ids.append(doc_id)
+                payloads.append(payload)
+                metas.append({"n_bytes": len(payload), "mime": "image/jpeg"})
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("mime", StringType()),
+                    ]
+                ),
+            ),
+        ]
     )
+    from .dedup import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(_build, schema=schema)
 
 
 PIXEL_STATS_SCHEMA = StructType(
