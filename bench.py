@@ -86,6 +86,11 @@ HEADLINE = [
     # 35-member suite in two for attribution and blast-radius
     "x84a_sketch_stream_suite",
     "x84b_graph_pipeline_suite",
+    # r7 tail: sessionize, autocorrelation, Benford, integer-exact HLL
+    # (batch + streamed), PMI collocations, TF-IDF cosine — consolidated
+    # same-round; q15 is the TPC-H q7+q10 consolidation that funds it
+    "q15_joins_suite",
+    "x123_r7_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -208,6 +213,12 @@ SUITE_MEMBERS = {
         "x105_random_walks", "x107_cohort_retention",
         "x109_markov_transitions", "x110_cheapest_paths",
         "c6_funnel_latency",
+    ],
+    "q15_joins_suite": ["q7_nation_volume_flow", "q10_returned_item_revenue"],
+    "x123_r7_ops_suite": [
+        "x116_sessionize", "x117_autocorr_daily", "x118_benford_audit",
+        "x119_hll_distinct", "x120_pmi_collocations",
+        "x121_stream_hll_state", "x122_tfidf_cosine",
     ],
     "x77_behavioral_suite": [
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",

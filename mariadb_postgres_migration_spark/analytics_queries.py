@@ -687,6 +687,7 @@ def _decimal_revenue():
          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""",
     "EXT-AGG", "EXT-JOIN",
+    tier=1,  # r7: driver row moved into q15_joins_suite ('q7')
 )
 def q7_nation_volume_flow(spark, sf_dir):
     """TPC-H Q7 shape: the nation dim joins twice under different roles
@@ -737,6 +738,7 @@ def q7_nation_volume_flow(spark, sf_dir):
        ORDER BY revenue DESC, c_custkey
        LIMIT 20""",
     "EXT-TOPK", "EXT-AGG",
+    tier=1,  # r7: driver row moved into q15_joins_suite ('q10')
 )
 def q10_returned_item_revenue(spark, sf_dir):
     """TPC-H Q10 shape: who cost us the most in returns last quarter.

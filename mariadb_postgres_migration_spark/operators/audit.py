@@ -559,3 +559,185 @@ def frequent_trigrams_sql(events_cte: str, k: int = 20) -> str:
 SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram) AS BIGINT) AS rk,
        trigram, n
 FROM top"""
+
+
+#: gap that closes a session, in microseconds (30 minutes — the classic
+#: web-analytics default).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-based sessionization (EXT-ANALYTICS): per user, a new
+    session starts when the gap since the previous event exceeds
+    ``gap_us``; output is one row per session with its ordinal, event
+    count and span — the batch complement of the x19 STREAMING
+    ``session_window`` (same semantics, but over history at rest, where
+    a watermarked stream operator would be the wrong tool).
+
+    Plan: the classic two-window cascade on ONE user-keyed exchange
+    (lag → new-session flag → running sum = session ordinal), then a
+    (user, session) groupBy. Both windows share the exact partitioning/
+    ordering, so Catalyst plans a single Exchange+Sort; at 100 TB the
+    only data motion is that one shuffle of (user, ts) pairs.
+
+    Returns ``(user_id, session_idx, n_events, start_us, end_us,
+    duration_us)`` with epoch-microsecond timestamps (hash-stable — see
+    the module convention on raw timestamps)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).alias("eid"),
+    ).filter(F.col("us").isNotNull())
+    wu = Window.partitionBy("u").orderBy("us", "eid")
+    flagged = base.select(
+        "u", "us",
+        F.when(
+            (F.col("us") - F.lag("us").over(wu)) > gap_us, 1
+        ).otherwise(0).alias("new_s"),
+        F.col("eid"),
+    )
+    with_idx = flagged.select(
+        "u", "us",
+        F.sum("new_s").over(
+            Window.partitionBy("u").orderBy("us", "eid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("sidx"),
+    )
+    return (
+        with_idx.groupBy(F.col("u").alias(user_col), F.col("sidx").alias("session_idx"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("us").cast("long").alias("start_us"),
+            F.max("us").cast("long").alias("end_us"),
+        )
+        .select(
+            user_col, "session_idx", "n_events", "start_us", "end_us",
+            (F.col("end_us") - F.col("start_us")).cast("long").alias("duration_us"),
+        )
+    )
+
+
+def sessionize_sql(
+    events_cte: str, gap_us: int = SESSION_GAP_US, user_col: str = "user_id"
+) -> str:
+    """DuckDB oracle for :func:`sessionize`; ``events_cte`` must yield
+    ``(u, us, eid)``."""
+    return f"""WITH e AS ({events_cte}),
+nn AS (SELECT u, us, eid FROM e WHERE us IS NOT NULL),
+flagged AS (SELECT u, us, eid,
+                   CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END
+                     AS new_s
+            FROM nn WINDOW w AS (PARTITION BY u ORDER BY us, eid)),
+idx AS (SELECT u, us,
+               sum(new_s) OVER (PARTITION BY u ORDER BY us, eid
+                                ROWS UNBOUNDED PRECEDING) AS sidx
+        FROM flagged)
+SELECT u AS {user_col}, CAST(sidx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM idx GROUP BY u, sidx"""
+
+
+def autocorr_daily(
+    df: DataFrame,
+    ts_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily ROW-COUNT series
+    (EXT-ANALYTICS): build the per-day count once, then for each lag
+    1..max_lag compute Pearson r over the (x_t, x_{t-k}) pairs — the
+    seasonality probe behind "is weekly periodicity real"
+    (TPC-H-date-spread order arrivals here; any event series in
+    production).
+
+    Hash-portable float discipline: all five accumulators (n, Σx, Σy,
+    Σxy, Σx², Σy²) are EXACT int64 sums; r is then ONE deterministic
+    IEEE expression over those exact integers — num/(sqrt(d1)·sqrt(d2)),
+    rounded to 4 — so both engines compute bit-identical doubles (no
+    reordered float accumulation anywhere). Counts keep the moment
+    algebra inside int64 at ANY tested scale: with ~2 400 days,
+    n·Σx² < 2^63 holds through sf1000 (~600 k rows/day) — a
+    revenue-cents series overflows the same identity at sf0.001
+    already, which is WHY the series is counts (a value series must
+    pre-scale its unit so n·Σx² fits, or center on a pivot).
+    The lag join is a self-join of the tiny day-series on day+k: at any
+    corpus scale the series is |days| rows, so every per-lag pass is
+    broadcast-sized by construction.
+
+    Returns ``(lag, n_pairs, r)``."""
+    daily = (
+        df.select(
+            F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div 86400000000")
+            .alias("day"),
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    daily = daily.persist()
+    out = None
+    for k in range(1, max_lag + 1):
+        lagged = daily.select(
+            (F.col("day") + k).alias("day"), F.col("v").alias("vlag")
+        )
+        pairs = daily.join(lagged, "day").select(
+            F.col("v").alias("x"), F.col("vlag").alias("y")
+        )
+        acc = pairs.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        row = acc.select(
+            F.lit(k).cast("long").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (
+                    F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                    * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                ),
+                4,
+            ).alias("r"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def autocorr_daily_sql(rows_cte: str, max_lag: int = 7) -> str:
+    """DuckDB oracle for :func:`autocorr_daily`; ``rows_cte`` must yield
+    ``day`` pre-aggregation rows."""
+    parts = [f"""WITH raw AS ({rows_cte}),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS v
+          FROM raw WHERE day IS NOT NULL GROUP BY day)"""]
+    sel = []
+    for k in range(1, max_lag + 1):
+        parts.append(f""",
+p{k} AS (SELECT a.v AS x, b.v AS y FROM daily a JOIN daily b ON a.day = b.day + {k}),
+a{k} AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM p{k})""")
+        sel.append(
+            f"""SELECT CAST({k} AS BIGINT) AS lag, n AS n_pairs,
+round(CAST(n * sxy - sx * sy AS DOUBLE)
+      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS r
+FROM a{k}"""
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)

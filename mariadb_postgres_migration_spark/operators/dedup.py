@@ -1067,3 +1067,121 @@ SELECT a.rid AS id_a, b.rid AS id_b,
        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
 FROM r a JOIN r b ON a.rid < b.rid
 WHERE levenshtein(a.s, b.s) <= 1"""
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs (EXT-02): doc pairs whose
+    tf·idf vectors have cosine ≥ ``threshold`` — the WEIGHTED sibling of
+    word-shingle Jaccard (x02): Jaccard treats every shingle equally, so
+    boilerplate-heavy pairs score high; idf weighting discounts exactly
+    those terms.
+
+    Cross-engine float discipline: weights are INTEGERS — tf ·
+    idf_milli, with idf_milli = floor(1000·ln(N/df) + 0.5) quantized
+    once per term from two exact integers. Dot products and norms are
+    then exact int64 sums (order-free), and the cosine is one
+    deterministic IEEE expression over three exact integers, rounded to
+    4. The only transcendental is the per-term idf quantization (the
+    x52/x95 ln-precedent), never inside an accumulation.
+
+    Terms with df > ``max_doc_freq`` are dropped from the vector space
+    entirely — the same stop-term scale guard as x02, applied
+    identically in the oracle: posting lists are df-capped so the
+    term-keyed pair join is O(Σ df²) with df ≤ cap, never corpus².
+    idf also makes these terms near-worthless, so the guard cuts the
+    quadratic blowup exactly where the weights vanish.
+
+    Returns ``(doc_a, doc_b, dot, cosine)``."""
+    toked = materialize(
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("doc_id"), text_col),
+        tokens_col(text_col),
+        "__toks",
+    )
+    tf = (
+        toked.select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = toked.select(F.count("*").cast("long").alias("n_docs"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+    )
+    wts = _persist(
+        tf.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(1000.0)
+                    * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("w"),
+        )
+    )
+    a = wts.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b", "dot", F.round(cos, 4).alias("cosine"))
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    toks_cte: str, threshold: float = 0.6, max_doc_freq: int = 100
+) -> str:
+    """DuckDB oracle for :func:`tfidf_cosine_pairs`; ``toks_cte`` is the
+    shared tokenize CTE body yielding ``(doc_id, w)`` token arrays."""
+    return f"""WITH {toks_cte},
+tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks, UNNEST(w) AS u(term) WHERE u.term <> ''
+       GROUP BY doc_id, u.term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        HAVING count(*) <= {max_doc_freq}),
+wts AS (SELECT doc_id, term,
+               CAST(tf * CAST(floor(1000.0 * ln(CAST(n_docs AS DOUBLE)
+                                                / CAST(df AS DOUBLE)) + 0.5)
+                              AS BIGINT) AS BIGINT) AS w
+        FROM tf JOIN dft USING (term), nd),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wts GROUP BY 1)
+SELECT doc_a, doc_b, dot,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             4) AS cosine
+FROM dots JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      >= {threshold}"""

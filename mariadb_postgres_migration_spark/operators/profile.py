@@ -104,3 +104,71 @@ def profile_table_sql(table: str, cols: list[tuple[str, str]]) -> str:
 FROM {table}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+#: Benford expected first-digit frequencies in parts-per-million:
+#: round(1e6 * log10(1 + 1/d)) for d = 1..9 — materialized ONCE in Python
+#: (math.log10) and embedded as integer literals in BOTH engines, so no
+#: runtime transcendental can ulp-drift between them. They sum to exactly
+#: 1,000,000.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law
+    (EXT-AUDIT): the classic fraud/corruption screen for naturally-grown
+    numeric columns (amounts, populations, file sizes) — a migration
+    that mangles decimals (the OP-27 int-parse family of bugs) or a
+    generator that fakes data shifts this distribution violently while
+    leaving count/min/max profiles (x106) intact.
+
+    The digit is taken from the integer CENTS (half-up, the repo-wide
+    fixed-point recipe), so it is a pure string-head of an exact
+    integer; observed shares are integer ppm (1e6·n div total). One
+    scan, one 9-group aggregate; the expected shares are compile-time
+    literals (see BENFORD_PPM).
+
+    Returns ``(digit, n, n_total, obs_ppm, exp_ppm, dev_ppm)``, one row
+    per digit 1..9."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    digits = (
+        df.select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = digits.agg(F.sum("n").cast("long").alias("n_total"))
+    exp_map = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in BENFORD_PPM]),
+        F.col("digit").cast("int"),
+    )
+    return (
+        digits.join(F.broadcast(total))
+        .select(
+            "digit", "n", "n_total",
+            F.expr("(1000000 * n) div n_total").cast("long").alias("obs_ppm"),
+            exp_map.alias("exp_ppm"),
+        )
+        .select(
+            "*",
+            F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
+def benford_audit_sql(rows_cte: str) -> str:
+    """DuckDB oracle for :func:`benford_audit`; ``rows_cte`` must yield
+    integer ``cents``."""
+    exp_list = ", ".join(str(p) for p in BENFORD_PPM)
+    return f"""WITH raw AS ({rows_cte}),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM raw WHERE cents > 0 GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d)
+SELECT digit, n, n_total,
+       CAST((1000000 * n) // n_total AS BIGINT) AS obs_ppm,
+       CAST(([{exp_list}])[CAST(digit AS INTEGER)] AS BIGINT) AS exp_ppm,
+       CAST(abs((1000000 * n) // n_total
+                - ([{exp_list}])[CAST(digit AS INTEGER)]) AS BIGINT) AS dev_ppm
+FROM d, t"""

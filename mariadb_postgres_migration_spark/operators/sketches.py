@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .reconcile import hex_chunk
+from .reconcile import hex_chunk, hex_chunk_sql
 
 #: Estimator scale: hashes are 32-bit (8 md5 hex chars), so the unit
 #: interval is [0, 2^32).
@@ -430,3 +430,145 @@ SELECT p.g1, p.g2, p.n_a, p.n_b,
             // (p.n_a + p.n_b - COALESCE(i.n_inter, 0)) AS BIGINT)
          AS jaccard_milli
 FROM pairs p LEFT JOIN inter i ON i.g1 = p.g1 AND i.g2 = p.g2"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — made hash-verifiable via dyadic-integer algebra.
+#
+# The module docstring (r6) ruled HLL out as "unverifiable" because of its
+# float harmonic mean. That was too pessimistic: with 32-bit hashes and m
+# registers, every harmonic-mean term 2^-r is a dyadic rational with
+# r <= 27, so Z·2^27 = Σ 2^(27-r) is a plain 64-bit INTEGER — exact,
+# order-independent, engine-portable. The raw Flajolet estimate
+# α·m²/Z then reduces to one integer division. Only the small-range
+# (linear-counting) correction needs a transcendental ln; it is emitted
+# as the zero-register count n_zero for the caller to apply, keeping the
+# verified surface pure-integer. (Flajolet, Fusy, Gandouet, Meunier,
+# AofA 2007 — public algorithm and constants.)
+# ---------------------------------------------------------------------------
+
+HLL_BUCKET_BITS = 6
+HLL_M = 1 << HLL_BUCKET_BITS  # 64 registers
+HLL_REM_BITS = 32 - HLL_BUCKET_BITS  # 26 rank bits
+HLL_MAX_RANK = HLL_REM_BITS + 1  # 27: all-zero remainder
+HLL_Z_SCALE = 1 << HLL_MAX_RANK
+#: α_64 = 0.709 (the paper's stated constant for m = 64), in milli.
+HLL_ALPHA_MILLI = 709
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str,
+    pre_distinct: bool = True,
+) -> DataFrame:
+    """Per-group HLL register table ``(groups..., bucket, r)``: bucket =
+    the hash's top 6 bits, r = max over keys of (leading zeros of the
+    26-bit remainder + 1). ≤ m rows per group — the mergeable sketch
+    state (merge = elementwise max, commutative/associative, which is
+    also why the streamed form needs no arrival order).
+
+    Plan: one distinct (group, hash) exchange, then a map-side-combined
+    max per (group, bucket) — register rows are the ONLY thing crossing
+    the second shuffle. The distinct is a pure shuffle-size optimization
+    (duplicates cannot change a max); ``pre_distinct=False`` skips it —
+    REQUIRED on a streaming frame, where distinct-then-max would be two
+    chained aggregations (unsupported), while the single max-agg is the
+    complete-mode streaming sketch for free, like the CMS counters."""
+    hashed = df.select(
+        *group_cols,
+        hex_chunk(F.md5(F.col(key_col).cast("string")), 1).alias("h"),
+    )
+    if pre_distinct:
+        hashed = hashed.distinct()
+    w_bits = f"(h % {1 << HLL_REM_BITS})"
+    rank = (
+        f"CAST({HLL_MAX_RANK} - CASE WHEN {w_bits} = 0 THEN 0"
+        f" ELSE length(conv({w_bits}, 10, 2)) END AS BIGINT)"
+    )
+    return (
+        hashed.select(
+            *group_cols,
+            F.expr(f"h div {1 << HLL_REM_BITS}").cast("long").alias("bucket"),
+            F.expr(rank).alias("r"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").cast("long").alias("r"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact count —
+    the m-integers-per-group sibling of :func:`kmv_distinct` (KMV: k
+    rows, ±1/√k; HLL: m registers, ±1.04/√m, and the state never grows
+    past m longs no matter the cardinality).
+
+    Output: ``n_zero`` (empty registers — the caller's linear-counting
+    input), ``z27`` (the dyadic-integer harmonic denominator Z·2^27),
+    ``est_distinct`` (α·m²/Z as ONE integer division), and the
+    ``exact_distinct`` verification sidecar (same contract as KMV: a
+    100 TB caller drops the sidecar, not the sketch)."""
+    regs = hll_registers(df, group_cols, key_col)
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_MAX_RANK} - r AS INT))"))
+        .cast("long")
+        .alias("z_regs"),
+    )
+    exact = (
+        df.select(*group_cols, key_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    num = HLL_ALPHA_MILLI * HLL_M * HLL_M * HLL_Z_SCALE
+    return (
+        per_group.join(exact, group_cols)
+        .select(
+            *group_cols,
+            (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("n_zero"),
+            (
+                F.col("z_regs")
+                + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(HLL_Z_SCALE)
+            )
+            .cast("long")
+            .alias("z27"),
+            "exact_distinct",
+        )
+        .select(
+            *group_cols,
+            "n_zero",
+            "z27",
+            F.expr(f"CAST({num} AS BIGINT) div (1000 * z27)")
+            .cast("long")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+def hll_distinct_sql(rows_cte: str, group_cols: list[str], key_expr: str) -> str:
+    """DuckDB oracle for :func:`hll_distinct`; ``rows_cte`` must yield the
+    group columns plus ``key`` (pre-cast to VARCHAR by ``key_expr``)."""
+    g = ", ".join(group_cols)
+    h = hex_chunk_sql("md5(key)", 1)
+    w = f"(h % {1 << HLL_REM_BITS})"
+    num = HLL_ALPHA_MILLI * HLL_M * HLL_M * HLL_Z_SCALE
+    return f"""WITH rows_in AS ({rows_cte}),
+hashed AS (SELECT DISTINCT {g}, {h} AS h
+           FROM (SELECT {g}, {key_expr} AS key FROM rows_in)),
+regs AS (SELECT {g}, h // {1 << HLL_REM_BITS} AS bucket,
+                max({HLL_MAX_RANK} - CASE WHEN {w} = 0 THEN 0
+                    ELSE length(bin({w})) END) AS r
+         FROM hashed GROUP BY {g}, bucket),
+pg AS (SELECT {g}, count(*) AS n_regs,
+              sum(1::BIGINT << CAST({HLL_MAX_RANK} - r AS INTEGER)) AS z_regs
+       FROM regs GROUP BY {g}),
+ex AS (SELECT {g}, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct
+       FROM (SELECT {g}, {key_expr} AS key FROM rows_in) GROUP BY {g})
+SELECT {g}, CAST({HLL_M} - n_regs AS BIGINT) AS n_zero,
+       CAST(z_regs + ({HLL_M} - n_regs) * {HLL_Z_SCALE} AS BIGINT) AS z27,
+       CAST({num} // (1000 * (z_regs + ({HLL_M} - n_regs) * {HLL_Z_SCALE}))
+            AS BIGINT) AS est_distinct,
+       exact_distinct
+FROM pg JOIN ex USING ({g})"""

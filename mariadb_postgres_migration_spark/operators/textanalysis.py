@@ -1086,3 +1086,104 @@ def zlib_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(compress, out_schema)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k collocations by bigram frequency, annotated with pointwise
+    LIFT — p(w1,w2) / (p(w1)·p(w2)), the exponential of PMI (EXT-05):
+    the phrase-mining step that finds multi-word units ("new york",
+    "machine learning") a unigram tokenizer treats as independent —
+    input to phrase-aware vocabularies and stop-phrase lists.
+
+    Cross-engine float discipline: all counts are exact int64 sums; the
+    lift is ONE deterministic IEEE expression over six exact integers
+    (c12·N1² / (N12·c1·c2), each factor cast to double, rounded to 4) —
+    no transcendental anywhere (ranking is by the integer count with
+    text tiebreak, never by the float), so the driver hash is safe by
+    construction rather than by ln-ulp luck.
+
+    Plan: bigrams ride the bound token array (one tokenize), then two
+    partial-aggregated groupBys (pair, unigram) + two broadcast-sized
+    scalar totals; the top-k is a TakeOrderedAndProject. Three shuffles
+    at any corpus size.
+
+    Returns ``(rk, w1, w2, c12, lift)``."""
+    toked = _with_tokens(docs, id_col, text_col)
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(__toks) - 2),"
+            " i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bg = toked.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    uni = toked.select(F.explode("__toks").alias("w"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(
+        F.count("*").cast("long").alias("c1")
+    )
+    c2 = uni.groupBy(F.col("w").alias("w2")).agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    n1 = uni.agg(F.count("*").cast("long").alias("n1"))
+    n12 = bg.agg(F.count("*").cast("long").alias("n12"))
+    top = (
+        c12.filter(F.col("c12") >= min_count)
+        .sort(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    ranked = top.join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
+    wr = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        ranked.join(F.broadcast(n1))
+        .join(F.broadcast(n12))
+        .select(
+            F.row_number().over(wr).cast("long").alias("rk"),
+            "w1", "w2", "c12",
+            F.round(
+                (
+                    F.col("c12").cast("double")
+                    * F.col("n1").cast("double")
+                    * F.col("n1").cast("double")
+                )
+                / (
+                    F.col("n12").cast("double")
+                    * F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def pmi_collocations_sql(
+    toks_cte: str, min_count: int = 5, k: int = 30
+) -> str:
+    """DuckDB oracle for :func:`pmi_collocations`; ``toks_cte`` must be
+    the shared tokenize CTE body yielding ``(doc_id, w)`` with ``w`` the
+    token ARRAY (the _TOKS_CTE convention)."""
+    return f"""WITH {toks_cte},
+bg AS (SELECT u.pair[1] AS w1, u.pair[2] AS w2
+       FROM toks, UNNEST(list_transform(range(1, len(w)),
+                                        i -> [w[i], w[i + 1]])) AS u(pair)),
+uni AS (SELECT u.term AS w FROM toks, UNNEST(w) AS u(term)),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+c2 AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS c2 FROM uni GROUP BY 1),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM uni),
+n12 AS (SELECT CAST(count(*) AS BIGINT) AS n12 FROM bg),
+top AS (SELECT * FROM c12 WHERE c12 >= {min_count}
+        ORDER BY c12 DESC, w1, w2 LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2) AS BIGINT) AS rk,
+       w1, w2, c12,
+       round((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             / (CAST(n12 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)),
+             4) AS lift
+FROM top JOIN c1 USING (w1) JOIN c2 USING (w2), n1, n12"""

@@ -79,6 +79,7 @@ def load_all_query_modules() -> None:
     from . import extension_queries  # noqa: F401
     from . import analytics_queries  # noqa: F401
     from . import audit_queries  # noqa: F401
+    from . import r7_queries  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

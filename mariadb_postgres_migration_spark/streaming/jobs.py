@@ -765,3 +765,34 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("lang", "k_used", "kth_hash", "est_distinct")
     )
+
+
+def stream_hll_registers(docs: DataFrame) -> DataFrame:
+    """EXT-09: the x119 HLL register table maintained over the documents
+    ingest stream — register merge is elementwise MAX, so (like the CMS
+    counters' additive merge) the complete-mode streaming aggregate
+    accumulates exactly across ANY micro-batch split with no
+    arrival-order assumption, and state is ≤ m rows per language
+    FOREVER. The fourth sketch-as-stream form next to x91 (CMS, sum
+    merge), x101 (KMV, k-min set-union merge in arbitrary state) and
+    x82 (ring buffer): HLL needs no custom state at all — the register
+    law IS a groupBy max, so Spark's own aggregation state machinery
+    carries it (one chained aggregation; the batch form's distinct
+    pre-pass is skipped, which a max cannot observe —
+    sketches.hll_registers)."""
+    from ..functions.text import normalize_text_native
+    from ..operators.sketches import hll_registers
+
+    base = docs.select(
+        F.coalesce(F.col("lang"), F.lit("~")).alias("lang"),
+        normalize_text_native(F.coalesce(F.col("text"), F.lit(""))).alias("k"),
+    )
+    return hll_registers(base, ["lang"], "k", pre_distinct=False)
+
+
+def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded availableNow replay of the streamed HLL registers —
+    hash-compared to the batch register build (multi-batch accumulation
+    equivalence pinned in tests/test_stream_hll.py)."""
+    docs = read_documents_stream(spark, sf_dir)
+    return _run_to_memory(stream_hll_registers(docs), "complete")
