@@ -741,3 +741,96 @@ round(CAST(n * sxy - sx * sy AS DOUBLE)
 FROM a{k}"""
         )
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type CUSUM changepoint over the daily-count series
+    (EXT-ANALYTICS/EXT-ANOM): for each event type, the observed-day
+    where the cumulative deviation from the series mean peaks — the
+    classic level-shift detector (Page 1954) behind "when did this
+    event's rate change", complementing x75's pointwise z-score (a
+    single-row outlier) with a SERIES-level break locator.
+
+    Integer-exact algebra: the textbook statistic S_d = Σ_{i≤d}(v_i −
+    T/n) carries a rational mean; scaling by n gives S'_d = n·Σ_{i≤d}v_i
+    − d·T — pure int64 (|S'| ≤ n·T, far under 2^63 at any realistic
+    series), so the argmax is exact in both engines. Tie rule: largest
+    \\|S'\\|, then earliest day.
+
+    Plan: one daily-count aggregate, one per-type window cumsum sharing
+    the same type-keyed exchange, a broadcast-sized per-type totals
+    join, and a max_by argmax — the series is |types|·|days| rows at
+    any corpus scale.
+
+    Returns ``(event_type, cp_day, s_abs, n_days, total)``."""
+    daily = (
+        events.select(
+            F.col(type_col).alias("et"),
+            F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div 86400000000")
+            .alias("day"),
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("et", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    tot = daily.groupBy("et").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("v").cast("long").alias("total"),
+    )
+    w = Window.partitionBy("et").orderBy("day")
+    cum = daily.select(
+        "et", "day",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("cv"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    s = cum.join(F.broadcast(tot), "et").select(
+        "et", "day", "n_days", "total",
+        F.abs(F.col("n_days") * F.col("cv") - F.col("k") * F.col("total"))
+        .cast("long").alias("s_abs"),
+    )
+    return (
+        s.groupBy(F.col("et").alias(type_col))
+        .agg(
+            F.max(F.struct(F.col("s_abs"), (-F.col("day")).alias("nd"),
+                           F.col("day"), F.col("n_days"), F.col("total")))
+            .alias("m")
+        )
+        .select(
+            type_col,
+            F.col("m.day").alias("cp_day"),
+            F.col("m.s_abs").alias("s_abs"),
+            F.col("m.n_days").alias("n_days"),
+            F.col("m.total").alias("total"),
+        )
+    )
+
+
+def cusum_changepoint_sql(events_cte: str, type_col: str = "event_type") -> str:
+    """DuckDB oracle for :func:`cusum_changepoint`; ``events_cte`` must
+    yield ``(et, us)``."""
+    return f"""WITH e AS ({events_cte}),
+daily AS (SELECT et, us // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM e WHERE us IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(v) AS BIGINT) AS total
+        FROM daily GROUP BY et),
+cum AS (SELECT et, day,
+               CAST(sum(v) OVER (PARTITION BY et ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv,
+               CAST(row_number() OVER (PARTITION BY et ORDER BY day)
+                    AS BIGINT) AS k
+        FROM daily),
+s AS (SELECT c.et, c.day, t.n_days, t.total,
+             abs(t.n_days * c.cv - c.k * t.total) AS s_abs
+      FROM cum c JOIN tot t ON c.et = t.et),
+rk AS (SELECT *, row_number() OVER (PARTITION BY et
+                                    ORDER BY s_abs DESC, day) AS rn FROM s)
+SELECT et AS {type_col}, day AS cp_day, CAST(s_abs AS BIGINT) AS s_abs,
+       n_days, total
+FROM rk WHERE rn = 1"""

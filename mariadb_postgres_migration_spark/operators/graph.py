@@ -668,3 +668,90 @@ def cheapest_paths_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, cost FROM b{max_edges}"
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """``(node, lbl)`` — ``rounds`` synchronous label-propagation steps
+    over an undirected edge list (Raghavan et al. 2007, the
+    community-detection kernel): labels start as node ids; each round
+    every node adopts the most frequent label among its neighbors, ties
+    to the SMALLEST label. Fully deterministic (unlike the paper's
+    random tie-breaks — determinism is what makes the operator
+    hash-verifiable AND its community assignment reproducible), and
+    bounded-iteration like PageRank/k-core/BFS: both engines compute
+    the identical R-round unroll, with the known synchronous-LPA
+    caveat (bipartite-ish regions can oscillate) subsumed by the
+    fixed-round contract rather than a data-dependent convergence loop.
+
+    Per round: one label join keyed on the edge endpoint (never
+    broadcast — labels are node-count-sized), one map-side-combined
+    (node, label) count, and one max_by argmax; the label frame is
+    lazily ``localCheckpoint``ed so plan depth stays constant (the
+    kcore lesson). Hub skew is bounded: a hub contributes one row per
+    (node, neighbor-label), collapsing at the partial-agg stage.
+    """
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr_lbl = und.join(
+            labels.select(F.col("node").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        cnt = nbr_lbl.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).cast("long").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").cast("long").alias("lbl"))
+
+
+def label_propagation_sql(edges_cte: str, rounds: int = 3) -> str:
+    """DuckDB oracle for :func:`label_propagation`: the rounds unrolled
+    as MATERIALIZED CTEs (see kcore_oracle_sql for why plain CTEs
+    explode multiplicatively), tie-break (count DESC, label ASC) via
+    row_number."""
+    parts = [
+        f"raw AS MATERIALIZED ({edges_cte})",
+        "e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a,"
+        " greatest(a, b) AS b FROM raw WHERE a <> b)",
+        "u AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM u)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT u.a AS node, l.lbl,"
+            f" count(*) AS c FROM u JOIN l{p} l ON u.b = l.node"
+            f" GROUP BY u.a, l.lbl)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, lbl) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(lbl AS BIGINT) AS lbl FROM l{rounds}"
+    )
