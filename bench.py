@@ -91,6 +91,12 @@ HEADLINE = [
     # same-round; q15 is the TPC-H q7+q10 consolidation that funds it
     "q15_joins_suite",
     "x123_r7_ops_suite",
+    # r8 tail: CUSUM changepoint, label propagation, Spearman daily,
+    # KS source drift — consolidated same-round; q16 is the TPC-H q1+q3
+    # consolidation that funds it (q1/q3 stay above as standalones for
+    # the frozen r4/r6 series)
+    "q16_core_agg_suite",
+    "x128_r8_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -160,6 +166,12 @@ R6_COMPARABLE = R4_COMPARABLE + [
     "x84b_graph_pipeline_suite",
 ]
 
+#: A suite warm time above this multiple of its members' individual warm-time
+#: sum (same process, measured right after the suite) is flagged on the final
+#: line as `suites_inflated` — the r7 x77 eviction defect would have tripped
+#: this at 2.05.
+SUITE_INFLATION_RATIO = 1.5
+
 #: Consolidation suites → their member queries, benched individually (warm
 #: only) AFTER the suite itself so a member regression is attributable
 #: without de-consolidating the driver row. Member times appear on the
@@ -215,6 +227,11 @@ SUITE_MEMBERS = {
         "c6_funnel_latency",
     ],
     "q15_joins_suite": ["q7_nation_volume_flow", "q10_returned_item_revenue"],
+    "q16_core_agg_suite": ["q1_pricing_summary", "q3_shipping_priority"],
+    "x128_r8_ops_suite": [
+        "x124_cusum_changepoint", "x125_label_propagation",
+        "x126_spearman_daily", "x127_ks_source_drift",
+    ],
     "x123_r7_ops_suite": [
         "x116_sessionize", "x117_autocorr_daily", "x118_benford_audit",
         "x119_hll_distinct", "x120_pmi_collocations",
@@ -335,6 +352,22 @@ def main() -> int:
         for m in members:
             run(m)
             member_timings[suite][m] = round(run(m), 3)
+    # Suite-vs-member self-check (VERDICT r7 #3): a suite row costing far
+    # more than its members' individual sum in the SAME process is the
+    # persist-eviction signature that shipped unremarked in r7 (x77: 35.0s
+    # suite vs 17.1s member sum). Print the ratio per suite and carry the
+    # offenders onto the machine-readable final line so the class
+    # self-reports in the recorded artifact.
+    suites_inflated: list[str] = []
+    if member_timings:
+        overhead = {}
+        for suite, members in member_timings.items():
+            msum = sum(members.values())
+            ratio = round(timings[suite] / msum, 2) if msum > 0 else 0.0
+            overhead[suite] = {"suite": timings[suite], "member_sum": round(msum, 3), "ratio": ratio}
+            if ratio > SUITE_INFLATION_RATIO:
+                suites_inflated.append(suite)
+        print(json.dumps({"detail": "suite_overhead", "suites": overhead}))
     if member_timings:
         print(json.dumps({"detail": "suite_member_timings", "suites": member_timings}))
         # The driver records only a ~2000-char stdout tail, which evicted
@@ -374,6 +407,7 @@ def main() -> int:
             value_r6set=round(
                 sum(t for n, t in timings.items() if n in R6_COMPARABLE), 3
             ),
+            suites_inflated=suites_inflated,
         )
     )
     spark.stop()
@@ -453,6 +487,7 @@ def compact_final_line(
     calib: dict[str, float] | None = None,
     value_r4set: float | None = None,
     value_r6set: float | None = None,
+    suites_inflated: list[str] | None = None,
 ) -> str:
     """Serialize the machine-readable summary line, always < FINAL_LINE_BUDGET.
 
@@ -475,6 +510,9 @@ def compact_final_line(
             # full value absorbs every newly added operator, not a series)
             "value_r4set": value_r4set,
             "value_r6set": value_r6set,
+            # suites whose warm time ran > SUITE_INFLATION_RATIO x their
+            # members' same-process individual sum (empty = healthy)
+            "suites_inflated": suites_inflated or [],
             "sf": sf,
             "cpus": cpus,
             # fixed-work host-speed probes (see _host_calibration): divide

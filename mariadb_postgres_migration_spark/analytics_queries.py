@@ -33,6 +33,7 @@ from .registry import _t, register
        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
     "EXT-AGG",
+    tier=1,  # r8: consolidated into q16_core_agg_suite (driver row); stays in bench HEADLINE for the frozen series
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide scan → partial+final agg, one shuffle on a
@@ -69,6 +70,7 @@ def q1_pricing_summary(spark, sf_dir):
        ORDER BY revenue DESC, o.o_orderkey
        LIMIT 10""",
     "EXT-TOPK",
+    tier=1,  # r8: consolidated into q16_core_agg_suite (driver row); stays in bench HEADLINE for the frozen series
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter → two joins → agg → global

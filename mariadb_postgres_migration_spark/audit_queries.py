@@ -21,6 +21,7 @@ from .extension_queries import (
     JACCARD_THRESHOLD,
     _mh_bands_sql,
     _mh_sig_cols_sql,
+    _suite_materialize,
     _suite_shape,
     c2_curation_pipeline_lsh,
     x54_pq_encode,
@@ -1020,47 +1021,58 @@ def x77_behavioral_suite(spark, sf_dir):
     form, driver-hashed here for the first time), the streamed windowed
     top-k (x74), the exact rolling anomaly detector (x75), blocked
     entity resolution (c3), streamed incremental dedup (x57) and the
-    LSH-tier curation pipeline (c2), union-folded into the shared
-    kind-tagged suite shape. Three members are real availableNow
-    Structured Streaming replays inside one driver-hashed row."""
-    return (
-        _suite_shape(
+    LSH-tier curation pipeline (c2), with each member MATERIALIZED as
+    its own sequential action (_suite_materialize — see its docstring
+    for the r7 storage-eviction diagnosis this fixes) and the final
+    union a scan of materialized blocks. Three members are real
+    availableNow Structured Streaming replays inside one driver-hashed
+    row."""
+    from functools import reduce
+
+    from .operators.dedup import release_cached_intermediates
+
+    members = [
+        _suite_materialize(_suite_shape(
             x71_funnel_stages(spark, sf_dir), "funnel",
             id1=F.col("user_id"), id2=F.col("stage"), v1=F.col("t1_us"),
             v2=F.col("t2_us"), v3=F.col("t3_us"),
-        )
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x73_stream_funnel(spark, sf_dir), "sfunnel",
             id1=F.col("user_id"), id2=F.col("stage"), v1=F.col("t1_us"),
             v2=F.col("t2_us"), v3=F.col("t3_us"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x74_stream_windowed_topk(spark, sf_dir), "stopk",
             id1=F.col("window_start_us"), id2=F.col("rk"),
             v1=F.col("item"), v2=F.col("n"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x75_rolling_anomaly(spark, sf_dir), "anom",
             id1=F.col("event_id"), id2=F.col("user_id"), v1=F.col("n"),
             v2=F.col("anomaly").cast("long"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             c3_entity_resolution(spark, sf_dir), "er",
             id1=F.col("rec_id"), id2=F.col("canonical_id"),
             v1=F.col("keep").cast("long"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x57_stream_incremental_dedup(spark, sf_dir), "sdedup",
             id1=F.col("doc_id"),
             v1=F.col("is_dup_of_corpus").cast("long"),
             s1=F.col("source"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             c2_curation_pipeline_lsh(spark, sf_dir), "cur",
             id1=F.col("doc_id"), v1=F.col("n_tokens"),
             d1=F.col("quality"), s1=F.col("lang_pred"),
-        ))
-    )
+        )),
+    ]
+    # every member is materialized — their persisted intermediates are
+    # dead weight now; drop them before the caller's consuming action
+    release_cached_intermediates()
+    return reduce(lambda a, b: a.unionAll(b), members)
 
 
 def _c4_sql() -> str:
@@ -2298,8 +2310,17 @@ def x84a_sketch_stream_suite(spark, sf_dir):
     _bpe_merges, _bpe_vocab = T._bpe_train(
         _t(spark, sf_dir, "documents"), "doc_id", "text", 3
     )
-    return (
-        _suite_shape(
+    from functools import reduce
+
+    from .operators.dedup import release_cached_intermediates
+
+    # Each member materializes as its own sequential action
+    # (_suite_materialize — see its docstring for the r7 storage-eviction
+    # diagnosis). The shared BPE train frames stay persisted across the
+    # first two members; all tracked persists are released once at the
+    # end, when every member is already materialized.
+    members = [
+        _suite_materialize(_suite_shape(
             T.bpe_merges_output(spark, _bpe_merges, _bpe_vocab), "bpetrain",
             id1=F.col("rk"), v1=F.col("n"),
             s1=F.concat_ws(
@@ -2307,63 +2328,63 @@ def x84a_sketch_stream_suite(spark, sf_dir):
                 F.coalesce(F.col("lhs"), F.lit("~")),
                 F.coalesce(F.col("rhs"), F.lit("~")),
             ),
-        )
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             T.bpe_encode_output(_bpe_vocab), "bpeenc",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("sym"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x87_kmv_distinct_sketch(spark, sf_dir), "kmv",
             id1=F.col("exact_distinct"), v1=F.col("k_used"),
             v2=F.col("kth_hash"), v3=F.col("est_distinct"),
             s1=F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus")),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x89_cms_point_frequency(spark, sf_dir), "cms",
             v1=F.col("est_count"), v2=F.col("exact_count"),
             s1=F.col("term"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x91_stream_cms_counters(spark, sf_dir), "scms",
             id1=F.col("j"), id2=F.col("bucket"), v1=F.col("cnt"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x92_exact_quantiles(spark, sf_dir), "quant",
             id1=F.col("q_pct"), id2=F.col("rank"), v1=F.col("value"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x93_weighted_sample(spark, sf_dir), "wsamp",
             id1=F.col("doc_id"), id2=F.col("rk"), v1=F.col("weight"),
             v2=F.col("pri"), s1=F.col("lang"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x95_bigram_logprob(spark, sf_dir), "bigram",
             id1=F.col("doc_id"), v1=F.col("n_bigram"), d1=F.col("avg_logp"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x97_char_entropy(spark, sf_dir), "entropy",
             id1=F.col("doc_id"), v1=F.col("n_chars"),
             v2=F.col("n_distinct_chars"), d1=F.col("entropy"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x99_kmv_set_relations(spark, sf_dir), "kmvset",
             id1=F.col("k_used"), id2=F.col("shared_k"),
             v1=F.col("union_est"), v2=F.col("inter_est"),
             v3=F.col("jaccard_milli"),
             d1=F.col("exact_inter"), d2=F.col("exact_union"),
             s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x101_stream_kmv_state(spark, sf_dir), "skmv",
             id1=F.col("k_used"), v1=F.col("kth_hash"),
             v2=F.col("est_distinct"), s1=F.col("lang"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x102_equidepth_histogram(spark, sf_dir), "histo",
             id1=F.col("bucket"), v1=F.col("n_rows"), v2=F.col("sum_v"),
             v3=F.col("min_v"), d1=F.col("max_v"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x106_table_profile(spark, sf_dir), "prof",
             id1=F.col("n_rows"), id2=F.col("n_null"), v1=F.col("n_distinct"),
             s1=F.concat_ws(
@@ -2371,31 +2392,33 @@ def x84a_sketch_stream_suite(spark, sf_dir):
                 F.coalesce(F.col("min_s"), F.lit("~")),
                 F.coalesce(F.col("max_s"), F.lit("~")),
             ),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x108_bitmap_set_relations(spark, sf_dir), "bitmap",
             id1=F.col("n_a"), id2=F.col("n_b"), v1=F.col("n_inter"),
             v2=F.col("n_union"), v3=F.col("jaccard_milli"),
             s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x111_percentile_rank(spark, sf_dir), "prank",
             id1=F.col("doc_id"), v1=F.col("n_chars"), v2=F.col("pr_milli"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x112_decayed_value(spark, sf_dir), "decay",
             id1=F.col("user_id"), id2=F.col("n_events"),
             v1=F.col("raw_cents"), v2=F.col("decayed_cents"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x113_mad_robust(spark, sf_dir), "mad",
             id1=F.col("n"), v1=F.col("median"), v2=F.col("mad"),
-        ))
-        .unionAll(_suite_shape(
+        )),
+        _suite_materialize(_suite_shape(
             x114_frequent_trigrams(spark, sf_dir), "trigram",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("trigram"),
-        ))
-    )
+        )),
+    ]
+    release_cached_intermediates()
+    return reduce(lambda a, b: a.unionAll(b), members)
 
 
 def _x84b_sql() -> str:

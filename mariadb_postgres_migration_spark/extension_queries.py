@@ -1868,6 +1868,39 @@ def _suite_shape(df, kind, **cols):
     return df.select(*out)
 
 
+def _suite_materialize(df):
+    """Materialize one suite member's shaped output NOW — localCheckpoint
+    eager = one action over the member's own plan; the suite's final
+    union then just scans materialized blocks.
+
+    Why (VERDICT r7 'What's wrong #2'): a suite that unions many member
+    plans into ONE action lets independent member subtrees' stages run
+    concurrently, so every member's ``_persist`` frames coexist in the
+    storage pool while execution memory is under peak concurrent demand —
+    under unified memory that evicts cached frames mid-action and
+    recomputes them. That is how x77 recorded 35.0s warm against a 17.1s
+    same-process member sum in BENCH_r07 (and warm > cold: the pressure
+    grows with accumulated JVM state, which the cold-first ordering made
+    look inverted). Measured standalone the union form is fine (~1.1x
+    member sum — diagnosed r8, 4 isolated runs: 36.2 cold / 19.9, 18.9,
+    17.0 warm); measured late in a 47-query process it degraded 2x,
+    while the members run individually even LATER in that same process
+    stayed fast — so the fix is to make the suite BE the sequence of
+    member actions, the exact regime that stays fast. Members sharing a
+    persisted frame (x84a's BPE train pair) still share it: persists are
+    released once by the suite fn after ALL members are materialized
+    (a checkpointed member never re-reads them, so late release costs
+    nothing). On a real cluster this matches how a 100 TB curation
+    pipeline checkpoints stage boundaries anyway; the union-of-lazy-
+    plans form saves nothing there either, since the members share no
+    lineage with each other.
+
+    x84b deliberately does NOT use this: its graph kernels share one
+    memoized persisted edge frame across members and its union row
+    already measures ~= member sum (r7: 31.4s vs 32.9s members)."""
+    return df.localCheckpoint(eager=True)
+
+
 # suite-composition helper: the canonical member-oracle lookup lives in
 # registry.py — alias it so every suite module uses the same implementation
 from .registry import member_oracle as _member_oracle  # noqa: E402

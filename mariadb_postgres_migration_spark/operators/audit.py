@@ -683,7 +683,12 @@ def autocorr_daily(
         .groupBy("day")
         .agg(F.count("*").cast("long").alias("v"))
     )
-    daily = daily.persist()
+    # Route through the shared tracked-persist pool (ADVICE r7): the day
+    # series must stay materialized while the 7 lag passes consume it, so
+    # ownership passes to the caller via release_cached_intermediates().
+    from .dedup import _persist
+
+    daily = _persist(daily)
     out = None
     for k in range(1, max_lag + 1):
         lagged = daily.select(
@@ -834,3 +839,88 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY et
 SELECT et AS {type_col}, day AS cp_day, CAST(s_abs AS BIGINT) AS s_abs,
        n_days, total
 FROM rk WHERE rn = 1"""
+
+
+def spearman_daily(
+    orders: DataFrame,
+    ts_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """Spearman rank correlation between the daily ORDER-COUNT series and
+    the daily REVENUE-CENTS series (EXT-ANALYTICS): "do busy days earn
+    proportionally more" measured on ranks, so one whale order can't fake
+    the relationship the way it can for Pearson — the monotone-association
+    probe next to x117's lag autocorrelation (same day-series base).
+
+    Integer-exact algebra: both rank vectors are DETERMINISTIC permutations
+    (row_number ordered by value with day as tiebreak — the textbook
+    mid-rank tie treatment would introduce .5 fractions; the deterministic
+    variant keeps every intermediate an exact int64 and is documented as
+    the operator's contract), so Σd² is an exact int64 (≤ n³/3 with
+    n = |days| ≈ 2.4k — bounded by the CALENDAR at any corpus scale) and
+    ρ = 1 − 6Σd²/(n(n²−1)) is ONE deterministic IEEE expression over two
+    exact integers, rounded to 4. Revenue rides half-up cents (the x118
+    convention), summed exactly in int64.
+
+    Plan: one day-keyed partial-aggregated groupBy of the scan; the rank
+    windows and the final 1-row reduce run on the |days|-row series, which
+    is broadcast-sized by construction at any corpus scale.
+
+    Returns ``(n_days, sum_d2, rho)`` — a single row."""
+    daily = (
+        orders.select(
+            F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div 86400000000")
+            .alias("day"),
+            F.floor(F.col(price_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("rev"),
+        )
+    )
+    r1 = Window.orderBy("cnt", "day")
+    r2 = Window.orderBy("rev", "day")
+    ranked = daily.select(
+        F.row_number().over(r1).cast("long").alias("ra"),
+        F.row_number().over(r2).cast("long").alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    ).select(
+        "n_days", "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+            / (
+                F.col("n_days").cast("double")
+                * (F.col("n_days") * F.col("n_days") - F.lit(1)).cast("double")
+            ),
+            4,
+        ).alias("rho"),
+    )
+
+
+def spearman_daily_sql(rows_cte: str) -> str:
+    """DuckDB oracle for :func:`spearman_daily`; ``rows_cte`` must yield
+    ``(day, cents)`` pre-aggregation rows."""
+    return f"""WITH raw AS ({rows_cte}),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(cents) AS BIGINT) AS rev
+          FROM raw WHERE day IS NOT NULL GROUP BY day),
+ranked AS (SELECT CAST(row_number() OVER (ORDER BY cnt, day) AS BIGINT) AS ra,
+                  CAST(row_number() OVER (ORDER BY rev, day) AS BIGINT) AS rb
+           FROM daily),
+acc AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        FROM ranked)
+SELECT n_days, sum_d2,
+       round(1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+             / (CAST(n_days AS DOUBLE)
+                * CAST(n_days * n_days - 1 AS DOUBLE)), 4) AS rho
+FROM acc"""

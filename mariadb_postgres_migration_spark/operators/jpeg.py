@@ -401,8 +401,17 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def _dqt_seg(q: np.ndarray) -> bytes:
-    zz = q.reshape(64)[ZIGZAG].astype(np.uint8)
-    return _seg(0xDB, bytes([0x00]) + zz.tobytes())
+    zz = q.reshape(64)[ZIGZAG]
+    if (zz > 255).any() or (zz < 1).any():
+        # The encoder only emits 8-bit-precision DQTs; a silent uint8 cast
+        # would wrap entries > 255 into a valid-looking but wrong table
+        # (ADVICE r7). The decoder handles 16-bit DQTs; the encoder
+        # deliberately does not produce them.
+        raise ValueError(
+            "quant table entries must be in [1, 255] for an 8-bit DQT; "
+            f"got range [{int(zz.min())}, {int(zz.max())}]"
+        )
+    return _seg(0xDB, bytes([0x00]) + zz.astype(np.uint8).tobytes())
 
 
 def _dht_seg() -> bytes:
@@ -484,6 +493,13 @@ def encode_jpeg_gray(arr: np.ndarray, q: np.ndarray | None = None) -> bytes:
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray: dims must be multiples of 8")
     q = np.ones((8, 8), np.int64) if q is None else np.asarray(q, np.int64)
+    if (q > 255).any() or (q < 1).any():
+        # checked BEFORE quantization: a zero entry divides by zero and an
+        # oversized one would silently wrap in the 8-bit DQT (ADVICE r7)
+        raise ValueError(
+            "quant table entries must be in [1, 255] for an 8-bit DQT; "
+            f"got range [{int(q.min())}, {int(q.max())}]"
+        )
     dc, ac = _LUM_TABLES
     zz = _quantized_zigzag(_plane_blocks(arr), q)
     bw = _BitWriter()

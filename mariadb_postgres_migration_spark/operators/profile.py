@@ -25,7 +25,7 @@ passes and needs no sampling."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: column kinds → canonicalization recipe
@@ -172,3 +172,132 @@ SELECT digit, n, n_total,
        CAST(abs((1000000 * n) // n_total
                 - ([{exp_list}])[CAST(digit AS INTEGER)]) AS BIGINT) AS dev_ppm
 FROM d, t"""
+
+
+def ks_source_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source two-sample Kolmogorov–Smirnov drift of a numeric column's
+    distribution against the whole corpus (EXT-AUDIT/EXT-ANALYTICS): for
+    each source s, D_s = sup_v |ECDF_s(v) − ECDF_all(v)| — the
+    distribution-SHAPE drift screen next to x64's per-term odds ratio and
+    x118's first-digit audit ("this crawl batch's document-length
+    distribution changed", the classic ingest regression).
+
+    Integer-exact algebra: with n_s = |s|, N = |corpus|, the statistic is
+    computed SCALED — d_scaled = max_v |N·cum_s(v) − n_s·cum_all(v)| — so
+    the sup is an exact int64 argmax in both engines (the conventional
+    float D = d_scaled/(N·n_s) is emitted as integer ppm by one exact
+    integer division). |N·cum_s| ≤ N·n_s, inside int64 while N·n_s < 2^63
+    (≈3·10⁹ docs in BOTH the source and the corpus — beyond-100 TB
+    territory; shard the corpus dimension before that). Ties: largest
+    d_scaled at the SMALLEST v.
+
+    Plan: one (group, value) partial-aggregated count of the scan, then
+    everything downstream operates on the bounded (|groups| × |distinct
+    values|) grid — the evaluation grid is built with a crossJoin that is
+    bounded by construction (sources × distinct lengths, corpus-size-
+    independent), cumulated with one window pass per axis, and reduced
+    with a max_by argmax. The big table is scanned ONCE and shuffled
+    once.
+
+    Returns ``(source, n_docs, n_total, d_scaled, at_value, d_ppm)``."""
+    g, v = group_col, value_col
+    c_sv = (
+        docs.select(F.col(g).alias("g"), F.col(v).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    c_v = c_sv.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    srcs = c_sv.groupBy("g").agg(F.sum("c").cast("long").alias("n_s"))
+    # bounded: the grid is |distinct values| x |sources| rows — both axes
+    # grow with data VARIETY (length cap, crawl-source count), not with
+    # corpus row count, so the crossJoin is constant-sized by contract.
+    grid = c_v.select("v").crossJoin(srcs.select("g"))
+    full = grid.join(c_sv, ["g", "v"], "left").fillna({"c": 0})
+    w_s = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_all = c_v.select(
+        "v", F.sum("cv").over(w_all).cast("long").alias("cum_all")
+    )
+    n_tot = c_v.agg(F.sum("cv").cast("long").alias("n_total"))
+    scored = (
+        full.select("g", "v", F.sum("c").over(w_s).cast("long").alias("cum_s"))
+        .join(cum_all, "v")
+        # bounded: srcs is one row per source, n_tot is exactly 1 row
+        .join(F.broadcast(srcs), "g")
+        .join(F.broadcast(n_tot))
+        .select(
+            "g", "v", "n_s", "n_total",
+            F.abs(
+                F.col("n_total") * F.col("cum_s")
+                - F.col("n_s") * F.col("cum_all")
+            ).cast("long").alias("d"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("g").alias(g))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("d"), (-F.col("v")).alias("nv"),
+                    F.col("v"), F.col("n_s"), F.col("n_total"),
+                )
+            ).alias("m")
+        )
+        .select(
+            g,
+            F.col("m.n_s").alias("n_docs"),
+            F.col("m.n_total").alias("n_total"),
+            F.col("m.d").alias("d_scaled"),
+            F.col("m.v").alias("at_value"),
+            # exact integer division on both engines (Spark `div` ==
+            # DuckDB `//`); the ppm rescale tightens the int64 bound to
+            # 10⁶·N·n_s < 2^63 (N·n_s < 9.2·10¹²) — past that, drop this
+            # convenience column and rank by the exact d_scaled alone
+            F.expr(
+                "CAST((1000000 * m.d) DIV (m.n_total * m.n_s) AS BIGINT)"
+            ).alias("d_ppm"),
+        )
+    )
+
+
+def ks_source_drift_sql(
+    rows_cte: str, group_col: str = "source"
+) -> str:
+    """DuckDB oracle for :func:`ks_source_drift`; ``rows_cte`` must yield
+    ``(g, v)`` rows (group label, long value, nulls pre-filtered or not —
+    the oracle filters)."""
+    return f"""WITH raw AS ({rows_cte}),
+c_sv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+         FROM raw WHERE v IS NOT NULL GROUP BY g, v),
+c_v AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c_sv GROUP BY v),
+srcs AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_s FROM c_sv GROUP BY g),
+tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n_total FROM c_v),
+grid AS (SELECT c_v.v, srcs.g, srcs.n_s FROM c_v, srcs),
+full_g AS (SELECT grid.g, grid.v, grid.n_s, coalesce(c_sv.c, 0) AS c
+           FROM grid LEFT JOIN c_sv ON grid.g = c_sv.g AND grid.v = c_sv.v),
+cums AS (SELECT g, v, n_s,
+                CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_s
+         FROM full_g),
+cuma AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_all
+         FROM c_v),
+scored AS (SELECT s.g, s.v, s.n_s, t.n_total,
+                  abs(t.n_total * s.cum_s - s.n_s * a.cum_all) AS d
+           FROM cums s JOIN cuma a ON s.v = a.v, tot t),
+rk AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY d DESC, v) AS rn
+       FROM scored)
+SELECT g AS {group_col}, n_s AS n_docs, n_total,
+       CAST(d AS BIGINT) AS d_scaled, v AS at_value,
+       (1000000 * d) // (n_total * n_s) AS d_ppm
+FROM rk WHERE rn = 1"""

@@ -1110,7 +1110,10 @@ def pmi_collocations(
 
     Plan: bigrams ride the bound token array (one tokenize), then two
     partial-aggregated groupBys (pair, unigram) + two broadcast-sized
-    scalar totals; the top-k is a TakeOrderedAndProject. Three shuffles
+    scalar totals; the top-k is a TakeOrderedAndProject and is itself
+    the broadcast build side (<= k rows) of both count-lookup joins —
+    the vocabulary-sized c1/c2 tables are only ever streamed, never
+    built, so the plan survives an unbounded vocabulary. Three shuffles
     at any corpus size.
 
     Returns ``(rk, w1, w2, c12, lift)``."""
@@ -1138,7 +1141,12 @@ def pmi_collocations(
         .sort(F.desc("c12"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
-    ranked = top.join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
+    # bounded: `top` is exactly <= k rows (LIMIT k above) — it is the ONLY
+    # broadcast-able side here.  c1/c2 are vocabulary-sized (unbounded at
+    # 100 TB) and must stay the streamed probe side, never the build side.
+    # Each join emits <= k rows, so the second join's build side is again
+    # <= k rows.
+    ranked = c2.join(F.broadcast(c1.join(F.broadcast(top), "w1")), "w2")
     wr = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
     return (
         ranked.join(F.broadcast(n1))

@@ -1,4 +1,5 @@
 from .inspect import (  # noqa: F401
+    broadcast_build_subtrees,
     broadcast_join_count,
     exchange_count,
     formatted_plan,

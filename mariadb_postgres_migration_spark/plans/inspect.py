@@ -130,6 +130,39 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) BroadcastHashJoin\b", formatted_plan(df), re.MULTILINE))
 
 
+def broadcast_build_subtrees(df: DataFrame) -> list[str]:
+    """The plan-text subtree under each ``BroadcastExchange`` node — i.e.
+    what the plan proposes to MATERIALIZE ON EVERY EXECUTOR. The r7 x120
+    defect class (VERDICT r7 'What's wrong #1') is a broadcast hint on an
+    unbounded side: the hint site looks symmetrical in the Python, and only
+    the plan shows which relation actually became the build side. Tests
+    assert each subtree contains a boundedness witness (a
+    ``TakeOrderedAndProject``/``Limit`` for top-k builds, ``keys=[]`` for
+    1-row scalar aggregates) so an unbounded build side fails loudly.
+
+    Parses the executedPlan tree text by indentation: a node's subtree is
+    the following lines whose tree-prefix depth is strictly greater, up to
+    the first line at the same or shallower depth.
+    """
+    lines = simple_plan(df).split("\n")
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        sub: list[str] = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 #: every plan-node name that executes Python. ``FlatMapCoGroupsInPandas``
 #: does NOT contain the substring ``FlatMapGroupsInPandas`` (the ``Co``
 #: breaks it) and must be listed separately; none of these is a substring

@@ -1,0 +1,234 @@
+"""Round-8 registered queries: the CUSUM series changepoint and
+label-propagation communities (implemented in the r7 snapshot, registered
+here — VERDICT r7 'What's missing #1'), plus two new analytics operators
+(Spearman daily rank correlation, per-source Kolmogorov–Smirnov drift) —
+and the two driver-window rows that fund and verify them
+(q16_core_agg_suite consolidates the q1+q3 TPC-H standalones to free the
+slot, x128_r8_ops_suite fills it), per the q15/x123 convention.
+
+Registration/oracle conventions follow r7_queries: every standalone here
+is tier 1 and every one is also a member of the tier-0 x128 suite, whose
+oracle composes the members' SQL via member_oracle() so member edits
+can't drift.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from .analytics_queries import q1_pricing_summary, q3_shipping_priority
+from .audit_queries import _X85_EDGES_CTE, _x85_edges
+from .extension_queries import _suite_materialize, _suite_shape
+from .operators import audit as A
+from .operators import graph as G
+from .operators import profile as PRF
+from .registry import _t, member_oracle, register
+
+# ---------------------------------------------------------------------------
+# x124 — CUSUM changepoint per event type
+# ---------------------------------------------------------------------------
+
+_X124_EVENTS_CTE = "SELECT event_type AS et, epoch_us(ts) AS us FROM events"
+
+
+@register(
+    "x124_cusum_changepoint", A.cusum_changepoint_sql(_X124_EVENTS_CTE),
+    "EXT-ANALYTICS", "EXT-ANOM", tier=1,
+)
+def x124_cusum_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM changepoint over the daily-count series
+    (:func:`operators.audit.cusum_changepoint`, Page 1954) — the
+    SERIES-level rate-break locator complementing x75's pointwise
+    z-score. The statistic is mean-centered cumulative deviation scaled
+    by n (S'_d = n·Σv − d·T), pure int64, so the argmax is exact in
+    both engines; ties resolve largest |S'| then earliest day."""
+    return A.cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# x125 — label-propagation communities on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x125_label_propagation", G.label_propagation_sql(_X85_EDGES_CTE),
+    "EXT-GRAPH", tier=1,
+)
+def x125_label_propagation(spark, sf_dir):
+    """3-round synchronous label propagation
+    (:func:`operators.graph.label_propagation`, Raghavan 2007) over the
+    same thresholded part co-purchase graph the other graph kernels
+    share (x85/x94/x100/x105's memoized edge frame) — community
+    detection next to x27/x41's connected components: LPA splits dense
+    regions CC merges. Deterministic smallest-label tie-break makes the
+    fixed-round unroll hash-verifiable."""
+    return G.label_propagation(_x85_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x126 — Spearman rank correlation of the daily count/revenue series
+# ---------------------------------------------------------------------------
+
+_X126_ROWS_CTE = (
+    "SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders"
+)
+
+
+@register(
+    "x126_spearman_daily", A.spearman_daily_sql(_X126_ROWS_CTE),
+    "EXT-ANALYTICS", "EXT-AGG", tier=1,
+)
+def x126_spearman_daily(spark, sf_dir):
+    """Spearman rank correlation between daily order count and daily
+    revenue cents (:func:`operators.audit.spearman_daily`) — the
+    monotone-association probe on the same day-series base as x117's
+    autocorrelation. Ranks are deterministic permutations (value, day
+    tiebreak), Σd² exact int64 bounded by the calendar, ρ one IEEE
+    expression rounded to 4."""
+    return A.spearman_daily(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# x127 — per-source Kolmogorov–Smirnov length-distribution drift
+# ---------------------------------------------------------------------------
+
+_X127_ROWS_CTE = "SELECT source AS g, n_chars AS v FROM documents"
+
+
+@register(
+    "x127_ks_source_drift", PRF.ks_source_drift_sql(_X127_ROWS_CTE),
+    "EXT-AUDIT", "EXT-ANALYTICS", tier=1,
+)
+def x127_ks_source_drift(spark, sf_dir):
+    """Two-sample KS statistic of each source's document-length
+    distribution against the whole corpus
+    (:func:`operators.profile.ks_source_drift`) — the distribution-
+    SHAPE ingest screen next to x64's per-term odds ratio and x118's
+    first-digit audit. The sup is computed scaled
+    (max |N·cum_s − n_s·cum_all|), an exact int64 argmax; one scan of
+    the table, everything downstream bounded by sources × distinct
+    lengths."""
+    return PRF.ks_source_drift(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q16_core_agg_suite — TPC-H q1 + q3 as ONE driver row (frees the tier-0
+# slot that funds x128; the standalones stay tier 1, and stay in the
+# bench HEADLINE so the frozen r4/r6 series keep their members)
+# ---------------------------------------------------------------------------
+
+
+def _q16_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'q1' AS kind, {z} AS id1, count_order AS v1,
+       CAST(sum_qty AS DOUBLE) AS d1, CAST(sum_base_price AS DOUBLE) AS d2,
+       CAST(sum_disc_price AS DOUBLE) AS d3, CAST(sum_charge AS DOUBLE) AS d4,
+       CAST(avg_qty AS DOUBLE) AS d5, CAST(avg_price AS DOUBLE) AS d6,
+       concat_ws('|', l_returnflag, l_linestatus) AS s1
+FROM ({member_oracle('q1_pricing_summary')})
+UNION ALL
+SELECT 'q3', o_orderkey, o_orderdate_us, CAST(revenue AS DOUBLE), {zd}, {zd},
+       {zd}, {zd}, {zd}, NULL
+FROM ({member_oracle('q3_shipping_priority')})"""
+
+
+@register(
+    "q16_core_agg_suite", _q16_sql(), "EXT-AGG", "EXT-TOPK",
+)
+def q16_core_agg_suite(spark, sf_dir):
+    """Driver row consolidating the two core TPC-H shapes (Q1 wide-scan
+    aggregate, Q3 join + global top-10) — r8 window math: their two
+    slots fund this row plus the x128 suite, exactly the consolidation
+    q15 applied to q7/q10. The rounded doubles ride double slots
+    losslessly (both members were driver-hash-green standalone through
+    r7 with the same rounding)."""
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    ns = F.lit(None).cast("string")
+    q1 = q1_pricing_summary(spark, sf_dir).select(
+        F.lit("q1").alias("kind"), zl.alias("id1"),
+        F.col("count_order").cast("long").alias("v1"),
+        F.col("sum_qty").cast("double").alias("d1"),
+        F.col("sum_base_price").cast("double").alias("d2"),
+        F.col("sum_disc_price").cast("double").alias("d3"),
+        F.col("sum_charge").cast("double").alias("d4"),
+        F.col("avg_qty").cast("double").alias("d5"),
+        F.col("avg_price").cast("double").alias("d6"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("s1"),
+    )
+    q3 = q3_shipping_priority(spark, sf_dir).select(
+        F.lit("q3").alias("kind"), F.col("o_orderkey").alias("id1"),
+        F.col("o_orderdate_us").cast("long").alias("v1"),
+        F.col("revenue").cast("double").alias("d1"),
+        zd.alias("d2"), zd.alias("d3"), zd.alias("d4"), zd.alias("d5"),
+        zd.alias("d6"), ns.alias("s1"),
+    )
+    return q1.unionAll(q3)
+
+
+# ---------------------------------------------------------------------------
+# x128_r8_ops_suite — the r8 operator tail under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x128_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'cusum' AS kind, cp_day AS id1, {z} AS id2,
+       s_abs AS v1, n_days AS v2, total AS v3,
+       {zd} AS d1, {zd} AS d2, event_type AS s1
+FROM ({member_oracle('x124_cusum_changepoint')})
+UNION ALL
+SELECT 'lp', node, lbl, {z}, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x125_label_propagation')})
+UNION ALL
+SELECT 'rho', n_days, sum_d2, {z}, {z}, {z}, CAST(rho AS DOUBLE), {zd}, NULL
+FROM ({member_oracle('x126_spearman_daily')})
+UNION ALL
+SELECT 'ks', d_scaled, at_value, n_docs, n_total, d_ppm, {zd}, {zd}, source
+FROM ({member_oracle('x127_ks_source_drift')})"""
+
+
+@register(
+    "x128_r8_ops_suite",
+    _x128_sql(),
+    "EXT-GRAPH", "EXT-ANOM", "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
+)
+def x128_r8_ops_suite(spark, sf_dir):
+    """Driver-verified representative for the round-8 operator tail,
+    consolidated in the SAME round the operators landed (the x123/x84
+    convention): the CUSUM changepoint (x124) and label-propagation
+    communities (x125) — the two operators the r7 snapshot left
+    unregistered — plus Spearman daily rank correlation (x126) and the
+    per-source KS drift screen (x127), union-folded into the shared
+    kind-tagged suite shape with each member materialized as its own
+    sequential action (_suite_materialize)."""
+    from .operators.dedup import release_cached_intermediates
+
+    members = [
+        _suite_materialize(_suite_shape(
+            x124_cusum_changepoint(spark, sf_dir), "cusum",
+            id1=F.col("cp_day"), v1=F.col("s_abs"), v2=F.col("n_days"),
+            v3=F.col("total"), s1=F.col("event_type"),
+        )),
+        _suite_materialize(_suite_shape(
+            x125_label_propagation(spark, sf_dir), "lp",
+            id1=F.col("node"), id2=F.col("lbl"),
+        )),
+        _suite_materialize(_suite_shape(
+            x126_spearman_daily(spark, sf_dir), "rho",
+            id1=F.col("n_days"), id2=F.col("sum_d2"), d1=F.col("rho"),
+        )),
+        _suite_materialize(_suite_shape(
+            x127_ks_source_drift(spark, sf_dir), "ks",
+            id1=F.col("d_scaled"), id2=F.col("at_value"),
+            v1=F.col("n_docs"), v2=F.col("n_total"), v3=F.col("d_ppm"),
+            s1=F.col("source"),
+        )),
+    ]
+    release_cached_intermediates()
+    return reduce(lambda a, b: a.unionAll(b), members)

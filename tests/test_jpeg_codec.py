@@ -231,3 +231,22 @@ def test_fixture_builder_payloads_decode_to_text_bytes(spark, n_blocks):
     assert (r["width"], r["height"]) == (bpr * 8, nrows * 8)
     assert (r["px_min"], r["px_max"]) == (min(used), max(used))
     assert r["px_sum"] == 64 * sum(used)
+
+
+def test_encoder_rejects_oversized_quant_table():
+    """ADVICE r7: an 8-bit DQT cannot carry entries > 255 — the encoder
+    must refuse rather than silently wrap them through a uint8 cast
+    (the decoder would then dequantize with a wrong table)."""
+    import numpy as np
+    import pytest
+
+    from mariadb_postgres_migration_spark.operators.jpeg import encode_jpeg_gray
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    bad = np.full((8, 8), 300, dtype=np.int64)
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        encode_jpeg_gray(img, q=bad)
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        encode_jpeg_gray(img, q=np.zeros((8, 8), dtype=np.int64))
+    # in-range table still encodes
+    assert encode_jpeg_gray(img, q=np.full((8, 8), 255, dtype=np.int64))[:2] == b"\xff\xd8"

@@ -491,3 +491,25 @@ def test_x98_zlib_is_single_arrow_pass(q):
     assert python_eval_count(df) == 1
     assert exchange_count(df) == 0
     assert read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_x120_broadcast_builds_are_bounded(q):
+    """x120 (r7 defect): the PMI count-lookup joins must broadcast the
+    k-row top-k side, NEVER the vocabulary-sized unigram count tables.
+    Every BroadcastExchange build subtree must carry a boundedness
+    witness: a TakeOrderedAndProject/Limit (the top-k, or a join whose
+    build side is the top-k) or keys=[] (the 1-row n1/n12 scalar
+    totals). The pre-fix plan broadcast c1/c2 — a HashAggregate over
+    every distinct token, which OOMs at a 100 TB vocabulary — and fails
+    this exact assertion."""
+    from mariadb_postgres_migration_spark.plans import broadcast_build_subtrees
+
+    subs = broadcast_build_subtrees(q("x120_pmi_collocations"))
+    assert len(subs) >= 3, "x120 lost its broadcast joins"
+    for sub in subs:
+        bounded = (
+            "TakeOrderedAndProject" in sub
+            or "Limit" in sub
+            or "keys=[]" in sub
+        )
+        assert bounded, f"unbounded broadcast build side:\n{sub}"

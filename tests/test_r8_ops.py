@@ -1,0 +1,252 @@
+"""Operator-level tests for the r8 additions: hand-checked fixtures and
+independent-reference comparisons (numpy / pure Python), next to the
+oracle-parity rows test_core_queries already runs for each."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# x124 — CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def _day_rows(spec):
+    """[(event_type, day, count)] → one event row per count at that day."""
+    t0 = dt.datetime(1970, 1, 1)
+    rows = []
+    i = 0
+    for et, day, n in spec:
+        for _ in range(n):
+            rows.append((i, et, t0 + dt.timedelta(days=day, hours=1)))
+            i += 1
+    return rows
+
+
+def _cusum_brute(series):
+    """Transcribed definition: argmax_d |n·cum_d − k·T| (the n-scaled
+    S_d = Σ_{i≤d}(v_i − T/n)), ties to largest |S'| then earliest day."""
+    days = sorted(series)
+    vals = [series[d] for d in days]
+    n, total = len(vals), sum(vals)
+    best = None
+    cum = 0
+    for k, (d, v) in enumerate(zip(days, vals), start=1):
+        cum += v
+        s = abs(n * cum - k * total)
+        key = (s, -d)
+        if best is None or key > best[0]:
+            best = (key, d, s)
+    return best[1], best[2], n, total
+
+
+def test_cusum_level_shift_hand_checked(spark):
+    """A clean level shift: 5 days at 2/day then 5 days at 10/day. The
+    mean is 6; cumulative deviation bottoms out exactly at the last
+    low day (day 4): S'_4 = 10·10 − 5·60 = −200 → s_abs 200."""
+    from mariadb_postgres_migration_spark.operators.audit import cusum_changepoint
+
+    spec = [("a", d, 2) for d in range(5)] + [("a", d, 10) for d in range(5, 10)]
+    df = spark.createDataFrame(
+        _day_rows(spec), "event_id long, event_type string, ts timestamp"
+    )
+    [row] = cusum_changepoint(df).collect()
+    assert (row["cp_day"], row["s_abs"], row["n_days"], row["total"]) == (
+        4, 200, 10, 60,
+    )
+
+
+def test_cusum_matches_brute_force_per_type(spark):
+    """Two noisy series vs the transcribed-definition brute force,
+    including the tie rule."""
+    from mariadb_postgres_migration_spark.operators.audit import cusum_changepoint
+
+    rng = np.random.RandomState(8)
+    series = {
+        "x": {int(d): int(rng.randint(1, 6)) for d in range(20)},
+        "y": {int(d): (3 if d < 7 else 9) for d in range(15)},
+    }
+    spec = [(et, d, n) for et, s in series.items() for d, n in s.items()]
+    df = spark.createDataFrame(
+        _day_rows(spec), "event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["event_type"]: (r["cp_day"], r["s_abs"], r["n_days"], r["total"])
+        for r in cusum_changepoint(df).collect()
+    }
+    for et, s in series.items():
+        assert got[et] == _cusum_brute(s), et
+
+
+# ---------------------------------------------------------------------------
+# x125 — label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_recovers_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: LPA assigns each clique
+    its smallest member's label and the bridge does not merge them
+    (the component-recovery fixture CC would merge — the point of LPA)."""
+    from mariadb_postgres_migration_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["lbl"] for r in label_propagation(df, rounds=3).collect()}
+    # hand-unrolled 3 rounds: left clique converges to label 1 (with the
+    # bridge node 3 joining it), right clique to label 3 (the bridge id
+    # propagated in — the known synchronous-LPA naming quirk; the
+    # COMMUNITIES are what matters and they stay distinct)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+    left = {got[1], got[2], got[3]}
+    right = {got[10], got[11], got[12]}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_is_deterministic_unroll(spark):
+    """Same graph, two runs → identical labels (the randomized-LPA paper
+    variant would not be; determinism is the operator's contract)."""
+    from mariadb_postgres_migration_spark.operators.graph import label_propagation
+
+    edges = [(i, i + 1) for i in range(1, 12)] + [(4, 9), (2, 7)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    a = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_star_adopts_center(spark):
+    """A star: after round 1 every leaf holds the center's label iff the
+    center id is smaller (leaf's only neighbor IS the center)."""
+    from mariadb_postgres_migration_spark.operators.graph import label_propagation
+
+    edges = [(1, k) for k in range(2, 8)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["lbl"] for r in label_propagation(df, rounds=1).collect()}
+    assert all(got[k] == 1 for k in range(2, 8))
+
+
+# ---------------------------------------------------------------------------
+# x126 — Spearman daily
+# ---------------------------------------------------------------------------
+
+
+def _spearman_brute(daily):
+    """Deterministic-rank Spearman over [(day, cnt, cents)] rows."""
+    ra = {d: i + 1 for i, (d, *_rest) in enumerate(
+        sorted(daily, key=lambda r: (r[1], r[0]))
+    )}
+    rb = {d: i + 1 for i, (d, *_rest) in enumerate(
+        sorted(daily, key=lambda r: (r[2], r[0]))
+    )}
+    n = len(daily)
+    sum_d2 = sum((ra[d] - rb[d]) ** 2 for d, *_ in daily)
+    rho = 1.0 - (6.0 * sum_d2) / (n * (n * n - 1))
+    return n, sum_d2, round(rho, 4)
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    """Counts and revenue perfectly co-monotone → Σd² = 0, ρ = 1."""
+    from mariadb_postgres_migration_spark.operators.audit import spearman_daily
+
+    rows = []
+    oid = 0
+    for day, cnt in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        for _ in range(cnt):
+            rows.append((oid, dt.datetime(1970, 1, 1 + day), 100.0 * cnt))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    [row] = spearman_daily(df).collect()
+    assert (row["n_days"], row["sum_d2"], row["rho"]) == (4, 0, 1.0)
+
+
+def test_spearman_reversed_is_minus_one_and_brute_force(spark):
+    from mariadb_postgres_migration_spark.operators.audit import spearman_daily
+
+    # day-count ascending, per-order price so that daily revenue descends
+    daily = [(0, 1, 4000), (1, 2, 3000), (2, 3, 2000), (3, 4, 1000)]
+    rows = []
+    oid = 0
+    for day, cnt, rev_total in daily:
+        per = rev_total / cnt / 100.0
+        for _ in range(cnt):
+            rows.append((oid, dt.datetime(1970, 1, 1 + day), per))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    [row] = spearman_daily(df).collect()
+    assert row["rho"] == -1.0
+    assert (row["n_days"], row["sum_d2"], row["rho"]) == _spearman_brute(daily)
+
+
+# ---------------------------------------------------------------------------
+# x127 — KS source drift
+# ---------------------------------------------------------------------------
+
+
+def _ks_brute(rows):
+    """(source → (n_docs, n_total, d_scaled, at_value)) per the scaled
+    definition, ties to smallest value."""
+    from collections import Counter
+
+    all_c = Counter(v for _, v in rows)
+    values = sorted(all_c)
+    n_tot = len(rows)
+    out = {}
+    for s in {g for g, _ in rows}:
+        s_c = Counter(v for g, v in rows if g == s)
+        n_s = sum(s_c.values())
+        cum_s = cum_all = 0
+        best = None
+        for v in values:
+            cum_s += s_c.get(v, 0)
+            cum_all += all_c[v]
+            d = abs(n_tot * cum_s - n_s * cum_all)
+            key = (d, -v)
+            if best is None or key > best[0]:
+                best = (key, v, d)
+        out[s] = (n_s, n_tot, best[2], best[1])
+    return out
+
+
+def test_ks_identical_distributions_zero(spark):
+    from mariadb_postgres_migration_spark.operators.profile import ks_source_drift
+
+    rows = [(s, v) for s in ("a", "b") for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r["source"]: r["d_scaled"] for r in ks_source_drift(df).collect()}
+    assert got == {"a": 0, "b": 0}
+
+
+def test_ks_disjoint_supports_maximal(spark):
+    """Source a entirely below source b: at the boundary cum_a = n_a,
+    cum_all = n_a → D_scaled = N·n_a − n_a·n_a = n_a·n_b."""
+    from mariadb_postgres_migration_spark.operators.profile import ks_source_drift
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (10, 11)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: (r["d_scaled"], r["at_value"], r["d_ppm"])
+        for r in ks_source_drift(df).collect()
+    }
+    # D = 1 (the unscaled sup) → d_scaled = N·n_s·1... here n_a·n_b = 6
+    assert got["a"] == (6, 3, 400_000)
+    assert got["b"] == (6, 3, 600_000)
+
+
+def test_ks_matches_brute_force(spark):
+    from mariadb_postgres_migration_spark.operators.profile import ks_source_drift
+
+    rng = np.random.RandomState(88)
+    rows = [("s" + str(int(rng.randint(0, 3))), int(rng.randint(1, 15)))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: (r["n_docs"], r["n_total"], r["d_scaled"], r["at_value"])
+        for r in ks_source_drift(df).collect()
+    }
+    assert got == _ks_brute(rows)
