@@ -456,7 +456,9 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
-        .join(F.broadcast(caps.withColumnRenamed("l_partkey", "cap_partkey")),
+        # unhinted (r8): caps is one row per part — grows with the corpus;
+        # AQE broadcasts it at runtime only while it fits the threshold
+        .join(caps.withColumnRenamed("l_partkey", "cap_partkey"),
               F.col("l_partkey") == F.col("cap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -788,7 +790,8 @@ def q14_promo_revenue_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # unhinted (r8): part grows with the corpus — size-based planning
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 3).alias("promo_pct"))
     )
 
@@ -928,7 +931,8 @@ def q21_late_supplier_chain(spark, sf_dir):
     )
     s = _t(spark, sf_dir, "supplier")
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        # unhinted (r8): supplier grows with the corpus
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -985,7 +989,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        l.join(F.broadcast(europe_supp.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        # unhinted (r8): europe_supp is supplier-sized — grows with the corpus
+        l.join(europe_supp.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -994,7 +999,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     ).filter(F.col("unit_cost") == F.col("__min_cost"))
     return (
         best.join(p, best.l_partkey == p.p_partkey)
-        .join(F.broadcast(europe_supp), best.l_suppkey == F.col("s_suppkey"))
+        .join(europe_supp, best.l_suppkey == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
@@ -1031,8 +1036,10 @@ def q9_product_type_profit(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     return (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        # unhinted (r8): part/supplier grow with the corpus; only the
+        # bounded: 25-row nation keeps its hint
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1071,7 +1078,8 @@ def q11_important_parts(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     val = (
-        l.join(F.broadcast(supp), l.l_suppkey == F.col("s_suppkey"))
+        # unhinted (r8): supp is supplier-sized — grows with the corpus
+        l.join(supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_decimal_revenue()).alias("value"))
         .localCheckpoint()
@@ -1146,8 +1154,9 @@ def q16_supplier_count_by_part(spark, sf_dir):
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # unhinted (r8): bad/part are dimension-sized — grow with the corpus
+        l.join(bad, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1187,7 +1196,8 @@ def q20_excess_share_suppliers(spark, sf_dir):
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     shipped = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        # unhinted (r8): part grows with the corpus
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
     )
@@ -1564,11 +1574,13 @@ def q8_market_share(spark, sf_dir):
     rev = _decimal_revenue()
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # unhinted p/s (r8): part/supplier grow with the corpus; the
+        # bounded: 25-row nation projections and 5-row region keep hints
+        .join(p, l.l_partkey == p.p_partkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_reg") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
     zero = F.lit(0).cast("decimal(18,4)")
@@ -1624,7 +1636,9 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("__mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # unhinted (r8): supplier grows with the corpus (the winner side is
+        # tiny, and AQE picks it as the build side at runtime)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )

@@ -1544,7 +1544,7 @@ def x89_cms_point_frequency(spark, sf_dir):
     )
     probes = D._persist(probes)
     exact = (
-        tokens.join(F.broadcast(probes), "term")
+        tokens.join(F.broadcast(probes), "term")  # bounded: fixed probe-term panel
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("exact_count"))
     )

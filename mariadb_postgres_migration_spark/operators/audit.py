@@ -244,7 +244,7 @@ def frequent_terms(
     )
     occurrences = toked.select(F.explode("__toks").alias("term"))
     return (
-        occurrences.join(F.broadcast(candidates), on="term", how="left_semi")
+        occurrences.join(F.broadcast(candidates), on="term", how="left_semi")  # bounded: <= MAX_MG_COUNTERS candidates
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -400,7 +400,7 @@ def markov_transitions(
     )
     totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
     return (
-        trans.join(F.broadcast(totals), "from_type")
+        trans.join(F.broadcast(totals), "from_type")  # bounded: one row per event type
         .select(
             "from_type", "to_type", "n",
             F.expr("(1000 * n) div n_from").cast("long").alias("p_milli"),
@@ -462,7 +462,7 @@ def decayed_value(
     mx = base.agg(F.max("us").alias("mx"))
     h_us = half_life_days * 86_400_000_000
     return (
-        base.join(F.broadcast(mx))
+        base.join(F.broadcast(mx))  # bounded: 1-row scalar aggregate
         .select(
             "u", "cents",
             # clamp: Java shiftright masks the shift mod 64 (a 64-shift
@@ -793,7 +793,7 @@ def cusum_changepoint(
         .cast("long").alias("cv"),
         F.row_number().over(w).cast("long").alias("k"),
     )
-    s = cum.join(F.broadcast(tot), "et").select(
+    s = cum.join(F.broadcast(tot), "et").select(  # bounded: one row per event type
         "et", "day", "n_days", "total",
         F.abs(F.col("n_days") * F.col("cv") - F.col("k") * F.col("total"))
         .cast("long").alias("s_abs"),

@@ -91,7 +91,7 @@ def association_lift(
     return (
         pc.join(ca, "item_a")
         .join(cb, "item_b")
-        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(totals))  # bounded: 1-row scalar total
         .select(
             "item_a",
             "item_b",

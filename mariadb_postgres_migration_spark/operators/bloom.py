@@ -83,7 +83,7 @@ def bloom_might_contain(
         .distinct()
         .select(key_col, F.explode(_positions(F.col(key_col))).alias("pos"))
         .select(key_col, *_word_mask())
-        .join(F.broadcast(bloom), on="word", how="left")
+        .join(F.broadcast(bloom), on="word", how="left")  # bounded: fixed m-bit filter (chunked bitmap rows)
         .select(
             key_col,
             (

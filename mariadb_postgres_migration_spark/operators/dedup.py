@@ -1117,7 +1117,7 @@ def tfidf_cosine_pairs(
     )
     wts = _persist(
         tf.join(df_t, "term")
-        .join(F.broadcast(n_docs))
+        .join(F.broadcast(n_docs))  # bounded: 1-row scalar total
         .select(
             "doc_id", "term",
             (

@@ -53,7 +53,7 @@ def broadcast_lookup(
     by the caller (title filter, index.mjs:97) so what broadcasts is
     minimal.
     """
-    return probe.join(F.broadcast(build), on=on, how=how)
+    return probe.join(F.broadcast(build), on=on, how=how)  # bounded: OP-16 contract — caller passes a broadcast-fit dimension
 
 
 def dict_apply_to_array(

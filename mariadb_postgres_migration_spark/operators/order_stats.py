@@ -206,7 +206,7 @@ def skyline_2d(
     )
     return (
         base.join(
-            F.broadcast(frontier),
+            F.broadcast(frontier),  # bounded: refinement frontier <= histogram bucket budget per round
             (F.col("grp") == F.col("f_grp"))
             & (F.col("mx") == F.col("f_mx"))
             & (F.col("mn") == F.col("f_mn")),

@@ -144,7 +144,7 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         F.col("digit").cast("int"),
     )
     return (
-        digits.join(F.broadcast(total))
+        digits.join(F.broadcast(total))  # bounded: 1-row scalar total
         .select(
             "digit", "n", "n_total",
             F.expr("(1000000 * n) div n_total").cast("long").alias("obs_ppm"),
@@ -233,7 +233,7 @@ def ks_source_drift(
         .join(cum_all, "v")
         # bounded: srcs is one row per source, n_tot is exactly 1 row
         .join(F.broadcast(srcs), "g")
-        .join(F.broadcast(n_tot))
+        .join(F.broadcast(n_tot))  # bounded: 1-row scalar total
         .select(
             "g", "v", "n_s", "n_total",
             F.abs(

@@ -1096,7 +1096,7 @@ def knn_ivfpq(
     probe_cells = corpus.sparkSession.createDataFrame(
         [(r["q_id"], r["cell"]) for r in probe_rows], "q_id long, cell long"
     )
-    cand = enc.join(F.broadcast(probe_cells), "cell").filter(
+    cand = enc.join(F.broadcast(probe_cells), "cell").filter(  # bounded: <= MAX_BROADCAST_PROBES x nprobe cells
         F.col("v_id") != F.col("q_id")
     )
 

@@ -158,7 +158,7 @@ def cms_estimate(
         ).alias("jb"),
     ).select("term", "jb.j", "jb.bucket")
     return (
-        pj.join(F.broadcast(counters), ["j", "bucket"], "left")
+        pj.join(F.broadcast(counters), ["j", "bucket"], "left")  # bounded: d x w fixed sketch counters
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
@@ -218,16 +218,16 @@ def kmv_set_relations(
     groups = sk.select("g").distinct()
     pairs = (
         groups.select(F.col("g").alias("g1"))
-        .join(F.broadcast(groups.select(F.col("g").alias("g2"))))
+        .join(F.broadcast(groups.select(F.col("g").alias("g2"))))  # bounded: one row per group key
         .filter(F.col("g1") < F.col("g2"))
     )
     a = sk.select(F.col("g").alias("g1"), "h")
     b = sk.select(F.col("g").alias("g2"), "h")
     merged = (
-        pairs.join(F.broadcast(a), "g1")
+        pairs.join(F.broadcast(a), "g1")  # bounded: k-row sketch per group
         .select("g1", "g2", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
         .unionAll(
-            pairs.join(F.broadcast(b), "g2")
+            pairs.join(F.broadcast(b), "g2")  # bounded: k-row sketch per group
             .select("g1", "g2", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
         )
         .groupBy("g1", "g2", "h")
@@ -266,7 +266,7 @@ def kmv_set_relations(
         .agg(F.count("*").cast("long").alias("exact_inter"))
     )
     return (
-        est.join(F.broadcast(cnt.select(F.col("g").alias("g1"), F.col("c").alias("ca"))), "g1")
+        est.join(F.broadcast(cnt.select(F.col("g").alias("g1"), F.col("c").alias("ca"))), "g1")  # bounded: one row per group key
         .join(F.broadcast(cnt.select(F.col("g").alias("g2"), F.col("c").alias("cb"))), "g2")
         .join(ex_inter, ["g1", "g2"], "left")
         .select(
@@ -390,7 +390,7 @@ def bitmap_set_relations(
     )
     pa = pop.select(F.col("g").alias("g1"), F.col("n").alias("n_a"))
     pb = pop.select(F.col("g").alias("g2"), F.col("n").alias("n_b"))
-    pairs = pa.join(F.broadcast(pb)).filter(F.col("g1") < F.col("g2"))
+    pairs = pa.join(F.broadcast(pb)).filter(F.col("g1") < F.col("g2"))  # bounded: one fixed-size bitmap row per group
     out = (
         pairs.join(inter, ["g1", "g2"], "left")
         .select(

@@ -213,7 +213,7 @@ def sentiment_score(
     toked = _with_tokens(docs, id_col, text_col)
     hits = (
         toked.select("doc_id", F.explode(F.col("__toks")).alias("term"))
-        .join(F.broadcast(lex), "term")
+        .join(F.broadcast(lex), "term")  # bounded: fixed sentiment lexicon
         .groupBy("doc_id")
         .agg(
             F.sum(F.when(F.col("weight") > 0, 1).otherwise(0)).alias("pos_hits"),
@@ -624,7 +624,7 @@ def decontaminate(
     ds = shingles if shingles is not None else doc_shingles(corpus, "doc_id", "text", k)
     sizes = ds.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     hits = (
-        ds.join(F.broadcast(bench_sh), "sh")
+        ds.join(F.broadcast(bench_sh), "sh")  # bounded: benchmark shingle set (eval-suite-sized by contract)
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
@@ -679,7 +679,7 @@ def unigram_logprob(
     # vocabulary-sized scalar: total tokens = sum of term frequencies
     total = freqs.agg(F.sum("tf").cast("double").alias("__total"))
     logp = (
-        toks.join(F.broadcast(total))
+        toks.join(F.broadcast(total))  # bounded: 1-row scalar total
         .join(freqs, "term")
         .select("doc_id", F.log(F.col("tf") / F.col("__total")).alias("lp"))
     )
@@ -741,7 +741,7 @@ def bm25_topk(
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(F.broadcast(df_), "term")  # bounded: <= |query_terms| rows (tf is pre-filtered to the query)
         .join(F.broadcast(scalars))
         .join(dl, "doc_id")
         .select(
@@ -962,7 +962,7 @@ def bigram_logprob(
     lp = (
         bg.join(c12, ["w1", "w2"])
         .join(c1, "w1")
-        .join(F.broadcast(vocab))
+        .join(F.broadcast(vocab))  # bounded: BPE vocab <= base symbols + merge budget
         .select(
             "doc_id",
             F.log(
@@ -1149,7 +1149,7 @@ def pmi_collocations(
     ranked = c2.join(F.broadcast(c1.join(F.broadcast(top), "w1")), "w2")
     wr = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
     return (
-        ranked.join(F.broadcast(n1))
+        ranked.join(F.broadcast(n1))  # bounded: 1-row scalar total
         .join(F.broadcast(n12))
         .select(
             F.row_number().over(wr).cast("long").alias("rk"),

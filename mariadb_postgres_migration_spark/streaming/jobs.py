@@ -387,7 +387,7 @@ def run_stream_incremental_dedup(
         .select("doc_id", "source", fp.alias("fp"))
     )
     flagged = new.join(
-        F.broadcast(corpus_fp), new.fp == F.col("ofp"), "left"
+        F.broadcast(corpus_fp), new.fp == F.col("ofp"), "left"  # bounded: small-index tier by contract (x72 Bloom / x83 bucketed index are the scale tiers)
     ).select(
         "doc_id", "source", "fp", F.col("ofp").isNotNull().alias("is_dup")
     )
