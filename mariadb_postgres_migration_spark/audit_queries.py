@@ -22,6 +22,7 @@ from .extension_queries import (
     _mh_bands_sql,
     _mh_sig_cols_sql,
     _suite_materialize,
+    _suite_release,
     _suite_shape,
     c2_curation_pipeline_lsh,
     x54_pq_encode,
@@ -1029,8 +1030,6 @@ def x77_behavioral_suite(spark, sf_dir):
     row."""
     from functools import reduce
 
-    from .operators.dedup import release_cached_intermediates
-
     members = [
         _suite_materialize(_suite_shape(
             x71_funnel_stages(spark, sf_dir), "funnel",
@@ -1071,7 +1070,7 @@ def x77_behavioral_suite(spark, sf_dir):
     ]
     # every member is materialized — their persisted intermediates are
     # dead weight now; drop them before the caller's consuming action
-    release_cached_intermediates()
+    _suite_release()
     return reduce(lambda a, b: a.unionAll(b), members)
 
 
@@ -2312,15 +2311,18 @@ def x84a_sketch_stream_suite(spark, sf_dir):
     )
     from functools import reduce
 
-    from .operators.dedup import release_cached_intermediates
-
-    # Each member materializes as its own sequential action
-    # (_suite_materialize — see its docstring for the r7 storage-eviction
-    # diagnosis). The shared BPE train frames stay persisted across the
-    # first two members; all tracked persists are released once at the
-    # end, when every member is already materialized.
+    # x84a deliberately stays in the LAZY-UNION form (no
+    # _suite_materialize): its 18 members are individually small (~1.3s
+    # average) and their independent subtrees fill the 32 cores through
+    # the one action's stage concurrency, which sequential per-member
+    # materialization forfeits — r8 same-session A/B, 4 isolated runs
+    # each: union 20.7-26.3s warm vs sequential 25.9-27.5s, and the
+    # sequential form measured WORSE in the full-bench context too
+    # (37.8s vs r7's union 31.5s). x77 is the opposite case (7 heavy
+    # members that thrash memory when concurrent) and keeps the
+    # sequential form; see _suite_materialize's docstring and SCALE.md.
     members = [
-        _suite_materialize(_suite_shape(
+        _suite_shape(
             T.bpe_merges_output(spark, _bpe_merges, _bpe_vocab), "bpetrain",
             id1=F.col("rk"), v1=F.col("n"),
             s1=F.concat_ws(
@@ -2328,63 +2330,63 @@ def x84a_sketch_stream_suite(spark, sf_dir):
                 F.coalesce(F.col("lhs"), F.lit("~")),
                 F.coalesce(F.col("rhs"), F.lit("~")),
             ),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             T.bpe_encode_output(_bpe_vocab), "bpeenc",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("sym"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x87_kmv_distinct_sketch(spark, sf_dir), "kmv",
             id1=F.col("exact_distinct"), v1=F.col("k_used"),
             v2=F.col("kth_hash"), v3=F.col("est_distinct"),
             s1=F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus")),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x89_cms_point_frequency(spark, sf_dir), "cms",
             v1=F.col("est_count"), v2=F.col("exact_count"),
             s1=F.col("term"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x91_stream_cms_counters(spark, sf_dir), "scms",
             id1=F.col("j"), id2=F.col("bucket"), v1=F.col("cnt"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x92_exact_quantiles(spark, sf_dir), "quant",
             id1=F.col("q_pct"), id2=F.col("rank"), v1=F.col("value"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x93_weighted_sample(spark, sf_dir), "wsamp",
             id1=F.col("doc_id"), id2=F.col("rk"), v1=F.col("weight"),
             v2=F.col("pri"), s1=F.col("lang"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x95_bigram_logprob(spark, sf_dir), "bigram",
             id1=F.col("doc_id"), v1=F.col("n_bigram"), d1=F.col("avg_logp"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x97_char_entropy(spark, sf_dir), "entropy",
             id1=F.col("doc_id"), v1=F.col("n_chars"),
             v2=F.col("n_distinct_chars"), d1=F.col("entropy"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x99_kmv_set_relations(spark, sf_dir), "kmvset",
             id1=F.col("k_used"), id2=F.col("shared_k"),
             v1=F.col("union_est"), v2=F.col("inter_est"),
             v3=F.col("jaccard_milli"),
             d1=F.col("exact_inter"), d2=F.col("exact_union"),
             s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x101_stream_kmv_state(spark, sf_dir), "skmv",
             id1=F.col("k_used"), v1=F.col("kth_hash"),
             v2=F.col("est_distinct"), s1=F.col("lang"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x102_equidepth_histogram(spark, sf_dir), "histo",
             id1=F.col("bucket"), v1=F.col("n_rows"), v2=F.col("sum_v"),
             v3=F.col("min_v"), d1=F.col("max_v"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x106_table_profile(spark, sf_dir), "prof",
             id1=F.col("n_rows"), id2=F.col("n_null"), v1=F.col("n_distinct"),
             s1=F.concat_ws(
@@ -2392,32 +2394,31 @@ def x84a_sketch_stream_suite(spark, sf_dir):
                 F.coalesce(F.col("min_s"), F.lit("~")),
                 F.coalesce(F.col("max_s"), F.lit("~")),
             ),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x108_bitmap_set_relations(spark, sf_dir), "bitmap",
             id1=F.col("n_a"), id2=F.col("n_b"), v1=F.col("n_inter"),
             v2=F.col("n_union"), v3=F.col("jaccard_milli"),
             s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x111_percentile_rank(spark, sf_dir), "prank",
             id1=F.col("doc_id"), v1=F.col("n_chars"), v2=F.col("pr_milli"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x112_decayed_value(spark, sf_dir), "decay",
             id1=F.col("user_id"), id2=F.col("n_events"),
             v1=F.col("raw_cents"), v2=F.col("decayed_cents"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x113_mad_robust(spark, sf_dir), "mad",
             id1=F.col("n"), v1=F.col("median"), v2=F.col("mad"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x114_frequent_trigrams(spark, sf_dir), "trigram",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("trigram"),
-        )),
+        ),
     ]
-    release_cached_intermediates()
     return reduce(lambda a, b: a.unionAll(b), members)
 
 

@@ -1887,18 +1887,44 @@ def _suite_materialize(df):
     while the members run individually even LATER in that same process
     stayed fast — so the fix is to make the suite BE the sequence of
     member actions, the exact regime that stays fast. Members sharing a
-    persisted frame (x84a's BPE train pair) still share it: persists are
-    released once by the suite fn after ALL members are materialized
-    (a checkpointed member never re-reads them, so late release costs
-    nothing). On a real cluster this matches how a 100 TB curation
-    pipeline checkpoints stage boundaries anyway; the union-of-lazy-
-    plans form saves nothing there either, since the members share no
-    lineage with each other.
+    persisted frame still share it: persists are released once by the
+    suite fn (via :func:`_suite_release`) after ALL members are
+    materialized — a checkpointed member never re-reads them, so late
+    release costs nothing. On a real cluster this matches how a 100 TB
+    curation pipeline checkpoints stage boundaries anyway.
 
-    x84b deliberately does NOT use this: its graph kernels share one
-    memoized persisted edge frame across members and its union row
-    already measures ~= member sum (r7: 31.4s vs 32.9s members)."""
+    This is NOT a blanket rule — sequentialization forfeits the stage
+    concurrency a union action gets across independent member subtrees,
+    which is what MANY-SMALL-MEMBER suites live on. x77 (7 heavy
+    persist-thrashing members) uses this and went 35.0 → 23.1s in the
+    full bench; x84a (18 sub-second members) measured FASTER lazy
+    (r8 same-session A/B: union 20.7-26.3s vs sequential 25.9-27.5s
+    warm) and stays union, as does x84b, whose graph kernels
+    additionally share one memoized persisted edge frame across members
+    (union row ~= member sum every round). Per-suite adjudication:
+    SCALE.md benchmark methodology.
+
+    MPS_SUITE_UNION=1 reverts to the lazy union form (and
+    :func:`_suite_release` to releasing nothing) — the A/B probe used to
+    adjudicate the two forms per suite; see SCALE.md."""
+    import os
+
+    if os.environ.get("MPS_SUITE_UNION"):
+        return df
     return df.localCheckpoint(eager=True)
+
+
+def _suite_release() -> None:
+    """Drop tracked persists after a suite's members are all materialized.
+    No-op under MPS_SUITE_UNION (the lazy form must keep its persists
+    alive until the caller's consuming action completes — the caller
+    releases, as bench.run() does)."""
+    import os
+
+    if not os.environ.get("MPS_SUITE_UNION"):
+        from .operators.dedup import release_cached_intermediates
+
+        release_cached_intermediates()
 
 
 # suite-composition helper: the canonical member-oracle lookup lives in

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .analytics_queries import q1_pricing_summary, q3_shipping_priority
 from .audit_queries import _X85_EDGES_CTE, _x85_edges
-from .extension_queries import _suite_materialize, _suite_shape
+from .extension_queries import _suite_materialize, _suite_release, _suite_shape
 from .operators import audit as A
 from .operators import graph as G
 from .operators import profile as PRF
@@ -207,8 +207,6 @@ def x128_r8_ops_suite(spark, sf_dir):
     per-source KS drift screen (x127), union-folded into the shared
     kind-tagged suite shape with each member materialized as its own
     sequential action (_suite_materialize)."""
-    from .operators.dedup import release_cached_intermediates
-
     members = [
         _suite_materialize(_suite_shape(
             x124_cusum_changepoint(spark, sf_dir), "cusum",
@@ -230,5 +228,5 @@ def x128_r8_ops_suite(spark, sf_dir):
             s1=F.col("source"),
         )),
     ]
-    release_cached_intermediates()
+    _suite_release()
     return reduce(lambda a, b: a.unionAll(b), members)
