@@ -97,6 +97,11 @@ HEADLINE = [
     # the frozen r4/r6 series)
     "q16_core_agg_suite",
     "x128_r8_ops_suite",
+    # r8 second wave: Mann-Kendall, Theil-Sen, Gini, vocab richness —
+    # consolidated same-round; w4 is the w1+w2_3 consolidation that funds
+    # it (w1/w2_3 stay above as standalones for the frozen series)
+    "w4_window_suite",
+    "x133_r8b_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -231,6 +236,11 @@ SUITE_MEMBERS = {
     "x128_r8_ops_suite": [
         "x124_cusum_changepoint", "x125_label_propagation",
         "x126_spearman_daily", "x127_ks_source_drift",
+    ],
+    "w4_window_suite": ["w1_topk_per_group", "w2_3_window_analytics"],
+    "x133_r8b_ops_suite": [
+        "x129_mann_kendall", "x130_theil_sen",
+        "x131_gini_concentration", "x132_vocab_richness",
     ],
     "x123_r7_ops_suite": [
         "x116_sessionize", "x117_autocorr_daily", "x118_benford_audit",

@@ -184,6 +184,7 @@ def q6_forecast_revenue(spark, sf_dir):
                                      ORDER BY p_retailprice DESC, p_partkey) AS rk
            FROM part) WHERE rk <= 3""",
     "EXT-TOPK",
+    tier=1,  # r8: consolidated into w4_window_suite (driver row); stays in bench HEADLINE
 )
 def w1_topk_per_group(spark, sf_dir):
     """Grouped top-k: row_number window + filter — the distributed form of
@@ -1262,6 +1263,7 @@ def q_scalar_suite(spark, sf_dir):
                     2) AS running_value
        FROM events""",
     "EXT-WINDOW",
+    tier=1,  # r8: consolidated into w4_window_suite (driver row); stays in bench HEADLINE
 )
 def w2_3_window_analytics(spark, sf_dir):
     """Analytic lag() + explicit-frame running sum in ONE window pass: both

@@ -12,7 +12,7 @@ string-joins because rows cross a text wire and are split right back
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -198,3 +198,74 @@ SELECT g AS {group_col}, n,
              + CAST(y0 AS DOUBLE) - (num / den) * CAST(x0 AS DOUBLE),
              6) AS intercept
 FROM e WHERE n >= {min_n} AND den <> 0.0"""
+
+
+def gini_concentration(
+    values: DataFrame,
+    group_col: str = "g",
+    id_col: str = "k",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer-cents value
+    distribution (EXT-ANALYTICS): the inequality/concentration audit —
+    "is this nation's revenue carried by three whales", the revenue-
+    concentration analog of x127's distribution-shape drift. G = 0 is
+    perfect equality, → 1 is total concentration.
+
+    Integer-exact algebra (ascending sort, deterministic (value, id)
+    rank i = 1..n): G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — numerator and
+    denominator are exact int64 and the quotient is ONE deterministic
+    IEEE division rounded to 4. int64 bound: Σ i·x_i ≤ n²·mean_cents,
+    inside int64 while n²·mean < 2^63 — with 10⁷-cent means that is
+    n ≈ 3·10⁷ members per group; beyond that, pre-aggregate the value
+    unit (whole currency units) or shard the group dimension.
+
+    Plan: one groupBy of the input (callers pre-aggregate the fact table
+    to (group, id, cents) — e.g. per-customer spend), one rank window
+    and one final aggregate sharing the SAME group-keyed exchange; no
+    whole-table sort, no driver work.
+
+    Returns ``(group, n_members, total_cents, gini)``."""
+    w = Window.partitionBy(group_col).orderBy(cents_col, id_col)
+    ranked = values.select(
+        F.col(group_col).alias("g"),
+        F.col(cents_col).cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    return (
+        ranked.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("x").cast("long").alias("total_cents"),
+            F.sum(F.col("i") * F.col("x")).cast("long").alias("__ix"),
+        )
+        .select(
+            group_col, "n_members", "total_cents",
+            F.round(
+                (
+                    2 * F.col("__ix")
+                    - (F.col("n_members") + 1) * F.col("total_cents")
+                ).cast("double")
+                / (F.col("n_members") * F.col("total_cents")).cast("double"),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+def gini_concentration_sql(rows_cte: str, group_col: str = "g") -> str:
+    """DuckDB oracle for :func:`gini_concentration`; ``rows_cte`` must
+    yield ``(g, k, cents)`` pre-aggregated member rows."""
+    return f"""WITH vals AS ({rows_cte}),
+ranked AS (SELECT g, CAST(cents AS BIGINT) AS x,
+                  CAST(row_number() OVER (PARTITION BY g
+                                          ORDER BY cents, k) AS BIGINT) AS i
+           FROM vals),
+acc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(x) AS BIGINT) AS total_cents,
+               CAST(sum(i * x) AS BIGINT) AS ix
+        FROM ranked GROUP BY g)
+SELECT g AS {group_col}, n_members, total_cents,
+       round(CAST(2 * ix - (n_members + 1) * total_cents AS DOUBLE)
+             / CAST(n_members * total_cents AS DOUBLE), 4) AS gini
+FROM acc"""

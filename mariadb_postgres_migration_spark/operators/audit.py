@@ -924,3 +924,193 @@ SELECT n_days, sum_d2,
              / (CAST(n_days AS DOUBLE)
                 * CAST(n_days * n_days - 1 AS DOUBLE)), 4) AS rho
 FROM acc"""
+
+
+def _daily_counts(df: DataFrame, ts_col: str) -> DataFrame:
+    """The shared (day, v) daily row-count series base of the day-series
+    analytics family (x117 autocorr / x126 Spearman / x129 Mann-Kendall /
+    x130 Theil-Sen): one partial-aggregated groupBy of the scan; the
+    result is |days| rows — bounded by the CALENDAR, not the corpus —
+    so every downstream pass is broadcast-sized by construction."""
+    return (
+        df.select(
+            F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div 86400000000")
+            .alias("day"),
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+
+
+_DAILY_SQL = """daily AS (SELECT day, CAST(count(*) AS BIGINT) AS v
+          FROM raw WHERE day IS NOT NULL GROUP BY day)"""
+
+
+def mann_kendall_daily(df: DataFrame, ts_col: str = "o_orderdate") -> DataFrame:
+    """Mann–Kendall trend test over the daily row-count series
+    (EXT-ANALYTICS): S = Σ_{i<j} sign(v_j − v_i) — the nonparametric
+    "is this series trending" complement to x103's parametric OLS slope
+    and x126's rank correlation: no linearity assumption, robust to
+    outliers, exact under ties.
+
+    Integer-exact algebra: S is a sum of {-1,0,1} over the ordered day
+    pairs (exact int64); the tie-corrected variance is kept SCALED —
+    var18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5), i.e. 18·Var(S) —
+    so it is a plain int64 at any calendar length (n = 2 400 days →
+    var18 ≈ 2.8·10¹⁰). Only the final continuity-corrected z =
+    (S ∓ 1)/sqrt(var18/18) is ONE deterministic IEEE expression over
+    the two exact integers, rounded to 4.
+
+    Plan: the day-pair self-join and every aggregate run on the |days|-
+    row series (≤ ~3M pairs forever — calendar², corpus-independent).
+
+    Returns ``(n_days, s_stat, var18, z)`` — a single row."""
+    daily = _daily_counts(df, ts_col)
+    a = daily.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("vb") - F.col("va")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nrow = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    z_abs = (
+        (F.abs(F.col("s_stat")) - F.lit(1)).cast("double")
+        / F.sqrt((F.col("var18")).cast("double") / F.lit(18.0))
+    )
+    # bounded: three 1-row aggregates combined
+    return (
+        s.join(F.broadcast(nrow))
+        .join(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+        .select(
+            "n_days", "s_stat", "var18",
+            F.when(F.col("s_stat") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.signum(F.col("s_stat")) * z_abs, 4)
+            )
+            .alias("z"),
+        )
+    )
+
+
+def mann_kendall_daily_sql(rows_cte: str) -> str:
+    """DuckDB oracle for :func:`mann_kendall_daily`; ``rows_cte`` must
+    yield ``day`` rows."""
+    return f"""WITH raw AS ({rows_cte}),
+{_DAILY_SQL},
+s AS (SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.day < b.day),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                AS tie18
+         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY v)),
+acc AS (SELECT n.n AS n_days, s.s_stat,
+               CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18 AS BIGINT)
+               AS var18
+        FROM s, n, ties)
+SELECT n_days, s_stat, var18,
+       CASE WHEN s_stat = 0 THEN 0.0
+            ELSE round(CAST(sign(s_stat) AS DOUBLE)
+                       * (CAST(abs(s_stat) - 1 AS DOUBLE)
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0)), 4)
+       END AS z
+FROM acc"""
+
+
+def theil_sen_daily(df: DataFrame, ts_col: str = "o_orderdate") -> DataFrame:
+    """Theil–Sen robust trend slope over the daily row-count series
+    (EXT-ANALYTICS): the MEDIAN of all pairwise slopes
+    (v_j − v_i)/(d_j − d_i), i < j — up to ~29% contaminated days cannot
+    move it (OLS x103 breaks at one outlier), the standard robust rate
+    estimate for "how fast is traffic actually growing".
+
+    Integer-exact algebra: each pairwise slope is kept as per-mille
+    slope_milli = (1000·Δv) div Δd — integer division TRUNCATING TOWARD
+    ZERO, which Spark's ``div`` and DuckDB's ``//`` both implement for
+    negative numerators (probed, not assumed) — and the median is the
+    deterministic upper median (CDF position ⌊n/2⌋+1) located on the
+    (slope value → pair count) CDF, so both engines pick the identical
+    integer. Δd > 0 always (pairs are day-ordered).
+
+    Plan: the pair join and CDF run on the |days|-row series (calendar-
+    bounded; ≤ ~3M pairs forever); the CDF window is single-partition
+    over ≤ |distinct slopes| rows, the p2/x111 trade.
+
+    Returns ``(n_days, n_pairs, slope_milli)`` — a single row."""
+    daily = _daily_counts(df, ts_col)
+    a = daily.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            F.expr("(1000 * (vb - va)) div (db - da)").alias("sm")
+        )
+        .groupBy("sm")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("sm").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = slopes.select(
+        "sm", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    tot = slopes.agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+    )
+    nrow = daily.agg(F.count("*").cast("long").alias("n_days"))
+    # bounded: 1-row totals broadcast into the ≤|distinct-slope| CDF
+    med = (
+        cdf.join(F.broadcast(tot))
+        .filter(F.col("cum") >= (F.col("n_pairs") + 1) / 2)
+        .agg(F.min("sm").cast("long").alias("slope_milli"))
+    )
+    return (
+        nrow.join(F.broadcast(tot))
+        .join(F.broadcast(med))
+        .select("n_days", "n_pairs", "slope_milli")
+    )
+
+
+def theil_sen_daily_sql(rows_cte: str) -> str:
+    """DuckDB oracle for :func:`theil_sen_daily`; ``rows_cte`` must yield
+    ``day`` rows."""
+    return f"""WITH raw AS ({rows_cte}),
+{_DAILY_SQL},
+slopes AS (SELECT (1000 * (b.v - a.v)) // (b.day - a.day) AS sm,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM daily a JOIN daily b ON a.day < b.day GROUP BY 1),
+cdf AS (SELECT sm, CAST(sum(c) OVER (ORDER BY sm
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+        FROM slopes),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM slopes),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+med AS (SELECT CAST(min(sm) AS BIGINT) AS slope_milli
+        FROM cdf, tot WHERE cum >= (n_pairs + 1) / 2)
+SELECT n.n_days, tot.n_pairs, med.slope_milli FROM n, tot, med"""

@@ -1195,3 +1195,72 @@ SELECT CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2) AS BIGINT) AS rk,
              / (CAST(n12 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)),
              4) AS lift
 FROM top JOIN c1 USING (w1) JOIN c2 USING (w2), n1, n12"""
+
+
+def vocab_richness(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source vocabulary-richness profile (EXT-05): token count,
+    EXACT type (distinct-term) count, hapax-legomena count (terms
+    occurring exactly once in the source) and the two classic integer
+    ratios — type/token and hapax/type in ppm. Template-generated or
+    boilerplate-heavy sources show collapsed type/token and hapax
+    shares next to natural text; the lexical-diversity screen beside
+    x127's length-shape drift and x64's per-term odds.
+
+    All counts are exact int64; the ratios are exact integer divisions
+    (1e6·a div b), so the row is hash-stable by construction.
+
+    Plan: one tokenize pass, ONE (source, term) partial-aggregated
+    groupBy of the token stream — the same full-vocabulary shuffle any
+    term statistic pays, map-side combined — then a |vocab|→|sources|
+    aggregate. No joins, no windows.
+
+    Returns ``(source, n_terms, n_types, n_hapax, ttr_ppm, hapax_ppm)``."""
+    toked = _with_tokens(docs, id_col, text_col, extra=[group_col, text_col])
+    tf = (
+        toked.select(F.col(group_col).alias("g"), F.explode("__toks").alias("term"))
+        .groupBy("g", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        tf.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.sum("c").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            group_col, "n_terms", "n_types", "n_hapax",
+            F.expr("CAST((1000000 * n_types) DIV n_terms AS BIGINT)")
+            .alias("ttr_ppm"),
+            F.expr("CAST((1000000 * n_hapax) DIV n_types AS BIGINT)")
+            .alias("hapax_ppm"),
+        )
+    )
+
+
+def vocab_richness_sql(group_col: str = "source") -> str:
+    """DuckDB oracle for :func:`vocab_richness` over the documents
+    table (inlines the shared normalization)."""
+    from ..extension_queries import NORM_SQL  # shared normalize recipe
+
+    return f"""WITH toked AS (SELECT {group_col} AS g,
+                     string_split({NORM_SQL}, ' ') AS w
+              FROM documents),
+tf AS (SELECT g, u.term, CAST(count(*) AS BIGINT) AS c
+       FROM toked, UNNEST(w) AS u(term) GROUP BY g, u.term),
+acc AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_terms,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+        FROM tf GROUP BY g)
+SELECT g AS {group_col}, n_terms, n_types, n_hapax,
+       (1000000 * n_types) // n_terms AS ttr_ppm,
+       (1000000 * n_hapax) // n_types AS hapax_ppm
+FROM acc"""

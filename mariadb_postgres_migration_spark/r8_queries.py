@@ -18,12 +18,19 @@ from functools import reduce
 
 from pyspark.sql import functions as F
 
-from .analytics_queries import q1_pricing_summary, q3_shipping_priority
+from .analytics_queries import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    w1_topk_per_group,
+    w2_3_window_analytics,
+)
 from .audit_queries import _X85_EDGES_CTE, _x85_edges
 from .extension_queries import _suite_materialize, _suite_release, _suite_shape
+from .operators import aggregates as AGG
 from .operators import audit as A
 from .operators import graph as G
 from .operators import profile as PRF
+from .operators import textanalysis as T
 from .registry import _t, member_oracle, register
 
 # ---------------------------------------------------------------------------
@@ -230,3 +237,200 @@ def x128_r8_ops_suite(spark, sf_dir):
     ]
     _suite_release()
     return reduce(lambda a, b: a.unionAll(b), members)
+
+
+# ===========================================================================
+# r8 second wave: day-series robust-trend pair (x129 Mann-Kendall,
+# x130 Theil-Sen), revenue-concentration Gini (x131), per-source
+# vocabulary richness (x132) — funded by consolidating the w1/w2_3
+# window standalones into w4_window_suite (same window math as q16/x128).
+# ===========================================================================
+
+_X129_DAY_CTE = "SELECT epoch_us(o_orderdate) // 86400000000 AS day FROM orders"
+
+
+@register(
+    "x129_mann_kendall", A.mann_kendall_daily_sql(_X129_DAY_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x129_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test over the daily order-arrival series
+    (:func:`operators.audit.mann_kendall_daily`) — the nonparametric
+    "is traffic trending" screen next to x103's OLS and x126's rank
+    correlation. S and the tie-corrected 18·Var(S) are exact int64 on
+    the calendar-bounded day series; only the final continuity-
+    corrected z is one IEEE expression rounded to 4."""
+    return A.mann_kendall_daily(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "x130_theil_sen", A.theil_sen_daily_sql(_X129_DAY_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x130_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend slope over the daily order-arrival series
+    (:func:`operators.audit.theil_sen_daily`): the median pairwise
+    slope in exact per-mille integers (div/`//` truncation parity
+    probed), located on the slope-value CDF — up to ~29% corrupt days
+    cannot move it, where one outlier breaks OLS."""
+    return A.theil_sen_daily(_t(spark, sf_dir, "orders"))
+
+
+_X131_SPEND_CTE = """SELECT n.n_name AS g, c.c_custkey AS k,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       AS cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2"""
+
+
+@register(
+    "x131_gini_concentration",
+    AGG.gini_concentration_sql(_X131_SPEND_CTE, "n_name"),
+    "EXT-ANALYTICS", "EXT-AGG", tier=1,
+)
+def x131_gini_concentration(spark, sf_dir):
+    """Per-nation Gini coefficient of customer total spend
+    (:func:`operators.aggregates.gini_concentration`) — the revenue-
+    concentration audit ("three whales or a broad base?") next to
+    x127's distribution drift. Pre-aggregation to per-customer cents is
+    one join+groupBy of the fact table; the Gini itself is one rank
+    window + one aggregate on the same nation-keyed exchange, with the
+    numerator/denominator exact int64 and one rounded IEEE division."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        # bounded: nation is a 25-row constant dim
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.col("c_custkey").alias("k"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return AGG.gini_concentration(spend, group_col="n_name")
+
+
+@register(
+    "x132_vocab_richness", T.vocab_richness_sql(),
+    "EXT-05", "EXT-AUDIT", tier=1,
+)
+def x132_vocab_richness(spark, sf_dir):
+    """Per-source vocabulary richness: exact token/type/hapax counts
+    and integer-ppm type-token + hapax ratios
+    (:func:`operators.textanalysis.vocab_richness`) — the lexical-
+    diversity screen that catches template-generated sources x127's
+    length shape misses. One tokenize pass + one (source, term)
+    map-side-combined groupBy."""
+    return T.vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# w4_window_suite — the w1 + w2_3 window rows as ONE driver row (frees the
+# tier-0 slot that funds x133; the standalones stay tier 1 and in HEADLINE)
+# ---------------------------------------------------------------------------
+
+
+def _w4_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'w1' AS kind, p_partkey AS id1, rk AS id2,
+       CAST(p_retailprice AS DOUBLE) AS d1, {zd} AS d2, p_brand AS s1
+FROM ({member_oracle('w1_topk_per_group')})
+UNION ALL
+SELECT 'w23', event_id, user_id, CAST(gap_us AS DOUBLE),
+       CAST(running_value AS DOUBLE), NULL
+FROM ({member_oracle('w2_3_window_analytics')})"""
+
+
+@register(
+    "w4_window_suite", _w4_sql(), "EXT-TOPK", "EXT-WINDOW",
+)
+def w4_window_suite(spark, sf_dir):
+    """Driver row consolidating the two batch-window shapes (w1 grouped
+    top-k via WindowGroupLimit, w2_3 fused lag + running-sum on one
+    exchange) — r8 window math: their two slots fund this row plus the
+    x133 suite. gap_us rides a double slot (microsecond gaps are far
+    below 2^53, so the cast is exact in both engines; NULL first-row
+    gaps stay NULL through the cast)."""
+    zd = F.lit(0.0)
+    w1 = w1_topk_per_group(spark, sf_dir).select(
+        F.lit("w1").alias("kind"), F.col("p_partkey").alias("id1"),
+        F.col("rk").alias("id2"),
+        F.col("p_retailprice").cast("double").alias("d1"),
+        zd.alias("d2"), F.col("p_brand").alias("s1"),
+    )
+    w23 = w2_3_window_analytics(spark, sf_dir).select(
+        F.lit("w23").alias("kind"), F.col("event_id").alias("id1"),
+        F.col("user_id").alias("id2"),
+        F.col("gap_us").cast("double").alias("d1"),
+        F.col("running_value").cast("double").alias("d2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return w1.unionAll(w23)
+
+
+# ---------------------------------------------------------------------------
+# x133_r8b_ops_suite — the r8 second-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x133_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'mk' AS kind, n_days AS id1, s_stat AS id2,
+       var18 AS v1, {z} AS v2, {z} AS v3,
+       CAST(z AS DOUBLE) AS d1, {zd} AS d2, NULL AS s1
+FROM ({member_oracle('x129_mann_kendall')})
+UNION ALL
+SELECT 'tsen', n_days, n_pairs, slope_milli, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x130_theil_sen')})
+UNION ALL
+SELECT 'gini', n_members, {z}, total_cents, {z}, {z}, CAST(gini AS DOUBLE),
+       {zd}, n_name
+FROM ({member_oracle('x131_gini_concentration')})
+UNION ALL
+SELECT 'vocab', n_terms, n_types, n_hapax, ttr_ppm, hapax_ppm, {zd}, {zd},
+       source
+FROM ({member_oracle('x132_vocab_richness')})"""
+
+
+@register(
+    "x133_r8b_ops_suite",
+    _x133_sql(),
+    "EXT-05", "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
+)
+def x133_r8b_ops_suite(spark, sf_dir):
+    """Driver-verified representative for the round-8 second wave,
+    consolidated the same round (the x123/x128 convention): the
+    Mann–Kendall trend test (x129) and Theil–Sen robust slope (x130) —
+    completing the day-series family x117/x126 started — plus the
+    per-nation Gini revenue-concentration audit (x131) and per-source
+    vocabulary-richness profile (x132), union-folded into the shared
+    kind-tagged suite shape (4 small members → lazy union per the
+    SCALE.md suite-composition rule)."""
+    return (
+        _suite_shape(
+            x129_mann_kendall(spark, sf_dir), "mk",
+            id1=F.col("n_days"), id2=F.col("s_stat"), v1=F.col("var18"),
+            d1=F.col("z"),
+        )
+        .unionAll(_suite_shape(
+            x130_theil_sen(spark, sf_dir), "tsen",
+            id1=F.col("n_days"), id2=F.col("n_pairs"),
+            v1=F.col("slope_milli"),
+        ))
+        .unionAll(_suite_shape(
+            x131_gini_concentration(spark, sf_dir), "gini",
+            id1=F.col("n_members"), v1=F.col("total_cents"),
+            d1=F.col("gini"), s1=F.col("n_name"),
+        ))
+        .unionAll(_suite_shape(
+            x132_vocab_richness(spark, sf_dir), "vocab",
+            id1=F.col("n_terms"), id2=F.col("n_types"), v1=F.col("n_hapax"),
+            v2=F.col("ttr_ppm"), v3=F.col("hapax_ppm"), s1=F.col("source"),
+        ))
+    )

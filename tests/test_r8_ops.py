@@ -250,3 +250,198 @@ def test_ks_matches_brute_force(spark):
         for r in ks_source_drift(df).collect()
     }
     assert got == _ks_brute(rows)
+
+
+# ---------------------------------------------------------------------------
+# x129 — Mann-Kendall
+# ---------------------------------------------------------------------------
+
+
+def _mk_brute(daily):
+    """Transcribed definition over [(day, v)]: S, 18*Var with ties, z."""
+    import math
+
+    rows = sorted(daily)
+    n = len(rows)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = rows[j][1] - rows[i][1]
+            s += (d > 0) - (d < 0)
+    from collections import Counter
+
+    ties = Counter(v for _, v in rows)
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    if s == 0:
+        z = 0.0
+    else:
+        z = round((1 if s > 0 else -1) * (abs(s) - 1) / math.sqrt(var18 / 18.0), 4)
+    return n, s, var18, z
+
+
+def _orders_from_daily(daily):
+    rows = []
+    oid = 0
+    for day, v in daily:
+        for _ in range(v):
+            rows.append((oid, dt.datetime(1970, 1, 1) + dt.timedelta(days=day)))
+            oid += 1
+    return rows
+
+
+def test_mann_kendall_monotone_and_brute(spark):
+    from mariadb_postgres_migration_spark.operators.audit import mann_kendall_daily
+
+    # strictly increasing series: S = n(n-1)/2, no ties
+    daily = [(d, d + 1) for d in range(8)]
+    df = spark.createDataFrame(
+        _orders_from_daily(daily), "o_orderkey long, o_orderdate timestamp"
+    )
+    [r] = mann_kendall_daily(df, "o_orderdate").collect()
+    assert (r["n_days"], r["s_stat"]) == (8, 28)
+    assert (r["n_days"], r["s_stat"], r["var18"], r["z"]) == _mk_brute(daily)
+
+
+def test_mann_kendall_ties_and_flat(spark):
+    from mariadb_postgres_migration_spark.operators.audit import mann_kendall_daily
+
+    # constant series: S = 0, var18 = 0, z pinned to 0.0 (not NaN)
+    daily = [(d, 3) for d in range(6)]
+    df = spark.createDataFrame(
+        _orders_from_daily(daily), "o_orderkey long, o_orderdate timestamp"
+    )
+    [r] = mann_kendall_daily(df, "o_orderdate").collect()
+    assert (r["s_stat"], r["var18"], r["z"]) == (0, 0, 0.0)
+
+    # noisy series with ties vs brute force
+    rng = np.random.RandomState(129)
+    daily = [(int(d), int(rng.randint(1, 4))) for d in range(15)]
+    df = spark.createDataFrame(
+        _orders_from_daily(daily), "o_orderkey long, o_orderdate timestamp"
+    )
+    [r] = mann_kendall_daily(df, "o_orderdate").collect()
+    assert (r["n_days"], r["s_stat"], r["var18"], r["z"]) == _mk_brute(daily)
+
+
+# ---------------------------------------------------------------------------
+# x130 — Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def _ts_brute(daily):
+    from fractions import Fraction
+    import math
+
+    rows = sorted(daily)
+    # math.trunc(Fraction) is EXACT truncation toward zero, matching
+    # Spark `div` / DuckDB `//` (a float divide could round across an
+    # integer boundary before truncating)
+    slopes = sorted(
+        math.trunc(
+            Fraction(1000 * (rows[j][1] - rows[i][1]), rows[j][0] - rows[i][0])
+        )
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+    )
+    n_p = len(slopes)
+    # the operator picks CDF position ⌊n/2⌋+1 (1-based) = index n_p//2,
+    # i.e. the upper median for even n and the true median for odd n
+    return len(rows), n_p, slopes[n_p // 2]
+
+
+def test_theil_sen_exact_line_and_outlier_immunity(spark):
+    from mariadb_postgres_migration_spark.operators.audit import theil_sen_daily
+
+    # exact line v = 5 + 3d -> every pairwise slope is exactly 3000 milli
+    daily = [(d, 5 + 3 * d) for d in range(7)]
+    df = spark.createDataFrame(
+        _orders_from_daily(daily), "o_orderkey long, o_orderdate timestamp"
+    )
+    [r] = theil_sen_daily(df, "o_orderdate").collect()
+    assert (r["n_days"], r["n_pairs"], r["slope_milli"]) == (7, 21, 3000)
+
+    # one wild outlier day does not move the median slope
+    daily_out = daily[:-1] + [(6, 1000)]
+    df2 = spark.createDataFrame(
+        _orders_from_daily(daily_out), "o_orderkey long, o_orderdate timestamp"
+    )
+    [r2] = theil_sen_daily(df2, "o_orderdate").collect()
+    assert r2["slope_milli"] == 3000
+
+
+def test_theil_sen_matches_brute(spark):
+    from mariadb_postgres_migration_spark.operators.audit import theil_sen_daily
+
+    rng = np.random.RandomState(130)
+    daily = [(int(d), int(rng.randint(1, 30))) for d in range(12)]
+    df = spark.createDataFrame(
+        _orders_from_daily(daily), "o_orderkey long, o_orderdate timestamp"
+    )
+    [r] = theil_sen_daily(df, "o_orderdate").collect()
+    n, n_p, med = _ts_brute(daily)
+    assert (r["n_days"], r["n_pairs"], r["slope_milli"]) == (n, n_p, med)
+
+
+# ---------------------------------------------------------------------------
+# x131 — Gini
+# ---------------------------------------------------------------------------
+
+
+def test_gini_equality_and_concentration(spark):
+    from mariadb_postgres_migration_spark.operators.aggregates import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("eq", k, 100) for k in range(1, 6)]          # perfect equality
+        + [("conc", 1, 0), ("conc", 2, 0), ("conc", 3, 0), ("conc", 4, 1000)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, cents long")
+    got = {r["g"]: (r["n_members"], r["total_cents"], r["gini"])
+           for r in gini_concentration(df).collect()}
+    assert got["eq"] == (5, 500, 0.0)
+    # one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert got["conc"] == (4, 1000, 0.75)
+
+
+def test_gini_matches_brute(spark):
+    from mariadb_postgres_migration_spark.operators.aggregates import (
+        gini_concentration,
+    )
+
+    rng = np.random.RandomState(131)
+    vals = [int(rng.randint(0, 500)) for _ in range(40)]
+    rows = [("g", k, v) for k, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, k long, cents long")
+    [r] = gini_concentration(df).collect()
+    xs = sorted(vals)
+    n, sx = len(xs), sum(xs)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sx
+    assert (r["n_members"], r["total_cents"]) == (n, sx)
+    assert r["gini"] == round(num / (n * sx), 4)
+
+
+# ---------------------------------------------------------------------------
+# x132 — vocab richness
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_richness_hand_checked(spark):
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        vocab_richness,
+    )
+
+    rows = [
+        (0, "a b a c", "s1"),
+        (1, "a d", "s1"),          # s1 terms: a:3 b:1 c:1 d:1 -> 6 tokens, 4 types, 3 hapax
+        (2, "x x x x", "s2"),      # s2: 4 tokens, 1 type, 0 hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_terms"], r["n_types"], r["n_hapax"],
+                      r["ttr_ppm"], r["hapax_ppm"])
+        for r in vocab_richness(df).collect()
+    }
+    assert got["s1"] == (6, 4, 3, 666_666, 750_000)
+    assert got["s2"] == (4, 1, 0, 250_000, 0)
