@@ -513,3 +513,57 @@ def test_x120_broadcast_builds_are_bounded(q):
             or "keys=[]" in sub
         )
         assert bounded, f"unbounded broadcast build side:\n{sub}"
+
+
+def test_r8_ops_plan_contracts(q):
+    """r8 wave (x124-x133): every operator stays JVM-side (zero Python
+    nodes) and never plans an unbounded row-expansion join. The three
+    day-series/grid operators legitimately use nested-loop joins — an
+    inequality pair join (Mann-Kendall/Theil-Sen) or the sources x
+    distinct-values evaluation grid (KS) — but ONLY over frames bounded
+    by the calendar or by data variety, never by corpus row count; the
+    others must have none at all."""
+    import re
+
+    no_bnlj = [
+        "x124_cusum_changepoint", "x125_label_propagation",
+        "x126_spearman_daily", "x131_gini_concentration",
+        "x132_vocab_richness",
+    ]
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    bounded_bnlj = ["x127_ks_source_drift", "x129_mann_kendall", "x130_theil_sen"]
+    for name in no_bnlj + bounded_bnlj:
+        df = q(name)
+        assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
+        text = formatted_plan(df)
+        assert "CartesianProduct" not in text, name
+        n_bnlj = len(re.findall(
+            r"^\(\d+\) BroadcastNestedLoopJoin\b", text, re.MULTILINE
+        ))
+        if name in no_bnlj:
+            assert n_bnlj == 0, f"{name}: unexpected nested-loop join"
+        else:
+            # pair joins / grid / 1-row scalar attaches — bounded frames only
+            assert 1 <= n_bnlj <= 6, f"{name}: {n_bnlj} nested-loop joins"
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
+
+
+def test_x131_gini_single_group_exchange(q):
+    """x131: the rank window and the final aggregate share the nation
+    exchange — the whole Gini after the spend pre-aggregation must add
+    at most two more shuffles (fact groupBy + nation re-key), never a
+    global sort."""
+    from mariadb_postgres_migration_spark.plans.inspect import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    df = q("x131_gini_concentration")
+    assert exchange_count(df) <= 3
+    assert "Sort [" not in formatted_plan(df).split("Exchange")[0]
