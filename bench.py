@@ -102,6 +102,11 @@ HEADLINE = [
     # it (w1/w2_3 stay above as standalones for the frozen series)
     "w4_window_suite",
     "x133_r8b_ops_suite",
+    # r8 third wave: cluster-size histogram, burstiness, Zipf profile —
+    # consolidated same-round; s2 is the set_operations+g_grouping
+    # consolidation that funds it
+    "s2_setgroup_suite",
+    "x137_r8c_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -238,6 +243,11 @@ SUITE_MEMBERS = {
         "x126_spearman_daily", "x127_ks_source_drift",
     ],
     "w4_window_suite": ["w1_topk_per_group", "w2_3_window_analytics"],
+    "s2_setgroup_suite": ["set_operations", "g_grouping_analytics"],
+    "x137_r8c_ops_suite": [
+        "x134_cluster_size_histogram", "x135_interarrival_burstiness",
+        "x136_zipf_profile",
+    ],
     "x133_r8b_ops_suite": [
         "x129_mann_kendall", "x130_theil_sen",
         "x131_gini_concentration", "x132_vocab_richness",

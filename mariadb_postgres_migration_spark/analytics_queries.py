@@ -1290,6 +1290,7 @@ def w2_3_window_analytics(spark, sf_dir):
         UNION ALL
         SELECT 'except' AS kind, custkey FROM ({_SET3_SQL})""",
     "EXT-SET", "OP-05",
+    tier=1,  # r8: consolidated into s2_setgroup_suite (driver row); OP-05 stays tier-0-covered via op05_19/x01
 )
 def set_operations(spark, sf_dir):
     """§2.7 set-operation family (UNION / INTERSECT / EXCEPT) as one tagged
@@ -1327,6 +1328,7 @@ def set_operations(spark, sf_dir):
               CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
     "EXT-AGG",
+    tier=1,  # r8: consolidated into s2_setgroup_suite (driver row)
 )
 def g_grouping_analytics(spark, sf_dir):
     """ROLLUP + CUBE + GROUPING SETS over orders as one tagged union — all

@@ -1114,3 +1114,84 @@ n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
 med AS (SELECT CAST(min(sm) AS BIGINT) AS slope_milli
         FROM cdf, tot WHERE cum >= (n_pairs + 1) / 2)
 SELECT n.n_days, tot.n_pairs, med.slope_milli FROM n, tot, med"""
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival burstiness (EXT-ANALYTICS/EXT-ANOM): the
+    squared coefficient of variation of the gaps between a user's
+    consecutive events, in integer milli — CV² ≈ 1000 is Poisson
+    (memoryless), far above is bursty (bot bursts, retry storms), far
+    below is metronomic (cron traffic). The behavioral-shape screen next
+    to x116's sessionize (which counts sessions, not their rhythm).
+
+    Integer-exact algebra: gaps quantize to whole SECONDS ((Δµs) div
+    10⁶, truncation identical in both engines), so n·Σg² stays inside
+    int64 for month-scale user spans with thousands of events
+    (g ≤ 2.6·10⁶ s/month → g² ≤ 6.8·10¹²; 10³ gaps → 10³·n·Σg² ≈
+    6.8·10¹⁸ < 2^63 at the 1000× milli rescale — quantize to minutes
+    past that). cv2_milli = (1000·n·Σg²) div (Σg)², exact integer
+    division; NULL when every gap is zero (sub-second burst — CV
+    undefined).
+
+    Plan: one user-keyed exchange carries the lag window AND the final
+    per-user aggregate (the x62/x116 shared-exchange shape).
+
+    Returns ``(user_id, n_gaps, sum_g, sum_g2, cv2_milli)`` for users
+    with ≥ 2 events."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(
+            F.col(user_col).alias("u"),
+            ((us - F.lag(us).over(w)) / F.lit(1_000_000))
+            .cast("long")
+            .alias("g_f"),
+        )
+        .filter(F.col("g_f").isNotNull())
+        .select("u", F.col("g_f").alias("g"))
+    )
+    return (
+        gaps.groupBy(F.col("u").alias(user_col))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("sum_g"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("sum_g2"),
+        )
+        .select(
+            user_col, "n_gaps", "sum_g", "sum_g2",
+            F.when(
+                F.col("sum_g") > 0,
+                F.expr(
+                    "CAST((1000 * n_gaps * sum_g2) DIV (sum_g * sum_g)"
+                    " AS BIGINT)"
+                ),
+            ).alias("cv2_milli"),
+        )
+    )
+
+
+def interarrival_burstiness_sql(
+    events_cte: str, user_col: str = "user_id"
+) -> str:
+    """DuckDB oracle for :func:`interarrival_burstiness`; ``events_cte``
+    must yield ``(u, us, eid)``."""
+    return f"""WITH e AS ({events_cte}),
+gaps AS (SELECT u,
+                CAST((us - lag(us) OVER (PARTITION BY u
+                                         ORDER BY us, eid)) // 1000000
+                     AS BIGINT) AS g
+         FROM e),
+acc AS (SELECT u, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(g * g) AS BIGINT) AS sum_g2
+        FROM gaps WHERE g IS NOT NULL GROUP BY u)
+SELECT u AS {user_col}, n_gaps, sum_g, sum_g2,
+       CASE WHEN sum_g > 0
+            THEN (1000 * n_gaps * sum_g2) // (sum_g * sum_g)
+            ELSE NULL END AS cv2_milli
+FROM acc"""

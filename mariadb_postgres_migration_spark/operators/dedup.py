@@ -1185,3 +1185,43 @@ FROM dots JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
 WHERE CAST(dot AS DOUBLE)
       / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
       >= {threshold}"""
+
+
+def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
+    """Histogram of near-dup cluster sizes from a ``(doc_id, rep)``
+    assignment table (EXT-01/02 audit): how much of the corpus sits in
+    clusters of 1, 2, 3, ... — the dedup IMPACT report every curation
+    run reads before deciding thresholds ("is duplication a long tail of
+    pairs or a few mega-clusters?"), and the regression canary for the
+    clustering operators themselves (a threshold bug shifts this
+    histogram violently while per-doc spot checks look fine).
+
+    All counts exact int64; two map-side-combined aggregates (rep →
+    size, size → clusters); output is ≤ |max cluster size| rows at any
+    corpus scale.
+
+    Returns ``(cluster_size, n_clusters, n_docs)``."""
+    sizes = assignments.groupBy("rep").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+def cluster_size_histogram_sql(assignments_sql: str) -> str:
+    """DuckDB oracle for :func:`cluster_size_histogram`;
+    ``assignments_sql`` must yield ``(doc_id, rep)`` rows."""
+    return f"""WITH asg AS ({assignments_sql}),
+sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM asg GROUP BY rep)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size"""

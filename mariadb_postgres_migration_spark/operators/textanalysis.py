@@ -1264,3 +1264,80 @@ SELECT g AS {group_col}, n_terms, n_types, n_hapax,
        (1000000 * n_types) // n_terms AS ttr_ppm,
        (1000000 * n_hapax) // n_types AS hapax_ppm
 FROM acc"""
+
+
+#: Zipf probe ranks: frequency is compared at rank r vs rank 2r for each
+#: power of two — under a Zipf law with exponent s, f(2r)/f(r) = 2^-s
+#: (≈ 500 milli at s = 1) at EVERY r, so the profile doubles as both the
+#: slope estimate and the goodness-of-fit check with zero logarithms.
+ZIPF_PROBE_RANKS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def zipf_doubling_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency doubling profile of the corpus vocabulary
+    (EXT-05): the term-frequency ratio f(2r)/f(r) in integer milli at
+    each power-of-two rank r ≤ 512 — natural language sits near 500
+    milli across the whole profile (Zipf s ≈ 1); template/generated text
+    collapses the head (ratios → 1000) or the tail. The corpus-level
+    complement to x132's per-source richness, with the log-log
+    regression replaced by exact integer ratios (no transcendental
+    anywhere, hash-stable by construction).
+
+    Plan: one map-side-combined term count (the standard vocabulary
+    shuffle), then a distributed TakeOrdered top-1024 by (count DESC,
+    term ASC) — the only rows that can hold ranks ≤ 1024 — so the rank
+    window runs on a 1024-row bounded frame, never the vocabulary. The
+    probe join is rank = 2·rank on two ≤10-row filters of that frame.
+
+    Returns ``(rk, term, f_r, f_2r, ratio_milli)`` for each probe rank
+    present in the vocabulary."""
+    toked = _with_tokens(docs, id_col, text_col)
+    counts = (
+        toked.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    top = counts.sort(F.desc("f"), F.asc("term")).limit(1024)
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    ranked = top.select(
+        "term", "f", F.row_number().over(w).cast("long").alias("rk")
+    )
+    probes = ranked.filter(F.col("rk").isin(*ZIPF_PROBE_RANKS))
+    doubled = (
+        ranked.filter(F.col("rk") % 2 == 0)
+        .select(
+            F.expr("rk DIV 2").cast("long").alias("rk"),
+            F.col("f").alias("f2"),
+        )
+        .filter(F.col("rk").isin(*ZIPF_PROBE_RANKS))
+    )
+    # bounded: both sides are <= |ZIPF_PROBE_RANKS| rows
+    return (
+        probes.join(F.broadcast(doubled), "rk")
+        .select(
+            "rk", "term", F.col("f").alias("f_r"), F.col("f2").alias("f_2r"),
+            F.expr("CAST((1000 * f2) DIV f AS BIGINT)").alias("ratio_milli"),
+        )
+    )
+
+
+def zipf_doubling_profile_sql(toks_cte: str) -> str:
+    """DuckDB oracle for :func:`zipf_doubling_profile`; ``toks_cte``
+    must be the shared tokenize CTE (the _TOKS_CTE convention)."""
+    ranks = ", ".join(str(r) for r in ZIPF_PROBE_RANKS)
+    return f"""WITH {toks_cte},
+counts AS (SELECT u.term, CAST(count(*) AS BIGINT) AS f
+           FROM toks, UNNEST(w) AS u(term) GROUP BY u.term),
+top AS (SELECT term, f FROM counts ORDER BY f DESC, term LIMIT 1024),
+ranked AS (SELECT term, f,
+                  CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT)
+                  AS rk
+           FROM top),
+probes AS (SELECT * FROM ranked WHERE rk IN ({ranks})),
+doubled AS (SELECT rk // 2 AS rk, f AS f2 FROM ranked
+            WHERE rk % 2 = 0 AND rk // 2 IN ({ranks}))
+SELECT p.rk, p.term, p.f AS f_r, d.f2 AS f_2r,
+       (1000 * d.f2) // p.f AS ratio_milli
+FROM probes p JOIN doubled d USING (rk)"""

@@ -25,9 +25,15 @@ from .analytics_queries import (
     w2_3_window_analytics,
 )
 from .audit_queries import _X85_EDGES_CTE, _x85_edges
-from .extension_queries import _suite_materialize, _suite_release, _suite_shape
+from .extension_queries import (
+    _TOKS_CTE,
+    _suite_materialize,
+    _suite_release,
+    _suite_shape,
+)
 from .operators import aggregates as AGG
 from .operators import audit as A
+from .operators import dedup as D
 from .operators import graph as G
 from .operators import profile as PRF
 from .operators import textanalysis as T
@@ -434,3 +440,175 @@ def x133_r8b_ops_suite(spark, sf_dir):
             v2=F.col("ttr_ppm"), v3=F.col("hapax_ppm"), s1=F.col("source"),
         ))
     )
+
+
+# ===========================================================================
+# r8 third wave: dedup-impact histogram (x134), inter-arrival burstiness
+# (x135), Zipf doubling profile (x136) — funded by consolidating the
+# set_operations/g_grouping_analytics standalones into s2_setgroup_suite.
+# ===========================================================================
+
+
+def _x134_sql() -> str:
+    x27 = member_oracle("x27_dedup_connected_components")
+    return D.cluster_size_histogram_sql(f"SELECT doc_id, rep FROM ({x27})")
+
+
+@register(
+    "x134_cluster_size_histogram", _x134_sql(), "EXT-01", "EXT-02", tier=1,
+)
+def x134_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram over x27's connected-components
+    assignment (:func:`operators.dedup.cluster_size_histogram`) — the
+    dedup IMPACT report ("long tail of pairs or a few mega-clusters?")
+    and the regression canary for the clustering operators: a threshold
+    bug shifts this histogram violently while per-doc spot checks look
+    fine. Two map-side-combined aggregates past the x27 plan; ≤ max-
+    cluster-size rows at any corpus scale."""
+    from .extension_queries import x27_dedup_connected_components
+
+    asg = x27_dedup_connected_components(spark, sf_dir).select("doc_id", "rep")
+    return D.cluster_size_histogram(asg)
+
+
+_X135_EVENTS_CTE = (
+    "SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid FROM events"
+)
+
+
+@register(
+    "x135_interarrival_burstiness",
+    A.interarrival_burstiness_sql(_X135_EVENTS_CTE),
+    "EXT-ANALYTICS", "EXT-ANOM", tier=1,
+)
+def x135_interarrival_burstiness(spark, sf_dir):
+    """Per-user inter-arrival CV² in integer milli
+    (:func:`operators.audit.interarrival_burstiness`) — Poisson ≈ 1000,
+    bot bursts far above, cron traffic far below; the rhythm screen
+    next to x116's session counts. Gaps quantize to whole seconds so
+    every moment is exact int64 (bound in the operator docstring); one
+    user-keyed exchange carries the lag window and the final
+    aggregate."""
+    return A.interarrival_burstiness(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "x136_zipf_profile",
+    T.zipf_doubling_profile_sql(_TOKS_CTE),
+    "EXT-05", tier=1,
+)
+def x136_zipf_profile(spark, sf_dir):
+    """Zipf rank-frequency doubling profile
+    (:func:`operators.textanalysis.zipf_doubling_profile`): f(2r)/f(r)
+    in integer milli at power-of-two ranks — natural text sits near 500
+    across the profile (s ≈ 1), template text collapses it; the log-log
+    regression replaced by exact integer ratios. Top-1024 terms via
+    distributed TakeOrdered, so the rank window never sees the
+    vocabulary."""
+    return T.zipf_doubling_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# s2_setgroup_suite — set ops + grouping analytics as ONE driver row
+# ---------------------------------------------------------------------------
+
+
+def _s2_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT concat('set_', kind) AS kind, custkey AS id1, {z} AS v1,
+       {zd} AS d1, NULL AS s1
+FROM ({member_oracle('set_operations')})
+UNION ALL
+SELECT concat('g_', kind), {z}, n, CAST(total AS DOUBLE),
+       concat_ws('|', coalesce(o_orderstatus, '~'),
+                 coalesce(o_orderpriority, '~'))
+FROM ({member_oracle('g_grouping_analytics')})"""
+
+
+@register(
+    "s2_setgroup_suite", _s2_sql(), "EXT-SET", "EXT-AGG",
+)
+def s2_setgroup_suite(spark, sf_dir):
+    """Driver row consolidating the set-algebra shapes (union/intersect/
+    except) and the grouping-analytics shapes (rollup/cube/grouping
+    sets) — r8 window math: their two slots fund this row plus the x137
+    suite. NULL grouping keys canonicalize through coalesce('~') so the
+    concat is deterministic in both engines."""
+    from .analytics_queries import g_grouping_analytics, set_operations
+
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    so = set_operations(spark, sf_dir).select(
+        F.concat(F.lit("set_"), F.col("kind")).alias("kind"),
+        F.col("custkey").cast("long").alias("id1"),
+        zl.alias("v1"), zd.alias("d1"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    g = g_grouping_analytics(spark, sf_dir).select(
+        F.concat(F.lit("g_"), F.col("kind")).alias("kind"),
+        zl.alias("id1"), F.col("n").cast("long").alias("v1"),
+        F.col("total").cast("double").alias("d1"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+            F.coalesce(F.col("o_orderpriority"), F.lit("~")),
+        ).alias("s1"),
+    )
+    return so.unionAll(g)
+
+
+# ---------------------------------------------------------------------------
+# x137_r8c_ops_suite — the r8 third-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x137_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'csize' AS kind, cluster_size AS id1, n_clusters AS id2,
+       n_docs AS v1, {z} AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2,
+       NULL AS s1
+FROM ({member_oracle('x134_cluster_size_histogram')})
+UNION ALL
+SELECT 'burst', user_id, n_gaps, sum_g, sum_g2, coalesce(cv2_milli, -1),
+       {zd}, {zd}, NULL
+FROM ({member_oracle('x135_interarrival_burstiness')})
+UNION ALL
+SELECT 'zipf', rk, f_r, f_2r, ratio_milli, {z}, {zd}, {zd}, term
+FROM ({member_oracle('x136_zipf_profile')})"""
+
+
+@register(
+    "x137_r8c_ops_suite",
+    _x137_sql(),
+    "EXT-01", "EXT-02", "EXT-05", "EXT-ANALYTICS", "EXT-ANOM",
+)
+def x137_r8c_ops_suite(spark, sf_dir):
+    """Driver-verified representative for the round-8 third wave,
+    consolidated the same round (the x123/x128/x133 convention): the
+    dedup cluster-size histogram (x134), per-user inter-arrival
+    burstiness (x135 — NULL CV² for all-zero-gap users canonicalizes to
+    -1 in the suite shape, both engines) and the Zipf doubling profile
+    (x136), union-folded into the shared kind-tagged suite shape
+    (3 small members → lazy union per the SCALE.md composition rule)."""
+    from .operators.dedup import release_cached_intermediates
+
+    out = (
+        _suite_shape(
+            x134_cluster_size_histogram(spark, sf_dir), "csize",
+            id1=F.col("cluster_size"), id2=F.col("n_clusters"),
+            v1=F.col("n_docs"),
+        )
+        .unionAll(_suite_shape(
+            x135_interarrival_burstiness(spark, sf_dir), "burst",
+            id1=F.col("user_id"), id2=F.col("n_gaps"), v1=F.col("sum_g"),
+            v2=F.col("sum_g2"), v3=F.coalesce(F.col("cv2_milli"), F.lit(-1)),
+        ))
+        .unionAll(_suite_shape(
+            x136_zipf_profile(spark, sf_dir), "zipf",
+            id1=F.col("rk"), id2=F.col("f_r"), v1=F.col("f_2r"),
+            v2=F.col("ratio_milli"), s1=F.col("term"),
+        ))
+    )
+    return out

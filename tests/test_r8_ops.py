@@ -445,3 +445,114 @@ def test_vocab_richness_hand_checked(spark):
     }
     assert got["s1"] == (6, 4, 3, 666_666, 750_000)
     assert got["s2"] == (4, 1, 0, 250_000, 0)
+
+
+# ---------------------------------------------------------------------------
+# x134 — cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_size_histogram_hand_checked(spark):
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        cluster_size_histogram,
+    )
+
+    # clusters: {1,2,3} rep 1, {10,11} rep 10, {20} rep 20, {30} rep 30
+    rows = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (30, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, rep long")
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_size_histogram(df).collect()
+    }
+    assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+    # invariant: histogram covers every document exactly once
+    assert sum(nd for _, nd in got.values()) == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# x135 — inter-arrival burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_metronome_poisson_burst(spark):
+    from mariadb_postgres_migration_spark.operators.audit import (
+        interarrival_burstiness,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # metronome: constant 60 s gaps -> CV^2 = 0 -> cv2_milli = n*sum_g2*1000 // sum_g^2
+    for k in range(5):
+        rows.append((eid, 1, t0 + dt.timedelta(seconds=60 * k))); eid += 1
+    # bursty: gaps 1,1,1,597 s
+    for s in (0, 1, 2, 3, 600):
+        rows.append((eid, 2, t0 + dt.timedelta(seconds=s))); eid += 1
+    # all-zero gaps (sub-second burst): cv2 undefined -> NULL
+    for _ in range(3):
+        rows.append((eid, 3, t0)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_gaps"], r["sum_g"], r["sum_g2"], r["cv2_milli"])
+        for r in interarrival_burstiness(df).collect()
+    }
+    # metronome: 4 gaps of 60 -> 1000*4*14400 // 240^2 = 1000 (CV^2=... 
+    # n*sum_g2/sum_g^2 = 4*14400/57600 = 1.0 -> but that's E[g^2]n/ (sum)^2
+    assert got[1] == (4, 240, 14400, 1000)
+    burst = got[2]
+    assert burst[0] == 4 and burst[1] == 600
+    assert burst[3] > 1000  # bursty >> metronomic baseline
+    assert got[3] == (2, 0, 0, None)
+
+
+def test_burstiness_matches_brute(spark):
+    from mariadb_postgres_migration_spark.operators.audit import (
+        interarrival_burstiness,
+    )
+
+    rng = np.random.RandomState(135)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    gaps = [int(g) for g in rng.randint(0, 500, size=12)]
+    t = 0
+    times = []
+    for g in gaps:
+        t += g
+        times.append(t)
+    for s in [0] + times:
+        rows.append((eid, 7, t0 + dt.timedelta(seconds=s))); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    [r] = interarrival_burstiness(df).collect()
+    n, sg, sg2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    assert (r["n_gaps"], r["sum_g"], r["sum_g2"]) == (n, sg, sg2)
+    assert r["cv2_milli"] == (1000 * n * sg2) // (sg * sg)
+
+
+# ---------------------------------------------------------------------------
+# x136 — Zipf doubling profile
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_profile_exact_powerlaw(spark):
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        zipf_doubling_profile,
+    )
+
+    # corpus with exact f(r) = 512 // r for ranks 1..8 (term names order
+    # the ties deterministically)
+    docs = []
+    did = 0
+    words = {f"w{r:02d}": 512 // r for r in range(1, 9)}
+    for wrd, cnt in words.items():
+        for _ in range(cnt):
+            docs.append((did, wrd)); did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["rk"]: (r["f_r"], r["f_2r"], r["ratio_milli"])
+        for r in zipf_doubling_profile(df).collect()
+    }
+    # exact halving at every probe: ratio = 500
+    assert got[1] == (512, 256, 500)
+    assert got[2] == (256, 128, 500)
+    assert got[4] == (128, 64, 500)
+    assert set(got) == {1, 2, 4}  # rank 16 absent (only 8 terms)
