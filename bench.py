@@ -177,10 +177,15 @@ R6_COMPARABLE = R4_COMPARABLE + [
 ]
 
 #: A suite warm time above this multiple of its members' individual warm-time
-#: sum (same process, measured right after the suite) is flagged on the final
-#: line as `suites_inflated` — the r7 x77 eviction defect would have tripped
-#: this at 2.05.
+#: sum (same process, measured right after the suite) AND above the absolute
+#: overhead floor is flagged on the final line as `suites_inflated` — the r7
+#: x77 eviction defect would have tripped this at 2.05x / +17.9s. The floor
+#: exists because sub-second suites carry fixed per-action costs (scheduler,
+#: noop-commit, plan construction) that dominate their ratio without meaning
+#: anything: w4 measured 0.59s vs a 0.38s member sum — a 1.5x "inflation"
+#: of 0.2 seconds is not the eviction defect class this flag hunts.
 SUITE_INFLATION_RATIO = 1.5
+SUITE_INFLATION_MIN_SECONDS = 2.0
 
 #: Consolidation suites → their member queries, benched individually (warm
 #: only) AFTER the suite itself so a member regression is attributable
@@ -385,7 +390,10 @@ def main() -> int:
             msum = sum(members.values())
             ratio = round(timings[suite] / msum, 2) if msum > 0 else 0.0
             overhead[suite] = {"suite": timings[suite], "member_sum": round(msum, 3), "ratio": ratio}
-            if ratio > SUITE_INFLATION_RATIO:
+            if (
+                ratio > SUITE_INFLATION_RATIO
+                and timings[suite] - msum > SUITE_INFLATION_MIN_SECONDS
+            ):
                 suites_inflated.append(suite)
         print(json.dumps({"detail": "suite_overhead", "suites": overhead}))
     if member_timings:

@@ -25,12 +25,7 @@ from .analytics_queries import (
     w2_3_window_analytics,
 )
 from .audit_queries import _X85_EDGES_CTE, _x85_edges
-from .extension_queries import (
-    _TOKS_CTE,
-    _suite_materialize,
-    _suite_release,
-    _suite_shape,
-)
+from .extension_queries import _TOKS_CTE, _suite_shape
 from .operators import aggregates as AGG
 from .operators import audit as A
 from .operators import dedup as D
@@ -218,30 +213,31 @@ def x128_r8_ops_suite(spark, sf_dir):
     communities (x125) — the two operators the r7 snapshot left
     unregistered — plus Spearman daily rank correlation (x126) and the
     per-source KS drift screen (x127), union-folded into the shared
-    kind-tagged suite shape with each member materialized as its own
-    sequential action (_suite_materialize)."""
+    kind-tagged suite shape (4 small members → lazy union per the
+    SCALE.md composition rule; r8 A/B: union 4.3-4.9s vs sequential
+    5.2-5.6s warm — the stage concurrency wins here exactly as it did
+    for x84a)."""
     members = [
-        _suite_materialize(_suite_shape(
+        _suite_shape(
             x124_cusum_changepoint(spark, sf_dir), "cusum",
             id1=F.col("cp_day"), v1=F.col("s_abs"), v2=F.col("n_days"),
             v3=F.col("total"), s1=F.col("event_type"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x125_label_propagation(spark, sf_dir), "lp",
             id1=F.col("node"), id2=F.col("lbl"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x126_spearman_daily(spark, sf_dir), "rho",
             id1=F.col("n_days"), id2=F.col("sum_d2"), d1=F.col("rho"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x127_ks_source_drift(spark, sf_dir), "ks",
             id1=F.col("d_scaled"), id2=F.col("at_value"),
             v1=F.col("n_docs"), v2=F.col("n_total"), v3=F.col("d_ppm"),
             s1=F.col("source"),
-        )),
+        ),
     ]
-    _suite_release()
     return reduce(lambda a, b: a.unionAll(b), members)
 
 
