@@ -107,6 +107,10 @@ HEADLINE = [
     # consolidation that funds it
     "s2_setgroup_suite",
     "x137_r8c_ops_suite",
+    # r8 fourth wave: split manifest + rendezvous shards — consolidated
+    # same-round; t2 is the q18+t1 consolidation that funds it
+    "t2_aggstress_suite",
+    "x140_r8d_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -249,6 +253,8 @@ SUITE_MEMBERS = {
     ],
     "w4_window_suite": ["w1_topk_per_group", "w2_3_window_analytics"],
     "s2_setgroup_suite": ["set_operations", "g_grouping_analytics"],
+    "t2_aggstress_suite": ["q18_large_volume_orders", "t1_salted_skew_agg"],
+    "x140_r8d_ops_suite": ["x138_split_manifest", "x139_rendezvous_shards"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -640,6 +640,7 @@ def p1_percentiles_by_flag(spark, sf_dir):
               round(sum(value), 2) AS sum_value
        FROM events GROUP BY event_type""",
     "EXT-AGG",
+    tier=1,  # r8: consolidated into t2_aggstress_suite (driver row); stays in bench HEADLINE
 )
 def t1_salted_skew_agg(spark, sf_dir):
     """Two-phase salted aggregation for hot keys: phase 1 aggregates on
@@ -809,6 +810,7 @@ def q14_promo_revenue_share(spark, sf_dir):
        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
        HAVING sum(l.l_quantity) > 300""",
     "EXT-AGG",
+    tier=1,  # r8: consolidated into t2_aggstress_suite (driver row); stays in bench HEADLINE
 )
 def q18_large_volume_orders(spark, sf_dir):
     """TPC-H Q18 shape: HAVING over a fact aggregate. The quantity rollup

@@ -1341,3 +1341,131 @@ doubled AS (SELECT rk // 2 AS rk, f AS f2 FROM ranked
 SELECT p.rk, p.term, p.f AS f_r, d.f2 AS f_2r,
        (1000 * d.f2) // p.f AS ratio_milli
 FROM probes p JOIN doubled d USING (rk)"""
+
+
+#: split thresholds in per-mille of the hash space: train < 980,
+#: val < 990, test otherwise — the standard 98/1/1 training split.
+SPLIT_PERMILLE = (("train", 980), ("val", 990))
+
+
+def split_manifest(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test split manifest (EXT-05 pipeline op):
+    every document lands in exactly one split by pure hash arithmetic —
+    h = first 8 md5 hex chars of ``id:':split'`` as int64, split by
+    h mod 1000 against :data:`SPLIT_PERMILLE` — so the split is
+    reproducible across runs, engines and cluster sizes with NO stored
+    assignment table, and adding documents never reshuffles existing
+    ones (the property a random split lacks). The manifest reports per
+    (split, source) document and character counts — the leakage check
+    ("is val drawn from the same source mix as train") reads straight
+    off it.
+
+    Plan: one row-local hash projection + one (split, source)
+    map-side-combined aggregate; output is 3 × |sources| rows at any
+    corpus scale.
+
+    Returns ``(split, source, n_docs, n_chars)``."""
+    from .reconcile import hex_chunk
+
+    h = hex_chunk(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":split"))), 1
+    )
+    frac = h % 1000
+    split = F.lit("test")
+    for name, bound in reversed(SPLIT_PERMILLE):
+        split = F.when(frac < bound, F.lit(name)).otherwise(split)
+    return (
+        docs.select(
+            split.alias("split"),
+            F.col(group_col).alias("source"),
+            F.length(F.col(text_col)).cast("long").alias("nc"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def split_manifest_sql(group_col: str = "source") -> str:
+    """DuckDB oracle for :func:`split_manifest` over the documents
+    table."""
+    from .reconcile import hex_chunk_sql
+
+    h = hex_chunk_sql("md5(CAST(doc_id AS VARCHAR) || ':split')", 1)
+    cases = " ".join(
+        f"WHEN ({h}) % 1000 < {bound} THEN '{name}'"
+        for name, bound in SPLIT_PERMILLE
+    )
+    return f"""SELECT CASE {cases} ELSE 'test' END AS split,
+       {group_col} AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1, 2"""
+
+
+def rendezvous_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment report
+    (EXT-05 pipeline op, Thaler & Ravishankar 1998): each document goes
+    to the shard with the largest md5(id '#' shard) — the consistent-
+    hashing scheme whose property a mod-N split lacks: adding or
+    removing ONE shard moves only ~1/N of documents, never reshuffles
+    everything. The report is the per-shard doc/char balance a 100 TB
+    writer checks before committing a layout.
+
+    The argmax is ROW-LOCAL: an in-row array_max over n_shards
+    (hash, shard) structs (lexicographic struct order = hash first,
+    shard id as the deterministic tiebreak, mirrored exactly by the
+    oracle's ORDER BY h DESC, s DESC) — zero row expansion, zero
+    shuffle before the final ≤ n_shards-group aggregate.
+
+    Returns ``(shard, n_docs, n_chars)``."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f"#{s}"))
+                ).alias("h"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return (
+        docs.select(
+            F.array_max(entries).getField("s").alias("shard"),
+            F.length(F.col(text_col)).cast("long").alias("nc"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def rendezvous_shards_sql(n_shards: int = 16) -> str:
+    """DuckDB oracle for :func:`rendezvous_shards` over the documents
+    table (explicit n_shards-way unnest + rank — a second, independent
+    formulation of the same argmax)."""
+    return f"""WITH cand AS (SELECT doc_id, length(text) AS nc, u.s AS s,
+                     md5(CAST(doc_id AS VARCHAR) || '#'
+                         || CAST(u.s AS VARCHAR)) AS h
+              FROM documents, UNNEST(range({n_shards})) AS u(s)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY h DESC, s DESC) AS rn
+       FROM cand)
+SELECT CAST(s AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars
+FROM rk WHERE rn = 1 GROUP BY s"""

@@ -608,3 +608,123 @@ def x137_r8c_ops_suite(spark, sf_dir):
         ))
     )
     return out
+
+
+# ===========================================================================
+# r8 fourth wave: dataset-management ops — deterministic split manifest
+# (x138) and rendezvous shard balance (x139) — funded by consolidating
+# the q18/t1 aggregate standalones into t2_aggstress_suite.
+# ===========================================================================
+
+
+@register(
+    "x138_split_manifest", T.split_manifest_sql(), "EXT-05", tier=1,
+)
+def x138_split_manifest(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test split manifest
+    (:func:`operators.textanalysis.split_manifest`): membership is pure
+    md5 arithmetic on the document id, so the split is reproducible
+    across runs/engines/cluster sizes with no stored assignment table
+    and new documents never reshuffle old ones. Per-(split, source)
+    doc/char counts expose the source-mix leakage check directly."""
+    return T.split_manifest(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x139_rendezvous_shards", T.rendezvous_shards_sql(), "EXT-05", tier=1,
+)
+def x139_rendezvous_shards(spark, sf_dir):
+    """Rendezvous-hashing shard balance report
+    (:func:`operators.textanalysis.rendezvous_shards`, HRW — Thaler &
+    Ravishankar 1998): argmax of 16 per-shard hashes computed row-
+    locally (in-row array_max over (hash, shard) structs — zero row
+    expansion, zero shuffle before the 16-group aggregate), while the
+    ORACLE assigns via an explicit 16-way unnest + rank — two
+    independent formulations of the same argmax under one hash."""
+    return T.rendezvous_shards(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# t2_aggstress_suite — the q18 + t1 aggregate rows as ONE driver row
+# ---------------------------------------------------------------------------
+
+
+def _t2_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'q18' AS kind, c_custkey AS id1, o_orderkey AS id2,
+       o_orderdate_us AS v1, CAST(o_totalprice AS DOUBLE) AS d1,
+       CAST(sum_qty AS DOUBLE) AS d2, NULL AS s1
+FROM ({member_oracle('q18_large_volume_orders')})
+UNION ALL
+SELECT 't1', n, {z}, {z}, CAST(sum_value AS DOUBLE), {zd}, event_type
+FROM ({member_oracle('t1_salted_skew_agg')})"""
+
+
+@register(
+    "t2_aggstress_suite", _t2_sql(), "EXT-AGG",
+)
+def t2_aggstress_suite(spark, sf_dir):
+    """Driver row consolidating the two aggregate-stress shapes (Q18
+    HAVING-over-fact-rollup, t1 two-phase salted hot-key aggregation) —
+    r8 window math: their two slots fund this row plus the x140 suite."""
+    from .analytics_queries import q18_large_volume_orders, t1_salted_skew_agg
+
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    q18 = q18_large_volume_orders(spark, sf_dir).select(
+        F.lit("q18").alias("kind"), F.col("c_custkey").alias("id1"),
+        F.col("o_orderkey").alias("id2"),
+        F.col("o_orderdate_us").cast("long").alias("v1"),
+        F.col("o_totalprice").cast("double").alias("d1"),
+        F.col("sum_qty").cast("double").alias("d2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    t1 = t1_salted_skew_agg(spark, sf_dir).select(
+        F.lit("t1").alias("kind"), F.col("n").cast("long").alias("id1"),
+        zl.alias("id2"), zl.alias("v1"),
+        F.col("sum_value").cast("double").alias("d1"), zd.alias("d2"),
+        F.col("event_type").alias("s1"),
+    )
+    return q18.unionAll(t1)
+
+
+# ---------------------------------------------------------------------------
+# x140_r8d_ops_suite — the r8 fourth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x140_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'split' AS kind, n_docs AS id1, n_chars AS id2,
+       {z} AS v1, {zd} AS d1, concat_ws('|', split, source) AS s1
+FROM ({member_oracle('x138_split_manifest')})
+UNION ALL
+SELECT 'shard', n_docs, n_chars, shard, {zd}, NULL
+FROM ({member_oracle('x139_rendezvous_shards')})"""
+
+
+@register(
+    "x140_r8d_ops_suite", _x140_sql(), "EXT-05", "EXT-AGG",
+)
+def x140_r8d_ops_suite(spark, sf_dir):
+    """Driver-verified representative for the round-8 fourth wave,
+    consolidated the same round: the deterministic split manifest
+    (x138) and the rendezvous shard balance report (x139) — the two
+    dataset-MANAGEMENT operators a training-data pipeline runs after
+    curation and before writing shards (2 small members → lazy union
+    per the SCALE.md composition rule)."""
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    a = x138_split_manifest(spark, sf_dir).select(
+        F.lit("split").alias("kind"), F.col("n_docs").alias("id1"),
+        F.col("n_chars").alias("id2"), zl.alias("v1"), zd.alias("d1"),
+        F.concat_ws("|", "split", "source").alias("s1"),
+    )
+    b = x139_rendezvous_shards(spark, sf_dir).select(
+        F.lit("shard").alias("kind"), F.col("n_docs").alias("id1"),
+        F.col("n_chars").alias("id2"), F.col("shard").alias("v1"),
+        zd.alias("d1"), F.lit(None).cast("string").alias("s1"),
+    )
+    return a.unionAll(b)

@@ -528,7 +528,9 @@ def test_r8_ops_plan_contracts(q):
     no_bnlj = [
         "x124_cusum_changepoint", "x125_label_propagation",
         "x126_spearman_daily", "x131_gini_concentration",
-        "x132_vocab_richness",
+        "x132_vocab_richness", "x134_cluster_size_histogram",
+        "x135_interarrival_burstiness", "x136_zipf_profile",
+        "x138_split_manifest", "x139_rendezvous_shards",
     ]
     from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 

@@ -556,3 +556,88 @@ def test_zipf_profile_exact_powerlaw(spark):
     assert got[2] == (256, 128, 500)
     assert got[4] == (128, 64, 500)
     assert set(got) == {1, 2, 4}  # rank 16 absent (only 8 terms)
+
+
+# ---------------------------------------------------------------------------
+# x138 — split manifest
+# ---------------------------------------------------------------------------
+
+
+def test_split_manifest_is_total_deterministic_and_ratioed(spark):
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        split_manifest,
+    )
+
+    rows = [(i, "x" * (i % 7 + 1), f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = split_manifest(df).collect()
+    # exactly one split per document: totals reconstruct the corpus
+    assert sum(r["n_docs"] for r in out) == 3000
+    assert sum(r["n_chars"] for r in out) == sum(i % 7 + 1 for i in range(3000))
+    by_split = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    # 98/1/1 within loose tolerance at n=3000
+    assert by_split["train"] > 2850
+    assert 5 <= by_split["val"] <= 80 and 5 <= by_split["test"] <= 80
+    # deterministic: identical on re-run
+    assert sorted(map(tuple, out)) == sorted(map(tuple, split_manifest(df).collect()))
+
+
+def test_split_manifest_stable_under_corpus_growth(spark):
+    """The hash-split property a random split lacks: adding documents
+    never changes an existing document's split."""
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        split_manifest,
+    )
+    from mariadb_postgres_migration_spark.operators.reconcile import hex_chunk
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, "t", "s") for i in range(500)]
+    df_small = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # per-doc assignment extracted via the same expression the operator uses
+    h = hex_chunk(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1)
+    assign = {
+        r["doc_id"]: r["frac"]
+        for r in df_small.select("doc_id", (h % 1000).alias("frac")).collect()
+    }
+    rows2 = rows + [(i, "t", "s") for i in range(500, 1000)]
+    df_big = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    assign2 = {
+        r["doc_id"]: r["frac"]
+        for r in df_big.select("doc_id", (h % 1000).alias("frac")).collect()
+    }
+    assert all(assign2[k] == v for k, v in assign.items())
+
+
+# ---------------------------------------------------------------------------
+# x139 — rendezvous shards
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_matches_python_hrw_and_minimal_movement(spark):
+    import hashlib
+
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        rendezvous_shards,
+    )
+
+    def hrw(doc_id, n):
+        return max(
+            range(n),
+            key=lambda s: (hashlib.md5(f"{doc_id}#{s}".encode()).hexdigest(), s),
+        )
+
+    rows = [(i, "y" * (i % 5 + 1)) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got16 = {r["shard"]: r["n_docs"] for r in rendezvous_shards(df, 16).collect()}
+    exp16 = {}
+    for i, _t in rows:
+        exp16[hrw(i, 16)] = exp16.get(hrw(i, 16), 0) + 1
+    assert got16 == exp16
+    # HRW property: dropping to 15 shards moves ONLY documents whose
+    # winner was shard 15 (~1/16 of the corpus), nobody else
+    moved = sum(1 for i, _t in rows if hrw(i, 16) != hrw(i, 15))
+    assert moved == exp16.get(15, 0)
