@@ -254,7 +254,10 @@ SUITE_MEMBERS = {
     "w4_window_suite": ["w1_topk_per_group", "w2_3_window_analytics"],
     "s2_setgroup_suite": ["set_operations", "g_grouping_analytics"],
     "t2_aggstress_suite": ["q18_large_volume_orders", "t1_salted_skew_agg"],
-    "x140_r8d_ops_suite": ["x138_split_manifest", "x139_rendezvous_shards"],
+    "x140_r8d_ops_suite": [
+        "x138_split_manifest", "x139_rendezvous_shards",
+        "x141_stream_split_manifest",
+    ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -644,6 +644,25 @@ def x139_rendezvous_shards(spark, sf_dir):
     return T.rendezvous_shards(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "x141_stream_split_manifest", T.split_manifest_sql(), "EXT-09", "EXT-05",
+    tier=1,
+)
+def x141_stream_split_manifest(spark, sf_dir):
+    """The x138 split ledger as STREAMING STATE over the documents
+    ingest (availableNow replay,
+    :func:`streaming.jobs.stream_split_manifest`): both aggregates are
+    additive, so the complete-mode streaming aggregate equals the batch
+    manifest under ANY micro-batch split — the fifth aggregate-as-
+    stream form after CMS/KMV/ring-buffer/HLL, and the form a live
+    ingest runs so the split ledger never needs a nightly recount. The
+    oracle is the batch manifest; a hash match proves replayed state
+    ≡ batch split."""
+    from .streaming.jobs import run_stream_split_manifest
+
+    return run_stream_split_manifest(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # t2_aggstress_suite — the q18 + t1 aggregate rows as ONE driver row
 # ---------------------------------------------------------------------------
@@ -702,7 +721,10 @@ def _x140_sql() -> str:
 FROM ({member_oracle('x138_split_manifest')})
 UNION ALL
 SELECT 'shard', n_docs, n_chars, shard, {zd}, NULL
-FROM ({member_oracle('x139_rendezvous_shards')})"""
+FROM ({member_oracle('x139_rendezvous_shards')})
+UNION ALL
+SELECT 'ssplit', n_docs, n_chars, {z}, {zd}, concat_ws('|', split, source)
+FROM ({member_oracle('x141_stream_split_manifest')})"""
 
 
 @register(
@@ -711,10 +733,12 @@ FROM ({member_oracle('x139_rendezvous_shards')})"""
 def x140_r8d_ops_suite(spark, sf_dir):
     """Driver-verified representative for the round-8 fourth wave,
     consolidated the same round: the deterministic split manifest
-    (x138) and the rendezvous shard balance report (x139) — the two
+    (x138), the rendezvous shard balance report (x139) — the two
     dataset-MANAGEMENT operators a training-data pipeline runs after
-    curation and before writing shards (2 small members → lazy union
-    per the SCALE.md composition rule)."""
+    curation and before writing shards — and the split ledger as
+    streaming state (x141, a real availableNow complete-mode replay
+    inside a driver-hashed row); 3 small members → lazy union per the
+    SCALE.md composition rule."""
     zl = F.lit(0).cast("long")
     zd = F.lit(0.0)
     a = x138_split_manifest(spark, sf_dir).select(
@@ -727,4 +751,9 @@ def x140_r8d_ops_suite(spark, sf_dir):
         F.col("n_chars").alias("id2"), F.col("shard").alias("v1"),
         zd.alias("d1"), F.lit(None).cast("string").alias("s1"),
     )
-    return a.unionAll(b)
+    c = x141_stream_split_manifest(spark, sf_dir).select(
+        F.lit("ssplit").alias("kind"), F.col("n_docs").alias("id1"),
+        F.col("n_chars").alias("id2"), zl.alias("v1"), zd.alias("d1"),
+        F.concat_ws("|", "split", "source").alias("s1"),
+    )
+    return a.unionAll(b).unionAll(c)

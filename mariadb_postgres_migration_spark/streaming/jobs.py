@@ -796,3 +796,30 @@ def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence pinned in tests/test_stream_hll.py)."""
     docs = read_documents_stream(spark, sf_dir)
     return _run_to_memory(stream_hll_registers(docs), "complete")
+
+
+def stream_split_manifest(docs: DataFrame) -> DataFrame:
+    """EXT-09: the x138 train/val/test split manifest maintained over the
+    documents ingest STREAM — both aggregates (doc count, char sum) are
+    additive, so the complete-mode streaming aggregate accumulates
+    exactly across ANY micro-batch split with no arrival-order
+    assumption, and state is 3 × |sources| rows forever. The fifth
+    aggregate-as-stream form next to x91 (CMS, sum), x101 (KMV, k-min
+    union), x82 (ring buffer) and x121 (HLL, max): the operator a live
+    ingest pipeline runs so the split ledger is ALWAYS current — no
+    nightly batch recount — and, because membership is pure id-hash
+    arithmetic (see operators.textanalysis.split_manifest), the
+    streamed ledger provably equals the batch manifest (the oracle)."""
+    from ..operators.textanalysis import split_manifest
+
+    # split_manifest is one row-local projection + one additive groupBy —
+    # legal unchanged on a streaming frame in complete mode
+    return split_manifest(docs)
+
+
+def run_stream_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded availableNow replay of the streamed split manifest —
+    hash-compared to the batch manifest (multi-batch accumulation
+    equivalence pinned in tests/test_stream_split.py)."""
+    docs = read_documents_stream(spark, sf_dir)
+    return _run_to_memory(stream_split_manifest(docs), "complete")
