@@ -719,8 +719,8 @@ def q7_nation_volume_flow(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))  # bounded: 25-row nation projection
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))  # bounded: 25-row nation projection
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.sum(_decimal_revenue()).cast("double").alias("revenue"))
@@ -762,7 +762,7 @@ def q10_returned_item_revenue(spark, sf_dir):
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))  # bounded: 25-row nation dim
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_decimal_revenue()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -868,7 +868,7 @@ def q22_idle_high_balance(spark, sf_dir):
         F.avg("c_acctbal").alias("__avg")
     )
     return (
-        c.join(F.broadcast(avg_bal))
+        c.join(F.broadcast(avg_bal))  # bounded: 1-row scalar aggregate
         .filter(F.col("c_acctbal") > F.col("__avg"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -987,8 +987,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
     europe_supp = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bounded: 25-row nation dim
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))  # bounded: 5-row region dim
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
@@ -1079,7 +1079,7 @@ def q11_important_parts(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
-    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")  # bounded: 25-row nation dim
     val = (
         # unhinted (r8): supp is supplier-sized — grows with the corpus
         l.join(supp, l.l_suppkey == F.col("s_suppkey"))
@@ -1089,7 +1089,7 @@ def q11_important_parts(spark, sf_dir):
     )
     total = val.agg((F.sum("value") * F.lit(0.001).cast("decimal(18,4)")).alias("__thr"))
     return (
-        val.join(F.broadcast(total))
+        val.join(F.broadcast(total))  # bounded: 1-row scalar threshold
         .filter(F.col("value") > F.col("__thr"))
         .select("l_partkey", F.col("value").cast("double").alias("value"))
     )
@@ -1216,7 +1216,7 @@ def q20_excess_share_suppliers(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)  # bounded: 25-row nation dim
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -1585,9 +1585,9 @@ def q8_market_share(spark, sf_dir):
         .join(p, l.l_partkey == p.p_partkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(r), F.col("cn_reg") == F.col("r_regionkey"))  # bounded: 5-row region dim
         .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))  # bounded: 25-row nation projection
     )
     zero = F.lit(0).cast("decimal(18,4)")
     nation5 = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(zero)
@@ -1640,7 +1640,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     mx = rev.agg(F.max("total_rev").alias("__mx"))
     return (
-        rev.join(F.broadcast(mx))
+        rev.join(F.broadcast(mx))  # bounded: 1-row scalar aggregate
         .filter(F.col("total_rev") == F.col("__mx"))
         # unhinted (r8): supplier grows with the corpus (the winner side is
         # tiny, and AQE picks it as the build side at runtime)

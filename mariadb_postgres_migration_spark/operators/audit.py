@@ -1091,8 +1091,8 @@ def theil_sen_daily(df: DataFrame, ts_col: str = "o_orderdate") -> DataFrame:
         .agg(F.min("sm").cast("long").alias("slope_milli"))
     )
     return (
-        nrow.join(F.broadcast(tot))
-        .join(F.broadcast(med))
+        nrow.join(F.broadcast(tot))  # bounded: 1-row totals
+        .join(F.broadcast(med))  # bounded: 1-row median
         .select("n_days", "n_pairs", "slope_milli")
     )
 

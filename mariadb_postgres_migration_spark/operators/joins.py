@@ -86,7 +86,7 @@ def dict_apply_to_array(
         *other_cols, F.posexplode_outer(array_col).alias("__pos", "__elem")
     ).filter(F.col("__pos").isNotNull())
     mapped = exploded.join(
-        F.broadcast(dictionary.select(F.col(key_col).alias("__elem"), F.col(value_col).alias("__mapped"))),
+        F.broadcast(dictionary.select(F.col(key_col).alias("__elem"), F.col(value_col).alias("__mapped"))),  # bounded: OP-17 contract — enum-sized dictionary
         on="__elem",
         how="left",
     )

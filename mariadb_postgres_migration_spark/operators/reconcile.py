@@ -149,7 +149,7 @@ def snapshot_diff(
         out = df.select(F.col(key_col).alias("key"), digest.alias("dg"))
         if bucket_filter is not None:
             out = out.join(
-                F.broadcast(
+                F.broadcast(  # bounded: <= CHECKSUM_BUCKETS dirty-bucket ids
                     bucket_filter.select(
                         F.col("bucket").cast("long").alias("__b")
                     )

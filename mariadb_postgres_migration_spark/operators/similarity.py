@@ -497,7 +497,7 @@ def knn_ivf(
     query. Recall vs :func:`knn_bruteforce` is property-tested; the win is
     that the candidate join touches ~nprobe/ncells of the corpus."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cent = F.broadcast(
+    cent = F.broadcast(  # bounded: k centroids
         centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
@@ -1057,7 +1057,7 @@ def knn_ivfpq(
     ).join(assigned.select("v_id", "cell"), "v_id")
 
     # probe selection: identical rule to knn_ivf (cosine DESC, cell ASC)
-    cent = F.broadcast(
+    cent = F.broadcast(  # bounded: k centroids
         centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))

@@ -1146,7 +1146,7 @@ def pmi_collocations(
     # 100 TB) and must stay the streamed probe side, never the build side.
     # Each join emits <= k rows, so the second join's build side is again
     # <= k rows.
-    ranked = c2.join(F.broadcast(c1.join(F.broadcast(top), "w1")), "w2")
+    ranked = c2.join(F.broadcast(c1.join(F.broadcast(top), "w1")), "w2")  # bounded: <= k-row top (see block comment above)
     wr = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
     return (
         ranked.join(F.broadcast(n1))  # bounded: 1-row scalar total
