@@ -1030,6 +1030,9 @@ def x77_behavioral_suite(spark, sf_dir):
     row."""
     from functools import reduce
 
+    from .operators.dedup import persist_pool_mark
+
+    pool_mark = persist_pool_mark()
     members = [
         _suite_materialize(_suite_shape(
             x71_funnel_stages(spark, sf_dir), "funnel",
@@ -1069,8 +1072,9 @@ def x77_behavioral_suite(spark, sf_dir):
         )),
     ]
     # every member is materialized — their persisted intermediates are
-    # dead weight now; drop them before the caller's consuming action
-    _suite_release()
+    # dead weight now; drop them (and ONLY them — entries appended since
+    # pool_mark) before the caller's consuming action
+    _suite_release(pool_mark)
     return reduce(lambda a, b: a.unionAll(b), members)
 
 

@@ -1914,17 +1914,22 @@ def _suite_materialize(df):
     return df.localCheckpoint(eager=True)
 
 
-def _suite_release() -> None:
-    """Drop tracked persists after a suite's members are all materialized.
-    No-op under MPS_SUITE_UNION (the lazy form must keep its persists
-    alive until the caller's consuming action completes — the caller
-    releases, as bench.run() does)."""
+def _suite_release(mark: int = 0) -> None:
+    """Drop the tracked persists a suite's members appended after ``mark``
+    (a :func:`operators.dedup.persist_pool_mark` snapshot taken before the
+    first member was built) once they are all materialized. Scoped, not
+    global: releasing the whole pool from here silently dropped caches
+    created by EARLIER queries in the same process — e.g. the memoized x85
+    edge frame — forcing later consumers to recompute (ADVICE r8). No-op
+    under MPS_SUITE_UNION (the lazy form must keep its persists alive until
+    the caller's consuming action completes — the caller releases, as
+    bench.run() does)."""
     import os
 
     if not os.environ.get("MPS_SUITE_UNION"):
         from .operators.dedup import release_cached_intermediates
 
-        release_cached_intermediates()
+        release_cached_intermediates(since=mark)
 
 
 # suite-composition helper: the canonical member-oracle lookup lives in

@@ -241,14 +241,24 @@ def gini_concentration(
         )
         .select(
             group_col, "n_members", "total_cents",
-            F.round(
-                (
-                    2 * F.col("__ix")
-                    - (F.col("n_members") + 1) * F.col("total_cents")
-                ).cast("double")
-                / (F.col("n_members") * F.col("total_cents")).cast("double"),
-                4,
-            ).alias("gini"),
+            # zero guard (ADVICE r8): a group whose members all have
+            # cents=0 yields 0/0 → NaN, an engine-sensitive value; define
+            # perfect-equality-at-zero as gini 0.0 in BOTH engines
+            # (mirrors the mann_kendall s_stat=0 special case).
+            F.when(F.col("total_cents") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (
+                        2 * F.col("__ix")
+                        - (F.col("n_members") + 1) * F.col("total_cents")
+                    ).cast("double")
+                    / (
+                        F.col("n_members") * F.col("total_cents")
+                    ).cast("double"),
+                    4,
+                )
+            )
+            .alias("gini"),
         )
     )
 
@@ -266,6 +276,8 @@ acc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members,
                CAST(sum(i * x) AS BIGINT) AS ix
         FROM ranked GROUP BY g)
 SELECT g AS {group_col}, n_members, total_cents,
-       round(CAST(2 * ix - (n_members + 1) * total_cents AS DOUBLE)
-             / CAST(n_members * total_cents AS DOUBLE), 4) AS gini
+       CASE WHEN total_cents = 0 THEN 0.0
+            ELSE round(CAST(2 * ix - (n_members + 1) * total_cents AS DOUBLE)
+                       / CAST(n_members * total_cents AS DOUBLE), 4)
+            END AS gini
 FROM acc"""

@@ -1164,8 +1164,22 @@ def interarrival_burstiness(
         )
         .select(
             user_col, "n_gaps", "sum_g", "sum_g2",
+            # overflow guard (ADVICE r8): past the documented bound
+            # (≳10⁴ month-span gaps) 1000·n·Σg² exceeds int64 — Spark
+            # wraps silently where DuckDB raises, so without the guard
+            # the failure mode is a silent diverging value. NULL the
+            # user in BOTH engines instead: Σg² ≤ MAXI64 div (1000·n)
+            # (1000·n itself cannot overflow: n < 2^53 events) and
+            # Σg ≤ isqrt(MAXI64) for the (Σg)² term.
             F.when(
-                F.col("sum_g") > 0,
+                (F.col("sum_g") > 0)
+                & (F.col("sum_g") <= F.lit(3037000499))
+                & (
+                    F.col("sum_g2")
+                    <= F.expr(
+                        "9223372036854775807 DIV (1000 * n_gaps)"
+                    )
+                ),
                 F.expr(
                     "CAST((1000 * n_gaps * sum_g2) DIV (sum_g * sum_g)"
                     " AS BIGINT)"
@@ -1192,6 +1206,8 @@ acc AS (SELECT u, CAST(count(*) AS BIGINT) AS n_gaps,
         FROM gaps WHERE g IS NOT NULL GROUP BY u)
 SELECT u AS {user_col}, n_gaps, sum_g, sum_g2,
        CASE WHEN sum_g > 0
+             AND sum_g <= 3037000499
+             AND sum_g2 <= 9223372036854775807 // (1000 * n_gaps)
             THEN (1000 * n_gaps * sum_g2) // (sum_g * sum_g)
             ELSE NULL END AS cv2_milli
 FROM acc"""

@@ -67,11 +67,22 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_cached_intermediates() -> int:
-    """Unpersist every intermediate cached by dedup operators; returns how
-    many were released. Call after the consuming action completes."""
-    n = len(_PERSISTED)
-    while _PERSISTED:
+def persist_pool_mark() -> int:
+    """Current length of the tracked-persist pool. Capture BEFORE building
+    a bounded scope's frames, then pass to
+    :func:`release_cached_intermediates` to drop only that scope's entries —
+    a blanket release from inside a suite would also drop caches earlier
+    queries in the same process still rely on (ADVICE r8)."""
+    return len(_PERSISTED)
+
+
+def release_cached_intermediates(since: int = 0) -> int:
+    """Unpersist intermediates cached by dedup operators — all of them, or
+    only those appended after ``since`` (a :func:`persist_pool_mark`
+    snapshot); returns how many were released. Call after the consuming
+    action completes."""
+    n = max(len(_PERSISTED) - since, 0)
+    while len(_PERSISTED) > since:
         _PERSISTED.pop().unpersist(blocking=False)
     return n
 

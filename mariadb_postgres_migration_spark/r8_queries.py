@@ -587,9 +587,10 @@ def x137_r8c_ops_suite(spark, sf_dir):
     burstiness (x135 — NULL CV² for all-zero-gap users canonicalizes to
     -1 in the suite shape, both engines) and the Zipf doubling profile
     (x136), union-folded into the shared kind-tagged suite shape
-    (3 small members → lazy union per the SCALE.md composition rule)."""
-    from .operators.dedup import release_cached_intermediates
-
+    (3 small members → lazy union per the SCALE.md composition rule).
+    x134's persisted intermediates stay alive until the caller's consuming
+    action completes (the lazy-union contract); the caller releases them,
+    as bench.run() does."""
     out = (
         _suite_shape(
             x134_cluster_size_histogram(spark, sf_dir), "csize",

@@ -641,3 +641,80 @@ def test_rendezvous_matches_python_hrw_and_minimal_movement(spark):
     # winner was shard 15 (~1/16 of the corpus), nobody else
     moved = sum(1 for i, _t in rows if hrw(i, 16) != hrw(i, 15))
     assert moved == exp16.get(15, 0)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 guards: engine-identical degradation at the documented bounds
+# ---------------------------------------------------------------------------
+
+
+def test_gini_all_zero_group_is_zero_both_engines(spark):
+    """A group whose members all have cents=0 is perfect equality: gini
+    0.0 by definition in BOTH engines (pre-guard it was 0/0 → NaN in
+    Spark while DuckDB's round(NaN) differs — an engine-sensitive
+    value)."""
+    import duckdb
+
+    from mariadb_postgres_migration_spark.operators.aggregates import (
+        gini_concentration,
+        gini_concentration_sql,
+    )
+
+    rows = [("z", 1, 0), ("z", 2, 0), ("ok", 1, 5), ("ok", 2, 15)]
+    df = spark.createDataFrame(rows, "g string, k long, cents long")
+    got = {r["g"]: r["gini"] for r in gini_concentration(df).collect()}
+    assert got["z"] == 0.0
+
+    cte = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{g}', {k}, {c})" for g, k, c in rows
+    ) + ") AS v(g, k, cents)"
+    oracle = {
+        g: gini for g, _n, _t, gini in
+        duckdb.sql(gini_concentration_sql(cte)).fetchall()
+    }
+    assert oracle == got
+
+
+def test_burstiness_overflow_user_nulls_both_engines(spark):
+    """Past the documented int64 bound, 1000·n·Σg² would wrap silently in
+    Spark while DuckDB raises — the guard NULLs the user identically in
+    both engines instead. Two ~2.2-year gaps put Σg² at ~9.8·10¹⁵
+    (1000·2·Σg² ≈ 2·10¹⁹ > 2⁶³) while Σg stays inside the isqrt bound,
+    exercising the Σg² arm of the guard specifically."""
+    import duckdb
+
+    from mariadb_postgres_migration_spark.operators.audit import (
+        interarrival_burstiness,
+        interarrival_burstiness_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    big = 70_000_000  # seconds; big² = 4.9e15 per gap
+    rows = [
+        (0, 9, t0),
+        (1, 9, t0 + dt.timedelta(seconds=big)),
+        (2, 9, t0 + dt.timedelta(seconds=2 * big)),
+        # control user inside the bound
+        (3, 1, t0),
+        (4, 1, t0 + dt.timedelta(seconds=60)),
+        (5, 1, t0 + dt.timedelta(seconds=180)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_gaps"], r["sum_g"], r["sum_g2"], r["cv2_milli"])
+        for r in interarrival_burstiness(df).collect()
+    }
+    assert got[9][3] is None  # guarded, not wrapped
+    assert got[9][:3] == (2, 2 * big, 2 * big * big)
+    assert got[1][3] is not None
+
+    epoch = dt.datetime(1970, 1, 1)
+    cte = "SELECT * FROM (VALUES " + ", ".join(
+        f"({u}, {int((ts - epoch).total_seconds()) * 1_000_000}, {eid})"
+        for eid, u, ts in rows
+    ) + ") AS v(u, us, eid)"
+    oracle = {
+        u: (n, sg, sg2, cv2) for u, n, sg, sg2, cv2 in
+        duckdb.sql(interarrival_burstiness_sql(cte)).fetchall()
+    }
+    assert oracle == got
