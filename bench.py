@@ -180,6 +180,17 @@ R6_COMPARABLE = R4_COMPARABLE + [
     "x84b_graph_pipeline_suite",
 ]
 
+#: Frozen host-speed reference for the calibrated series (VERDICT r8 #1):
+#: the r7 recording's `calib.jvm` probe (0.462s for the fixed 20M-row
+#: shuffle agg). `value_r4set_cal` / `value_r6set_cal` divide the raw
+#: frozen-series totals by (calib.jvm / JVM_CALIB_REF), so a round recorded
+#: on a 1.5x-slower host (r8: jvm 0.677) reports a comparable number
+#: without a manual worktree A/B. r7 is the anchor because it is the first
+#: round where BOTH frozen series exist alongside the calib probes.
+#: Calibrated values are the cross-round SERIES signal; raw values remain
+#: the ground truth for same-host comparisons.
+JVM_CALIB_REF = 0.462
+
 #: A suite warm time above this multiple of its members' individual warm-time
 #: sum (same process, measured right after the suite) AND above the absolute
 #: overhead floor is flagged on the final line as `suites_inflated` — the r7
@@ -415,6 +426,10 @@ def main() -> int:
         _write_member_artifact(member_timings)
 
     total = round(sum(timings.values()), 3)
+    r4set = round(sum(t for n, t in timings.items() if n in R4_COMPARABLE), 3)
+    r6set = round(sum(t for n, t in timings.items() if n in R6_COMPARABLE), 3)
+    # host-speed-normalized series values (see JVM_CALIB_REF)
+    calib_ratio = calib["jvm"] / JVM_CALIB_REF if calib.get("jvm") else 1.0
     # Per-query detail goes on its OWN line: the harness that records this
     # output keeps only a bounded tail of stdout, and one fat line holding
     # every per-query timing truncates mid-line and parses as nothing (this
@@ -438,12 +453,10 @@ def main() -> int:
             sf=sf,
             cpus=cpus,
             calib=calib,
-            value_r4set=round(
-                sum(t for n, t in timings.items() if n in R4_COMPARABLE), 3
-            ),
-            value_r6set=round(
-                sum(t for n, t in timings.items() if n in R6_COMPARABLE), 3
-            ),
+            value_r4set=r4set,
+            value_r6set=r6set,
+            value_r4set_cal=round(r4set / calib_ratio, 3),
+            value_r6set_cal=round(r6set / calib_ratio, 3),
             suites_inflated=suites_inflated,
         )
     )
@@ -524,6 +537,8 @@ def compact_final_line(
     calib: dict[str, float] | None = None,
     value_r4set: float | None = None,
     value_r6set: float | None = None,
+    value_r4set_cal: float | None = None,
+    value_r6set_cal: float | None = None,
     suites_inflated: list[str] | None = None,
 ) -> str:
     """Serialize the machine-readable summary line, always < FINAL_LINE_BUDGET.
@@ -547,6 +562,10 @@ def compact_final_line(
             # full value absorbs every newly added operator, not a series)
             "value_r4set": value_r4set,
             "value_r6set": value_r6set,
+            # the same totals divided by (calib.jvm / JVM_CALIB_REF): the
+            # host-speed-normalized series (r7-anchored; see JVM_CALIB_REF)
+            "value_r4set_cal": value_r4set_cal,
+            "value_r6set_cal": value_r6set_cal,
             # suites whose warm time ran > SUITE_INFLATION_RATIO x their
             # members' same-process individual sum (empty = healthy)
             "suites_inflated": suites_inflated or [],

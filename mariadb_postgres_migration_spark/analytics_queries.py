@@ -1053,6 +1053,25 @@ def q9_product_type_profit(spark, sf_dir):
     )
 
 
+def _q11_part_value(spark, sf_dir):
+    """q11's per-part traded-value frame, BEFORE the localCheckpoint that
+    decorrelates the HAVING-fraction scalar. Split out so the supplier-join
+    plan pin (tests/test_aqe_broadcast_pins.py) can observe the
+    lineitem⋈supplier join: the eager checkpoint truncates lineage, so the
+    registered query's own plan shows only the post-checkpoint threshold
+    compare and the join would otherwise be un-pinnable."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")  # bounded: 25-row nation dim
+    return (
+        # unhinted (r8): supp is supplier-sized — grows with the corpus
+        l.join(supp, l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_decimal_revenue()).alias("value"))
+    )
+
+
 @register(
     "q11_important_parts",
     """WITH val AS (SELECT l.l_partkey,
@@ -1076,17 +1095,7 @@ def q11_important_parts(spark, sf_dir):
     checkpoints once, its grand total broadcasts as a 1-row cross join.
     Decimal sums both levels — the threshold compare is exact, no float
     cliff at the cutoff."""
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
-    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")  # bounded: 25-row nation dim
-    val = (
-        # unhinted (r8): supp is supplier-sized — grows with the corpus
-        l.join(supp, l.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(_decimal_revenue()).alias("value"))
-        .localCheckpoint()
-    )
+    val = _q11_part_value(spark, sf_dir).localCheckpoint()
     total = val.agg((F.sum("value") * F.lit(0.001).cast("decimal(18,4)")).alias("__thr"))
     return (
         val.join(F.broadcast(total))  # bounded: 1-row scalar threshold
