@@ -111,6 +111,12 @@ HEADLINE = [
     # same-round; t2 is the q18+t1 consolidation that funds it
     "t2_aggstress_suite",
     "x140_r8d_ops_suite",
+    # r9: ANN tiers + measured recall@5 as one driver row — s4 is the
+    # x07+x25 consolidation that funds it (both stay above as standalones
+    # for the frozen r4 series) — and the composed pretraining endgame
+    # pipeline (curate -> split -> shard -> pack)
+    "s4_ann_suite",
+    "c7_pretraining_pipeline",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -268,6 +274,9 @@ SUITE_MEMBERS = {
     "x140_r8d_ops_suite": [
         "x138_split_manifest", "x139_rendezvous_shards",
         "x141_stream_split_manifest",
+    ],
+    "s4_ann_suite": [
+        "x07_knn_ivf", "x25_knn_hyperplane_lsh", "x142_ann_recall",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

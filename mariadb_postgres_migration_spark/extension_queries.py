@@ -283,10 +283,12 @@ def x05b_dedup_cosine_allpairs(spark, sf_dir):
 # EXT-03 similarity search
 # ---------------------------------------------------------------------------
 
-@register(
-    "x06_knn_bruteforce",
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-                 WHERE vec_id < 40),
+def _x06_sql(panel: str = "vec_id < 40") -> str:
+    """x06's oracle, parameterized by the probe-panel predicate so x142's
+    recall row can re-run the identical formulation over its own
+    md5-chosen panel (r9); the registered x06 uses the default."""
+    return f"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE {panel}),
        scored AS (SELECT q_id, e.vec_id AS n_id,
                          round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
                                                       CAST(e.embedding AS DOUBLE[])), 6) AS score
@@ -296,7 +298,12 @@ def x05b_dedup_cosine_allpairs(spark, sf_dir):
                                             ORDER BY score DESC, n_id) AS rk
                   FROM scored)
        SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
-       FROM ranked WHERE rk <= 5""",
+       FROM ranked WHERE rk <= 5"""
+
+
+@register(
+    "x06_knn_bruteforce",
+    _x06_sql(),
     "EXT-03",
 )
 def x06_knn_bruteforce(spark, sf_dir):
@@ -311,9 +318,9 @@ def x06_knn_bruteforce(spark, sf_dir):
     return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 40), k=5)
 
 
-@register(
-    "x07_knn_ivf",
-    """WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+def _x07_sql(panel: str = "vec_id % 50 = 0") -> str:
+    """x07's oracle, probe-panel-parameterized like :func:`_x06_sql`."""
+    return f"""WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
                     WHERE vec_id < 80),
        assigned AS (
            SELECT v_id, vec, cell FROM (
@@ -326,7 +333,7 @@ def x06_knn_bruteforce(spark, sf_dir):
                FROM embeddings e, cent c)
            WHERE rk = 1),
        q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-             WHERE vec_id % 50 = 0),
+             WHERE {panel}),
        probe AS (
            SELECT q_id, qv, cell FROM (
                SELECT q.q_id, q.qv, c.cell,
@@ -349,8 +356,14 @@ def x06_knn_bruteforce(spark, sf_dir):
                                      ORDER BY score DESC, n_id) AS rk
            FROM scored)
        SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
-       FROM ranked WHERE rk <= 5""",
+       FROM ranked WHERE rk <= 5"""
+
+
+@register(
+    "x07_knn_ivf",
+    _x07_sql(),
     "EXT-03",
+    tier=1,  # r9: consolidated into s4_ann_suite (stays in bench HEADLINE)
 )
 def x07_knn_ivf(spark, sf_dir):
     """EXT-03 scale tier: IVF — centroids = a FIXED 80-vector seed set
@@ -776,7 +789,7 @@ def x24_stream_threading(spark, sf_dir):
     return run_stream_threading(spark, sf_dir)
 
 
-def _hyperplane_sql() -> str:
+def _hyperplane_sql(panel: str = "vec_id % 50 = 0") -> str:
     from .operators.similarity import N_PLANES, hyperplane_signs
 
     signs = hyperplane_signs()
@@ -789,7 +802,7 @@ def _hyperplane_sql() -> str:
     return f"""WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
                 FROM embeddings),
        q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b
-             WHERE vec_id % 50 = 0),
+             WHERE {panel}),
        scored AS (SELECT q_id, c.vec_id AS n_id,
                          round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
                                                       CAST(c.embedding AS DOUBLE[])), 6) AS score
@@ -802,7 +815,10 @@ def _hyperplane_sql() -> str:
        FROM ranked WHERE rk <= 5"""
 
 
-@register("x25_knn_hyperplane_lsh", _hyperplane_sql(), "EXT-03")
+@register(
+    "x25_knn_hyperplane_lsh", _hyperplane_sql(), "EXT-03",
+    tier=1,  # r9: consolidated into s4_ann_suite (stays in bench HEADLINE)
+)
 def x25_knn_hyperplane_lsh(spark, sf_dir):
     """EXT-03 LSH tier: signed-random-projection buckets (8 deterministic
     md5-parity hyperplanes, shared literally with the oracle), candidates =
@@ -1648,7 +1664,7 @@ def x47_dedup_keep_best(spark, sf_dir):
     )
 
 
-def _x48_sql() -> str:
+def _x48_sql(panel: str = "vec_id % 50 = 0") -> str:
     from .operators.similarity import N_PLANES, hyperplane_signs
 
     signs = hyperplane_signs()
@@ -1668,7 +1684,7 @@ def _x48_sql() -> str:
                 FROM embeddings),
        q AS (SELECT vec_id AS q_id, b.embedding AS qv, bucket,
                     {dots2} AS dots
-             FROM b WHERE vec_id % 50 = 0),
+             FROM b WHERE {panel}),
        qd AS (SELECT q_id, bucket, unnest(dots) AS d,
                      generate_subscripts(dots, 1) - 1 AS p
               FROM q),

@@ -464,6 +464,7 @@ def sequence_pack(
     text_col: str = "text",
     shard_col: str = "source",
     capacity: int = PACK_CAPACITY,
+    shard_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXT-05 (sequence packing): assign each document a position in a
     stream of fixed-capacity token windows — the concat-then-chunk packing
@@ -476,18 +477,29 @@ def sequence_pack(
     shard: the shuffle is keyed by shard, skew follows shard size, and at
     100 TB the shard key is what you'd make finer (source × day) to bound
     any one ordered scan — the assignment stays deterministic under any
-    such refinement because it never looks across shards."""
-    toked = _with_tokens(docs, id_col, text_col, extra=[text_col, shard_col])
+    such refinement because it never looks across shards.
+
+    ``shard_cols`` (r9): a COMPOSITE shard key kept under its own column
+    names — the c7 pipeline packs per (split, shard) after the x138/x139
+    assignments; default keeps the single ``shard_col`` → ``shard``
+    aliasing x36 pins."""
+    if shard_cols is None:
+        group_sel = [F.col(shard_col).alias("shard")]
+        group_names = ["shard"]
+    else:
+        group_sel = [F.col(c) for c in shard_cols]
+        group_names = list(shard_cols)
+    toked = _with_tokens(docs, id_col, text_col, extra=[text_col, *group_names] if shard_cols else [text_col, shard_col])
     n_tok = F.size("__toks").cast("long")
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    w = Window.partitionBy(*group_names).orderBy("doc_id")
     out = toked.select(
-        "doc_id", F.col(shard_col).alias("shard"), n_tok.alias("n_tok")
+        "doc_id", *group_sel, n_tok.alias("n_tok")
     ).withColumn("cum", F.sum("n_tok").over(w))
     start = F.floor((F.col("cum") - F.col("n_tok")) / capacity).cast("long")
     end = F.floor((F.col("cum") - 1) / capacity).cast("long")
     return out.select(
         "doc_id",
-        "shard",
+        *group_names,
         "n_tok",
         start.alias("start_pack"),
         F.greatest(start, end).alias("end_pack"),
@@ -1348,6 +1360,39 @@ FROM probes p JOIN doubled d USING (rk)"""
 SPLIT_PERMILLE = (("train", 980), ("val", 990))
 
 
+def split_assign(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``docs`` plus a deterministic ``split`` column — the per-document
+    half of :func:`split_manifest` (h = first 8 md5 hex chars of
+    ``id:':split'`` as int64, h mod 1000 vs :data:`SPLIT_PERMILLE`).
+    Split out (r9) so the composed pretraining pipeline (c7) can FILTER
+    on the assignment while the manifest keeps aggregating over it —
+    one hash definition, two consumers. Row-local, zero shuffle."""
+    from .reconcile import hex_chunk
+
+    h = hex_chunk(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":split"))), 1
+    )
+    frac = h % 1000
+    split = F.lit("test")
+    for name, bound in reversed(SPLIT_PERMILLE):
+        split = F.when(frac < bound, F.lit(name)).otherwise(split)
+    return docs.withColumn("split", split)
+
+
+def split_case_sql(id_expr: str = "doc_id") -> str:
+    """The DuckDB ``CASE`` expression mirroring :func:`split_assign` —
+    shared by :func:`split_manifest_sql` and the c7 pipeline oracle so
+    the split rule exists once per engine."""
+    from .reconcile import hex_chunk_sql
+
+    h = hex_chunk_sql(f"md5(CAST({id_expr} AS VARCHAR) || ':split')", 1)
+    cases = " ".join(
+        f"WHEN ({h}) % 1000 < {bound} THEN '{name}'"
+        for name, bound in SPLIT_PERMILLE
+    )
+    return f"CASE {cases} ELSE 'test' END"
+
+
 def split_manifest(
     docs: DataFrame,
     group_col: str = "source",
@@ -1370,18 +1415,10 @@ def split_manifest(
     corpus scale.
 
     Returns ``(split, source, n_docs, n_chars)``."""
-    from .reconcile import hex_chunk
-
-    h = hex_chunk(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":split"))), 1
-    )
-    frac = h % 1000
-    split = F.lit("test")
-    for name, bound in reversed(SPLIT_PERMILLE):
-        split = F.when(frac < bound, F.lit(name)).otherwise(split)
     return (
-        docs.select(
-            split.alias("split"),
+        split_assign(docs, id_col)
+        .select(
+            "split",
             F.col(group_col).alias("source"),
             F.length(F.col(text_col)).cast("long").alias("nc"),
         )
@@ -1396,18 +1433,48 @@ def split_manifest(
 def split_manifest_sql(group_col: str = "source") -> str:
     """DuckDB oracle for :func:`split_manifest` over the documents
     table."""
-    from .reconcile import hex_chunk_sql
-
-    h = hex_chunk_sql("md5(CAST(doc_id AS VARCHAR) || ':split')", 1)
-    cases = " ".join(
-        f"WHEN ({h}) % 1000 < {bound} THEN '{name}'"
-        for name, bound in SPLIT_PERMILLE
-    )
-    return f"""SELECT CASE {cases} ELSE 'test' END AS split,
+    return f"""SELECT {split_case_sql()} AS split,
        {group_col} AS source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM documents GROUP BY 1, 2"""
+
+
+def rendezvous_assign(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """``docs`` plus the HRW ``shard`` column — the per-document half of
+    :func:`rendezvous_shards` (argmax of md5(id '#' shard) as an in-row
+    ``array_max`` over n_shards (hash, shard) structs). Split out (r9)
+    so the composed pretraining pipeline (c7) can route documents while
+    the balance report keeps aggregating — one assignment definition,
+    two consumers. Row-local, zero row expansion, zero shuffle."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f"#{s}"))
+                ).alias("h"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return docs.withColumn("shard", F.array_max(entries).getField("s"))
+
+
+def rendezvous_assign_sql(table: str = "documents", n_shards: int = 16) -> str:
+    """DuckDB ``(doc_id, shard)`` assignment mirroring
+    :func:`rendezvous_assign` via the independent unnest+rank formulation
+    (the :func:`rendezvous_shards_sql` pattern, parameterized by source
+    table for the c7 pipeline oracle)."""
+    return f"""SELECT doc_id, CAST(s AS BIGINT) AS shard FROM (
+  SELECT t.doc_id, u.s AS s,
+         row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY md5(CAST(t.doc_id AS VARCHAR) || '#'
+                          || CAST(u.s AS VARCHAR)) DESC, u.s DESC) AS rn
+  FROM {table} t, UNNEST(range({n_shards})) AS u(s)) WHERE rn = 1"""
 
 
 def rendezvous_shards(
@@ -1431,20 +1498,10 @@ def rendezvous_shards(
     shuffle before the final ≤ n_shards-group aggregate.
 
     Returns ``(shard, n_docs, n_chars)``."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.md5(
-                    F.concat(F.col(id_col).cast("string"), F.lit(f"#{s}"))
-                ).alias("h"),
-                F.lit(s).cast("long").alias("s"),
-            )
-            for s in range(n_shards)
-        ]
-    )
     return (
-        docs.select(
-            F.array_max(entries).getField("s").alias("shard"),
+        rendezvous_assign(docs, n_shards, id_col)
+        .select(
+            "shard",
             F.length(F.col(text_col)).cast("long").alias("nc"),
         )
         .groupBy("shard")

@@ -1,0 +1,239 @@
+"""Round-9 registered queries: the measured ANN recall@k row (x142 —
+VERDICT r8 'Next round' #5) and the composed pretraining-data endgame
+pipeline (c7 — VERDICT r8 'Next round' #4), plus the driver-window row
+that funds and verifies them (s4_ann_suite consolidates the x07/x25 ANN
+standalones to free the two slots: −2 standalones +1 suite +1 c7 keeps
+tier-0 == DRIVER_WINDOW), per the q15/x123/q16 convention.
+
+Registration/oracle conventions follow r7/r8_queries: every standalone
+here is tier 1, every one is also driver-verified same-round (x142 as an
+s4 member, c7 as its own tier-0 row), and suite oracles compose the
+members' SQL via member_oracle()/the shared panel-parameterized builders
+so member edits can't drift.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from .extension_queries import (
+    _TOKS_CTE,
+    _hyperplane_sql,
+    _suite_shape,
+    _x06_sql,
+    _x07_sql,
+    _x48_sql,
+    x07_knn_ivf,
+    x25_knn_hyperplane_lsh,
+)
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textanalysis as T
+from .registry import _t, member_oracle, register
+
+# ---------------------------------------------------------------------------
+# x142 — measured ANN recall@k vs the x06 brute-force ground truth
+# ---------------------------------------------------------------------------
+
+#: The fixed recall probe panel: md5-chosen (no cherry-picking) from the
+#: first 512 vec_ids (bounded — a corpus-fraction rule like `% 50` would
+#: grow the brute-force probe matrix with scale; this stays ≈64 probes at
+#: every SF ≥ 0.01). First md5 hex char in {0,1} ⇒ 2/16 of candidates.
+X142_PANEL_SQL = (
+    "vec_id < 512 AND substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+)
+
+
+def _x142_panel(emb):
+    """Spark twin of :data:`X142_PANEL_SQL`."""
+    return emb.filter(
+        (F.col("vec_id") < 512)
+        & F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin("0", "1")
+    )
+
+
+def _x142_sql() -> str:
+    """Recall counts per (tier, probe): both the ground truth and every
+    tier re-run their registered formulations (the panel-parameterized
+    x06/x07/x25/x48 oracle builders — shared text, no drift) over the
+    x142 panel; hits = |top-5(tier) ∩ top-5(brute)| as exact integers.
+    The grid CROSS JOIN is 3 tiers × the ≤64-probe panel — bounded."""
+    hits = " UNION ALL ".join(
+        f"SELECT '{name}' AS tier, q_id, n_id FROM {name}"
+        for name in ("ivf", "lsh", "mplsh")
+    )
+    return f"""WITH brute AS (SELECT q_id, n_id FROM ({_x06_sql(X142_PANEL_SQL)})),
+ivf AS (SELECT q_id, n_id FROM ({_x07_sql(X142_PANEL_SQL)})),
+lsh AS (SELECT q_id, n_id FROM ({_hyperplane_sql(X142_PANEL_SQL)})),
+mplsh AS (SELECT q_id, n_id FROM ({_x48_sql(X142_PANEL_SQL)})),
+pairs AS ({hits}),
+grid AS (SELECT t.tier, b.q_id, b.n_id
+         FROM brute b CROSS JOIN (VALUES ('ivf'), ('lsh'), ('mplsh')) AS t(tier))
+SELECT g.tier, g.q_id, CAST(count(p.n_id) AS BIGINT) AS hits
+FROM grid g LEFT JOIN pairs p
+  ON p.tier = g.tier AND p.q_id = g.q_id AND p.n_id = g.n_id
+GROUP BY g.tier, g.q_id"""
+
+
+@register("x142_ann_recall", _x142_sql(), "EXT-03", tier=1)
+def x142_ann_recall(spark, sf_dir):
+    """Measured ANN recall@5 per tier (VERDICT r8 #5): for the fixed
+    md5-chosen probe panel, |top-5(tier) ∩ top-5(brute force)| per probe
+    as exact int64 — the IVF (x07 config), single-bucket SRP-LSH (x25)
+    and multi-probe LSH (x48) tiers against the x06 ground truth. Both
+    sides are deterministic (score/tie conventions shared with the
+    registered rows), so ANN quality is a driver-hashed regression
+    canary, not just the recall-DOMINANCE property tests
+    (tests/test_similarity.py). Probes with an empty LSH bucket simply
+    score 0 hits — the recall trade the x25 docstring documents.
+
+    Plan: brute force = ONE Arrow/BLAS corpus pass (persisted — ~64
+    probes × 5 rows); each tier joins its registered plan; the hit
+    count is three ≤320-row left joins. Nothing here exceeds the
+    members' own 100 TB bounds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = _x142_panel(emb)
+    brute = D._persist(S.knn_bruteforce(emb, panel, k=5).select("q_id", "n_id"))
+    tiers = {
+        "ivf": S.knn_ivf(
+            emb, panel, emb.filter(F.col("vec_id") < 80), k=5, nprobe=2
+        ),
+        "lsh": S.knn_hyperplane_lsh(emb, panel, k=5),
+        "mplsh": S.knn_hyperplane_multiprobe(emb, panel, k=5, n_flips=2),
+    }
+    outs = []
+    for name in ("ivf", "lsh", "mplsh"):
+        hit = tiers[name].select("q_id", "n_id", F.lit(1).alias("__hit"))
+        outs.append(
+            brute.join(hit, ["q_id", "n_id"], "left")
+            .groupBy("q_id")
+            .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("hits"))
+            .select(F.lit(name).alias("tier"), "q_id", "hits")
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# s4_ann_suite — the ANN tiers + their measured recall as ONE driver row
+# ---------------------------------------------------------------------------
+
+
+def _s4_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'ivf7' AS kind, q_id AS id1, n_id AS id2, rk AS v1,
+       {z} AS v2, {z} AS v3, round(score, 4) AS d1, {zd} AS d2, NULL AS s1
+FROM ({member_oracle('x07_knn_ivf')})
+UNION ALL
+SELECT 'lsh25', q_id, n_id, rk, {z}, {z}, round(score, 4), {zd}, NULL
+FROM ({member_oracle('x25_knn_hyperplane_lsh')})
+UNION ALL
+SELECT concat('rc_', tier), q_id, {z}, hits, {z}, {z}, {zd}, {zd}, NULL
+FROM ({member_oracle('x142_ann_recall')})"""
+
+
+@register(
+    "s4_ann_suite", _s4_sql(), "EXT-03",
+)
+def s4_ann_suite(spark, sf_dir):
+    """Driver row consolidating the ANN tier standalones (x07 IVF, x25
+    SRP-LSH — r9 window math: their two slots fund this row plus the c7
+    pipeline row) and carrying the NEW x142 recall@5 measurement — so
+    every tier's RESULTS and their measured QUALITY versus brute force
+    hash-verify in one row. Members' oracles embedded verbatim; x07/x25
+    stay in the bench HEADLINE for the frozen r4 series."""
+    zl = F.lit(0).cast("long")
+    ivf = _suite_shape(
+        x07_knn_ivf(spark, sf_dir), "ivf7",
+        id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
+        d1=F.col("score"),
+    )
+    lsh = _suite_shape(
+        x25_knn_hyperplane_lsh(spark, sf_dir), "lsh25",
+        id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
+        d1=F.col("score"),
+    )
+    # x142's kind is data-driven (rc_<tier>), so it bypasses _suite_shape's
+    # literal-kind convention and projects the 9-column shape directly
+    rc = x142_ann_recall(spark, sf_dir).select(
+        F.concat(F.lit("rc_"), F.col("tier")).alias("kind"),
+        F.col("q_id").cast("long").alias("id1"),
+        zl.alias("id2"),
+        F.col("hits").cast("long").alias("v1"),
+        zl.alias("v2"), zl.alias("v3"),
+        F.lit(0.0).alias("d1"), F.lit(0.0).alias("d2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return ivf.unionAll(lsh).unionAll(rc)
+
+
+# ---------------------------------------------------------------------------
+# c7 — the pretraining-data endgame pipeline (curate → split → shard → pack)
+# ---------------------------------------------------------------------------
+
+
+def _c7_sql() -> str:
+    cap = T.PACK_CAPACITY
+    return f"""WITH c1 AS (SELECT doc_id FROM ({member_oracle('c1_curation_pipeline')}) z),
+surv AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN c1 USING (doc_id)),
+{_TOKS_CTE},
+sp AS (SELECT doc_id, {T.split_case_sql()} AS split FROM surv),
+sh AS ({T.rendezvous_assign_sql(table="surv", n_shards=16)}),
+base AS (SELECT sp.doc_id, sp.split, sh.shard, CAST(len(w) AS BIGINT) AS n_tok
+         FROM sp JOIN sh USING (doc_id) JOIN toks USING (doc_id)),
+cum AS (SELECT doc_id, split, shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM base)
+SELECT doc_id, split, shard, n_tok,
+       CAST(floor((cum - n_tok) / {cap}) AS BIGINT) AS start_pack,
+       CAST(greatest(floor((cum - n_tok) / {cap}),
+                     floor((cum - 1) / {cap})) AS BIGINT) AS end_pack
+FROM cum"""
+
+
+@register(
+    "c7_pretraining_pipeline", _c7_sql(), "EXT-01", "EXT-02", "EXT-05",
+)
+def c7_pretraining_pipeline(spark, sf_dir):
+    """The pretraining-data ENDGAME pipeline (VERDICT r8 #4) — c1 proves
+    the curation stages compose; this row takes the curated survivors
+    all the way to a training-run layout, each stage consuming the
+    previous stage's output:
+
+      1. curate: quality gate → exact dedup → near-dup collapse →
+         decontaminate = c1's survivor manifest, REUSED verbatim (same
+         fn, same oracle — the stage-plumbing hash covers c1's chain
+         too);
+      2. split: deterministic 98/1/1 train/val/test assignment per doc
+         (x138's hash rule via split_assign — row-local);
+      3. shard: rendezvous/HRW shard per doc (x139's argmax via
+         rendezvous_assign — row-local, minimal movement on resize);
+      4. pack: concat-then-chunk sequence packing per (split, shard) in
+         doc_id order (x36's operator with the composite shard key) —
+         the padding-free context-window fill, now over exactly the
+         docs a real run would feed.
+
+    Output: one row per surviving doc with its split, shard and token
+    window span — the manifest a 100 TB trainer reads. ONE composed
+    oracle (the c1 recursive-CTE pattern extended through the three new
+    stages) hash-checks the stage plumbing end-to-end.
+
+    Scale: stages 2-3 are row-local projections (zero shuffle); stage 4
+    is one running-sum window over 3×16 composite shards — the shard
+    key is what you'd refine (source × day) at 100 TB, which preserves
+    the assignment because packing never looks across shards
+    (sequence_pack docstring)."""
+    from .extension_queries import c1_curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = c1_curation_pipeline(spark, sf_dir).select("doc_id")
+    surv = docs.join(manifest, "doc_id", "left_semi").select(
+        "doc_id", "source", "text"
+    )
+    assigned = T.rendezvous_assign(T.split_assign(surv), n_shards=16)
+    return T.sequence_pack(assigned, shard_cols=["split", "shard"]).select(
+        "doc_id", "split", "shard", "n_tok", "start_pack", "end_pack"
+    )

@@ -1,0 +1,160 @@
+"""Round-9 operator tests: x142 measured ANN recall (independent
+recomputation + the superset-dominance property) and the c7 pretraining
+endgame pipeline (stage plumbing recomputed in pure Python)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mariadb_postgres_migration_spark.registry import REGISTRY, load_all_query_modules
+
+load_all_query_modules()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def _run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return _run
+
+
+# ---------------------------------------------------------------------------
+# x142 — ANN recall@5
+# ---------------------------------------------------------------------------
+
+
+def _topk_pairs(df):
+    return {(r["q_id"], r["n_id"]) for r in df.select("q_id", "n_id").collect()}
+
+
+def test_x142_hits_equal_independent_intersection(spark, sf_dir, q):
+    """The hit counts must equal a driver-side set intersection of the
+    SAME tier outputs the registered ANN rows produce — recomputing the
+    join/count logic independently of the Spark aggregation."""
+    from mariadb_postgres_migration_spark.operators import similarity as S
+    from mariadb_postgres_migration_spark.r9_queries import _x142_panel
+    from mariadb_postgres_migration_spark.registry import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = _x142_panel(emb)
+    brute = _topk_pairs(S.knn_bruteforce(emb, panel, k=5))
+    tiers = {
+        "ivf": _topk_pairs(
+            S.knn_ivf(emb, panel, emb.filter(F.col("vec_id") < 80), k=5, nprobe=2)
+        ),
+        "lsh": _topk_pairs(S.knn_hyperplane_lsh(emb, panel, k=5)),
+        "mplsh": _topk_pairs(
+            S.knn_hyperplane_multiprobe(emb, panel, k=5, n_flips=2)
+        ),
+    }
+    probes = {qid for qid, _ in brute}
+    expected = {
+        (t, qid): sum(1 for p in brute & pairs if p[0] == qid)
+        for t, pairs in tiers.items()
+        for qid in probes
+    }
+    got = {
+        (r["tier"], r["q_id"]): r["hits"]
+        for r in q("x142_ann_recall").collect()
+    }
+    assert got == expected
+    assert all(0 <= h <= 5 for h in got.values())
+
+
+def test_x142_multiprobe_dominates_single_bucket(q):
+    """Multi-probe LSH searches a candidate SUPERSET of single-bucket LSH,
+    so per probe its exact-score top-5 can only swap a true-top-5 item for
+    another true-top-5 item — hits(mplsh) >= hits(lsh) pointwise."""
+    rows = q("x142_ann_recall").collect()
+    by = {(r["tier"], r["q_id"]): r["hits"] for r in rows}
+    lsh_probes = [qid for (t, qid) in by if t == "lsh"]
+    assert lsh_probes
+    for qid in lsh_probes:
+        assert by[("mplsh", qid)] >= by[("lsh", qid)], qid
+
+
+# ---------------------------------------------------------------------------
+# c7 — pretraining endgame pipeline
+# ---------------------------------------------------------------------------
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _py_split(doc_id: int) -> str:
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        SPLIT_PERMILLE,
+    )
+
+    frac = int(_md5(f"{doc_id}:split")[:8], 16) % 1000
+    for name, bound in SPLIT_PERMILLE:
+        if frac < bound:
+            return name
+    return "test"
+
+
+def _py_shard(doc_id: int, n_shards: int = 16) -> int:
+    return max(range(n_shards), key=lambda s: (_md5(f"{doc_id}#{s}"), s))
+
+
+def test_c7_survivors_are_exactly_c1(q):
+    """Stage 1 plumbing: c7 emits one row per c1 survivor — no doc lost
+    or invented between curation and the layout stages."""
+    c1_ids = {r["doc_id"] for r in q("c1_curation_pipeline").collect()}
+    c7 = q("c7_pretraining_pipeline").collect()
+    assert {r["doc_id"] for r in c7} == c1_ids
+    assert len(c7) == len(c1_ids)
+
+
+def test_c7_split_shard_and_packing_match_python(q):
+    """Stages 2-4 plumbing: split and shard per doc match the pure-Python
+    hash rules, and the pack spans equal a Python running-sum replay per
+    (split, shard) in doc_id order."""
+    rows = sorted(
+        q("c7_pretraining_pipeline").collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows
+    groups: dict[tuple[str, int], list] = {}
+    for r in rows:
+        assert r["split"] == _py_split(r["doc_id"])
+        assert r["shard"] == _py_shard(r["doc_id"])
+        groups.setdefault((r["split"], r["shard"]), []).append(r)
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        PACK_CAPACITY,
+    )
+
+    for members in groups.values():
+        cum = 0
+        for r in members:  # already doc_id-sorted
+            cum += r["n_tok"]
+            start = (cum - r["n_tok"]) // PACK_CAPACITY
+            end = max(start, (cum - 1) // PACK_CAPACITY)
+            assert (r["start_pack"], r["end_pack"]) == (start, end), r
+
+
+def test_sequence_pack_composite_key_matches_single_key(spark):
+    """shard_cols=[one column] must reproduce the classic shard_col path
+    (modulo the column name), pinning the r9 generalization as a pure
+    extension."""
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        sequence_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "p q"), (3, "b", "only")],
+        "doc_id long, source string, text string",
+    )
+    classic = {
+        (r["doc_id"], r["shard"], r["n_tok"], r["start_pack"], r["end_pack"])
+        for r in sequence_pack(df).collect()
+    }
+    general = {
+        (r["doc_id"], r["source"], r["n_tok"], r["start_pack"], r["end_pack"])
+        for r in sequence_pack(df, shard_cols=["source"]).collect()
+    }
+    assert classic == general
