@@ -117,6 +117,12 @@ HEADLINE = [
     # pipeline (curate -> split -> shard -> pack)
     "s4_ann_suite",
     "c7_pretraining_pipeline",
+    # r9 second wave: pack utilization + cross-split leakage (the c7
+    # audit half) — st3 is the x18+x19 streaming-window consolidation
+    # that funds it (both stay above as standalones for the frozen
+    # r4 series)
+    "st3_stream_window_suite",
+    "x145_r9b_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -278,6 +284,8 @@ SUITE_MEMBERS = {
     "s4_ann_suite": [
         "x07_knn_ivf", "x25_knn_hyperplane_lsh", "x142_ann_recall",
     ],
+    "st3_stream_window_suite": ["x18_stream_tumbling", "x19_stream_session"],
+    "x145_r9b_ops_suite": ["x143_pack_utilization", "x144_split_leakage"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -651,11 +651,14 @@ def x17_window_session(spark, sf_dir):
 
 @register(
     "x18_stream_tumbling",
+    # tier 1 since r9: consolidated into st3_stream_window_suite (stays in
+    # bench HEADLINE for the frozen r4 series)
     """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
               CAST(count(*) AS BIGINT) AS n_events,
               round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1""",
     "EXT-06", "EXT-08",
+    tier=1,
 )
 def x18_stream_tumbling(spark, sf_dir):
     """EXT-06/08 via REAL Structured Streaming: readStream over the events
@@ -685,6 +688,7 @@ def x18_stream_tumbling(spark, sf_dir):
               CAST(count(*) AS BIGINT) AS n_events
        FROM sess GROUP BY user_id, session_id""",
     "EXT-07", "EXT-08",
+    tier=1,  # r9: consolidated into st3_stream_window_suite (stays in bench HEADLINE)
 )
 def x19_stream_session(spark, sf_dir):
     """EXT-07 via REAL Structured Streaming: native ``session_window`` with

@@ -1526,3 +1526,185 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
 SELECT CAST(s AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nc) AS BIGINT) AS n_chars
 FROM rk WHERE rn = 1 GROUP BY s"""
+
+
+def pack_utilization(
+    packed: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    group_cols: tuple[str, str] = ("split", "shard"),
+) -> DataFrame:
+    """Packing-efficiency report over a :func:`sequence_pack` layout
+    (EXT-05 pipeline op, r9): per shard group — document count, total
+    tokens, pack count (max end_pack + 1: packs are dense from 0 by the
+    running-sum construction), fill rate in exact per-mille
+    (1000·Σtok DIV (n_packs·capacity) — the padding-waste metric packing
+    exists to minimize; the deficit vs 1000 is paid only in each group's
+    LAST pack), and how many documents straddle a pack boundary (the
+    cross-document attention-contamination count a trainer masks).
+
+    One map-side-combined aggregate over the pack manifest; ≤ |splits| ×
+    |shards| rows out at any corpus scale."""
+    agg = packed.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        (F.max("end_pack") + 1).cast("long").alias("n_packs"),
+        F.sum((F.col("end_pack") > F.col("start_pack")).cast("long"))
+        .cast("long")
+        .alias("n_straddlers"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "total_tok",
+        "n_packs",
+        F.expr(f"1000 * total_tok DIV (n_packs * {capacity})").alias(
+            "fill_permille"
+        ),
+        "n_straddlers",
+    )
+
+
+def pack_utilization_sql(packed_cte: str, capacity: int = PACK_CAPACITY) -> str:
+    """DuckDB oracle for :func:`pack_utilization`; ``packed_cte`` is the
+    SQL producing the (split, shard, n_tok, start_pack, end_pack) pack
+    manifest (e.g. the c7 pipeline oracle)."""
+    return f"""SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       CAST(max(end_pack) + 1 AS BIGINT) AS n_packs,
+       1000 * CAST(sum(n_tok) AS BIGINT)
+           // (CAST(max(end_pack) + 1 AS BIGINT) * {capacity}) AS fill_permille,
+       CAST(sum(CASE WHEN end_pack > start_pack THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddlers
+FROM ({packed_cte}) GROUP BY split, shard"""
+
+
+def split_leakage(
+    docs: DataFrame,
+    shingles: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split contamination report (EXT-01/02/05 pipeline op, r9):
+    for every ordered split pair — the count of distinct word-3-gram
+    shingles present in BOTH splits' documents (the x40 decontaminate
+    machinery turned inward: train→val leakage instead of corpus→
+    benchmark), each split's distinct-shingle count, the shared share in
+    exact per-mille of the smaller side, and the exact-duplicate count
+    (matching md5(text) across the pair — zero by construction after an
+    exact-dedup-then-split pipeline, which makes it the regression
+    canary proving dedup ran BEFORE splitting).
+
+    Plan: one distinct over (split, shingle) — the same shuffle class as
+    the decontamination join — then self-joins confined to ≤|splits|
+    distinct keys per shingle; the pair frame itself is ≤ C(|splits|,2)
+    rows. The distinct shingle/fingerprint frames feed 2-3 consumers
+    each and go through the tracked persist pool so the upstream chain
+    (in x144: the whole c1 curation) is paid once, mirroring the
+    oracle's MATERIALIZED CTEs. Zero-shingle splits yield 0 per-mille in
+    both engines (the gini zero-guard convention)."""
+    from .dedup import _persist
+
+    sp = docs.select(F.col(id_col).alias("doc_id"), F.col(split_col).alias("split"))
+    ssh = _persist(
+        shingles.join(sp, "doc_id")
+        .select("split", "sh")
+        .distinct()
+    )
+    sizes = ssh.groupBy("split").agg(F.count("*").cast("long").alias("n_sh"))
+    pairs = (
+        sizes.select(F.col("split").alias("split_a"), F.col("n_sh").alias("n_sh_a"))
+        .join(
+            sizes.select(
+                F.col("split").alias("split_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            F.col("split_a") < F.col("split_b"),
+        )
+    )
+    shared = (
+        ssh.alias("x")
+        .join(
+            ssh.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.split") < F.col("y.split")),
+        )
+        .groupBy(
+            F.col("x.split").alias("split_a"), F.col("y.split").alias("split_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_sh"))
+    )
+    fps = _persist(
+        docs.select(
+            F.col(split_col).alias("split"), F.md5(F.col(text_col)).alias("fp")
+        )
+        .distinct()
+    )
+    fdup = (
+        fps.alias("x")
+        .join(
+            fps.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.split") < F.col("y.split")),
+        )
+        .groupBy(
+            F.col("x.split").alias("split_a"), F.col("y.split").alias("split_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_dup_fp"))
+    )
+    return (
+        pairs.join(shared, ["split_a", "split_b"], "left")
+        .join(fdup, ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n_shared_sh", F.lit(0)).cast("long").alias("n_shared_sh"),
+            "n_sh_a",
+            "n_sh_b",
+            F.when(F.least("n_sh_a", "n_sh_b") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "1000 * coalesce(n_shared_sh, 0)"
+                    " DIV least(n_sh_a, n_sh_b)"
+                )
+            )
+            .alias("containment_permille"),
+            F.coalesce("n_dup_fp", F.lit(0)).cast("long").alias("n_dup_fp"),
+        )
+    )
+
+
+def split_leakage_sql() -> str:
+    """DuckDB oracle tail for :func:`split_leakage`. The caller's WITH
+    context must define CTEs ``ssh(split, sh)`` (distinct shingles per
+    split) and ``fps(split, fp)`` (distinct md5-text fingerprints per
+    split) — and should mark the expensive upstream CTEs
+    ``AS MATERIALIZED``: DuckDB inlines plain CTEs per reference, and
+    with the c1 survivor chain upstream the naive inlined form
+    re-curated the corpus once per reference (measured 210s at sf0.01 vs
+    ~2s materialized). Returns the final 3-pair SELECT."""
+    return """SELECT p.split_a, p.split_b,
+       COALESCE(s.n_shared_sh, 0) AS n_shared_sh,
+       p.n_sh_a, p.n_sh_b,
+       CASE WHEN least(p.n_sh_a, p.n_sh_b) = 0 THEN 0
+            ELSE 1000 * COALESCE(s.n_shared_sh, 0)
+                 // least(p.n_sh_a, p.n_sh_b) END AS containment_permille,
+       COALESCE(f.n_dup_fp, 0) AS n_dup_fp
+FROM (SELECT sa.split AS split_a, sb.split AS split_b,
+             sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b
+      FROM (SELECT split, CAST(count(*) AS BIGINT) AS n_sh
+            FROM ssh GROUP BY split) sa
+      JOIN (SELECT split, CAST(count(*) AS BIGINT) AS n_sh
+            FROM ssh GROUP BY split) sb
+        ON sa.split < sb.split) p
+LEFT JOIN (SELECT a.split AS split_a, b.split AS split_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_sh
+           FROM ssh a JOIN ssh b
+             ON a.sh = b.sh AND a.split < b.split
+           GROUP BY 1, 2) s
+  ON s.split_a = p.split_a AND s.split_b = p.split_b
+LEFT JOIN (SELECT a.split AS split_a, b.split AS split_b,
+                  CAST(count(*) AS BIGINT) AS n_dup_fp
+           FROM fps a JOIN fps b
+             ON a.fp = b.fp AND a.split < b.split
+           GROUP BY 1, 2) f
+  ON f.split_a = p.split_a AND f.split_b = p.split_b"""

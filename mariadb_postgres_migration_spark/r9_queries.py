@@ -123,14 +123,20 @@ def x142_ann_recall(spark, sf_dir):
 def _s4_sql() -> str:
     z = "CAST(0 AS BIGINT)"
     zd = "CAST(0.0 AS DOUBLE)"
+    # every branch's s1 is NULL, so it needs an explicit VARCHAR cast —
+    # an all-NULL union column otherwise resolves to a non-string type
+    # in DuckDB and the suite schema diverges from the Spark side
     return f"""SELECT 'ivf7' AS kind, q_id AS id1, n_id AS id2, rk AS v1,
-       {z} AS v2, {z} AS v3, round(score, 4) AS d1, {zd} AS d2, NULL AS s1
+       {z} AS v2, {z} AS v3, round(score, 4) AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
 FROM ({member_oracle('x07_knn_ivf')})
 UNION ALL
-SELECT 'lsh25', q_id, n_id, rk, {z}, {z}, round(score, 4), {zd}, NULL
+SELECT 'lsh25', q_id, n_id, rk, {z}, {z}, round(score, 4), {zd},
+       CAST(NULL AS VARCHAR)
 FROM ({member_oracle('x25_knn_hyperplane_lsh')})
 UNION ALL
-SELECT concat('rc_', tier), q_id, {z}, hits, {z}, {z}, {zd}, {zd}, NULL
+SELECT concat('rc_', tier), q_id, {z}, hits, {z}, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
 FROM ({member_oracle('x142_ann_recall')})"""
 
 
@@ -237,3 +243,159 @@ def c7_pretraining_pipeline(spark, sf_dir):
     return T.sequence_pack(assigned, shard_cols=["split", "shard"]).select(
         "doc_id", "split", "shard", "n_tok", "start_pack", "end_pack"
     )
+
+
+# ===========================================================================
+# r9 second wave: pack-utilization report (x143) and the cross-split
+# leakage screen (x144) — the audit half of the c7 endgame — funded by
+# consolidating the x18/x19 streaming-window standalones into
+# st3_stream_window_suite.
+# ===========================================================================
+
+
+def _x143_sql() -> str:
+    return T.pack_utilization_sql(member_oracle("c7_pretraining_pipeline"))
+
+
+@register("x143_pack_utilization", _x143_sql(), "EXT-05", tier=1)
+def x143_pack_utilization(spark, sf_dir):
+    """Packing-efficiency report over the c7 layout
+    (:func:`operators.textanalysis.pack_utilization`): per (split,
+    shard) — docs, tokens, packs, fill rate in exact per-mille and the
+    boundary-straddler count a trainer's attention mask pays for. ONE
+    map-side-combined aggregate past the c7 plan; ≤ 48 rows at any
+    corpus scale. The number packing exists to optimize, now
+    driver-hashed."""
+    return T.pack_utilization(c7_pretraining_pipeline(spark, sf_dir))
+
+
+def _x144_sql() -> str:
+    from .extension_queries import _DS_CTE
+
+    # c1/surv/ssh/fps MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and ssh/fps are each referenced 2-3 times — the naive
+    # form re-ran the whole c1 curation chain per reference (measured
+    # 210s at sf0.01; ~2s materialized). Same work either way on the
+    # Spark side, where the operator persists the shared frames.
+    return f"""WITH c1 AS MATERIALIZED (SELECT doc_id FROM ({member_oracle('c1_curation_pipeline')}) z),
+surv AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN c1 USING (doc_id)),
+{_TOKS_CTE},
+{_DS_CTE},
+sp AS MATERIALIZED (SELECT doc_id, {T.split_case_sql()} AS split FROM surv),
+ssh AS MATERIALIZED (SELECT DISTINCT sp.split, ds.sh
+                     FROM ds JOIN sp USING (doc_id)),
+fps AS MATERIALIZED (SELECT DISTINCT sp.split, md5(t.text) AS fp
+                     FROM surv t JOIN sp USING (doc_id))
+{T.split_leakage_sql()}"""
+
+
+@register(
+    "x144_split_leakage", _x144_sql(), "EXT-01", "EXT-02", "EXT-05", tier=1,
+)
+def x144_split_leakage(spark, sf_dir):
+    """Cross-split contamination screen over the c7 survivors
+    (:func:`operators.textanalysis.split_leakage`): per split pair —
+    shared distinct 3-gram shingles (the x40 decontaminate machinery
+    turned inward: train→val leakage), each side's shingle count, the
+    shared share in per-mille of the smaller side, and the exact-dup
+    count across the pair (md5(text) — ZERO by construction after
+    dedup-then-split, the canary proving the stage ORDER held). The
+    report a data team reads before signing off a training split."""
+    from .extension_queries import c1_curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = c1_curation_pipeline(spark, sf_dir).select("doc_id")
+    # surv feeds two subtrees (split+fingerprints, shingles) — persist so
+    # the c1 chain upstream is computed once (the oracle's MATERIALIZED
+    # surv CTE)
+    surv = D._persist(
+        docs.join(manifest, "doc_id", "left_semi").select("doc_id", "text")
+    )
+    return T.split_leakage(T.split_assign(surv), D.doc_shingles(surv))
+
+
+# ---------------------------------------------------------------------------
+# st3_stream_window_suite — the x18/x19 streaming-window rows as ONE
+# driver row (funds the x145 slot)
+# ---------------------------------------------------------------------------
+
+
+def _st3_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    # all-NULL s1 needs the VARCHAR cast (see _s4_sql)
+    return f"""SELECT 'tmbl' AS kind, window_start_us AS id1, {z} AS id2,
+       n_events AS v1, {z} AS v2, {z} AS v3,
+       round(sum_value, 2) AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x18_stream_tumbling')})
+UNION ALL
+SELECT 'sess', user_id, session_start_us, n_events, {z}, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x19_stream_session')})"""
+
+
+@register(
+    "st3_stream_window_suite", _st3_sql(), "EXT-06", "EXT-07", "EXT-08",
+)
+def st3_stream_window_suite(spark, sf_dir):
+    """Driver row consolidating the two REAL Structured-Streaming window
+    replays (x18 tumbling, x19 session_window — r9 window math: their
+    two slots fund this row plus x145). Both members run availableNow
+    replays whose full-replay output equals the batch result; member
+    oracles embedded verbatim; x18/x19 stay in the bench HEADLINE for
+    the frozen r4 series."""
+    from .extension_queries import x18_stream_tumbling, x19_stream_session
+
+    t = _suite_shape(
+        x18_stream_tumbling(spark, sf_dir), "tmbl",
+        id1=F.col("window_start_us"), v1=F.col("n_events"),
+        d1=F.col("sum_value"),
+    )
+    s = _suite_shape(
+        x19_stream_session(spark, sf_dir), "sess",
+        id1=F.col("user_id"), id2=F.col("session_start_us"),
+        v1=F.col("n_events"),
+    )
+    return t.unionAll(s)
+
+
+# ---------------------------------------------------------------------------
+# x145_r9b_ops_suite — the r9 second-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x145_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'util' AS kind, shard AS id1, {z} AS id2, n_docs AS v1,
+       total_tok AS v2, n_packs AS v3, CAST(fill_permille AS DOUBLE) AS d1,
+       CAST(n_straddlers AS DOUBLE) AS d2, split AS s1
+FROM ({member_oracle('x143_pack_utilization')})
+UNION ALL
+SELECT 'leak', {z}, {z}, n_shared_sh, n_sh_a, n_sh_b,
+       CAST(containment_permille AS DOUBLE), CAST(n_dup_fp AS DOUBLE),
+       concat_ws('|', split_a, split_b)
+FROM ({member_oracle('x144_split_leakage')})"""
+
+
+@register(
+    "x145_r9b_ops_suite", _x145_sql(), "EXT-01", "EXT-02", "EXT-05",
+)
+def x145_r9b_ops_suite(spark, sf_dir):
+    """Driver row for the r9 second wave — pack utilization (x143) and
+    the cross-split leakage screen (x144), the audit half of the c7
+    endgame — union-folded into the shared kind-tagged suite shape
+    (2 small members → lazy union per the SCALE.md composition rule)."""
+    u = _suite_shape(
+        x143_pack_utilization(spark, sf_dir), "util",
+        id1=F.col("shard"), v1=F.col("n_docs"), v2=F.col("total_tok"),
+        v3=F.col("n_packs"), d1=F.col("fill_permille"),
+        d2=F.col("n_straddlers"), s1=F.col("split"),
+    )
+    l = _suite_shape(
+        x144_split_leakage(spark, sf_dir), "leak",
+        v1=F.col("n_shared_sh"), v2=F.col("n_sh_a"), v3=F.col("n_sh_b"),
+        d1=F.col("containment_permille"), d2=F.col("n_dup_fp"),
+        s1=F.concat_ws("|", "split_a", "split_b"),
+    )
+    return u.unionAll(l)

@@ -137,6 +137,78 @@ def test_c7_split_shard_and_packing_match_python(q):
             assert (r["start_pack"], r["end_pack"]) == (start, end), r
 
 
+def test_x143_pack_utilization_matches_python_replay(q):
+    """x143's per-(split, shard) stats must equal a pure-Python replay
+    over c7's manifest: counts, token sums, dense pack count, integer
+    per-mille fill, straddler count."""
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        PACK_CAPACITY,
+    )
+
+    manifest = q("c7_pretraining_pipeline").collect()
+    exp: dict[tuple[str, int], list[int]] = {}
+    for r in manifest:
+        g = exp.setdefault((r["split"], r["shard"]), [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += r["n_tok"]
+        g[2] = max(g[2], r["end_pack"] + 1)
+        g[3] += int(r["end_pack"] > r["start_pack"])
+    got = {
+        (r["split"], r["shard"]): [
+            r["n_docs"], r["total_tok"], r["n_packs"], r["n_straddlers"],
+        ]
+        for r in q("x143_pack_utilization").collect()
+    }
+    assert got == exp
+    for r in q("x143_pack_utilization").collect():
+        assert r["fill_permille"] == (
+            1000 * r["total_tok"] // (r["n_packs"] * PACK_CAPACITY)
+        )
+        assert 0 <= r["fill_permille"] <= 1000
+
+
+def test_x144_exact_dup_leakage_is_zero_and_counts_match_sets(q):
+    """The dedup-then-split invariant: zero cross-split md5(text) dups;
+    and the shingle-overlap counts must equal Python set intersections
+    over the per-split shingle sets."""
+    from mariadb_postgres_migration_spark.operators import dedup as D
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        split_assign,
+    )
+
+    rows = q("x144_split_leakage").collect()
+    assert rows
+    assert all(r["n_dup_fp"] == 0 for r in rows)
+
+    # independent replay: per-split shingle sets from the same survivors
+    import pyspark.sql.functions as FF
+
+    spark_df = q("c1_curation_pipeline").select("doc_id")
+    # reconstruct survivors identically to the query
+    from mariadb_postgres_migration_spark.registry import _t
+
+    spark = spark_df.sparkSession
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = _t(spark, sf_dir, "documents")
+    surv = docs.join(spark_df, "doc_id", "left_semi").select("doc_id", "text")
+    sh = D.doc_shingles(surv).join(
+        split_assign(surv).select("doc_id", "split"), "doc_id"
+    )
+    by_split: dict[str, set] = {}
+    for r in sh.select("split", "sh").distinct().collect():
+        by_split.setdefault(r["split"], set()).add(r["sh"])
+    for r in rows:
+        a, b = by_split.get(r["split_a"], set()), by_split.get(r["split_b"], set())
+        assert r["n_shared_sh"] == len(a & b)
+        assert (r["n_sh_a"], r["n_sh_b"]) == (len(a), len(b))
+        mn = min(len(a), len(b))
+        assert r["containment_permille"] == (
+            0 if mn == 0 else 1000 * len(a & b) // mn
+        )
+
+
 def test_sequence_pack_composite_key_matches_single_key(spark):
     """shard_cols=[one column] must reproduce the classic shard_col path
     (modulo the column name), pinning the r9 generalization as a pure
