@@ -123,6 +123,11 @@ HEADLINE = [
     # r4 series)
     "st3_stream_window_suite",
     "x145_r9b_ops_suite",
+    # r9 third wave: shingle novelty + seq-len histogram — st4 is the
+    # x20+x22 stateful-streaming consolidation that funds it (both stay
+    # above as standalones for the frozen r4 series)
+    "st4_stream_pair_suite",
+    "x148_r9c_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -286,6 +291,8 @@ SUITE_MEMBERS = {
     ],
     "st3_stream_window_suite": ["x18_stream_tumbling", "x19_stream_session"],
     "x145_r9b_ops_suite": ["x143_pack_utilization", "x144_split_leakage"],
+    "st4_stream_pair_suite": ["x20_stream_dedup", "x22_stream_stream_join"],
+    "x148_r9c_ops_suite": ["x146_shingle_novelty", "x147_seqlen_histogram"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -707,6 +707,7 @@ def x19_stream_session(spark, sf_dir):
     """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_unique_types
        FROM events GROUP BY user_id""",
     "EXT-09",
+    tier=1,  # r9: consolidated into st4_stream_pair_suite (stays in bench HEADLINE)
 )
 def x20_stream_dedup(spark, sf_dir):
     """EXT-09: stateful streaming dedup via ``dropDuplicatesWithinWatermark``
@@ -751,6 +752,7 @@ def x21_stream_sliding(spark, sf_dir):
         AND epoch_us(c.ts) <= epoch_us(p.ts)
        WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
     "EXT-08", "EXT-09",
+    tier=1,  # r9: consolidated into st4_stream_pair_suite (stays in bench HEADLINE)
 )
 def x22_stream_stream_join(spark, sf_dir):
     """EXT-08/09: stream-stream inner join with watermarks + event-time

@@ -1236,3 +1236,52 @@ sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(cluster_size * count(*) AS BIGINT) AS n_docs
 FROM sizes GROUP BY cluster_size"""
+
+
+def shingle_novelty(shingles: DataFrame) -> DataFrame:
+    """Per-document shingle NOVELTY (EXT-01/02/05 profiling op, r9): the
+    exact fraction (in per-mille) of a document's distinct word-3-gram
+    shingles whose corpus-wide FIRST appearance (min doc_id) is this
+    document — near 1000 for genuinely new text, collapsing toward 0
+    for template/boilerplate-dominated docs even when no single pair
+    crosses a dedup threshold. The per-doc novelty curve is the
+    between-the-thresholds signal the pairwise dedup operators (x02-x05)
+    can't see.
+
+    Plan: one groupBy(sh) min-aggregate (the same single shingle-keyed
+    shuffle class as exact dedup), a co-partitioned join back on sh,
+    then a doc-keyed count — never doc×doc. Docs with <3 tokens have no
+    shingles and are absent in both engines; n_sh ≥ 1 for every emitted
+    row, so the per-mille needs no zero guard."""
+    fs = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        shingles.join(fs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_sh",
+        "n_novel",
+        F.expr("1000 * n_novel DIV n_sh").alias("novelty_permille"),
+    )
+
+
+def shingle_novelty_sql(ds_cte_name: str = "ds") -> str:
+    """DuckDB oracle tail for :func:`shingle_novelty`; the caller's WITH
+    context must define ``ds_cte_name`` as the distinct (doc_id, sh)
+    shingle CTE (the shared _DS_CTE convention)."""
+    return f"""SELECT doc_id, n_sh, n_novel,
+       1000 * n_novel // n_sh AS novelty_permille
+FROM (SELECT {ds_cte_name}.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+             CAST(sum(CASE WHEN fs.first_doc = {ds_cte_name}.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM {ds_cte_name}
+      JOIN (SELECT sh, min(doc_id) AS first_doc
+            FROM {ds_cte_name} GROUP BY sh) fs USING (sh)
+      GROUP BY {ds_cte_name}.doc_id)"""

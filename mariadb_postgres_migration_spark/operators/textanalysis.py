@@ -1528,6 +1528,55 @@ SELECT CAST(s AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
 FROM rk WHERE rn = 1 GROUP BY s"""
 
 
+def seqlen_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Sequence-length histogram at power-of-two buckets (EXT-05
+    pipeline op, r9): per (source, bucket) — document count and token
+    total, where bucket = number of binary digits of the token count
+    (floor(log2 n)+1 for n ≥ 1; 1 for n = 0 since bin(0) = '0') — the
+    integer-exact log2 bucketing both engines compute as
+    length(bin(n)), no float log near the boundaries. This is the
+    capacity-planning report behind :data:`PACK_CAPACITY`: which
+    sources are long-tailed, how much of the token mass sits above the
+    context window.
+
+    Plan: row-local tokenize + bucket, one (source, bucket) map-side-
+    combined aggregate; ≤ |sources| × 64 rows at any corpus scale."""
+    toked = _with_tokens(docs, id_col, text_col, extra=[text_col, source_col])
+    n_tok = F.size("__toks").cast("long")
+    return (
+        toked.select(
+            F.col(source_col).alias("source"), n_tok.alias("n_tok")
+        )
+        .select(
+            "source",
+            F.length(F.expr("bin(n_tok)")).cast("long").alias("len_bucket"),
+            "n_tok",
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tok"),
+        )
+    )
+
+
+def seqlen_histogram_sql(toks_cte: str) -> str:
+    """DuckDB oracle for :func:`seqlen_histogram`; ``toks_cte`` must be
+    the shared tokenize CTE (the _TOKS_CTE convention)."""
+    return f"""WITH {toks_cte}
+SELECT d.source,
+       CAST(length(bin(CAST(len(w) AS BIGINT))) AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(w)) AS BIGINT) AS total_tok
+FROM toks JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+
+
 def pack_utilization(
     packed: DataFrame,
     capacity: int = PACK_CAPACITY,

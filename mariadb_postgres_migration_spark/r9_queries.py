@@ -179,6 +179,26 @@ def s4_ann_suite(spark, sf_dir):
 # c7 — the pretraining-data endgame pipeline (curate → split → shard → pack)
 # ---------------------------------------------------------------------------
 
+#: The c1 survivor manifest, memoized per (session, sf_dir) — the x85
+#: edge-frame pattern. c7, x143 (via c7) and x144 each consume the full
+#: curation chain; inside the x145 lazy-union row the two members would
+#: otherwise carry two INDEPENDENT c1 subtrees and pay the curation
+#: twice in one action. Re-persisted through the tracked pool on every
+#: access so bench-harness releases stay safe (persist on an
+#: already-persisted frame is a no-op).
+_C1_MANIFEST_CACHE: dict = {}
+
+
+def _c1_manifest(spark, sf_dir):
+    from .extension_queries import c1_curation_pipeline
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _C1_MANIFEST_CACHE.get(key)
+    if m is None:
+        m = c1_curation_pipeline(spark, sf_dir).select("doc_id")
+        _C1_MANIFEST_CACHE[key] = m
+    return D._persist(m)
+
 
 def _c7_sql() -> str:
     cap = T.PACK_CAPACITY
@@ -232,11 +252,8 @@ def c7_pretraining_pipeline(spark, sf_dir):
     key is what you'd refine (source × day) at 100 TB, which preserves
     the assignment because packing never looks across shards
     (sequence_pack docstring)."""
-    from .extension_queries import c1_curation_pipeline
-
     docs = _t(spark, sf_dir, "documents")
-    manifest = c1_curation_pipeline(spark, sf_dir).select("doc_id")
-    surv = docs.join(manifest, "doc_id", "left_semi").select(
+    surv = docs.join(_c1_manifest(spark, sf_dir), "doc_id", "left_semi").select(
         "doc_id", "source", "text"
     )
     assigned = T.rendezvous_assign(T.split_assign(surv), n_shards=16)
@@ -301,15 +318,14 @@ def x144_split_leakage(spark, sf_dir):
     count across the pair (md5(text) — ZERO by construction after
     dedup-then-split, the canary proving the stage ORDER held). The
     report a data team reads before signing off a training split."""
-    from .extension_queries import c1_curation_pipeline
-
     docs = _t(spark, sf_dir, "documents")
-    manifest = c1_curation_pipeline(spark, sf_dir).select("doc_id")
     # surv feeds two subtrees (split+fingerprints, shingles) — persist so
     # the c1 chain upstream is computed once (the oracle's MATERIALIZED
-    # surv CTE)
+    # surv CTE); the manifest itself is the memoized _c1_manifest
     surv = D._persist(
-        docs.join(manifest, "doc_id", "left_semi").select("doc_id", "text")
+        docs.join(_c1_manifest(spark, sf_dir), "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
     )
     return T.split_leakage(T.split_assign(surv), D.doc_shingles(surv))
 
@@ -399,3 +415,126 @@ def x145_r9b_ops_suite(spark, sf_dir):
         s1=F.concat_ws("|", "split_a", "split_b"),
     )
     return u.unionAll(l)
+
+
+# ===========================================================================
+# r9 third wave: per-document shingle novelty (x146) and the power-of-two
+# sequence-length histogram (x147) — funded by consolidating the x20/x22
+# streaming standalones into st4_stream_pair_suite.
+# ===========================================================================
+
+
+def _x146_sql() -> str:
+    from .extension_queries import _DS_CTE
+
+    return f"""WITH {_TOKS_CTE},
+{_DS_CTE}
+{D.shingle_novelty_sql()}"""
+
+
+@register(
+    "x146_shingle_novelty", _x146_sql(), "EXT-01", "EXT-02", "EXT-05", tier=1,
+)
+def x146_shingle_novelty(spark, sf_dir):
+    """Per-document shingle novelty in exact per-mille
+    (:func:`operators.dedup.shingle_novelty`): the fraction of a doc's
+    distinct 3-gram shingles whose corpus-wide first appearance is this
+    doc — the between-the-thresholds boilerplate signal the pairwise
+    dedup rows can't see. One shingle-keyed min-aggregate + a
+    co-partitioned join back; never doc×doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.shingle_novelty(D.doc_shingles(docs))
+
+
+@register(
+    "x147_seqlen_histogram",
+    T.seqlen_histogram_sql(_TOKS_CTE),
+    "EXT-05", tier=1,
+)
+def x147_seqlen_histogram(spark, sf_dir):
+    """Sequence-length histogram at power-of-two buckets
+    (:func:`operators.textanalysis.seqlen_histogram`): per (source,
+    bucket) doc and token counts, bucket = length(bin(n_tok)) — the
+    integer-exact log2 both engines agree on digit-for-digit. The
+    capacity-planning report behind PACK_CAPACITY."""
+    return T.seqlen_histogram(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# st4_stream_pair_suite — the x20/x22 stateful-streaming rows as ONE
+# driver row (funds the x148 slot)
+# ---------------------------------------------------------------------------
+
+
+def _st4_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'sdd' AS kind, user_id AS id1, {z} AS id2,
+       n_unique_types AS v1, {z} AS v2, {z} AS v3,
+       {zd} AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x20_stream_dedup')})
+UNION ALL
+SELECT 'ssj', purchase_id, click_id, p_ts_us, c_ts_us, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x22_stream_stream_join')})"""
+
+
+@register(
+    "st4_stream_pair_suite", _st4_sql(), "EXT-08", "EXT-09",
+)
+def st4_stream_pair_suite(spark, sf_dir):
+    """Driver row consolidating the two stateful-streaming replays (x20
+    dropDuplicatesWithinWatermark dedup, x22 watermarked stream-stream
+    range join — r9 window math: their two slots fund this row plus
+    x148). Member oracles embedded verbatim; x20/x22 stay in the bench
+    HEADLINE for the frozen r4 series."""
+    from .extension_queries import x20_stream_dedup, x22_stream_stream_join
+
+    d = _suite_shape(
+        x20_stream_dedup(spark, sf_dir), "sdd",
+        id1=F.col("user_id"), v1=F.col("n_unique_types"),
+    )
+    j = _suite_shape(
+        x22_stream_stream_join(spark, sf_dir), "ssj",
+        id1=F.col("purchase_id"), id2=F.col("click_id"),
+        v1=F.col("p_ts_us"), v2=F.col("c_ts_us"),
+    )
+    return d.unionAll(j)
+
+
+# ---------------------------------------------------------------------------
+# x148_r9c_ops_suite — the r9 third-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x148_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'nov' AS kind, doc_id AS id1, {z} AS id2, n_sh AS v1,
+       n_novel AS v2, novelty_permille AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x146_shingle_novelty')})
+UNION ALL
+SELECT 'slen', len_bucket, {z}, n_docs, total_tok, {z}, {zd}, {zd}, source
+FROM ({member_oracle('x147_seqlen_histogram')})"""
+
+
+@register(
+    "x148_r9c_ops_suite", _x148_sql(), "EXT-01", "EXT-02", "EXT-05",
+)
+def x148_r9c_ops_suite(spark, sf_dir):
+    """Driver row for the r9 third wave — shingle novelty (x146) and the
+    sequence-length histogram (x147) — union-folded into the shared
+    kind-tagged suite shape (2 small members → lazy union per the
+    SCALE.md composition rule)."""
+    n = _suite_shape(
+        x146_shingle_novelty(spark, sf_dir), "nov",
+        id1=F.col("doc_id"), v1=F.col("n_sh"), v2=F.col("n_novel"),
+        v3=F.col("novelty_permille"),
+    )
+    s = _suite_shape(
+        x147_seqlen_histogram(spark, sf_dir), "slen",
+        id1=F.col("len_bucket"), v1=F.col("n_docs"), v2=F.col("total_tok"),
+        s1=F.col("source"),
+    )
+    return n.unionAll(s)

@@ -209,6 +209,63 @@ def test_x144_exact_dup_leakage_is_zero_and_counts_match_sets(q):
         )
 
 
+def test_x146_novelty_matches_python_replay(spark, sf_dir, q):
+    """x146 must equal a pure-Python first-seen replay over the same
+    distinct shingle rows."""
+    from mariadb_postgres_migration_spark.operators import dedup as D
+    from mariadb_postgres_migration_spark.registry import _t
+
+    sh_rows = [
+        (r["doc_id"], r["sh"])
+        for r in D.doc_shingles(_t(spark, sf_dir, "documents")).collect()
+    ]
+    first: dict[str, int] = {}
+    for d, s in sorted(sh_rows):
+        first.setdefault(s, d)
+    per: dict[int, list[int]] = {}
+    for d, s in sh_rows:
+        g = per.setdefault(d, [0, 0])
+        g[0] += 1
+        g[1] += int(first[s] == d)
+    exp = {
+        d: (n_sh, n_novel, 1000 * n_novel // n_sh)
+        for d, (n_sh, n_novel) in per.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_novel"], r["novelty_permille"])
+        for r in q("x146_shingle_novelty").collect()
+    }
+    assert got == exp
+    # at least one fully-novel doc exists in any corpus (the first doc
+    # with shingles), and no doc exceeds 1000
+    assert any(v[2] == 1000 for v in got.values())
+    assert all(0 <= v[2] <= 1000 for v in got.values())
+
+
+def test_x147_buckets_match_token_counts(spark, sf_dir, q):
+    """x147's buckets must equal length(bin(n_tokens)) over the pinned
+    x08 token counts, and its totals must cover every document."""
+    from mariadb_postgres_migration_spark.registry import _t
+
+    toks = {r["doc_id"]: r["n_tokens"] for r in q("x08_token_stats").collect()}
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    exp: dict[tuple[str, int], list[int]] = {}
+    for d, n in toks.items():
+        b = len(bin(n)) - 2 if n > 0 else 1  # bin() of python has '0b'
+        g = exp.setdefault((srcs[d], b), [0, 0])
+        g[0] += 1
+        g[1] += n
+    got = {
+        (r["source"], r["len_bucket"]): [r["n_docs"], r["total_tok"]]
+        for r in q("x147_seqlen_histogram").collect()
+    }
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == len(toks)
+
+
 def test_sequence_pack_composite_key_matches_single_key(spark):
     """shard_cols=[one column] must reproduce the classic shard_col path
     (modulo the column name), pinning the r9 generalization as a pure
