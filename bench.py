@@ -128,6 +128,11 @@ HEADLINE = [
     # above as standalones for the frozen r4 series)
     "st4_stream_pair_suite",
     "x148_r9c_ops_suite",
+    # r9 fourth wave: runs test + ordinal patterns — d2 is the x03+x04
+    # signature-dedup consolidation that funds it (both stay above as
+    # standalones for the frozen r4 series)
+    "d2_signature_suite",
+    "x151_r9d_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -293,6 +298,8 @@ SUITE_MEMBERS = {
     "x145_r9b_ops_suite": ["x143_pack_utilization", "x144_split_leakage"],
     "st4_stream_pair_suite": ["x20_stream_dedup", "x22_stream_stream_join"],
     "x148_r9c_ops_suite": ["x146_shingle_novelty", "x147_seqlen_histogram"],
+    "d2_signature_suite": ["x03_dedup_minhash_lsh", "x04_dedup_simhash"],
+    "x151_r9d_ops_suite": ["x149_runs_test", "x150_ordinal_patterns"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -945,63 +945,66 @@ def x76_retrieval_suite(spark, sf_dir):
     one via x65. px_sum rides a double slot: pixel sums are bounded far
     below 2^53, so the BIGINT→DOUBLE cast is exact in both engines.
 
-    Composition form — adjudicated r9: the r9 full bench tripped the
-    suites_inflated flag on the lazy union (13.5s warm > 11.2s cold vs
-    an 8.7s member sum — the x77 eviction signature, first time above
-    threshold as the bench process grew to 59 rows), and the isolated
-    A/B measured the sequential `_suite_materialize` form at parity
-    (see SCALE.md benchmark methodology) — so the suite takes the
-    sequential form, whose long-process behavior is structurally immune
-    to the eviction class. MPS_SUITE_UNION=1 flips back for A/B."""
+    Composition form — adjudicated r9, stays LAZY UNION: one full-bench
+    run tripped the suites_inflated flag on the union (13.5s vs an 8.7s
+    member sum) — but that session's numpy calib probe was 0.141s, 3.4x
+    the r7 reference, and x76 is the bench's most numpy-bound suite
+    (its members run Arrow decode kernels CONCURRENTLY under the
+    union). The two-sided A/B then measured the sequential
+    `_suite_materialize` form WORSE in both regimes: isolated 13.0s vs
+    union 11.6s, and 14.15s (ratio 1.36 over members) in the next full
+    bench. The x84a rule applies (Arrow-heavy members live on the
+    union's stage concurrency), not the x77 one (x76's persists are
+    small codebook/probe frames — no eviction fuel). Watch-list: if the
+    flag recurs on a normal-numpy session, re-run this A/B.
+    MPS_SUITE_UNION=1 still flips the form for that A/B."""
     from functools import reduce
 
-    pool_mark = D.persist_pool_mark()
     members = [
-        _suite_materialize(_suite_shape(
+        _suite_shape(
             x54_pq_encode(spark, sf_dir), "pq",
             id1=F.col("v_id"), d1=F.col("err2"), s1=F.col("codes"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x55_knn_ivfpq(spark, sf_dir), "ivfpq",
             id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
             d1=F.col("adist"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x58_pq_train_codebooks(spark, sf_dir), "pqtrain",
             id1=F.col("m"), id2=F.col("code"), v1=F.col("pos"),
             v2=F.col("n_members"), d1=F.col("val"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x60_multimodal_pixel_stats(spark, sf_dir), "pix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x72_bloom_incremental_dedup(spark, sf_dir), "bloom",
             id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
             s1=F.col("source"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x56_substring_dedup_spans(spark, sf_dir), "spans",
             id1=F.col("doc_id"), id2=F.col("span_start"),
             v1=F.col("span_end"), v2=F.col("n_windows"),
-        )),
-        _suite_materialize(_suite_shape(
+        ),
+        _suite_shape(
             x78_gif_pixel_stats(spark, sf_dir), "gifpix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),
-        )),
+        ),
         # r7: the baseline-JPEG decode path (the last codec stub, closed)
-        _suite_materialize(_suite_shape(
+        _suite_shape(
             x115_jpeg_pixel_stats(spark, sf_dir), "jpgpix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),
-        )),
+        ),
     ]
-    _suite_release(pool_mark)
     return reduce(lambda a, b: a.unionAll(b), members)
 
 

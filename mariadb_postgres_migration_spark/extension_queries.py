@@ -167,7 +167,10 @@ def _minhash_sql() -> str:
 SELECT doc_a, doc_b, jaccard FROM mhpairs"""
 
 
-@register("x03_dedup_minhash_lsh", _minhash_sql(), "EXT-02")
+@register(
+    "x03_dedup_minhash_lsh", _minhash_sql(), "EXT-02",
+    tier=1,  # r9: consolidated into d2_signature_suite (stays in bench HEADLINE)
+)
 def x03_dedup_minhash_lsh(spark, sf_dir):
     """EXT-02 scale tier: banded MinHash-LSH candidates (md5-hex min
     signatures — engine-portable, so the oracle computes byte-identical
@@ -197,7 +200,10 @@ def _simhash_sql() -> str:
     )
 
 
-@register("x04_dedup_simhash", _simhash_sql(), "EXT-02")
+@register(
+    "x04_dedup_simhash", _simhash_sql(), "EXT-02",
+    tier=1,  # r9: consolidated into d2_signature_suite (stays in bench HEADLINE)
+)
 def x04_dedup_simhash(spark, sf_dir):
     """EXT-02 signature tier: 16-bit SimHash from md5 nibbles; equal
     signatures = near-dup candidates."""

@@ -841,6 +841,238 @@ SELECT et AS {type_col}, day AS cp_day, CAST(s_abs AS BIGINT) AS s_abs,
 FROM rk WHERE rn = 1"""
 
 
+def runs_test_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type Wald–Wolfowitz runs test over the daily-count series
+    (EXT-ANALYTICS/EXT-ANOM): are days above/below the series median
+    RANDOMLY interleaved, or do they clump (regime behavior, batch
+    traffic) / alternate (load-balancer ping-pong)? The randomness
+    screen next to x117's autocorrelation and x129's trend test —
+    sensitive to structure neither catches (a perfectly trend-free,
+    autocorrelation-free series can still fail the runs test).
+
+    Integer-exact algebra: the median never materializes as a fraction —
+    m2 = v_(⌈n/2⌉) + v_(⌈(n+1)/2⌉) is TWICE the median as an exact
+    int64, days classify by sign(2v − m2) and exact-median days drop
+    (the textbook treatment). The run count R, n1, n2 and m = 2·n1·n2
+    are exact int64; only the final z = (R − (1 + m/N)) /
+    sqrt(m(m−N)/(N²(N−1))) is one deterministic IEEE expression over
+    exact integers, rounded to 4 (0.0 when either side is empty or the
+    variance is 0 — mirrored in the oracle, the mann_kendall z=0
+    convention).
+
+    Plan: the daily aggregate shares the series family's type-keyed
+    exchange; every window and join runs on |types|·|days| rows —
+    calendar-bounded at any corpus scale.
+
+    Returns ``(event_type, n1, n2, runs, z)`` — one row per type."""
+    daily = (
+        events.select(
+            F.col(type_col).alias("et"),
+            F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div 86400000000")
+            .alias("day"),
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("et", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    wv = Window.partitionBy("et").orderBy("v", "day")
+    tot = daily.groupBy("et").agg(F.count("*").cast("long").alias("n"))
+    ranked = daily.select(
+        "et", "v", F.row_number().over(wv).cast("long").alias("rn")
+    ).join(F.broadcast(tot), "et")  # bounded: one row per event type
+    m2 = ranked.groupBy("et").agg(
+        (
+            F.sum(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v")).otherwise(0)
+            )
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("v")).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    signed = (
+        daily.join(F.broadcast(m2), "et")  # bounded: one row per event type
+        .filter(2 * F.col("v") != F.col("m2"))
+        .select(
+            "et", "day",
+            F.signum(2 * F.col("v") - F.col("m2")).cast("long").alias("s"),
+        )
+    )
+    wd = Window.partitionBy("et").orderBy("day")
+    flips = signed.select(
+        "et", "s",
+        F.when(F.lag("s").over(wd).isNull(), 0)
+        .when(F.lag("s").over(wd) != F.col("s"), 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    acc = flips.groupBy(F.col("et").alias(type_col)).agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("long").alias("n2"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    m = (2 * F.col("n1") * F.col("n2")).cast("long")
+    big_n = (F.col("n1") + F.col("n2")).cast("long")
+    z = (
+        F.col("runs").cast("double")
+        - (F.lit(1.0) + m.cast("double") / big_n.cast("double"))
+    ) / F.sqrt(
+        (m.cast("double") * (m - big_n).cast("double"))
+        / (
+            big_n.cast("double")
+            * big_n.cast("double")
+            * (big_n - 1).cast("double")
+        )
+    )
+    return acc.select(
+        type_col, "n1", "n2", "runs",
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0) | (m - big_n <= 0),
+            F.lit(0.0),
+        )
+        .otherwise(F.round(z, 4))
+        .alias("z"),
+    )
+
+
+def runs_test_daily_sql(events_cte: str, type_col: str = "event_type") -> str:
+    """DuckDB oracle for :func:`runs_test_daily`; ``events_cte`` must
+    yield ``(et, us)``."""
+    return f"""WITH e AS ({events_cte}),
+daily AS (SELECT et, us // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM e WHERE us IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY et),
+ranked AS (SELECT daily.et, v,
+                  CAST(row_number() OVER (PARTITION BY daily.et
+                                          ORDER BY v, day) AS BIGINT) AS rn,
+                  n
+           FROM daily JOIN tot ON daily.et = tot.et),
+m2t AS (SELECT et,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END)
+                    AS BIGINT) AS m2
+        FROM ranked GROUP BY et),
+signed AS (SELECT daily.et, day,
+                  CAST(sign(2 * v - m2) AS BIGINT) AS s
+           FROM daily JOIN m2t ON daily.et = m2t.et
+           WHERE 2 * v <> m2),
+flips AS (SELECT et, s,
+                 CASE WHEN lag(s) OVER (PARTITION BY et ORDER BY day) IS NULL
+                      THEN 0
+                      WHEN lag(s) OVER (PARTITION BY et ORDER BY day) <> s
+                      THEN 1 ELSE 0 END AS flip
+          FROM signed),
+acc AS (SELECT et AS {type_col},
+               CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(1 + sum(flip) AS BIGINT) AS runs
+        FROM flips GROUP BY et)
+SELECT {type_col}, n1, n2, runs,
+       CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 - (n1 + n2) <= 0 THEN 0.0
+            ELSE round(
+                (CAST(runs AS DOUBLE)
+                 - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE)))
+                / sqrt((CAST(2 * n1 * n2 AS DOUBLE)
+                        * CAST(2 * n1 * n2 - (n1 + n2) AS DOUBLE))
+                       / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 - 1 AS DOUBLE))), 4)
+       END AS z
+FROM acc"""
+
+
+def ordinal_patterns_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type ordinal-pattern histogram (order-3 permutation-entropy
+    support, Bandt & Pompe 2002) over the daily-count series
+    (EXT-ANALYTICS): every 3 consecutive OBSERVED days (sequence
+    positions, not calendar gaps — documented contract) maps to one of
+    6 rank patterns; organic traffic spreads mass across patterns,
+    templated/batch traffic collapses onto the monotone two. The
+    pattern histogram is the series-shape fingerprint the moment-based
+    screens (x117/x129/x149) can't see.
+
+    Integer-exact: ranks use the position-stable tie rule r_i counted
+    with <= for earlier positions (every rank an exact 0..2 int, every
+    pattern the exact 3-digit code r1·100 + r2·10 + r3); no floats
+    anywhere.
+
+    Plan: two lead() windows on the series family's shared type-keyed
+    exchange, then a (type, pattern) map-side-combined aggregate —
+    ≤ |types|·6 rows out, series calendar-bounded.
+
+    Returns ``(event_type, pattern, n_windows)``."""
+    daily = (
+        events.select(
+            F.col(type_col).alias("et"),
+            F.expr(f"unix_micros(CAST({ts_col} AS timestamp)) div 86400000000")
+            .alias("day"),
+        )
+        .filter(F.col("day").isNotNull())
+        .groupBy("et", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    w = Window.partitionBy("et").orderBy("day")
+    tri = daily.select(
+        "et",
+        F.col("v").alias("v1"),
+        F.lead("v", 1).over(w).alias("v2"),
+        F.lead("v", 2).over(w).alias("v3"),
+    ).filter(F.col("v3").isNotNull())
+    r1 = (F.col("v2") < F.col("v1")).cast("long") + (
+        F.col("v3") < F.col("v1")
+    ).cast("long")
+    r2 = (F.col("v1") <= F.col("v2")).cast("long") + (
+        F.col("v3") < F.col("v2")
+    ).cast("long")
+    r3 = (F.col("v1") <= F.col("v3")).cast("long") + (
+        F.col("v2") <= F.col("v3")
+    ).cast("long")
+    return (
+        tri.select(
+            "et", (r1 * 100 + r2 * 10 + r3).cast("long").alias("pattern")
+        )
+        .groupBy(F.col("et").alias(type_col), "pattern")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+    )
+
+
+def ordinal_patterns_daily_sql(
+    events_cte: str, type_col: str = "event_type"
+) -> str:
+    """DuckDB oracle for :func:`ordinal_patterns_daily`; ``events_cte``
+    must yield ``(et, us)``."""
+    return f"""WITH e AS ({events_cte}),
+daily AS (SELECT et, us // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM e WHERE us IS NOT NULL GROUP BY 1, 2),
+tri AS (SELECT et, v AS v1,
+               lead(v, 1) OVER (PARTITION BY et ORDER BY day) AS v2,
+               lead(v, 2) OVER (PARTITION BY et ORDER BY day) AS v3
+        FROM daily),
+pat AS (SELECT et,
+               CAST((CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+                     + CASE WHEN v3 < v1 THEN 1 ELSE 0 END) * 100
+                    + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END
+                       + CASE WHEN v3 < v2 THEN 1 ELSE 0 END) * 10
+                    + (CASE WHEN v1 <= v3 THEN 1 ELSE 0 END
+                       + CASE WHEN v2 <= v3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pattern
+        FROM tri WHERE v3 IS NOT NULL)
+SELECT et AS {type_col}, pattern, CAST(count(*) AS BIGINT) AS n_windows
+FROM pat GROUP BY 1, 2"""
+
+
 def spearman_daily(
     orders: DataFrame,
     ts_col: str = "o_orderdate",

@@ -28,6 +28,7 @@ from .extension_queries import (
     x07_knn_ivf,
     x25_knn_hyperplane_lsh,
 )
+from .operators import audit as A
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import textanalysis as T
@@ -538,3 +539,120 @@ def x148_r9c_ops_suite(spark, sf_dir):
         s1=F.col("source"),
     )
     return n.unionAll(s)
+
+
+# ===========================================================================
+# r9 fourth wave: Wald–Wolfowitz runs test (x149) and the ordinal-pattern
+# histogram (x150) — completing the day-series randomness screens — funded
+# by consolidating the x03/x04 signature-dedup standalones into
+# d2_signature_suite.
+# ===========================================================================
+
+_X149_EVENTS_CTE = "SELECT event_type AS et, epoch_us(ts) AS us FROM events"
+
+
+@register(
+    "x149_runs_test", A.runs_test_daily_sql(_X149_EVENTS_CTE),
+    "EXT-ANALYTICS", "EXT-ANOM", tier=1,
+)
+def x149_runs_test(spark, sf_dir):
+    """Per-type Wald–Wolfowitz runs test over the daily-count series
+    (:func:`operators.audit.runs_test_daily`): do above/below-median
+    days clump (regimes) or alternate (ping-pong)? — the randomness
+    screen a trend-free, autocorrelation-free series can still fail.
+    2×median keeps the split exact int64; only the final z is one IEEE
+    expression, rounded, with the mann_kendall z=0 guard."""
+    return A.runs_test_daily(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "x150_ordinal_patterns", A.ordinal_patterns_daily_sql(_X149_EVENTS_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x150_ordinal_patterns(spark, sf_dir):
+    """Per-type order-3 ordinal-pattern histogram (Bandt & Pompe 2002)
+    over the daily-count series
+    (:func:`operators.audit.ordinal_patterns_daily`): each consecutive
+    observed-day triple maps to one of 6 position-stable rank patterns
+    — the series-shape fingerprint (organic traffic spreads mass,
+    templated/batch collapses onto the monotone patterns). Exact
+    integer ranks and codes; ≤ |types|·6 rows out."""
+    return A.ordinal_patterns_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# d2_signature_suite — the x03/x04 signature-dedup rows as ONE driver row
+# (funds the x151 slot)
+# ---------------------------------------------------------------------------
+
+
+def _d2_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'mh' AS kind, doc_a AS id1, doc_b AS id2, {z} AS v1,
+       {z} AS v2, {z} AS v3, CAST(jaccard AS DOUBLE) AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x03_dedup_minhash_lsh')})
+UNION ALL
+SELECT 'sh', doc_id, {z}, simhash, {z}, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x04_dedup_simhash')})"""
+
+
+@register(
+    "d2_signature_suite", _d2_sql(), "EXT-01", "EXT-02",
+)
+def d2_signature_suite(spark, sf_dir):
+    """Driver row consolidating the signature-dedup standalones (x03
+    banded MinHash-LSH pairs, x04 SimHash signatures — r9 window math:
+    their two slots fund this row plus x151). Member oracles embedded
+    verbatim; x03/x04 stay in the bench HEADLINE for the frozen r4
+    series."""
+    from .extension_queries import x03_dedup_minhash_lsh, x04_dedup_simhash
+
+    mh = _suite_shape(
+        x03_dedup_minhash_lsh(spark, sf_dir), "mh",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), d1=F.col("jaccard"),
+    )
+    sh = _suite_shape(
+        x04_dedup_simhash(spark, sf_dir), "sh",
+        id1=F.col("doc_id"), v1=F.col("simhash"),
+    )
+    return mh.unionAll(sh)
+
+
+# ---------------------------------------------------------------------------
+# x151_r9d_ops_suite — the r9 fourth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x151_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'runs' AS kind, {z} AS id1, {z} AS id2, n1 AS v1,
+       n2 AS v2, runs AS v3, z AS d1, {zd} AS d2, event_type AS s1
+FROM ({member_oracle('x149_runs_test')})
+UNION ALL
+SELECT 'opat', pattern, {z}, n_windows, {z}, {z}, {zd}, {zd}, event_type
+FROM ({member_oracle('x150_ordinal_patterns')})"""
+
+
+@register(
+    "x151_r9d_ops_suite", _x151_sql(), "EXT-ANALYTICS", "EXT-ANOM",
+)
+def x151_r9d_ops_suite(spark, sf_dir):
+    """Driver row for the r9 fourth wave — the runs test (x149) and the
+    ordinal-pattern histogram (x150) — union-folded into the shared
+    kind-tagged suite shape (2 small members → lazy union per the
+    SCALE.md composition rule)."""
+    r = _suite_shape(
+        x149_runs_test(spark, sf_dir), "runs",
+        v1=F.col("n1"), v2=F.col("n2"), v3=F.col("runs"),
+        d1=F.col("z"), s1=F.col("event_type"),
+    )
+    o = _suite_shape(
+        x150_ordinal_patterns(spark, sf_dir), "opat",
+        id1=F.col("pattern"), v1=F.col("n_windows"),
+        s1=F.col("event_type"),
+    )
+    return r.unionAll(o)

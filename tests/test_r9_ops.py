@@ -266,6 +266,100 @@ def test_x147_buckets_match_token_counts(spark, sf_dir, q):
     assert sum(v[0] for v in got.values()) == len(toks)
 
 
+def _daily_counts_py(spark, sf_dir):
+    from mariadb_postgres_migration_spark.registry import _t
+    from pyspark.sql import functions as FF
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            FF.expr("unix_micros(CAST(ts AS timestamp)) div 86400000000").alias("day"),
+        )
+        .collect()
+    )
+    daily: dict[str, dict[int, int]] = {}
+    for r in rows:
+        if r["day"] is None:
+            continue
+        d = daily.setdefault(r["event_type"], {})
+        d[r["day"]] = d.get(r["day"], 0) + 1
+    return daily
+
+
+def test_x149_runs_match_python_replay(spark, sf_dir, q):
+    """x149 must equal a pure-Python 2x-median split + run count, with
+    hand-built clumped/alternating fixtures covering both tails below."""
+    daily = _daily_counts_py(spark, sf_dir)
+    exp = {}
+    for et, d in daily.items():
+        vs = [v for _, v in sorted(d.items())]
+        sv = sorted(vs)
+        n = len(sv)
+        m2 = sv[(n + 1) // 2 - 1] + sv[(n + 2) // 2 - 1]
+        signs = [1 if 2 * v > m2 else -1 for v in vs if 2 * v != m2]
+        n1 = sum(1 for s in signs if s > 0)
+        n2 = len(signs) - n1
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        exp[et] = (n1, n2, runs)
+    got = {
+        r["event_type"]: (r["n1"], r["n2"], r["runs"])
+        for r in q("x149_runs_test").collect()
+    }
+    assert got == exp
+
+
+def test_runs_test_fixture_tails(spark):
+    """Clumped (+,+,+,-,-,-) → 2 runs, z < 0; alternating → max runs,
+    z > 0; both engines share the zero-variance/empty-side guards."""
+    import datetime as dt
+
+    from mariadb_postgres_migration_spark.operators.audit import runs_test_daily
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 'clump': 4 high days then 4 low days (counts 3,3,3,3,1,1,1,1)
+    for i in range(8):
+        for _ in range(3 if i < 4 else 1):
+            rows.append((eid, "clump", t0 + dt.timedelta(days=i)))
+            eid += 1
+    # 'alt': alternating 3,1,3,1,3,1,3,1
+    for i in range(8):
+        for _ in range(3 if i % 2 == 0 else 1):
+            rows.append((eid, "alt", t0 + dt.timedelta(days=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in runs_test_daily(df).collect()}
+    assert (got["clump"]["n1"], got["clump"]["n2"], got["clump"]["runs"]) == (4, 4, 2)
+    assert got["clump"]["z"] < 0
+    assert (got["alt"]["n1"], got["alt"]["n2"], got["alt"]["runs"]) == (4, 4, 8)
+    assert got["alt"]["z"] > 0
+
+
+def test_x150_patterns_match_python_replay(spark, sf_dir, q):
+    """x150 must equal a pure-Python ordinal coding of consecutive
+    observed-day triples, and only the 6 valid permutation codes may
+    appear."""
+    daily = _daily_counts_py(spark, sf_dir)
+    exp: dict[tuple[str, int], int] = {}
+    for et, d in daily.items():
+        vs = [v for _, v in sorted(d.items())]
+        for v1, v2, v3 in zip(vs, vs[1:], vs[2:]):
+            r1 = (v2 < v1) + (v3 < v1)
+            r2 = (v1 <= v2) + (v3 < v2)
+            r3 = (v1 <= v3) + (v2 <= v3)
+            code = r1 * 100 + r2 * 10 + r3
+            exp[(et, code)] = exp.get((et, code), 0) + 1
+    got = {
+        (r["event_type"], r["pattern"]): r["n_windows"]
+        for r in q("x150_ordinal_patterns").collect()
+    }
+    assert got == exp
+    valid = {12, 21, 102, 120, 201, 210}
+    assert {p for _, p in got} <= valid
+
+
 def test_sequence_pack_composite_key_matches_single_key(spark):
     """shard_cols=[one column] must reproduce the classic shard_col path
     (modulo the column name), pinning the r9 generalization as a pure
