@@ -1592,7 +1592,11 @@ def pack_utilization(
     cross-document attention-contamination count a trainer masks).
 
     One map-side-combined aggregate over the pack manifest; ≤ |splits| ×
-    |shards| rows out at any corpus scale."""
+    |shards| rows out at any corpus scale. Overflow bound: 1000·Σtok per
+    group crosses int64 only past ~9·10¹⁵ tokens in ONE shard group
+    (≈36 PB of text in one of 48 shards) — unreachable by 3+ orders at
+    the 100 TB design point, unlike the x135 bound, which was reachable
+    and is guarded."""
     agg = packed.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tok"),
@@ -1664,8 +1668,10 @@ def split_leakage(
     pairs = (
         sizes.select(F.col("split").alias("split_a"), F.col("n_sh").alias("n_sh_a"))
         .join(
-            sizes.select(
-                F.col("split").alias("split_b"), F.col("n_sh").alias("n_sh_b")
+            F.broadcast(  # bounded: <= |splits| (3) rows — the per-split size frame
+                sizes.select(
+                    F.col("split").alias("split_b"), F.col("n_sh").alias("n_sh_b")
+                )
             ),
             F.col("split_a") < F.col("split_b"),
         )

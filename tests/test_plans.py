@@ -569,3 +569,49 @@ def test_x131_gini_single_group_exchange(q):
     df = q("x131_gini_concentration")
     assert exchange_count(df) <= 3
     assert "Sort [" not in formatted_plan(df).split("Exchange")[0]
+
+
+def test_r9_rows_stay_jvm_and_bounded(q):
+    """r9 wave pins: every new row is JVM-only (the x142 recall row may
+    carry exactly the registered ANN kernels' Arrow nodes, nothing
+    more); no CartesianProduct anywhere; nested-loop joins only where a
+    bounded frame justifies them (x142/s4: the <=80-centroid attach;
+    x144/x145: the <=3-row split-pair inequality join)."""
+    import re
+
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    no_python = [
+        "c7_pretraining_pipeline", "x143_pack_utilization",
+        "x144_split_leakage", "x146_shingle_novelty",
+        "x147_seqlen_histogram", "x149_runs_test", "x150_ordinal_patterns",
+        "x151_r9d_ops_suite",
+    ]
+    for name in no_python:
+        df = q(name)
+        assert python_eval_count(df) == 0, f"{name} fell off the JVM path"
+        text = formatted_plan(df)
+        assert "CartesianProduct" not in text, name
+        n_bnlj = len(re.findall(
+            r"^\(\d+\) BroadcastNestedLoopJoin\b", text, re.MULTILINE
+        ))
+        if name in ("x144_split_leakage",):
+            assert n_bnlj <= 2, f"{name}: {n_bnlj} nested-loop joins"
+        else:
+            assert n_bnlj == 0, f"{name}: unexpected nested-loop join"
+    # x142: the brute-force BLAS kernel (MapInPandas) is the sanctioned
+    # Arrow tier; the candidate generation stays JVM (no row Python)
+    df = q("x142_ann_recall")
+    text = formatted_plan(df)
+    assert "BatchEvalPython" not in text
+    assert "CartesianProduct" not in text
+    # c7's packing is windowed per composite shard — the window must be
+    # present and partitioned, never a global sort
+    c7 = formatted_plan(q("c7_pretraining_pipeline"))
+    assert c7.count("Window") >= 1
+
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    release_cached_intermediates()
