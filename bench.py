@@ -133,6 +133,11 @@ HEADLINE = [
     # standalones for the frozen r4 series)
     "d2_signature_suite",
     "x151_r9d_ops_suite",
+    # r9 fifth wave: the per-source curation funnel — m2 is the x14+x26
+    # multimodal consolidation that funds it (both stay above as
+    # standalones for the frozen r4 series)
+    "m2_multimodal_suite",
+    "x152_curation_funnel",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -300,6 +305,7 @@ SUITE_MEMBERS = {
     "x148_r9c_ops_suite": ["x146_shingle_novelty", "x147_seqlen_histogram"],
     "d2_signature_suite": ["x03_dedup_minhash_lsh", "x04_dedup_simhash"],
     "x151_r9d_ops_suite": ["x149_runs_test", "x150_ordinal_patterns"],
+    "m2_multimodal_suite": ["x14_multimodal_decode", "x26_multimodal_features"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

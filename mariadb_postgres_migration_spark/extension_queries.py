@@ -565,8 +565,9 @@ def x13_multimodal_meta(spark, sf_dir):
               'image/bmp' AS mime
        FROM documents""",
     "EXT-04",
+    tier=1,  # r9: consolidated into m2_multimodal_suite (stays in bench HEADLINE)
 )
-def x14_multimodal_decode(spark, sf_dir):  # tier 0: the Arrow decode path
+def x14_multimodal_decode(spark, sf_dir):  # the Arrow decode path
     """EXT-04: REAL header decode via mapInPandas. attach_bmp_payload builds
     a genuine BMP per document (JVM-side binary assembly, dims a closed form
     of the text); parse_image_header reads mime/width/height back from the
@@ -851,7 +852,10 @@ def _features_sql() -> str:
     return f"SELECT doc_id,\n              {cols}\n       FROM documents"
 
 
-@register("x26_multimodal_features", _features_sql(), "EXT-04")
+@register(
+    "x26_multimodal_features", _features_sql(), "EXT-04",
+    tier=1,  # r9: consolidated into m2_multimodal_suite (stays in bench HEADLINE)
+)
 def x26_multimodal_features(spark, sf_dir):
     """EXT-04: payload → fixed-width feature vector via mapInPandas
     (deterministic stub = first 8 payload bytes, so it IS oracle-checked;
@@ -2350,14 +2354,22 @@ C1_QUALITY_GATE = 0.505
 C1_MIN_TOKENS = 16
 
 
-def _c1_sql() -> str:
+def _c1_ctes(materialized: bool = False) -> str:
+    """The c1 curation chain's CTE body (prof → k1 → k2 → near-dup k3 →
+    decontaminated k4), shared by the c1 oracle (final manifest SELECT)
+    and the x152 funnel oracle (per-stage counts) so the stage
+    definitions exist once. ``materialized`` inserts AS MATERIALIZED on
+    the expensive multiply-referenced CTEs for composers that reference
+    several stages at once (DuckDB inlines plain CTEs per reference —
+    the x144 lesson); c1 itself keeps the default so its long-verified
+    oracle text stays byte-identical."""
     profile = REGISTRY["x08_11_text_profile"].oracle
-    return f"""WITH RECURSIVE
-prof AS ({profile}),
-k1 AS (SELECT * FROM prof
+    m = " MATERIALIZED" if materialized else ""
+    return f"""prof AS{m} ({profile}),
+k1 AS{m} (SELECT * FROM prof
        WHERE doc_id % 97 <> 0 AND quality >= {C1_QUALITY_GATE}
          AND lang_pred = 'en' AND n_tokens >= {C1_MIN_TOKENS}),
-k2 AS (SELECT * FROM (
+k2 AS{m} (SELECT * FROM (
         SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS mn FROM k1)
        WHERE doc_id = mn),
 {_TOKS_CTE},
@@ -2378,18 +2390,23 @@ edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
 reach AS (SELECT doc_id, doc_id AS n FROM k2
           UNION
           SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
-k3 AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(n)),
+k3 AS{m} (SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id = min(n)),
 bsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 97 = 0),
 s3 AS (SELECT ds.doc_id, ds.sh FROM ds JOIN k3 USING (doc_id)),
 szs AS (SELECT doc_id, count(*) AS n_sh FROM s3 GROUP BY doc_id),
 hits AS (SELECT s3.doc_id, count(*) AS n_hits
          FROM s3 JOIN bsh USING (sh) GROUP BY s3.doc_id),
-k4 AS (SELECT k3.doc_id FROM k3
+k4 AS{m} (SELECT k3.doc_id FROM k3
        LEFT JOIN szs ON k3.doc_id = szs.doc_id
        LEFT JOIN hits ON k3.doc_id = hits.doc_id
        WHERE round(COALESCE(hits.n_hits, 0)
                    / CAST(greatest(COALESCE(szs.n_sh, 0), 1) AS DOUBLE), 4)
-             < 0.1)
+             < 0.1)"""
+
+
+def _c1_sql() -> str:
+    return f"""WITH RECURSIVE
+{_c1_ctes()}
 SELECT k2.doc_id, k2.n_tokens, k2.quality, k2.lang_pred
 FROM k2 JOIN k4 ON k2.doc_id = k4.doc_id"""
 
@@ -2418,6 +2435,19 @@ def c1_curation_pipeline(spark, sf_dir):
     One oracle covers the whole chain (recursive-CTE composition of the
     member SQL), so the driver hash-checks stage PLUMBING — that each
     stage's filter feeds the next — not just each operator alone."""
+    st = _c1_stage_frames(spark, sf_dir)
+    return st["k2"].join(st["k4"], "doc_id", "left_semi").select(
+        "doc_id", "n_tokens", "quality", "lang_pred"
+    )
+
+
+def _c1_stage_frames(spark, sf_dir):
+    """The c1 curation chain's stage frames, shared by c1 (final
+    manifest) and the x152 funnel (per-stage per-source attrition
+    counts) so the stage definitions exist once (the _c1_ctes twin on
+    the Spark side). Returns ``{"corpus", "k1", "k2", "k3", "k4"}`` —
+    corpus/k1 lazy, k2 persisted (it feeds three consumers), k3/k4 as
+    doc_id frames."""
     docs = _t(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
@@ -2465,9 +2495,7 @@ def c1_curation_pipeline(spark, sf_dir):
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    return k2.join(k4, "doc_id", "left_semi").select(
-        "doc_id", "n_tokens", "quality", "lang_pred"
-    )
+    return {"corpus": corpus, "k1": k1, "k2": k2, "k3": k3, "k4": k4}
 
 
 # bind c1's oracle now that the function referencing REGISTRY can run

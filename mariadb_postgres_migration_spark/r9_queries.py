@@ -656,3 +656,118 @@ def x151_r9d_ops_suite(spark, sf_dir):
         s1=F.col("event_type"),
     )
     return r.unionAll(o)
+
+
+# ===========================================================================
+# r9 fifth wave: the per-source curation funnel (x152) — the c1 attrition
+# dashboard — funded by consolidating the x14/x26 multimodal standalones
+# into m2_multimodal_suite.
+# ===========================================================================
+
+
+def _x152_sql() -> str:
+    from .extension_queries import _c1_ctes
+
+    # materialized stage CTEs: five stage references over the shared
+    # curation chain would otherwise re-run it per reference (the x144
+    # DuckDB-inlining lesson); c1's own oracle keeps the plain form so
+    # its long-verified text stays byte-identical.
+    return f"""WITH RECURSIVE
+{_c1_ctes(materialized=True)},
+src AS MATERIALIZED (SELECT doc_id, source FROM documents
+                     WHERE doc_id % 97 <> 0),
+st AS (
+  SELECT 'raw' AS stage, s.source FROM src s
+  UNION ALL SELECT 'gated', s.source FROM k1 JOIN src s USING (doc_id)
+  UNION ALL SELECT 'exact', s.source FROM k2 JOIN src s USING (doc_id)
+  UNION ALL SELECT 'near', s.source FROM k3 JOIN src s USING (doc_id)
+  UNION ALL SELECT 'clean', s.source FROM k4 JOIN src s USING (doc_id))
+SELECT stage, source, CAST(count(*) AS BIGINT) AS n_docs
+FROM st GROUP BY 1, 2"""
+
+
+@register(
+    "x152_curation_funnel", _x152_sql(), "EXT-01", "EXT-02", "EXT-05",
+)
+def x152_curation_funnel(spark, sf_dir):
+    """Per-source curation-funnel report (tier 0): document counts at
+    every c1 stage — raw corpus → quality-gated (k1) → exact-deduped
+    (k2) → near-dup-collapsed (k3) → decontaminated (k4) — per source.
+    THE dashboard a data team reads from a curation run ("which source
+    loses how much at which gate"), and a second driver-hashed witness
+    of the c1 stage plumbing from a different angle than the manifest
+    row: a stage filter wired to the wrong input shifts these counts
+    even when the final manifest happens to agree.
+
+    Stage definitions are shared with c1 itself (_c1_stage_frames /
+    _c1_ctes — one definition, two consumers); output is ≤ 5·|sources|
+    rows at any corpus scale."""
+    from .extension_queries import _c1_stage_frames
+
+    st = _c1_stage_frames(spark, sf_dir)
+    src = D._persist(st["corpus"].select("doc_id", "source"))
+    stages = [
+        ("raw", st["corpus"].select("doc_id")),
+        ("gated", st["k1"].select("doc_id")),
+        ("exact", st["k2"].select("doc_id")),
+        ("near", st["k3"]),
+        ("clean", st["k4"]),
+    ]
+    outs = [
+        src.join(f, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(F.lit(name).alias("stage"), "source", "n_docs")
+        for name, f in stages
+    ]
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# m2_multimodal_suite — the x14/x26 multimodal rows as ONE driver row
+# (funds the x152 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m2_sql() -> str:
+    from .operators.multimodal import N_FEATURES
+
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    feats = ", ".join(f"CAST(f{i} AS BIGINT)" for i in range(N_FEATURES))
+    return f"""SELECT 'hdr' AS kind, doc_id AS id1, {z} AS id2, n_bytes AS v1,
+       width AS v2, height AS v3, {zd} AS d1, {zd} AS d2, mime AS s1
+FROM ({member_oracle('x14_multimodal_decode')})
+UNION ALL
+SELECT 'feat', doc_id, {z}, {z}, {z}, {z}, {zd}, {zd},
+       concat_ws('|', {feats})
+FROM ({member_oracle('x26_multimodal_features')})"""
+
+
+@register(
+    "m2_multimodal_suite", _m2_sql(), "EXT-04",
+)
+def m2_multimodal_suite(spark, sf_dir):
+    """Driver row consolidating the multimodal standalones (x14 real BMP
+    header decode, x26 feature extraction — r9 window math: their two
+    slots fund this row plus x152). x26's 8 feature doubles are exact
+    integral values (payload-byte codes), so they ride the string slot
+    as a pipe-joined exact-int64 rendering — no float formatting in the
+    hash. Member oracles embedded verbatim; x14/x26 stay in the bench
+    HEADLINE for the frozen r4 series."""
+    from .extension_queries import x14_multimodal_decode, x26_multimodal_features
+    from .operators.multimodal import N_FEATURES
+
+    h = _suite_shape(
+        x14_multimodal_decode(spark, sf_dir), "hdr",
+        id1=F.col("doc_id"), v1=F.col("n_bytes"), v2=F.col("width"),
+        v3=F.col("height"), s1=F.col("mime"),
+    )
+    f = _suite_shape(
+        x26_multimodal_features(spark, sf_dir), "feat",
+        id1=F.col("doc_id"),
+        s1=F.concat_ws(
+            "|", *[F.col(f"f{i}").cast("long").cast("string") for i in range(N_FEATURES)]
+        ),
+    )
+    return h.unionAll(f)

@@ -360,6 +360,42 @@ def test_x150_patterns_match_python_replay(spark, sf_dir, q):
     assert {p for _, p in got} <= valid
 
 
+def test_x152_funnel_monotone_and_anchored_to_c1(spark, sf_dir, q):
+    """The funnel must be monotone per source (each stage keeps a subset
+    of the previous), its 'raw' row must equal the corpus count, and its
+    'clean' row must equal the c1 manifest's per-source counts — the two
+    driver rows describing the same chain must agree with each other."""
+    from mariadb_postgres_migration_spark.registry import _t
+
+    rows = q("x152_curation_funnel").collect()
+    by: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by.setdefault(r["source"], {})[r["stage"]] = r["n_docs"]
+    assert by
+    order = ["raw", "gated", "exact", "near", "clean"]
+    for src, d in by.items():
+        seq = [d.get(s, 0) for s in order]
+        assert seq == sorted(seq, reverse=True), (src, seq)
+        assert d["raw"] > 0
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = {
+        r["source"]: r["n"]
+        for r in docs.filter("doc_id % 97 <> 0")
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {s: d["raw"] for s, d in by.items()} == corpus
+
+    c1 = q("c1_curation_pipeline").select("doc_id")
+    clean = {
+        r["source"]: r["n"]
+        for r in docs.join(c1, "doc_id", "left_semi")
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    got_clean = {s: d["clean"] for s, d in by.items() if d.get("clean")}
+    assert got_clean == clean
+
+
 def test_sequence_pack_composite_key_matches_single_key(spark):
     """shard_cols=[one column] must reproduce the classic shard_col path
     (modulo the column name), pinning the r9 generalization as a pure
