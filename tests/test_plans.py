@@ -585,7 +585,7 @@ def test_r9_rows_stay_jvm_and_bounded(q):
         "c7_pretraining_pipeline", "x143_pack_utilization",
         "x144_split_leakage", "x146_shingle_novelty",
         "x147_seqlen_histogram", "x149_runs_test", "x150_ordinal_patterns",
-        "x151_r9d_ops_suite",
+        "x151_r9d_ops_suite", "x152_curation_funnel",
     ]
     for name in no_python:
         df = q(name)
