@@ -1654,8 +1654,11 @@ def split_leakage(
     rows. The distinct shingle/fingerprint frames feed 2-3 consumers
     each and go through the tracked persist pool so the upstream chain
     (in x144: the whole c1 curation) is paid once, mirroring the
-    oracle's MATERIALIZED CTEs. Zero-shingle splits yield 0 per-mille in
-    both engines (the gini zero-guard convention)."""
+    oracle's MATERIALIZED CTEs. A split with NO shingles never appears in
+    the per-split size frame, so its pairs are absent from the output
+    entirely — identically in both engines (ADVICE r9: the least()==0
+    guard in the per-mille expression is therefore defensive, not the
+    path such splits take)."""
     from .dedup import _persist
 
     sp = docs.select(F.col(id_col).alias("doc_id"), F.col(split_col).alias("split"))

@@ -51,12 +51,17 @@ def shuffle_joins_on_key(plan_text: str, key_prefix: str) -> list[str]:
     regressed off the broadcast path. Join keys print on the node line
     itself (``SortMergeJoin [l_suppkey#2L], [s_suppkey#47L], Inner``), so
     a line scan is exact; the attribute-id suffix (``#47L``) is why the
-    match is a prefix, not an equality."""
+    match anchors on ``<key>#`` rather than equality, and the left
+    boundary exists because plain containment also matched OTHER columns
+    ending in the key (``ps_suppkey`` contains ``s_suppkey`` — a
+    legitimate partsupp-keyed shuffle join would false-trip the supplier
+    pins; ADVICE r9)."""
+    pat = re.compile(r"(?<![A-Za-z_])" + re.escape(key_prefix) + r"#")
     return [
         ln
         for ln in plan_text.split("\n")
         if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
-        and key_prefix in ln
+        and pat.search(ln)
     ]
 
 

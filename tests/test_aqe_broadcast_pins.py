@@ -23,6 +23,7 @@ shuffle, and if a plan-text format change ever blinds the detector.
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -47,15 +48,23 @@ SUPPLIER_PINS = {
 }
 
 
-def _supplier_broadcast_ok(df, min_bhj: int) -> tuple[list[str], int]:
+#: boundary-anchored supplier-key match (ADVICE r9): plain containment
+#: also counted partsupp-keyed joins — ``ps_suppkey`` contains
+#: ``s_suppkey`` — so a partsupp broadcast could satisfy a supplier pin
+_S_SUPPKEY = re.compile(r"(?<![A-Za-z_])s_suppkey#")
+
+
+def _supplier_broadcast_ok(df) -> tuple[list[str], int]:
     """(shuffle-join lines on s_suppkey, broadcast-join count on s_suppkey)
-    in the final adaptive plan after executing ``df``."""
+    in the final adaptive plan after executing ``df``. The assertion
+    thresholds live at the call sites (ADVICE r9: a threshold parameter
+    here was never applied)."""
     fp = final_adaptive_plan(df)
     smj = shuffle_joins_on_key(fp, "s_suppkey")
     bhj = sum(
         1
         for ln in fp.split("\n")
-        if "BroadcastHashJoin" in ln and "s_suppkey" in ln
+        if "BroadcastHashJoin" in ln and _S_SUPPKEY.search(ln)
     )
     return smj, bhj
 
@@ -63,7 +72,7 @@ def _supplier_broadcast_ok(df, min_bhj: int) -> tuple[list[str], int]:
 @pytest.mark.parametrize("name,min_bhj", sorted(SUPPLIER_PINS.items()))
 def test_dehinted_supplier_join_broadcasts_at_runtime(spark, name, min_bhj):
     df = REGISTRY[name].fn(spark, BENCH_SF_DIR)
-    smj, bhj = _supplier_broadcast_ok(df, min_bhj)
+    smj, bhj = _supplier_broadcast_ok(df)
     assert not smj, f"{name}: supplier-keyed shuffle join in final plan: {smj}"
     assert bhj >= min_bhj, (
         f"{name}: expected >= {min_bhj} supplier-keyed broadcast joins in the"
@@ -80,7 +89,7 @@ def test_q11_supplier_join_broadcasts_at_runtime(spark):
     from mariadb_postgres_migration_spark.analytics_queries import _q11_part_value
 
     df = _q11_part_value(spark, BENCH_SF_DIR)
-    smj, bhj = _supplier_broadcast_ok(df, 1)
+    smj, bhj = _supplier_broadcast_ok(df)
     assert not smj, f"q11: supplier-keyed shuffle join in final plan: {smj}"
     assert bhj >= 1
 
