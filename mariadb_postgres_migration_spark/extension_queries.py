@@ -80,6 +80,7 @@ def op31_normalize_text(spark, sf_dir):
               CAST(count(*) AS BIGINT) AS n_copies
        FROM documents GROUP BY text""",
     "EXT-01", "OP-05",
+    tier=1,  # r10: consolidated into d3_dedup_core_suite
 )
 def x01_dedup_exact(spark, sf_dir):
     """EXT-01: exact dedup, deterministic min-id representative."""
@@ -97,6 +98,7 @@ def x01_dedup_exact(spark, sf_dir):
     + "dsf AS (SELECT ds.doc_id, ds.sh FROM ds JOIN rare USING (sh)),"
     + _JACCARD_TAIL.format(src="dsf", cand_join="", threshold=JACCARD_THRESHOLD),
     "EXT-02",
+    tier=1,  # r10: consolidated into d3 (stays in bench HEADLINE, r4 series)
 )
 def x02_dedup_ngram_jaccard(spark, sf_dir):
     """EXT-02 exact tier: word-3-gram Jaccard ≥ 0.5 via inverted-index
@@ -2222,7 +2224,11 @@ def x54_pq_encode(spark, sf_dir):
     )
 
 
-def _x55_sql() -> str:
+def _x55_sql(panel: str = "vec_id < 40") -> str:
+    """x55's oracle, probe-panel-parameterized like :func:`_x06_sql` so
+    x142's recall row can re-run the identical IVF-PQ formulation over
+    its own md5-chosen panel (r10); the registered x55 uses the
+    default (text byte-identical to the pre-parameterization form)."""
     return f"""WITH cent AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
                     WHERE vec_id < 80),
        cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
@@ -2246,7 +2252,7 @@ def _x55_sql() -> str:
                                               cb.code) AS rk
            FROM assigned a, s, cb) WHERE rk = 1),
        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-             FROM embeddings WHERE vec_id < 40),
+             FROM embeddings WHERE {panel}),
        probe AS (
            SELECT q_id, qv, cell FROM (
                SELECT q.q_id, q.qv, c.cell,
@@ -2293,6 +2299,54 @@ def x55_knn_ivfpq(spark, sf_dir):
         emb.filter(F.col("vec_id") < 16),
         k=5,
         nprobe=2,
+    )
+
+
+def _pq_adc_sql(panel: str = "vec_id < 40") -> str:
+    """x153's oracle (probe-panel-parameterized like :func:`_x06_sql`):
+    exhaustive ADC — the x55 formulation minus the coarse quantizer, so
+    every encoded vector scores against every panel query."""
+    return f"""WITH cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 16),
+       s AS (SELECT m FROM generate_series(0, 7) AS t(m)),
+       v AS (SELECT vec_id AS v_id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+       enc AS (SELECT v_id, m, code, d2i FROM (
+           SELECT v.v_id, s.m, cb.code, {_pq_d2i_sql('v.vec', 'cb.cv')} AS d2i,
+                  row_number() OVER (PARTITION BY v.v_id, s.m
+                                     ORDER BY {_pq_d2i_sql('v.vec', 'cb.cv')},
+                                              cb.code) AS rk
+           FROM v, s, cb) WHERE rk = 1),
+       q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE {panel}),
+       dt AS (SELECT q.q_id, s.m, cb.code,
+                     {_pq_d2i_sql('q.qv', 'cb.cv')} AS d2i
+              FROM q, s, cb),
+       scored AS (
+           SELECT dt.q_id, e.v_id AS n_id, sum(dt.d2i) AS adist_i
+           FROM enc e JOIN dt ON dt.m = e.m AND dt.code = e.code
+           WHERE e.v_id <> dt.q_id
+           GROUP BY dt.q_id, e.v_id),
+       ranked AS (
+           SELECT q_id, n_id, adist_i,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_i, n_id) AS rk
+           FROM scored)
+       SELECT q_id, n_id, CAST(rk AS BIGINT) AS rk,
+              CAST(adist_i AS DOUBLE) / 1000000.0 AS adist
+       FROM ranked WHERE rk <= 5"""
+
+
+@register("x153_knn_pq_adc", _pq_adc_sql(), "EXT-03", tier=1)
+def x153_knn_pq_adc(spark, sf_dir):
+    """EXT-03 exhaustive-ADC tier (r10): PQ codes score against every
+    panel query with NO coarse pruning — the Jégou et al. 2011 ADC
+    baseline IVF-PQ trades recall against. Same 8×16 seed codebook and
+    quantized-integer distances as x54/x55, so the full scan has an
+    exact SQL oracle; its measured recall@5 rides in x142 (rc_pq)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_pq_adc(
+        emb, emb.filter(F.col("vec_id") < 40), emb.filter(F.col("vec_id") < 16), k=5
     )
 
 

@@ -206,7 +206,9 @@ def attach_bmp_payload(
     )
 
 
-def decode_payloads(multimodal: DataFrame) -> DataFrame:
+def decode_payloads(
+    multimodal: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """EXT-04: Arrow-batched decode over ``mapInPandas``.
 
     One Python worker per input partition, batches of rows as pandas
@@ -218,7 +220,18 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
     mime + dimensions from the header bytes via
     :func:`parse_image_header`; unrecognized payloads fall back to the
     deterministic stub dims with the metadata's declared mime.
+
+    ``carry_cols`` names input columns to pass through unchanged,
+    appended after the decoded columns (r10: c8's payload-hash dedup
+    computes md5(payload) JVM-side BEFORE the decode and carries it
+    through, so the pipeline needs one payload scan instead of a second
+    scan plus a doc_id self-join to reunite hash with dims).
     """
+    schema = DECODED_SCHEMA
+    if carry_cols:
+        schema = StructType(
+            list(DECODED_SCHEMA.fields) + [multimodal.schema[c] for c in carry_cols]
+        )
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -238,7 +251,7 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
                 widths.append(w)
                 heights.append(h)
                 mimes.append(mime)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [
@@ -250,8 +263,11 @@ def decode_payloads(multimodal: DataFrame) -> DataFrame:
                     "mime": mimes,
                 }
             )
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield out
 
-    return multimodal.mapInPandas(_decode, schema=DECODED_SCHEMA)
+    return multimodal.mapInPandas(_decode, schema=schema)
 
 RESIZED_SCHEMA = StructType(
     [

@@ -1004,6 +1004,98 @@ def pq_encode(
     return c.mapInPandas(encode, "v_id long, codes array<long>, err2 double")
 
 
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = PQ_M,
+) -> DataFrame:
+    """EXT-03: exhaustive PQ search — Asymmetric Distance Computation over
+    EVERY encoded vector, no coarse quantizer (Jégou et al. 2011 §IV.A,
+    the "ADC" baseline IVF-PQ is benchmarked against). This is the
+    memory-bound regime a 100 TB deployment hits when recall matters more
+    than probe pruning: the 32×-compressed code table scans fully, but no
+    raw vector is ever touched after encoding.
+
+    Output: ``(q_id, n_id, rk, adist)`` — identical shape/conventions to
+    :func:`knn_ivfpq` (rk by adist ASC, n_id ASC; quantized-integer sums,
+    so ranking is bit-exact against the SQL oracle).
+
+    Scale shape: one encode pass (broadcast codebook, no shuffle); the
+    query panel + its per-query distance tables broadcast (bounded-probe
+    contract, same as :func:`knn_bruteforce`); the scoring kernel gathers
+    adist for all queries per Arrow batch as one integer fancy-index and
+    emits a PER-BATCH partial top-k, so the final global rank shuffles
+    k·batches rows per query, never the full corpus."""
+    import numpy as np
+    import pandas as pd
+
+    codes_ids, C = _pq_codebook_matrix(codebook, id_col, vec_col)
+    dim = C.shape[1]
+    sub = dim // m
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids = sorted(r["q_id"] for r in q_rows)
+    qidx = {qid: i for i, qid in enumerate(qids)}
+    Q = np.zeros((len(qids), dim), dtype=np.float64)
+    for r in q_rows:
+        Q[qidx[r["q_id"]]] = np.asarray(r["qv"], dtype=np.float64)
+    dtables = np.stack([_pq_subspace_d2(Q, C, mm, sub) for mm in range(m)], axis=1)
+    code_pos = {int(c): i for i, c in enumerate(codes_ids)}
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, dtables, code_pos))
+
+    def adc_score(batches):
+        qids_b, dt, cpos = bc.value
+        dtT = dt.transpose(1, 2, 0)  # (m, K, nq): gather-friendly layout
+        m_idx = np.arange(dtT.shape[0])[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            pos = np.vectorize(cpos.__getitem__, otypes=[np.int64])(codes)
+            # adist[b, q] = Σ_m dtT[m, pos[b, m], q] — one int64 gather-sum
+            adist = dtT[m_idx, pos, :].sum(axis=1)  # (B, nq), exact
+            n_ids = pdf["v_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for j, qid in enumerate(qids_b):
+                mask = n_ids != qid
+                col = adist[mask, j]
+                cand = n_ids[mask]
+                order = np.lexsort((cand, col))[:k]  # (adist, n_id) ties
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand[order])
+                out_d.extend(col[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.asarray(out_q, dtype=np.int64),
+                    "n_id": np.asarray(out_n, dtype=np.int64),
+                    "adist_i": np.asarray(out_d, dtype=np.int64),
+                }
+            )
+
+    enc = pq_encode(corpus, codebook, m, id_col, vec_col)
+    partial = enc.select("v_id", "codes").mapInPandas(
+        adc_score, "q_id long, n_id long, adist_i long"
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.asc("adist_i"), F.asc("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("adist_i") / PQ_QUANT).alias("adist"),
+        )
+    )
+
+
 def knn_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,

@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 from .extension_queries import (
     _TOKS_CTE,
     _hyperplane_sql,
+    _pq_adc_sql,
     _suite_shape,
     _x06_sql,
     _x07_sql,
     _x48_sql,
+    _x55_sql,
     x07_knn_ivf,
     x25_knn_hyperplane_lsh,
 )
@@ -55,23 +57,33 @@ def _x142_panel(emb):
     )
 
 
+#: x142's measured tiers, in suite order. Extended r10 (VERDICT r9 #2):
+#: the PQ family — exhaustive ADC (x153) and IVF-PQ (x55) — joins the
+#: IVF/LSH/multi-probe tiers, so s4's driver hash covers all 5.
+X142_TIERS = ("ivf", "lsh", "mplsh", "pq", "ivfpq")
+
+
 def _x142_sql() -> str:
     """Recall counts per (tier, probe): both the ground truth and every
     tier re-run their registered formulations (the panel-parameterized
-    x06/x07/x25/x48 oracle builders — shared text, no drift) over the
-    x142 panel; hits = |top-5(tier) ∩ top-5(brute)| as exact integers.
-    The grid CROSS JOIN is 3 tiers × the ≤64-probe panel — bounded."""
+    x06/x07/x25/x48/x153/x55 oracle builders — shared text, no drift)
+    over the x142 panel; hits = |top-5(tier) ∩ top-5(brute)| as exact
+    integers. The grid CROSS JOIN is 5 tiers × the ≤64-probe panel —
+    bounded."""
     hits = " UNION ALL ".join(
         f"SELECT '{name}' AS tier, q_id, n_id FROM {name}"
-        for name in ("ivf", "lsh", "mplsh")
+        for name in X142_TIERS
     )
+    values = ", ".join(f"('{name}')" for name in X142_TIERS)
     return f"""WITH brute AS (SELECT q_id, n_id FROM ({_x06_sql(X142_PANEL_SQL)})),
 ivf AS (SELECT q_id, n_id FROM ({_x07_sql(X142_PANEL_SQL)})),
 lsh AS (SELECT q_id, n_id FROM ({_hyperplane_sql(X142_PANEL_SQL)})),
 mplsh AS (SELECT q_id, n_id FROM ({_x48_sql(X142_PANEL_SQL)})),
+pq AS (SELECT q_id, n_id FROM ({_pq_adc_sql(X142_PANEL_SQL)})),
+ivfpq AS (SELECT q_id, n_id FROM ({_x55_sql(X142_PANEL_SQL)})),
 pairs AS ({hits}),
 grid AS (SELECT t.tier, b.q_id, b.n_id
-         FROM brute b CROSS JOIN (VALUES ('ivf'), ('lsh'), ('mplsh')) AS t(tier))
+         FROM brute b CROSS JOIN (VALUES {values}) AS t(tier))
 SELECT g.tier, g.q_id, CAST(count(p.n_id) AS BIGINT) AS hits
 FROM grid g LEFT JOIN pairs p
   ON p.tier = g.tier AND p.q_id = g.q_id AND p.n_id = g.n_id
@@ -82,20 +94,23 @@ GROUP BY g.tier, g.q_id"""
 def x142_ann_recall(spark, sf_dir):
     """Measured ANN recall@5 per tier (VERDICT r8 #5): for the fixed
     md5-chosen probe panel, |top-5(tier) ∩ top-5(brute force)| per probe
-    as exact int64 — the IVF (x07 config), single-bucket SRP-LSH (x25)
-    and multi-probe LSH (x48) tiers against the x06 ground truth. Both
-    sides are deterministic (score/tie conventions shared with the
-    registered rows), so ANN quality is a driver-hashed regression
-    canary, not just the recall-DOMINANCE property tests
-    (tests/test_similarity.py). Probes with an empty LSH bucket simply
-    score 0 hits — the recall trade the x25 docstring documents.
+    as exact int64 — the IVF (x07 config), single-bucket SRP-LSH (x25),
+    multi-probe LSH (x48), exhaustive PQ-ADC (x153, r10) and IVF-PQ
+    (x55, r10) tiers against the x06 ground truth. Both sides are
+    deterministic (score/tie conventions shared with the registered
+    rows), so ANN quality is a driver-hashed regression canary, not
+    just the recall-DOMINANCE property tests (tests/test_similarity.py).
+    Probes with an empty LSH bucket simply score 0 hits — the recall
+    trade the x25 docstring documents; the PQ tiers measure what the
+    32× code compression costs in recall.
 
     Plan: brute force = ONE Arrow/BLAS corpus pass (persisted — ~64
     probes × 5 rows); each tier joins its registered plan; the hit
-    count is three ≤320-row left joins. Nothing here exceeds the
+    count is five ≤320-row left joins. Nothing here exceeds the
     members' own 100 TB bounds."""
     emb = _t(spark, sf_dir, "embeddings")
     panel = _x142_panel(emb)
+    cb16 = emb.filter(F.col("vec_id") < 16)
     brute = D._persist(S.knn_bruteforce(emb, panel, k=5).select("q_id", "n_id"))
     tiers = {
         "ivf": S.knn_ivf(
@@ -103,9 +118,13 @@ def x142_ann_recall(spark, sf_dir):
         ),
         "lsh": S.knn_hyperplane_lsh(emb, panel, k=5),
         "mplsh": S.knn_hyperplane_multiprobe(emb, panel, k=5, n_flips=2),
+        "pq": S.knn_pq_adc(emb, panel, cb16, k=5),
+        "ivfpq": S.knn_ivfpq(
+            emb, panel, emb.filter(F.col("vec_id") < 80), cb16, k=5, nprobe=2
+        ),
     }
     outs = []
-    for name in ("ivf", "lsh", "mplsh"):
+    for name in X142_TIERS:
         hit = tiers[name].select("q_id", "n_id", F.lit(1).alias("__hit"))
         outs.append(
             brute.join(hit, ["q_id", "n_id"], "left")
@@ -147,10 +166,12 @@ FROM ({member_oracle('x142_ann_recall')})"""
 def s4_ann_suite(spark, sf_dir):
     """Driver row consolidating the ANN tier standalones (x07 IVF, x25
     SRP-LSH — r9 window math: their two slots fund this row plus the c7
-    pipeline row) and carrying the NEW x142 recall@5 measurement — so
-    every tier's RESULTS and their measured QUALITY versus brute force
-    hash-verify in one row. Members' oracles embedded verbatim; x07/x25
-    stay in the bench HEADLINE for the frozen r4 series."""
+    pipeline row) and carrying the x142 recall@5 measurement — so every
+    tier's RESULTS and their measured QUALITY versus brute force
+    hash-verify in one row. r10 extends x142 to 5 tiers (rc_pq/rc_ivfpq
+    join rc_ivf/rc_lsh/rc_mplsh — VERDICT r9 #2). Members' oracles
+    embedded verbatim; x07/x25 stay in the bench HEADLINE for the
+    frozen r4 series."""
     zl = F.lit(0).cast("long")
     ivf = _suite_shape(
         x07_knn_ivf(spark, sf_dir), "ivf7",
@@ -186,14 +207,22 @@ def s4_ann_suite(spark, sf_dir):
 #: otherwise carry two INDEPENDENT c1 subtrees and pay the curation
 #: twice in one action. Re-persisted through the tracked pool on every
 #: access so bench-harness releases stay safe (persist on an
-#: already-persisted frame is a no-op).
+#: already-persisted frame is a no-op). Bounded (r10, VERDICT r9
+#: 'What's wrong #1'): every access evicts entries keyed to OTHER
+#: applicationIds, so a process that cycles sessions (or the test
+#: suite's session-per-module rigs) can never accumulate dead sessions'
+#: pinned lineage; within one session the key already guarantees ≤ 1
+#: entry per sf_dir.
 _C1_MANIFEST_CACHE: dict = {}
 
 
 def _c1_manifest(spark, sf_dir):
     from .extension_queries import c1_curation_pipeline
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _C1_MANIFEST_CACHE if k[0] != app]:
+        del _C1_MANIFEST_CACHE[stale]
+    key = (app, sf_dir)
     m = _C1_MANIFEST_CACHE.get(key)
     if m is None:
         m = c1_curation_pipeline(spark, sf_dir).select("doc_id")

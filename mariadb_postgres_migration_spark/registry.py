@@ -82,6 +82,7 @@ def load_all_query_modules() -> None:
     from . import r7_queries  # noqa: F401
     from . import r8_queries  # noqa: F401
     from . import r9_queries  # noqa: F401
+    from . import r10_queries  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

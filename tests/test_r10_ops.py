@@ -1,0 +1,182 @@
+"""Round-10 operator tests: the c8 multimodal curation pipeline (stage
+plumbing recomputed in pure Python over REAL byte-built BMPs) and the
+decode_payloads carry_cols pass-through it rides on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mariadb_postgres_migration_spark.operators.multimodal import (
+    parse_image_header,
+)
+from mariadb_postgres_migration_spark.r10_queries import (
+    C8_CORRUPT_MOD,
+    C8_MIN_DIM,
+)
+from mariadb_postgres_migration_spark.registry import (
+    REGISTRY,
+    load_all_query_modules,
+)
+
+load_all_query_modules()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def _run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return _run
+
+
+def _py_bmp(text: str) -> bytes:
+    """Byte-for-byte Python replica of attach_bmp_payload's JVM assembly."""
+    pix = text.encode("utf-8")
+    npix = len(pix)
+    first = ord(text[0]) if text else 0
+    width = 16 + first % 64
+    height = 16 + npix % 64
+
+    def le(v: int, n: int) -> bytes:
+        return v.to_bytes(n, "little")
+
+    header = (
+        b"BM" + le(54 + npix, 4) + b"\x00" * 4 + le(54, 4)
+        + le(40, 4) + le(width, 4) + le(height, 4)
+        + le(1, 2) + le(8, 2) + le(0, 4) + le(npix, 4)
+        + le(0, 4) * 4
+    )
+    return header + pix
+
+
+def _py_c8_expected(docs_rows, c7_rows):
+    """Pure-Python replay of every c8 stage, with the validity gate run
+    through the REAL parse_image_header over Python-built payloads — so
+    the test proves the gate is byte-parse-driven, not just that two
+    closed forms agree."""
+    manifest = {r["doc_id"]: (r["split"], r["shard"]) for r in c7_rows}
+    survivors = {}
+    for r in sorted(docs_rows, key=lambda r: r["doc_id"]):
+        payload = _py_bmp(r["text"])
+        if r["doc_id"] % C8_CORRUPT_MOD == 0:
+            payload = b"\x00\x00" + payload
+        parsed = parse_image_header(payload)
+        if parsed is None or parsed[0] != "image/bmp":
+            continue
+        if payload not in survivors:  # min doc_id wins (sorted iteration)
+            survivors[payload] = (r["doc_id"], parsed[1], parsed[2])
+    expected = set()
+    for payload, (doc_id, w, h) in survivors.items():
+        if w < C8_MIN_DIM or h < C8_MIN_DIM:
+            continue
+        if doc_id not in manifest:
+            continue
+        split, shard = manifest[doc_id]
+        expected.add((doc_id, len(payload), w, h, split, shard))
+    return expected
+
+
+def test_c8_matches_pure_python_stage_replay(spark, sf_dir, q):
+    from mariadb_postgres_migration_spark.registry import _t
+
+    docs_rows = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    c7_rows = q("c7_pretraining_pipeline").collect()
+    expected = _py_c8_expected(docs_rows, c7_rows)
+    got = {
+        (r["doc_id"], r["n_bytes"], r["width"], r["height"], r["split"], r["shard"])
+        for r in q("c8_multimodal_pipeline").collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous: the pipeline keeps real survivors
+
+
+def test_c8_decode_gate_drops_exactly_the_corrupted(spark, sf_dir, q):
+    """No corrupted doc survives, and the corruption is the ONLY reason a
+    doc fails the validity gate (every uncorrupted BMP parses)."""
+    ids = {r["doc_id"] for r in q("c8_multimodal_pipeline").collect()}
+    assert ids
+    assert not any(i % C8_CORRUPT_MOD == 0 for i in ids)
+    # the corrupted prefix really defeats the byte parser
+    assert parse_image_header(b"\x00\x00" + _py_bmp("hello world")) is None
+    assert parse_image_header(_py_bmp("hello world")) == (
+        "image/bmp", 16 + ord("h") % 64, 16 + 11 % 64,
+    )
+
+
+def test_c8_rows_are_a_subset_of_the_c7_manifest(q):
+    """Stage-4 plumbing: every emitted (doc_id, split, shard) exists
+    verbatim in the c7 layout — the pairing invents no placement."""
+    layout = {
+        (r["doc_id"], r["split"], r["shard"])
+        for r in q("c7_pretraining_pipeline").collect()
+    }
+    for r in q("c8_multimodal_pipeline").collect():
+        assert (r["doc_id"], r["split"], r["shard"]) in layout
+
+
+def test_knn_pq_adc_equals_ivfpq_probing_all_cells(spark, sf_dir):
+    """Exhaustive ADC must equal IVF-PQ with every cell probed: nprobe =
+    |centroids| makes the coarse quantizer a no-op (every vector lands in
+    some probed cell), so both rank the identical integer adist over the
+    identical candidate set."""
+    from mariadb_postgres_migration_spark.operators import similarity as S
+    from mariadb_postgres_migration_spark.registry import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 12)
+    cb = emb.filter(F.col("vec_id") < 16)
+    cents = emb.filter(F.col("vec_id") < 8)
+    full = {
+        (r["q_id"], r["n_id"], r["rk"])
+        for r in S.knn_pq_adc(emb, probes, cb, k=5).collect()
+    }
+    via_ivf = {
+        (r["q_id"], r["n_id"], r["rk"])
+        for r in S.knn_ivfpq(emb, probes, cents, cb, k=5, nprobe=8).collect()
+    }
+    assert full == via_ivf
+    assert full
+
+
+def test_c1_manifest_cache_is_bounded_and_releasable(spark, sf_dir):
+    """The memo evicts dead sessions' entries on access, keeps <= 1 live
+    entry per sf_dir, and survives a full persist-pool release (the
+    re-persist-on-access contract)."""
+    from collections import Counter
+
+    from mariadb_postgres_migration_spark import r9_queries as R9
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    R9._C1_MANIFEST_CACHE[("dead-app-id", sf_dir)] = object()
+    R9._C1_MANIFEST_CACHE[("dead-app-id", "/elsewhere/sf9")] = object()
+    m = R9._c1_manifest(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in R9._C1_MANIFEST_CACHE)
+    per_sf = Counter(k[1] for k in R9._C1_MANIFEST_CACHE)
+    assert all(n == 1 for n in per_sf.values())
+    n_rows = m.count()
+    assert n_rows > 0
+    release_cached_intermediates()
+    assert R9._c1_manifest(spark, sf_dir).count() == n_rows
+
+
+def test_decode_payloads_carry_cols_passthrough(spark):
+    """carry_cols columns survive the Arrow decode pass unchanged and
+    land AFTER the decoded columns."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    mm = attach_bmp_payload(docs).withColumn("pmd5", F.md5("payload"))
+    out = decode_payloads(mm, carry_cols=("pmd5",))
+    assert out.columns == ["doc_id", "n_bytes", "width", "height", "mime", "pmd5"]
+    got = {r["doc_id"]: r["pmd5"] for r in out.collect()}
+    want = {r["doc_id"]: r["pmd5"] for r in mm.select("doc_id", "pmd5").collect()}
+    assert got == want

@@ -41,6 +41,7 @@ def test_x142_hits_equal_independent_intersection(spark, sf_dir, q):
 
     emb = _t(spark, sf_dir, "embeddings")
     panel = _x142_panel(emb)
+    cb16 = emb.filter(F.col("vec_id") < 16)
     brute = _topk_pairs(S.knn_bruteforce(emb, panel, k=5))
     tiers = {
         "ivf": _topk_pairs(
@@ -49,6 +50,13 @@ def test_x142_hits_equal_independent_intersection(spark, sf_dir, q):
         "lsh": _topk_pairs(S.knn_hyperplane_lsh(emb, panel, k=5)),
         "mplsh": _topk_pairs(
             S.knn_hyperplane_multiprobe(emb, panel, k=5, n_flips=2)
+        ),
+        # r10: the PQ family joins the measured-recall row (VERDICT r9 #2)
+        "pq": _topk_pairs(S.knn_pq_adc(emb, panel, cb16, k=5)),
+        "ivfpq": _topk_pairs(
+            S.knn_ivfpq(
+                emb, panel, emb.filter(F.col("vec_id") < 80), cb16, k=5, nprobe=2
+            )
         ),
     }
     probes = {qid for qid, _ in brute}
