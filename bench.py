@@ -144,6 +144,12 @@ HEADLINE = [
     # above as a standalone for the frozen r4 series)
     "d3_dedup_core_suite",
     "c8_multimodal_pipeline",
+    # r10 second wave: the multimodal funnel + paired-dataset profile
+    # (the c8 audit half) — s5 is the x05+x06 embedding consolidation
+    # that funds it (both stay above as standalones for the frozen r4
+    # series)
+    "s5_embcore_suite",
+    "x156_r10b_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -314,6 +320,8 @@ SUITE_MEMBERS = {
     "x151_r9d_ops_suite": ["x149_runs_test", "x150_ordinal_patterns"],
     "m2_multimodal_suite": ["x14_multimodal_decode", "x26_multimodal_features"],
     "d3_dedup_core_suite": ["x01_dedup_exact", "x02_dedup_ngram_jaccard"],
+    "s5_embcore_suite": ["x05_dedup_embedding_cosine", "x06_knn_bruteforce"],
+    "x156_r10b_ops_suite": ["x154_multimodal_funnel", "x155_paired_profile"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -251,6 +251,7 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
     "x05_dedup_embedding_cosine",
     _banded_srp_sql(),
     "EXT-02", "EXT-03",
+    tier=1,  # r10: consolidated into s5 (stays in bench HEADLINE, r4 series)
 )
 def x05_dedup_embedding_cosine(spark, sf_dir):
     """EXT-02 embedding tier (SCALE form — registered default): cosine
@@ -313,6 +314,7 @@ def _x06_sql(panel: str = "vec_id < 40") -> str:
     "x06_knn_bruteforce",
     _x06_sql(),
     "EXT-03",
+    tier=1,  # r10: consolidated into s5 (stays in bench HEADLINE, r4 series)
 )
 def x06_knn_bruteforce(spark, sf_dir):
     """EXT-03 baseline: exact cosine top-5 for a FIXED 40-probe set

@@ -16,8 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from functools import reduce
+
 from . import r9_queries  # noqa: F401  (c8 composes c7's registered oracle)
 from .extension_queries import _suite_shape
+from .operators import dedup as D
 from .operators.multimodal import attach_bmp_payload, decode_payloads
 from .registry import _t, member_oracle, register
 
@@ -62,27 +65,38 @@ def _c8_mm(docs):
     )
 
 
-def _c8_sql() -> str:
-    # the oracle can't parse blobs, but every c8 stage is a closed form of
-    # (doc_id, text): validity = the corruption rule, dims = the BMP
-    # fixture's closed form (x14's oracle), payload equality = text
-    # equality (payload bytes are header(text-derived dims) + UTF-8 text,
-    # an injective function of text)
-    return f"""WITH c7m AS (SELECT doc_id, split, shard
-             FROM ({member_oracle('c7_pretraining_pipeline')}) z),
-mm AS (SELECT doc_id, text,
+def _c8_ctes(materialized: bool = False) -> str:
+    """The c8 image-curation chain's CTE body (mm → gate → keep → qual),
+    shared by the c8 oracle (final paired manifest) and the x154 funnel
+    oracle (per-stage counts) so the stage definitions exist once — the
+    _c1_ctes twin for the multimodal side. The oracle can't parse blobs,
+    but every stage is a closed form of (doc_id, text): validity = the
+    corruption rule, dims = the BMP fixture's closed form (x14's
+    oracle), payload equality = text equality (payload bytes are
+    header(text-derived dims) + UTF-8 text, an injective function of
+    text). ``materialized`` is for composers referencing several stages
+    at once (DuckDB inlines plain CTEs per reference — the x144
+    lesson)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""mm AS{m} (SELECT doc_id, text,
               CAST(54 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
               CAST(16 + (CASE WHEN length(text) = 0 THEN 0
                               ELSE ascii(substr(text, 1, 1)) END) % 64
                    AS BIGINT) AS width,
               CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height
        FROM documents),
-gate AS (SELECT * FROM mm WHERE doc_id % {C8_CORRUPT_MOD} <> 0),
-keep AS (SELECT * FROM (
+gate AS{m} (SELECT * FROM mm WHERE doc_id % {C8_CORRUPT_MOD} <> 0),
+keep AS{m} (SELECT * FROM (
            SELECT *, min(doc_id) OVER (PARTITION BY text) AS mn FROM gate)
          WHERE doc_id = mn),
-qual AS (SELECT * FROM keep
-         WHERE width >= {C8_MIN_DIM} AND height >= {C8_MIN_DIM})
+qual AS{m} (SELECT * FROM keep
+         WHERE width >= {C8_MIN_DIM} AND height >= {C8_MIN_DIM})"""
+
+
+def _c8_sql() -> str:
+    return f"""WITH c7m AS (SELECT doc_id, split, shard
+             FROM ({member_oracle('c7_pretraining_pipeline')}) z),
+{_c8_ctes()}
 SELECT q.doc_id, q.n_bytes, q.width, q.height, c7m.split, c7m.shard
 FROM qual q JOIN c7m USING (doc_id)"""
 
@@ -121,26 +135,56 @@ def c8_multimodal_pipeline(spark, sf_dir):
     payload column beyond the single decode pass."""
     from .r9_queries import c7_pretraining_pipeline
 
-    docs = _t(spark, sf_dir, "documents")
-    mm = _c8_mm(docs).withColumn("pmd5", F.md5("payload"))
-    dec = decode_payloads(mm, carry_cols=("pmd5",))
-    valid = dec.filter(F.col("mime") == "image/bmp")
-    keep = (
-        valid.withColumn(
-            "__mn", F.min("doc_id").over(Window.partitionBy("pmd5"))
-        )
-        .filter(F.col("doc_id") == F.col("__mn"))
-        .drop("__mn", "pmd5", "mime")
-    )
-    qual = keep.filter(
-        (F.col("width") >= C8_MIN_DIM) & (F.col("height") >= C8_MIN_DIM)
-    )
+    st = _c8_stage_frames(spark, sf_dir)
     manifest = c7_pretraining_pipeline(spark, sf_dir).select(
         "doc_id", "split", "shard"
     )
-    return qual.join(manifest, "doc_id").select(
+    return st["qual"].join(manifest, "doc_id").select(
         "doc_id", "n_bytes", "width", "height", "split", "shard"
     )
+
+
+#: The c8 stage frames, memoized per (session, sf_dir) with the same
+#: foreign-session eviction as r9's _C1_MANIFEST_CACHE: c8, x154 and
+#: x155 each consume the image-curation chain, and inside the x156
+#: lazy-union row two members would otherwise carry INDEPENDENT decode
+#: subtrees and pay the Arrow pass twice in one action. The persisted
+#: members re-persist through the tracked pool on every access so
+#: bench-harness releases stay safe.
+_C8_FRAMES_CACHE: dict = {}
+
+
+def _c8_stage_frames(spark, sf_dir):
+    """The c8 image-curation chain's stage frames, shared by c8 (final
+    paired manifest), the x154 funnel (per-stage counts) and x155 (via
+    c8) so the stage definitions exist once — the _c1_stage_frames twin
+    on the Spark side. Returns ``{"corpus", "valid", "keep", "qual"}``;
+    valid/keep persist (each feeds the next stage AND a funnel count)."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _C8_FRAMES_CACHE if k[0] != app]:
+        del _C8_FRAMES_CACHE[stale]
+    key = (app, sf_dir)
+    st = _C8_FRAMES_CACHE.get(key)
+    if st is None:
+        docs = _t(spark, sf_dir, "documents")
+        mm = _c8_mm(docs).withColumn("pmd5", F.md5("payload"))
+        dec = decode_payloads(mm, carry_cols=("pmd5",))
+        valid = dec.filter(F.col("mime") == "image/bmp")
+        keep = (
+            valid.withColumn(
+                "__mn", F.min("doc_id").over(Window.partitionBy("pmd5"))
+            )
+            .filter(F.col("doc_id") == F.col("__mn"))
+            .drop("__mn", "pmd5", "mime")
+        )
+        qual = keep.filter(
+            (F.col("width") >= C8_MIN_DIM) & (F.col("height") >= C8_MIN_DIM)
+        )
+        st = {"corpus": docs, "valid": valid, "keep": keep, "qual": qual}
+        _C8_FRAMES_CACHE[key] = st
+    D._persist(st["valid"])
+    D._persist(st["keep"])
+    return st
 
 
 # ---------------------------------------------------------------------------
@@ -181,3 +225,186 @@ def d3_dedup_core_suite(spark, sf_dir):
         id1=F.col("doc_a"), id2=F.col("doc_b"), d1=F.col("jaccard"),
     )
     return ex.unionAll(jac)
+
+
+# ===========================================================================
+# r10 second wave: the c8 audit half — per-stage multimodal funnel (x154)
+# and the paired-dataset profile (x155) — funded by consolidating the
+# x05/x06 embedding standalones into s5_embcore_suite.
+# ===========================================================================
+
+
+def _x154_sql() -> str:
+    # every stage CTE is referenced twice (by the next stage AND by the
+    # counts union), so the chain materializes — the x144/x152 DuckDB
+    # CTE-inlining lesson; c7m is referenced once and stays plain.
+    return f"""WITH c7m AS (SELECT doc_id
+             FROM ({member_oracle('c7_pretraining_pipeline')}) z),
+{_c8_ctes(materialized=True)},
+paired AS (SELECT q.doc_id FROM qual q JOIN c7m USING (doc_id)),
+st AS (SELECT 'raw' AS stage, doc_id FROM mm
+  UNION ALL SELECT 'valid', doc_id FROM gate
+  UNION ALL SELECT 'unique', doc_id FROM keep
+  UNION ALL SELECT 'sized', doc_id FROM qual
+  UNION ALL SELECT 'paired', doc_id FROM paired)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM st GROUP BY stage"""
+
+
+@register("x154_multimodal_funnel", _x154_sql(), "EXT-04", "EXT-05", tier=1)
+def x154_multimodal_funnel(spark, sf_dir):
+    """Per-stage multimodal curation funnel (the x152 pattern applied to
+    c8): document counts at every image-curation stage — raw corpus →
+    decode-valid → payload-unique → dimension-sized → caption-paired.
+    A second driver-hashed witness of the c8 stage plumbing from a
+    different angle than the manifest row: a gate wired to the wrong
+    input shifts these counts even when the final manifest happens to
+    agree. Stage definitions shared with c8 itself (_c8_stage_frames /
+    _c8_ctes — one definition, two consumers); 5 rows out at any
+    corpus scale."""
+    from .r9_queries import c7_pretraining_pipeline
+
+    st = _c8_stage_frames(spark, sf_dir)
+    paired = st["qual"].join(
+        c7_pretraining_pipeline(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    stages = [
+        ("raw", st["corpus"]),
+        ("valid", st["valid"]),
+        ("unique", st["keep"]),
+        ("sized", st["qual"]),
+        ("paired", paired),
+    ]
+    outs = [
+        f.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        for name, f in stages
+    ]
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def _x155_sql() -> str:
+    from .extension_queries import _TOKS_CTE
+
+    # caption tokens come from the SAME corpus-wide toks CTE c7's n_tok is
+    # built on (len(w) — byte-identical definition), NOT from embedding the
+    # whole c7 oracle a second time: c8r already contains one c1+c7 chain,
+    # and a second chain measured 150s plain / 60s materialized at sf0.01
+    # vs ~20s for this form (the x144 lesson's budget arithmetic).
+    return f"""WITH c8r AS MATERIALIZED (SELECT doc_id, split, n_bytes
+            FROM ({member_oracle('c8_multimodal_pipeline')}) z),
+{_TOKS_CTE}
+SELECT c8r.split, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c8r.n_bytes) AS BIGINT) AS image_bytes,
+       CAST(sum(len(toks.w)) AS BIGINT) AS caption_tok
+FROM c8r JOIN toks USING (doc_id)
+GROUP BY c8r.split"""
+
+
+@register(
+    "x155_paired_profile", _x155_sql(), "EXT-04", "EXT-05", tier=1,
+)
+def x155_paired_profile(spark, sf_dir):
+    """Paired image-text dataset profile per split: pair count, total
+    image bytes, total caption tokens — the size sheet a multimodal
+    training run budgets loaders and context from, over exactly the c8
+    survivors. n_tok joins from the c7 manifest (already driver-hashed
+    there) rather than re-tokenizing, so the two rows cannot disagree
+    on tokenization; ≤ |splits| (3) rows out."""
+    from .r9_queries import c7_pretraining_pipeline
+
+    pairs = c8_multimodal_pipeline(spark, sf_dir).select(
+        "doc_id", "split", "n_bytes"
+    )
+    ntok = c7_pretraining_pipeline(spark, sf_dir).select("doc_id", "n_tok")
+    return (
+        pairs.join(ntok, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("n_bytes").cast("long").alias("image_bytes"),
+            F.sum("n_tok").cast("long").alias("caption_tok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s5_embcore_suite — the x05/x06 embedding standalones as ONE driver row
+# (funds the x156 slot)
+# ---------------------------------------------------------------------------
+
+
+def _s5_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'cos' AS kind, doc_a AS id1, doc_b AS id2, {z} AS v1,
+       {z} AS v2, {z} AS v3, CAST(cos_sim AS DOUBLE) AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x05_dedup_embedding_cosine')})
+UNION ALL
+SELECT 'knn', q_id, n_id, rk, {z}, {z}, round(score, 4), {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x06_knn_bruteforce')})"""
+
+
+@register(
+    "s5_embcore_suite", _s5_sql(), "EXT-02", "EXT-03",
+)
+def s5_embcore_suite(spark, sf_dir):
+    """Driver row consolidating the embedding-core standalones (x05
+    banded-SRP cosine near-dup pairs, x06 brute-force kNN ground truth —
+    r10 window math: their two slots fund this row plus x156). Member
+    oracles embedded verbatim; x05/x06 stay in the bench HEADLINE for
+    the frozen r4 series."""
+    from .extension_queries import x05_dedup_embedding_cosine, x06_knn_bruteforce
+
+    cos = _suite_shape(
+        x05_dedup_embedding_cosine(spark, sf_dir), "cos",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), d1=F.col("cos_sim"),
+    )
+    knn = _suite_shape(
+        x06_knn_bruteforce(spark, sf_dir), "knn",
+        id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
+        d1=F.col("score"),
+    )
+    return cos.unionAll(knn)
+
+
+# ---------------------------------------------------------------------------
+# x156_r10b_ops_suite — the r10 second-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x156_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'fun' AS kind, {z} AS id1, {z} AS id2, n_docs AS v1,
+       {z} AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2, stage AS s1
+FROM ({member_oracle('x154_multimodal_funnel')})
+UNION ALL
+SELECT 'pair', {z}, {z}, n_pairs, image_bytes, caption_tok, {zd}, {zd}, split
+FROM ({member_oracle('x155_paired_profile')})"""
+
+
+@register(
+    "x156_r10b_ops_suite", _x156_sql(), "EXT-04", "EXT-05",
+)
+def x156_r10b_ops_suite(spark, sf_dir):
+    """Driver row for the r10 second wave — the multimodal curation
+    funnel (x154) and the paired-dataset profile (x155), the audit half
+    of the c8 pipeline — union-folded into the shared kind-tagged suite
+    shape (2 small members → lazy union per the SCALE.md composition
+    rule; the heavy decode/curation subtrees are shared through the
+    memoized _c8_stage_frames and the c1 manifest memo)."""
+    fun = _suite_shape(
+        x154_multimodal_funnel(spark, sf_dir), "fun",
+        v1=F.col("n_docs"), s1=F.col("stage"),
+    )
+    pair = _suite_shape(
+        x155_paired_profile(spark, sf_dir), "pair",
+        v1=F.col("n_pairs"), v2=F.col("image_bytes"),
+        v3=F.col("caption_tok"), s1=F.col("split"),
+    )
+    return fun.unionAll(pair)

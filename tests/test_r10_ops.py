@@ -50,31 +50,46 @@ def _py_bmp(text: str) -> bytes:
     return header + pix
 
 
-def _py_c8_expected(docs_rows, c7_rows):
+def _py_c8_stages(docs_rows, c7_rows):
     """Pure-Python replay of every c8 stage, with the validity gate run
     through the REAL parse_image_header over Python-built payloads — so
-    the test proves the gate is byte-parse-driven, not just that two
-    closed forms agree."""
+    the tests prove the gate is byte-parse-driven, not just that two
+    closed forms agree. Returns (stage doc_id sets, valid-doc detail,
+    c7 manifest)."""
     manifest = {r["doc_id"]: (r["split"], r["shard"]) for r in c7_rows}
-    survivors = {}
-    for r in sorted(docs_rows, key=lambda r: r["doc_id"]):
+    raw = {r["doc_id"] for r in docs_rows}
+    valid = {}
+    for r in docs_rows:
         payload = _py_bmp(r["text"])
         if r["doc_id"] % C8_CORRUPT_MOD == 0:
             payload = b"\x00\x00" + payload
         parsed = parse_image_header(payload)
-        if parsed is None or parsed[0] != "image/bmp":
-            continue
-        if payload not in survivors:  # min doc_id wins (sorted iteration)
-            survivors[payload] = (r["doc_id"], parsed[1], parsed[2])
-    expected = set()
-    for payload, (doc_id, w, h) in survivors.items():
-        if w < C8_MIN_DIM or h < C8_MIN_DIM:
-            continue
-        if doc_id not in manifest:
-            continue
-        split, shard = manifest[doc_id]
-        expected.add((doc_id, len(payload), w, h, split, shard))
-    return expected
+        if parsed is not None and parsed[0] == "image/bmp":
+            valid[r["doc_id"]] = (payload, parsed[1], parsed[2])
+    keep: dict[bytes, int] = {}
+    for doc_id in sorted(valid):  # min doc_id wins per payload group
+        payload = valid[doc_id][0]
+        if payload not in keep:
+            keep[payload] = doc_id
+    unique = set(keep.values())
+    sized = {
+        d for d in unique
+        if valid[d][1] >= C8_MIN_DIM and valid[d][2] >= C8_MIN_DIM
+    }
+    paired = {d for d in sized if d in manifest}
+    stages = {
+        "raw": raw, "valid": set(valid), "unique": unique,
+        "sized": sized, "paired": paired,
+    }
+    return stages, valid, manifest
+
+
+def _py_c8_expected(docs_rows, c7_rows):
+    stages, valid, manifest = _py_c8_stages(docs_rows, c7_rows)
+    return {
+        (d, len(valid[d][0]), valid[d][1], valid[d][2], *manifest[d])
+        for d in stages["paired"]
+    }
 
 
 def test_c8_matches_pure_python_stage_replay(spark, sf_dir, q):
@@ -113,6 +128,47 @@ def test_c8_rows_are_a_subset_of_the_c7_manifest(q):
     }
     for r in q("c8_multimodal_pipeline").collect():
         assert (r["doc_id"], r["split"], r["shard"]) in layout
+
+
+def test_x154_funnel_matches_python_stage_replay(spark, sf_dir, q):
+    """The funnel counts must equal the pure-Python stage replay's set
+    sizes, and attrition must be monotone raw >= valid >= unique >=
+    sized >= paired."""
+    from mariadb_postgres_migration_spark.registry import _t
+
+    docs_rows = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    c7_rows = q("c7_pretraining_pipeline").collect()
+    stages, _, _ = _py_c8_stages(docs_rows, c7_rows)
+    got = {
+        r["stage"]: r["n_docs"]
+        for r in q("x154_multimodal_funnel").collect()
+    }
+    assert got == {k: len(v) for k, v in stages.items()}
+    assert (
+        got["raw"] >= got["valid"] >= got["unique"]
+        >= got["sized"] >= got["paired"] > 0
+    )
+
+
+def test_x155_profile_matches_python_aggregation(q):
+    """x155's per-split sums must equal a driver-side aggregation of the
+    SAME c8 rows joined to c7's n_tok."""
+    ntok = {
+        r["doc_id"]: r["n_tok"]
+        for r in q("c7_pretraining_pipeline").collect()
+    }
+    exp: dict[str, list[int]] = {}
+    for r in q("c8_multimodal_pipeline").collect():
+        g = exp.setdefault(r["split"], [0, 0, 0])
+        g[0] += 1
+        g[1] += r["n_bytes"]
+        g[2] += ntok[r["doc_id"]]
+    got = {
+        r["split"]: [r["n_pairs"], r["image_bytes"], r["caption_tok"]]
+        for r in q("x155_paired_profile").collect()
+    }
+    assert got == exp
+    assert got
 
 
 def test_knn_pq_adc_equals_ivfpq_probing_all_cells(spark, sf_dir):
