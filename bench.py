@@ -150,6 +150,12 @@ HEADLINE = [
     # series)
     "s5_embcore_suite",
     "x156_r10b_ops_suite",
+    # r10 third wave: image aHash + banded hamming near-dup (perceptual
+    # image dedup over the REAL pixel decoders) — d4 is the x27+x28
+    # consolidation that funds it (both stay above as standalones for
+    # the frozen r4 series)
+    "d4_cc_term_suite",
+    "x159_r10c_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -322,6 +328,8 @@ SUITE_MEMBERS = {
     "d3_dedup_core_suite": ["x01_dedup_exact", "x02_dedup_ngram_jaccard"],
     "s5_embcore_suite": ["x05_dedup_embedding_cosine", "x06_knn_bruteforce"],
     "x156_r10b_ops_suite": ["x154_multimodal_funnel", "x155_paired_profile"],
+    "d4_cc_term_suite": ["x27_dedup_connected_components", "x28_term_doc_freq"],
+    "x159_r10c_ops_suite": ["x157_image_ahash", "x158_image_neardup"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

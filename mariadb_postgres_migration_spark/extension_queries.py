@@ -896,7 +896,10 @@ SELECT doc_id, CAST(min(n) AS BIGINT) AS rep,
 FROM reach GROUP BY doc_id"""
 
 
-@register("x27_dedup_connected_components", _cc_sql(), "EXT-02")
+@register(
+    "x27_dedup_connected_components", _cc_sql(), "EXT-02",
+    tier=1,  # r10: consolidated into d4 (stays in bench HEADLINE, r4 series)
+)
 def x27_dedup_connected_components(spark, sf_dir):
     """EXT-02 cluster tier: near-dup pairs (same shingle-Jaccard spec as
     x02) → connected components by iterative min-label propagation →
@@ -928,6 +931,7 @@ def x27_dedup_connected_components(spark, sf_dir):
        SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
        FROM r WHERE rk <= 5""",
     "EXT-05", "OP-28",
+    tier=1,  # r10: consolidated into d4 (stays in bench HEADLINE, r4 series)
 )
 def x28_term_doc_freq(spark, sf_dir):
     """EXT-05 term weighting (CountVectorizer-equivalent document-frequency
@@ -2775,7 +2779,11 @@ def c2_curation_pipeline_lsh(spark, sf_dir):
 REGISTRY["c2_curation_pipeline_lsh"].oracle = _c2_sql()
 
 
-_X60_SQL = """WITH ascii_docs AS (
+#: The consistent-BMP fixture's closed-form (doc_id, text, w, h) CTEs —
+#: the oracle-side twin of attach_consistent_bmp_payload, shared by the
+#: pixel-stats oracles (x60/x78/x115 here) and the r10 aHash oracles
+#: (x157/x158) so the fixture's closed form exists once.
+_CONSISTENT_DIMS_CTES = """ascii_docs AS (
          SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
          FROM documents),
        dims AS (
@@ -2786,7 +2794,9 @@ _X60_SQL = """WITH ascii_docs AS (
                       // (16 + (CASE WHEN length(text) = 0 THEN 0
                                      ELSE ascii(substr(text, 1, 1)) END % 16) * 4),
                       16) AS h
-         FROM ascii_docs),
+         FROM ascii_docs)"""
+
+_X60_SQL = f"""WITH {_CONSISTENT_DIMS_CTES},
        px AS (
          SELECT doc_id, w, h,
                 list_transform(range(1, CAST(w * h AS BIGINT) + 1),

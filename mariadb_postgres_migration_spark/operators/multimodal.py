@@ -981,6 +981,196 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+#: aHash geometry: the grid²-cell average hash (64 bits at grid=8), split
+#: into two 32-bit halves so neither engine ever shifts into the sign bit
+#: of an int64. Bit (31-k) of h_hi holds cell k (row-major) for k 0..31;
+#: bit (63-k) of h_lo holds cells 32..63.
+AHASH_GRID = 8
+
+
+def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """EXT-04/EXT-02: average-hash perceptual signature over REAL decoded
+    pixels — the image analog of SimHash (x04) and the first stage of
+    every production image-dedup pass: decode (:func:`decode_pixels`,
+    the real BMP/PNG/GIF byte codecs) → nearest-neighbor resample to
+    grid×grid (:func:`resize_nearest`) → strict mean threshold
+    (grid²·cell > total, integer-exact — no float mean) → one bit per
+    cell. RGB inputs collapse to the integer channel sum first (scale
+    cancels in the threshold comparison).
+
+    Output ``(doc_id, h_hi, h_lo)`` — two 32-bit halves (see AHASH_GRID
+    note). Rows whose payload no decoder recognizes emit nothing.
+
+    Scale: one Arrow-batched pass, no shuffle; the signature table is
+    ~16 bytes/image, the thing a 100 TB image corpus actually indexes."""
+    import numpy as np
+
+    n = grid * grid
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_pixels(bytes(payload) if payload is not None else b"")
+                if arr is None:
+                    continue
+                a = arr.astype(np.int64)
+                if a.ndim == 3:
+                    a = a.sum(axis=2)
+                s = resize_nearest(a, grid, grid).reshape(-1)
+                total = int(s.sum())
+                hi = 0
+                lo = 0
+                for k in range(n // 2):
+                    hi = (hi << 1) | int(n * int(s[k]) > total)
+                for k in range(n // 2, n):
+                    lo = (lo << 1) | int(n * int(s[k]) > total)
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+
+    return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
+
+
+def ahash_sql(dims_cte: str = "dims") -> str:
+    """The oracle-side aHash over the consistent-BMP closed form: the
+    x60 dims CTE exposes (doc_id, text, w, h) with pixel (y, x) = text
+    byte at (h-1-y)·w + x (the decoder un-flips BMP's bottom-up rows),
+    so the grid sample, total and threshold bits are all exact-integer
+    SQL. Emits a SELECT producing (doc_id, h_hi, h_lo)."""
+    sample = (
+        "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
+        "(h - 1 - (((k // 8) * h) // 8)) * w + (((k % 8) * w) // 8) + 1"
+        " AS INTEGER), 1)))"
+    )
+    return f"""SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+            CASE WHEN 64 * s[k + 1] > total
+                 THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END))
+            AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+            CASE WHEN 64 * s[k + 1] > total
+                 THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
+            AS BIGINT) AS h_lo
+FROM (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total
+      FROM (SELECT doc_id, {sample} AS s
+            FROM {dims_cte} WHERE h >= 1) y) z"""
+
+
+#: Banded-LSH geometry for aHash pairing: 4 exact 16-bit bands over the
+#: 64-bit signature. Pigeonhole: any pair at hamming <= 3 shares at least
+#: one whole band, so recall at the default threshold is GUARANTEED, not
+#: probabilistic (the classic 64-bit SimHash table layout).
+AHASH_BANDS = 4
+AHASH_MAX_HAMMING = 3
+
+#: Stop-bucket cap (the x02 MAX_DOC_FREQ device): a band value shared by
+#: more docs than this is dropped from candidate generation — it would
+#: contribute O(n²) pairs while carrying no discriminating signal.
+AHASH_MAX_BUCKET = 64
+
+
+def image_neardup_pairs(
+    sig: DataFrame,
+    max_hamming: int = AHASH_MAX_HAMMING,
+    max_bucket: int = AHASH_MAX_BUCKET,
+) -> DataFrame:
+    """EXT-02/EXT-04: near-duplicate image pairs from banded aHash
+    signatures — candidates share at least one exact 16-bit band
+    (posting-list formulation, never image×image), verified by exact
+    hamming distance over the full 64 bits. Output ``(doc_a, doc_b,
+    hamming)`` with hamming <= ``max_hamming``.
+
+    Scale shape identical to the text MinHash path (x03): one groupBy
+    on (band, value) builds capped posting lists; pairs come from
+    in-row combinations; the verify join touches only candidates. At
+    hamming <= 3 the 4×16 banding loses nothing (pigeonhole) except
+    pairs pruned by the stop-bucket cap, which the oracle prunes
+    identically."""
+    from .dedup import _pair_combinations, _persist
+
+    sig = _persist(sig)
+    mask = F.lit(65535)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bno"), F.shiftright("h_hi", 16).alias("v")),
+                F.struct(
+                    F.lit(1).alias("bno"),
+                    F.col("h_hi").bitwiseAND(mask).alias("v"),
+                ),
+                F.struct(F.lit(2).alias("bno"), F.shiftright("h_lo", 16).alias("v")),
+                F.struct(
+                    F.lit(3).alias("bno"),
+                    F.col("h_lo").bitwiseAND(mask).alias("v"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bno", "b.v")
+    grouped = (
+        bands.groupBy("bno", "v")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    cand = (
+        grouped.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ahash_pairs_sql(
+    sig_cte: str = "sig",
+    max_hamming: int = AHASH_MAX_HAMMING,
+    max_bucket: int = AHASH_MAX_BUCKET,
+) -> str:
+    """Oracle twin of :func:`image_neardup_pairs` over a signature CTE
+    named ``sig_cte`` — same 4×16 banding, same stop-bucket cap, same
+    exact hamming verify."""
+    return f"""bands AS (
+  SELECT doc_id, 0 AS bno, h_hi // 65536 AS v FROM {sig_cte}
+  UNION ALL SELECT doc_id, 1, h_hi % 65536 FROM {sig_cte}
+  UNION ALL SELECT doc_id, 2, h_lo // 65536 FROM {sig_cte}
+  UNION ALL SELECT doc_id, 3, h_lo % 65536 FROM {sig_cte}),
+bsz AS (SELECT bno, v FROM bands GROUP BY bno, v
+        HAVING count(*) <= {max_bucket}),
+bf AS (SELECT bands.* FROM bands JOIN bsz USING (bno, v)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bf x JOIN bf y USING (bno, v) WHERE x.doc_id < y.doc_id),
+ham AS (SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(a.h_hi, b.h_hi))
+                    + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN {sig_cte} a ON a.doc_id = c.doc_a
+        JOIN {sig_cte} b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}"""
+
+
 def pixel_stats(multimodal: DataFrame) -> DataFrame:
     """EXT-04 with a REAL codec in the loop: decode actual pixel arrays
     (numpy BMP/PNG decoders above) and emit per-image statistics — the

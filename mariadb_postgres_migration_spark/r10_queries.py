@@ -408,3 +408,146 @@ def x156_r10b_ops_suite(spark, sf_dir):
         v3=F.col("caption_tok"), s1=F.col("split"),
     )
     return fun.unionAll(pair)
+
+
+# ===========================================================================
+# r10 third wave: image perceptual-hash dedup — the aHash signature (x157)
+# and banded hamming near-dup pairing (x158) over REAL decoded pixels —
+# funded by consolidating the x27/x28 standalones into d4_cc_term_suite.
+# ===========================================================================
+
+
+def _x157_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+    from .operators.multimodal import ahash_sql
+
+    return f"WITH {_CONSISTENT_DIMS_CTES}\n{ahash_sql('dims')}"
+
+
+@register("x157_image_ahash", _x157_sql(), "EXT-02", "EXT-04", tier=1)
+def x157_image_ahash(spark, sf_dir):
+    """Average-hash perceptual signature per image
+    (:func:`operators.multimodal.image_ahash`): the REAL numpy BMP
+    decoder extracts pixel arrays from spec-consistent payloads, the
+    nearest-neighbor 8×8 resample + strict integer mean threshold emit
+    64 bits as two 32-bit halves. The oracle recomputes the identical
+    bits from the fixture's closed form — so the driver hash proves the
+    decode→resample→threshold kernel bit-for-bit, the image analog of
+    the x04 SimHash row."""
+    from .operators.multimodal import attach_consistent_bmp_payload, image_ahash
+
+    return image_ahash(
+        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _x158_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+    from .operators.multimodal import ahash_pairs_sql, ahash_sql
+
+    # sig feeds the 4-way band union AND both verify joins — MATERIALIZED
+    # per the x144 CTE-inlining lesson
+    return f"""WITH {_CONSISTENT_DIMS_CTES},
+sig AS MATERIALIZED ({ahash_sql('dims')}),
+{ahash_pairs_sql('sig')}"""
+
+
+@register("x158_image_neardup", _x158_sql(), "EXT-02", "EXT-04", tier=1)
+def x158_image_neardup(spark, sf_dir):
+    """Near-duplicate image pairs
+    (:func:`operators.multimodal.image_neardup_pairs`): banded-LSH
+    candidates (4 exact 16-bit bands — pigeonhole-complete at the
+    hamming <= 3 threshold) verified by exact 64-bit hamming distance
+    over the x157 signatures. THE dedup operator a multimodal corpus
+    runs that text dedup can't express: re-encoded/near-identical
+    images pair even when their byte payloads differ."""
+    from .operators.multimodal import (
+        attach_consistent_bmp_payload,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    sig = image_ahash(
+        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    )
+    return image_neardup_pairs(sig)
+
+
+# ---------------------------------------------------------------------------
+# d4_cc_term_suite — the x27/x28 standalones as ONE driver row (funds the
+# x159 slot)
+# ---------------------------------------------------------------------------
+
+
+def _d4_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'cc' AS kind, doc_id AS id1, rep AS id2,
+       CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3, {zd} AS d1,
+       {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x27_dedup_connected_components')})
+UNION ALL
+SELECT 'tdf', doc_id, {z}, tf, df, rk, {zd}, {zd}, term
+FROM ({member_oracle('x28_term_doc_freq')})"""
+
+
+@register(
+    "d4_cc_term_suite", _d4_sql(), "EXT-01", "EXT-02", "EXT-05",
+)
+def d4_cc_term_suite(spark, sf_dir):
+    """Driver row consolidating the connected-components dedup (x27) and
+    term-document-frequency (x28) standalones — r10 window math: their
+    two slots fund this row plus x159. Member oracles embedded verbatim;
+    both stay in the bench HEADLINE for the frozen r4 series."""
+    from .extension_queries import (
+        x27_dedup_connected_components,
+        x28_term_doc_freq,
+    )
+
+    cc = _suite_shape(
+        x27_dedup_connected_components(spark, sf_dir), "cc",
+        id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep").cast("long"),
+    )
+    tdf = _suite_shape(
+        x28_term_doc_freq(spark, sf_dir), "tdf",
+        id1=F.col("doc_id"), v1=F.col("tf"), v2=F.col("df"), v3=F.col("rk"),
+        s1=F.col("term"),
+    )
+    return cc.unionAll(tdf)
+
+
+# ---------------------------------------------------------------------------
+# x159_r10c_ops_suite — the r10 third-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x159_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'ah' AS kind, doc_id AS id1, {z} AS id2, h_hi AS v1,
+       h_lo AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x157_image_ahash')})
+UNION ALL
+SELECT 'ham', doc_a, doc_b, hamming, {z}, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x158_image_neardup')})"""
+
+
+@register(
+    "x159_r10c_ops_suite", _x159_sql(), "EXT-02", "EXT-04",
+)
+def x159_r10c_ops_suite(spark, sf_dir):
+    """Driver row for the r10 third wave — the image aHash signature
+    (x157) and the banded hamming near-dup pairing (x158) — union-folded
+    into the shared kind-tagged suite shape (2 small members → lazy
+    union per the SCALE.md composition rule)."""
+    ah = _suite_shape(
+        x157_image_ahash(spark, sf_dir), "ah",
+        id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
+    )
+    ham = _suite_shape(
+        x158_image_neardup(spark, sf_dir), "ham",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
+    )
+    return ah.unionAll(ham)

@@ -236,3 +236,75 @@ def test_decode_payloads_carry_cols_passthrough(spark):
     got = {r["doc_id"]: r["pmd5"] for r in out.collect()}
     want = {r["doc_id"]: r["pmd5"] for r in mm.select("doc_id", "pmd5").collect()}
     assert got == want
+
+
+def test_image_ahash_matches_direct_decoder_replay(spark):
+    """The operator's bits must equal a driver-side replay through the
+    SAME real decoder + resampler on a hand-built doc — proving the
+    Arrow kernel actually runs decode_bmp_pixels, not a closed form."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_bmp_payload,
+        decode_bmp_pixels,
+        image_ahash,
+        resize_nearest,
+    )
+
+    text = "The quick brown fox jumps over the lazy dog " * 12
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    mm = attach_consistent_bmp_payload(docs)
+    payload = bytes(mm.select("payload").collect()[0][0])
+    arr = decode_bmp_pixels(payload)
+    assert arr is not None
+    s = resize_nearest(arr.astype(np.int64), 8, 8).reshape(-1)
+    total = int(s.sum())
+    hi = lo = 0
+    for k in range(32):
+        hi = (hi << 1) | int(64 * int(s[k]) > total)
+    for k in range(32, 64):
+        lo = (lo << 1) | int(64 * int(s[k]) > total)
+    row = image_ahash(mm).collect()[0]
+    assert (row["h_hi"], row["h_lo"]) == (hi, lo)
+
+
+def test_x158_pairs_match_python_banding_replay(spark, sf_dir, q):
+    """The pair set must equal a pure-Python replay of the full pipeline:
+    4x16 banding over the x157 signatures, the 64-doc bucket cap, exact
+    hamming <= 3 verify."""
+    from collections import defaultdict
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        AHASH_MAX_BUCKET,
+        AHASH_MAX_HAMMING,
+    )
+
+    sigs = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"])
+        for r in q("x157_image_ahash").collect()
+    }
+    buckets = defaultdict(list)
+    for d, (hi, lo) in sigs.items():
+        for bno, v in enumerate((hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF)):
+            buckets[(bno, v)].append(d)
+    cand = set()
+    for ids in buckets.values():
+        if len(ids) <= AHASH_MAX_BUCKET:
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    exp = {}
+    for a, b in cand:
+        h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+            sigs[a][1] ^ sigs[b][1]
+        ).count("1")
+        if h <= AHASH_MAX_HAMMING:
+            exp[(a, b)] = h
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q("x158_image_neardup").collect()
+    }
+    assert got == exp
+    assert got, "fixture yields no near-dup image pairs — vacuous row"
+    assert any(h == 0 for h in got.values())  # exact-dup images pair at 0
