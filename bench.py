@@ -156,6 +156,12 @@ HEADLINE = [
     # the frozen r4 series)
     "d4_cc_term_suite",
     "x159_r10c_ops_suite",
+    # r10 fourth wave: permutation entropy + curriculum phases — w5 is
+    # the x15_16+x24 consolidation that funds it (neither member was a
+    # HEADLINE standalone; the r4 series' window row is
+    # x15_window_tumbling, which stays above untouched)
+    "w5_windowthread_suite",
+    "x162_r10d_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -330,6 +336,8 @@ SUITE_MEMBERS = {
     "x156_r10b_ops_suite": ["x154_multimodal_funnel", "x155_paired_profile"],
     "d4_cc_term_suite": ["x27_dedup_connected_components", "x28_term_doc_freq"],
     "x159_r10c_ops_suite": ["x157_image_ahash", "x158_image_neardup"],
+    "w5_windowthread_suite": ["x15_16_window_batch", "x24_stream_threading"],
+    "x162_r10d_ops_suite": ["x160_permutation_entropy", "x161_curriculum_phases"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -620,6 +620,7 @@ def x16_window_sliding(spark, sf_dir):
         SELECT 'slide' AS kind, window_start_us, n_events, sum_value
         FROM ({_X16_SQL})""",
     "EXT-06",
+    tier=1,  # r10: consolidated into w5 (stays in bench HEADLINE, r4 series)
 )
 def x15_16_window_batch(spark, sf_dir):
     """EXT-06 batch forms as one tagged result: epoch-aligned tumbling
@@ -796,7 +797,10 @@ def _op20_stream_oracle() -> str:
     return _OP20_ORACLE
 
 
-@register("x24_stream_threading", _op20_stream_oracle(), "OP-20", "EXT-09")
+@register(
+    "x24_stream_threading", _op20_stream_oracle(), "OP-20", "EXT-09",
+    tier=1,  # r10: consolidated into w5 (stays in bench HEADLINE, r4 series)
+)
 def x24_stream_threading(spark, sf_dir):
     """EXT-09: the reference's OP-20 threading walk as a STREAMING stateful
     operator (applyInPandasWithState; per-video state = prior ids +

@@ -1073,6 +1073,86 @@ SELECT et AS {type_col}, pattern, CAST(count(*) AS BIGINT) AS n_windows
 FROM pat GROUP BY 1, 2"""
 
 
+#: The 6 valid order-3 ordinal pattern codes (permutations of ranks
+#: 0..2 under ordinal_patterns_daily's position-stable tie rule,
+#: rendered as r1·100 + r2·10 + r3).
+PE_CODES = (12, 21, 102, 120, 201, 210)
+
+
+def permutation_entropy_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type normalized permutation entropy (Bandt & Pompe 2002, the
+    statistic the x150 ordinal-pattern histogram exists to support):
+    H = ln(N) − Σ nᵢ·ln(nᵢ)/N over the 6 order-3 pattern counts,
+    normalized by ln(6) to [0, 1] — 1 = the maximally irregular series,
+    0 = a single repeated shape (pure monotone/templated traffic). The
+    one-number series-complexity score next to the runs test's
+    clustering z (x149).
+
+    Determinism: the 6 counts pivot into FIXED named columns, so the
+    ln-term chain is one textual expression evaluated in the same
+    left-to-right order by both engines (the x129/x149 rounded-IEEE
+    convention; round 4 absorbs libm ln ulp skew). Zero counts
+    contribute exactly 0 via the guard, never ln(0).
+
+    Plan: rides the x150 histogram (two lead() windows on the shared
+    type-keyed day-series exchange) plus one ≤|types|·6-row pivot
+    aggregate. Returns ``(event_type, n_win, pe)``."""
+    hist = ordinal_patterns_daily(events, ts_col, type_col)
+    ncols = [
+        F.sum(
+            F.when(F.col("pattern") == c, F.col("n_windows")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"n{i}")
+        for i, c in enumerate(PE_CODES)
+    ]
+    agg = hist.groupBy(type_col).agg(
+        *ncols, F.sum("n_windows").cast("long").alias("n_win")
+    )
+
+    def term(i: int):
+        nd = F.col(f"n{i}").cast("double")
+        return F.when(F.col(f"n{i}") > 0, nd * F.log(nd)).otherwise(F.lit(0.0))
+
+    chain = term(0)
+    for i in range(1, len(PE_CODES)):
+        chain = chain + term(i)
+    nw = F.col("n_win").cast("double")
+    pe = F.round((F.log(nw) - chain / nw) / F.log(F.lit(6.0)), 4)
+    return agg.select(type_col, "n_win", pe.alias("pe"))
+
+
+def permutation_entropy_daily_sql(
+    events_cte: str, type_col: str = "event_type"
+) -> str:
+    """DuckDB oracle for :func:`permutation_entropy_daily` — identical
+    pivot columns and term chain in the same textual order."""
+    hist = ordinal_patterns_daily_sql(events_cte, type_col)
+    ns = ",\n       ".join(
+        f"CAST(sum(CASE WHEN pattern = {c} THEN n_windows ELSE 0 END)"
+        f" AS BIGINT) AS n{i}"
+        for i, c in enumerate(PE_CODES)
+    )
+    chain = "\n         + ".join(
+        f"CASE WHEN n{i} > 0 THEN CAST(n{i} AS DOUBLE)"
+        f" * ln(CAST(n{i} AS DOUBLE)) ELSE 0.0 END"
+        for i in range(len(PE_CODES))
+    )
+    return f"""WITH hist AS (SELECT * FROM ({hist}) z),
+agg AS (SELECT {type_col},
+       {ns},
+       CAST(sum(n_windows) AS BIGINT) AS n_win
+       FROM hist GROUP BY {type_col})
+SELECT {type_col}, n_win,
+       round((ln(CAST(n_win AS DOUBLE)) - ({chain}
+         ) / CAST(n_win AS DOUBLE)) / ln(6.0), 4) AS pe
+FROM agg"""
+
+
 def spearman_daily(
     orders: DataFrame,
     ts_col: str = "o_orderdate",

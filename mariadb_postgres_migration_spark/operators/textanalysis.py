@@ -1360,6 +1360,90 @@ FROM probes p JOIN doubled d USING (rk)"""
 SPLIT_PERMILLE = (("train", 980), ("val", 990))
 
 
+#: Curriculum boundaries: quartiles of the quality score (4 phases).
+CURRICULUM_QS = (0.25, 0.50, 0.75)
+
+
+def curriculum_phases(
+    manifest: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXT-05 (curriculum ordering): assign each curated document a
+    training phase 1..4 by quality quartile — the easy→hard (or
+    low→high-quality-last) schedule curriculum-learning data loaders
+    consume. Boundaries are exact discrete percentiles (the p2
+    cum-count device: p_q = min v with cum ≥ floor(q·(n−1)) + 1), so
+    the assignment is deterministic and oracle-exact; phase = 1 + the
+    number of boundaries strictly below the doc's quality.
+
+    Plan (the scalable 2-pass shape, NOT a global ntile): pass 1 groups
+    by quality VALUE (bounded by score granularity, ~10⁴ distinct at
+    any corpus scale) and runs the cumulative window on that tiny
+    value-grouped frame; pass 2 is a row-local CASE against the 1-row
+    broadcast boundary frame. A global ntile/row_number would funnel
+    the corpus through one partition — this never does.
+
+    Returns ``(doc_id, quality, phase)``."""
+    from .dedup import _persist
+
+    surv = _persist(
+        manifest.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
+        )
+    )
+    c = surv.groupBy("quality").agg(F.count("*").alias("cnt"))
+    w = c.select(
+        F.col("quality").alias("v"),
+        F.sum("cnt").over(Window.orderBy("quality")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    b = w.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor(F.lit(q) * (F.col("n") - 1)) + 1,
+                    F.col("v"),
+                )
+            ).alias(f"p{int(q * 100)}")
+            for q in CURRICULUM_QS
+        ]
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("quality") > F.col("p25")).cast("long")
+        + (F.col("quality") > F.col("p50")).cast("long")
+        + (F.col("quality") > F.col("p75")).cast("long")
+    ).cast("long")
+    # bounded: the boundary frame is exactly 1 row (three quantile scalars)
+    return surv.crossJoin(F.broadcast(b)).select(
+        "doc_id", "quality", phase.alias("phase")
+    )
+
+
+def curriculum_phases_sql(manifest_cte: str = "c1m") -> str:
+    """DuckDB oracle twin of :func:`curriculum_phases` over a CTE named
+    ``manifest_cte`` yielding (doc_id, quality)."""
+    bs = ",\n             ".join(
+        f"min(CASE WHEN cum >= floor({q} * (n - 1)) + 1 THEN v END)"
+        f" AS p{int(q * 100)}"
+        for q in CURRICULUM_QS
+    )
+    return f"""c AS (SELECT quality AS v, count(*) AS cnt FROM {manifest_cte}
+       GROUP BY 1),
+w AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+             sum(cnt) OVER () AS n
+      FROM c),
+b AS (SELECT {bs}
+      FROM w)
+SELECT m.doc_id, m.quality,
+       CAST(1 + (CASE WHEN m.quality > b.p25 THEN 1 ELSE 0 END)
+              + (CASE WHEN m.quality > b.p50 THEN 1 ELSE 0 END)
+              + (CASE WHEN m.quality > b.p75 THEN 1 ELSE 0 END)
+            AS BIGINT) AS phase
+FROM {manifest_cte} m, b"""
+
+
 def split_assign(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """``docs`` plus a deterministic ``split`` column — the per-document
     half of :func:`split_manifest` (h = first 8 md5 hex chars of

@@ -20,6 +20,7 @@ from functools import reduce
 
 from . import r9_queries  # noqa: F401  (c8 composes c7's registered oracle)
 from .extension_queries import _suite_shape
+from .operators import audit as A
 from .operators import dedup as D
 from .operators.multimodal import attach_bmp_payload, decode_payloads
 from .registry import _t, member_oracle, register
@@ -551,3 +552,139 @@ def x159_r10c_ops_suite(spark, sf_dir):
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
     )
     return ah.unionAll(ham)
+
+
+# ===========================================================================
+# r10 fourth wave: permutation entropy (x160 — the statistic x150's
+# histogram supports) and curriculum phases (x161 — quality-quartile
+# training schedule over the c1 survivors) — funded by consolidating the
+# x15_16/x24 standalones into w5_windowthread_suite.
+# ===========================================================================
+
+
+@register(
+    "x160_permutation_entropy",
+    A.permutation_entropy_daily_sql(r9_queries._X149_EVENTS_CTE),
+    "EXT-ANALYTICS", tier=1,
+)
+def x160_permutation_entropy(spark, sf_dir):
+    """Per-type normalized permutation entropy over the daily-count
+    series (:func:`operators.audit.permutation_entropy_daily`, Bandt &
+    Pompe 2002): the one-number series-complexity score the x150
+    ordinal-pattern histogram exists to support — 1 = maximally
+    irregular, 0 = a single repeated shape. Fixed pivot columns keep
+    the ln-term chain textual-order deterministic in both engines."""
+    return A.permutation_entropy_daily(_t(spark, sf_dir, "events"))
+
+
+def _x161_sql() -> str:
+    from .operators import textanalysis as T
+
+    return f"""WITH c1m AS MATERIALIZED (SELECT doc_id, quality
+             FROM ({member_oracle('c1_curation_pipeline')}) z),
+{T.curriculum_phases_sql('c1m')}"""
+
+
+@register(
+    "x161_curriculum_phases", _x161_sql(), "EXT-05", tier=1,
+)
+def x161_curriculum_phases(spark, sf_dir):
+    """Curriculum-learning phase assignment over the c1 survivors
+    (:func:`operators.textanalysis.curriculum_phases`): quality-quartile
+    phases 1..4 via exact discrete percentiles (the p2 cum-count
+    device) — the easy→hard schedule a curriculum data loader reads,
+    computed the scalable 2-pass way (value-grouped boundary pass +
+    row-local CASE against a 1-row broadcast), never a global ntile."""
+    from .extension_queries import c1_curation_pipeline
+    from .operators import textanalysis as T
+
+    return T.curriculum_phases(c1_curation_pipeline(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# w5_windowthread_suite — the x15_16/x24 standalones as ONE driver row
+# (funds the x162 slot)
+# ---------------------------------------------------------------------------
+
+
+def _w5_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT concat('wb_', kind) AS kind, window_start_us AS id1,
+       {z} AS id2, n_events AS v1, {z} AS v2, {z} AS v3,
+       round(sum_value, 2) AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x15_16_window_batch')})
+UNION ALL
+SELECT 'sth', id, coalesce(response_to, {z}), {z},
+       CAST(response_to IS NULL AS BIGINT), {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x24_stream_threading')})"""
+
+
+@register(
+    "w5_windowthread_suite", _w5_sql(), "EXT-06", "EXT-08", "EXT-09",
+)
+def w5_windowthread_suite(spark, sf_dir):
+    """Driver row consolidating the batch window-agg pair (x15_16) and
+    the streaming threading replay (x24) — r10 window math: their two
+    slots fund this row plus x162. x24's nullable response_to rides as
+    (coalesce(x, 0), is-null flag) so the hash never formats a NULL
+    long. Member oracles embedded verbatim; both members stay
+    registered tier 1 (neither was a HEADLINE standalone — the frozen
+    r4 series' window row is x15_window_tumbling, untouched)."""
+    from .extension_queries import x15_16_window_batch, x24_stream_threading
+
+    wb = x15_16_window_batch(spark, sf_dir).select(
+        F.concat(F.lit("wb_"), F.col("kind")).alias("kind"),
+        F.col("window_start_us").cast("long").alias("id1"),
+        F.lit(0).cast("long").alias("id2"),
+        F.col("n_events").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.round("sum_value", 2).cast("double").alias("d1"),
+        F.lit(0.0).alias("d2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    st = _suite_shape(
+        x24_stream_threading(spark, sf_dir), "sth",
+        id1=F.col("id"),
+        id2=F.coalesce(F.col("response_to"), F.lit(0)),
+        v2=F.col("response_to").isNull().cast("long"),
+    )
+    return wb.unionAll(st)
+
+
+# ---------------------------------------------------------------------------
+# x162_r10d_ops_suite — the r10 fourth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x162_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'pe' AS kind, {z} AS id1, {z} AS id2, n_win AS v1,
+       {z} AS v2, {z} AS v3, pe AS d1, {zd} AS d2, event_type AS s1
+FROM ({member_oracle('x160_permutation_entropy')})
+UNION ALL
+SELECT 'cur', doc_id, {z}, phase, {z}, {z}, CAST(quality AS DOUBLE), {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x161_curriculum_phases')})"""
+
+
+@register(
+    "x162_r10d_ops_suite", _x162_sql(), "EXT-05", "EXT-ANALYTICS",
+)
+def x162_r10d_ops_suite(spark, sf_dir):
+    """Driver row for the r10 fourth wave — permutation entropy (x160)
+    and curriculum phases (x161) — union-folded into the shared
+    kind-tagged suite shape (2 small members → lazy union per the
+    SCALE.md composition rule)."""
+    pe = _suite_shape(
+        x160_permutation_entropy(spark, sf_dir), "pe",
+        v1=F.col("n_win"), d1=F.col("pe"), s1=F.col("event_type"),
+    )
+    cur = _suite_shape(
+        x161_curriculum_phases(spark, sf_dir), "cur",
+        id1=F.col("doc_id"), v1=F.col("phase"), d1=F.col("quality"),
+    )
+    return pe.unionAll(cur)

@@ -308,3 +308,58 @@ def test_x158_pairs_match_python_banding_replay(spark, sf_dir, q):
     assert got == exp
     assert got, "fixture yields no near-dup image pairs — vacuous row"
     assert any(h == 0 for h in got.values())  # exact-dup images pair at 0
+
+
+def test_x160_permutation_entropy_matches_python_replay(q):
+    """pe must equal a pure-Python entropy over the SAME x150 histogram
+    counts, and sit in [0, 1]."""
+    import math
+    from collections import defaultdict
+
+    hist = defaultdict(dict)
+    for r in q("x150_ordinal_patterns").collect():
+        hist[r["event_type"]][r["pattern"]] = r["n_windows"]
+    exp = {}
+    for et, counts in hist.items():
+        total = sum(counts.values())
+        s = sum(n * math.log(n) for n in counts.values() if n > 0)
+        exp[et] = (total, round((math.log(total) - s / total) / math.log(6), 4))
+    got = {
+        r["event_type"]: (r["n_win"], r["pe"])
+        for r in q("x160_permutation_entropy").collect()
+    }
+    assert set(got) == set(exp)
+    for et in got:
+        assert got[et][0] == exp[et][0]
+        assert abs(got[et][1] - exp[et][1]) < 1e-9, et
+        assert 0.0 <= got[et][1] <= 1.0
+
+
+def test_x161_curriculum_phases_match_python_quartiles(q):
+    """Phases must equal a pure-Python replay of the cum-count discrete
+    percentile rule, and the four phases must partition the survivors
+    into contiguous quality ranges."""
+    rows = q("x161_curriculum_phases").collect()
+    assert rows
+    qualities = sorted(r["quality"] for r in rows)
+    n = len(qualities)
+
+    def pctl(frac):
+        k = int(frac * (n - 1)) + 1  # cum >= floor(q(n-1)) + 1, 1-based
+        return qualities[k - 1]
+
+    p25, p50, p75 = pctl(0.25), pctl(0.50), pctl(0.75)
+    for r in rows:
+        exp = 1 + (r["quality"] > p25) + (r["quality"] > p50) + (
+            r["quality"] > p75
+        )
+        assert r["phase"] == exp, (r["doc_id"], r["quality"])
+    phases = {r["phase"] for r in rows}
+    assert phases <= {1, 2, 3, 4} and len(phases) >= 2
+    # monotone: every phase-k quality <= every phase-(k+1) quality
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r["quality"])
+    ordered = sorted(by_phase)
+    for a, b in zip(ordered, ordered[1:]):
+        assert max(by_phase[a]) <= min(by_phase[b])
