@@ -162,6 +162,11 @@ HEADLINE = [
     # x15_window_tumbling, which stays above untouched)
     "w5_windowthread_suite",
     "x162_r10d_ops_suite",
+    # r10 fifth wave: image dedup keep-one + dHash companion signature —
+    # j13 is the p2+j12 consolidation that funds it (p2 stays above as a
+    # standalone for the frozen r4 series)
+    "j13_order_temporal_suite",
+    "x165_r10e_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -338,6 +343,10 @@ SUITE_MEMBERS = {
     "x159_r10c_ops_suite": ["x157_image_ahash", "x158_image_neardup"],
     "w5_windowthread_suite": ["x15_16_window_batch", "x24_stream_threading"],
     "x162_r10d_ops_suite": ["x160_permutation_entropy", "x161_curriculum_phases"],
+    "j13_order_temporal_suite": [
+        "p2_percentile_disc_distributed", "j12_temporal_joins",
+    ],
+    "x165_r10e_ops_suite": ["x163_image_dedup_keep_one", "x164_image_dhash"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -1380,6 +1380,7 @@ def g_grouping_analytics(spark, sf_dir):
               min(CASE WHEN cum >= floor(0.75 * (n - 1)) + 1 THEN v END) AS p75
        FROM w GROUP BY l_returnflag""",
     "EXT-AGG",
+    tier=1,  # r10: consolidated into j13 (stays in bench HEADLINE, r4 series)
 )
 def p2_percentile_disc_distributed(spark, sf_dir):
     """Scale-tier EXACT percentiles (discrete): pre-aggregate to
@@ -1426,6 +1427,7 @@ def p2_percentile_disc_distributed(spark, sf_dir):
                CAST(NULL AS DOUBLE) AS click_value, signup_id, event_type
         FROM ({_J2_SQL})""",
     "EXT-JOIN",
+    tier=1,  # r10: consolidated into j13_order_temporal_suite
 )
 def j12_temporal_joins(spark, sf_dir):
     """Both temporal-join operators in one tagged result: the as-of join

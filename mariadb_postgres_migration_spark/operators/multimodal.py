@@ -1060,6 +1060,71 @@ FROM (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total
             FROM {dims_cte} WHERE h >= 1) y) z"""
 
 
+def image_dhash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """EXT-04/EXT-02: difference-hash (dHash) perceptual signature —
+    aHash's standard production companion (different failure modes: aHash
+    tracks global brightness structure, dHash tracks horizontal
+    gradients, so a pair surviving BOTH is a far stronger near-dup
+    signal). Decode → nearest-neighbor resample to (grid+1)×grid →
+    bit = right neighbor strictly brighter. Same two-32-bit-halves
+    packing and scale shape as :func:`image_ahash`."""
+    import numpy as np
+
+    n = grid * grid
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_pixels(bytes(payload) if payload is not None else b"")
+                if arr is None:
+                    continue
+                a = arr.astype(np.int64)
+                if a.ndim == 3:
+                    a = a.sum(axis=2)
+                s = resize_nearest(a, grid + 1, grid)  # (grid, grid+1)
+                bits = (s[:, 1:] > s[:, :-1]).reshape(-1)  # row-major
+                hi = 0
+                lo = 0
+                for k in range(n // 2):
+                    hi = (hi << 1) | int(bits[k])
+                for k in range(n // 2, n):
+                    lo = (lo << 1) | int(bits[k])
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+
+    return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
+
+
+def dhash_sql(dims_cte: str = "dims") -> str:
+    """Oracle-side dHash over the consistent-BMP closed form (see
+    :func:`ahash_sql` for the pixel addressing); bit k (y = k//8,
+    x = k%8) compares the (grid+1)-wide resample's columns x+1 and x."""
+
+    def val(sx_expr: str) -> str:
+        return (
+            "ascii(substr(text, CAST((h - 1 - (((k // 8) * h) // 8)) * w"
+            f" + ({sx_expr}) + 1 AS INTEGER), 1))"
+        )
+
+    v_left = val("((k % 8) * w) // 9")
+    v_right = val("(((k % 8) + 1) * w) // 9")
+    return f"""SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+            CASE WHEN {v_right} > {v_left}
+                 THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END))
+            AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(32, 64), k ->
+            CASE WHEN {v_right} > {v_left}
+                 THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
+            AS BIGINT) AS h_lo
+FROM {dims_cte} WHERE h >= 1"""
+
+
 #: Banded-LSH geometry for aHash pairing: 4 exact 16-bit bands over the
 #: 64-bit signature. Pigeonhole: any pair at hamming <= 3 shares at least
 #: one whole band, so recall at the default threshold is GUARANTEED, not

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from functools import reduce
 
+from . import analytics_queries  # noqa: F401  (j13 composes p2/j12 oracles)
 from . import r9_queries  # noqa: F401  (c8 composes c7's registered oracle)
 from .extension_queries import _suite_shape
 from .operators import audit as A
@@ -493,7 +494,7 @@ FROM ({member_oracle('x28_term_doc_freq')})"""
 
 
 @register(
-    "d4_cc_term_suite", _d4_sql(), "EXT-01", "EXT-02", "EXT-05",
+    "d4_cc_term_suite", _d4_sql(), "EXT-01", "EXT-02", "EXT-05", "OP-28",
 )
 def d4_cc_term_suite(spark, sf_dir):
     """Driver row consolidating the connected-components dedup (x27) and
@@ -688,3 +689,174 @@ def x162_r10d_ops_suite(spark, sf_dir):
         id1=F.col("doc_id"), v1=F.col("phase"), d1=F.col("quality"),
     )
     return pe.unionAll(cur)
+
+
+# ===========================================================================
+# r10 fifth wave: image dedup keep-one (x163 — the CC collapse turning
+# x158's pairs into a survivor manifest) and the dHash companion signature
+# (x164) — funded by consolidating the p2/j12 standalones into
+# j13_order_temporal_suite.
+# ===========================================================================
+
+
+def _x163_sql() -> str:
+    # p referenced twice (both edge directions) — MATERIALIZED per the
+    # x144 CTE-inlining lesson; the node set is exactly x157's doc set
+    return f"""WITH RECURSIVE
+p AS MATERIALIZED (SELECT doc_a, doc_b
+     FROM ({member_oracle('x158_image_neardup')}) z),
+nodes AS (SELECT doc_id FROM ({member_oracle('x157_image_ahash')}) w),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM nodes
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS rep, (doc_id = min(n)) AS keep
+FROM reach GROUP BY doc_id"""
+
+
+@register("x163_image_dedup_keep_one", _x163_sql(), "EXT-02", "EXT-04", tier=1)
+def x163_image_dedup_keep_one(spark, sf_dir):
+    """Image dedup DECISION (the x27 collapse applied to the image
+    graph): connected components over the x158 near-dup pairs, min-id
+    representative per cluster, keep = is-the-representative —
+    singletons keep themselves without ever entering the iterative
+    part. Turns the pair list into the survivor manifest an image
+    curation run actually applies."""
+    from .operators.multimodal import (
+        attach_consistent_bmp_payload,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    sig = D._persist(
+        image_ahash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+    return D.dedup_keep_one(sig.select("doc_id"), pairs)
+
+
+def _x164_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+    from .operators.multimodal import dhash_sql
+
+    return f"WITH {_CONSISTENT_DIMS_CTES}\n{dhash_sql('dims')}"
+
+
+@register("x164_image_dhash", _x164_sql(), "EXT-02", "EXT-04", tier=1)
+def x164_image_dhash(spark, sf_dir):
+    """Difference-hash perceptual signature per image
+    (:func:`operators.multimodal.image_dhash`): horizontal-gradient
+    bits over the real decoded pixels' (grid+1)×grid resample — aHash's
+    standard production companion (a pair surviving both hashes is a
+    far stronger near-dup signal; different failure modes). Oracle
+    recomputes identical bits from the consistent-BMP closed form."""
+    from .operators.multimodal import attach_consistent_bmp_payload, image_dhash
+
+    return image_dhash(
+        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# j13_order_temporal_suite — the p2/j12 standalones as ONE driver row
+# (funds the x165 slot)
+# ---------------------------------------------------------------------------
+
+
+def _j13_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'pct' AS kind, {z} AS id1, {z} AS id2,
+       CAST(round(p25 * 100) AS BIGINT) AS v1,
+       CAST(round(p50 * 100) AS BIGINT) AS v2,
+       CAST(round(p75 * 100) AS BIGINT) AS v3,
+       {zd} AS d1, {zd} AS d2, l_returnflag AS s1
+FROM ({member_oracle('p2_percentile_disc_distributed')})
+UNION ALL
+SELECT concat('tj_', kind), event_id, coalesce(user_id, {z}), ts_us,
+       coalesce(click_ts_us, {z}), coalesce(signup_id, {z}),
+       CAST(coalesce(click_value, 0.0) AS DOUBLE), {zd}, event_type
+FROM ({member_oracle('j12_temporal_joins')})"""
+
+
+@register(
+    "j13_order_temporal_suite", _j13_sql(), "EXT-ORDER", "EXT-JOIN",
+)
+def j13_order_temporal_suite(spark, sf_dir):
+    """Driver row consolidating the distributed percentile_disc row (p2)
+    and the temporal-join suite (j12) — r10 window math: their two slots
+    fund this row plus x165. p2's three price percentiles ride the long
+    slots as half-up cents (exact — percentile_disc returns actual data
+    values, 2-decimal by fixture construction); j12's per-kind NULL
+    columns coalesce to 0 (unambiguous — which columns are NULL is
+    determined by the member's own kind tag). Member oracles embedded
+    verbatim; both stay in the bench HEADLINE and the driver replica at
+    tier 1."""
+    from .analytics_queries import j12_temporal_joins
+    from .registry import REGISTRY
+
+    p2 = REGISTRY["p2_percentile_disc_distributed"].fn(spark, sf_dir)
+    zl = F.lit(0).cast("long")
+    pct = p2.select(
+        F.lit("pct").alias("kind"),
+        zl.alias("id1"),
+        zl.alias("id2"),
+        F.round(F.col("p25") * 100).cast("long").alias("v1"),
+        F.round(F.col("p50") * 100).cast("long").alias("v2"),
+        F.round(F.col("p75") * 100).cast("long").alias("v3"),
+        F.lit(0.0).alias("d1"),
+        F.lit(0.0).alias("d2"),
+        F.col("l_returnflag").cast("string").alias("s1"),
+    )
+    tj = j12_temporal_joins(spark, sf_dir).select(
+        F.concat(F.lit("tj_"), F.col("kind")).alias("kind"),
+        F.col("event_id").cast("long").alias("id1"),
+        F.coalesce(F.col("user_id"), zl).cast("long").alias("id2"),
+        F.col("ts_us").cast("long").alias("v1"),
+        F.coalesce(F.col("click_ts_us"), zl).cast("long").alias("v2"),
+        F.coalesce(F.col("signup_id"), zl).cast("long").alias("v3"),
+        F.coalesce(F.col("click_value"), F.lit(0.0)).cast("double").alias("d1"),
+        F.lit(0.0).alias("d2"),
+        F.col("event_type").cast("string").alias("s1"),
+    )
+    return pct.unionAll(tj)
+
+
+# ---------------------------------------------------------------------------
+# x165_r10e_ops_suite — the r10 fifth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x165_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'keep' AS kind, doc_id AS id1, rep AS id2,
+       CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3, {zd} AS d1,
+       {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x163_image_dedup_keep_one')})
+UNION ALL
+SELECT 'dh', doc_id, {z}, h_hi, h_lo, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x164_image_dhash')})"""
+
+
+@register(
+    "x165_r10e_ops_suite", _x165_sql(), "EXT-02", "EXT-04",
+)
+def x165_r10e_ops_suite(spark, sf_dir):
+    """Driver row for the r10 fifth wave — image dedup keep-one (x163)
+    and the dHash signature (x164) — union-folded into the shared
+    kind-tagged suite shape (2 small members → lazy union per the
+    SCALE.md composition rule)."""
+    keep = _suite_shape(
+        x163_image_dedup_keep_one(spark, sf_dir), "keep",
+        id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep").cast("long"),
+    )
+    dh = _suite_shape(
+        x164_image_dhash(spark, sf_dir), "dh",
+        id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
+    )
+    return keep.unionAll(dh)

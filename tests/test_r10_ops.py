@@ -363,3 +363,65 @@ def test_x161_curriculum_phases_match_python_quartiles(q):
     ordered = sorted(by_phase)
     for a, b in zip(ordered, ordered[1:]):
         assert max(by_phase[a]) <= min(by_phase[b])
+
+
+def test_image_dhash_matches_direct_decoder_replay(spark):
+    """dHash bits must equal a driver-side replay through the SAME real
+    decoder + (9, 8) resample on a hand-built doc."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_bmp_payload,
+        decode_bmp_pixels,
+        image_dhash,
+        resize_nearest,
+    )
+
+    text = "Pack my box with five dozen liquor jugs!? " * 14
+    docs = spark.createDataFrame([(3, text)], "doc_id long, text string")
+    mm = attach_consistent_bmp_payload(docs)
+    payload = bytes(mm.select("payload").collect()[0][0])
+    arr = decode_bmp_pixels(payload)
+    s = resize_nearest(arr.astype(np.int64), 9, 8)
+    bits = (s[:, 1:] > s[:, :-1]).reshape(-1)
+    hi = lo = 0
+    for k in range(32):
+        hi = (hi << 1) | int(bits[k])
+    for k in range(32, 64):
+        lo = (lo << 1) | int(bits[k])
+    row = image_dhash(mm).collect()[0]
+    assert (row["h_hi"], row["h_lo"]) == (hi, lo)
+
+
+def test_x163_keep_one_matches_union_find_over_x158_pairs(q):
+    """rep/keep must equal a pure-Python union-find over the SAME x158
+    pair list, with every signed image present and singletons keeping
+    themselves."""
+    nodes = {r["doc_id"] for r in q("x157_image_ahash").collect()}
+    parent = {d: d for d in nodes}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in q("x158_image_neardup").collect():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for d in nodes:
+        comp.setdefault(find(d), []).append(d)
+    exp = {}
+    for members in comp.values():
+        rep = min(members)
+        for d in members:
+            exp[d] = (rep, d == rep)
+    got = {
+        r["doc_id"]: (r["rep"], r["keep"])
+        for r in q("x163_image_dedup_keep_one").collect()
+    }
+    assert got == exp
+    assert set(got) == nodes
+    assert any(not k for _, k in got.values())  # real collapses happened
