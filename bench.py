@@ -167,6 +167,11 @@ HEADLINE = [
     # standalone for the frozen r4 series)
     "j13_order_temporal_suite",
     "x165_r10e_ops_suite",
+    # r10 sixth wave: GIF-decoded aHash + dual-hash verified pairs — t3
+    # is the q15+t2 suite-of-suites consolidation that funds it (q15/t2
+    # and all THEIR members stay benched; frozen series untouched)
+    "t3_tpch_join_agg_suite",
+    "x168_r10f_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -347,6 +352,8 @@ SUITE_MEMBERS = {
         "p2_percentile_disc_distributed", "j12_temporal_joins",
     ],
     "x165_r10e_ops_suite": ["x163_image_dedup_keep_one", "x164_image_dhash"],
+    "t3_tpch_join_agg_suite": ["q15_joins_suite", "t2_aggstress_suite"],
+    "x168_r10f_ops_suite": ["x166_gif_ahash", "x167_dualhash_pairs"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

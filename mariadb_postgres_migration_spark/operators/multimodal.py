@@ -1035,15 +1035,20 @@ def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
 
 
-def ahash_sql(dims_cte: str = "dims") -> str:
-    """The oracle-side aHash over the consistent-BMP closed form: the
-    x60 dims CTE exposes (doc_id, text, w, h) with pixel (y, x) = text
-    byte at (h-1-y)·w + x (the decoder un-flips BMP's bottom-up rows),
-    so the grid sample, total and threshold bits are all exact-integer
-    SQL. Emits a SELECT producing (doc_id, h_hi, h_lo)."""
+def ahash_sql(dims_cte: str = "dims", flip: bool = True) -> str:
+    """The oracle-side aHash over the consistent-fixture closed form:
+    the x60 dims CTE exposes (doc_id, text, w, h). ``flip=True`` (BMP):
+    pixel (y, x) = text byte at (h-1-y)·w + x — the decoder un-flips
+    BMP's bottom-up row order. ``flip=False`` (GIF/PNG): rows are
+    stored top-down, pixel (y, x) = byte at y·w + x. Order-free stats
+    (x60) can share one oracle across containers; the order-SENSITIVE
+    hash cannot — the two fixtures encode vertically mirrored images of
+    the same byte stream. Emits a SELECT producing (doc_id, h_hi,
+    h_lo)."""
+    row = "(h - 1 - (((k // 8) * h) // 8))" if flip else "(((k // 8) * h) // 8)"
     sample = (
         "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
-        "(h - 1 - (((k // 8) * h) // 8)) * w + (((k % 8) * w) // 8) + 1"
+        f"{row} * w + (((k % 8) * w) // 8) + 1"
         " AS INTEGER), 1)))"
     )
     return f"""SELECT doc_id,

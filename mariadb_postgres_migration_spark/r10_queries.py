@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from functools import reduce
 
 from . import analytics_queries  # noqa: F401  (j13 composes p2/j12 oracles)
+from . import r7_queries  # noqa: F401  (t3 composes q15's registered oracle)
+from . import r8_queries  # noqa: F401  (t3 composes t2's registered oracle)
 from . import r9_queries  # noqa: F401  (c8 composes c7's registered oracle)
 from .extension_queries import _suite_shape
 from .operators import audit as A
@@ -860,3 +862,179 @@ def x165_r10e_ops_suite(spark, sf_dir):
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
     )
     return keep.unionAll(dh)
+
+
+# ===========================================================================
+# r10 sixth wave: the GIF-decoded aHash (x166 — the x157 bits carried
+# through the real LZW decoder) and dual-hash verified pairs (x167 —
+# aHash candidates re-scored by dHash) — funded by consolidating the
+# q15/t2 TPC-H suites into t3_tpch_join_agg_suite.
+# ===========================================================================
+
+
+def _x166_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+    from .operators.multimodal import ahash_sql
+
+    # flip=False: GIF rows are stored top-down, so the GIF-decoded image
+    # is the vertical MIRROR of the BMP fixture's (whose pixel array is
+    # bottom-up) — order-free stats (x60/x78) share one oracle across
+    # containers, the order-sensitive hash cannot
+    return f"WITH {_CONSISTENT_DIMS_CTES}\n{ahash_sql('dims', flip=False)}"
+
+
+@register("x166_gif_ahash", _x166_sql(), "EXT-02", "EXT-04", tier=1)
+def x166_gif_ahash(spark, sf_dir):
+    """The x157 aHash kernel carried through GENUINE GIF87a payloads —
+    real LZW compression on the fixture side (encode_gif8) and the real
+    pure-Python LZW decoder on the query side (the x78 device). The
+    SAME decode→resample→threshold kernel runs unchanged; only the
+    oracle's row addressing differs (GIF stores rows top-down where the
+    BMP fixture's array is bottom-up — see ahash_sql), which is itself
+    evidence the hash reads the DECODED pixel geometry, not the raw
+    byte stream."""
+    from .operators.multimodal import attach_consistent_gif_payload, image_ahash
+
+    return image_ahash(
+        attach_consistent_gif_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _x167_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+    from .operators.multimodal import dhash_sql
+
+    # p and dsig each feed two references (dsig joins as both pair sides)
+    return f"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b, hamming AS ham_a
+     FROM ({member_oracle('x158_image_neardup')}) z),
+{_CONSISTENT_DIMS_CTES},
+dsig AS MATERIALIZED ({dhash_sql('dims')})
+SELECT p.doc_a, p.doc_b, p.ham_a,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS ham_d
+FROM p JOIN dsig a ON a.doc_id = p.doc_a
+       JOIN dsig b ON b.doc_id = p.doc_b"""
+
+
+@register("x167_dualhash_pairs", _x167_sql(), "EXT-02", "EXT-04", tier=1)
+def x167_dualhash_pairs(spark, sf_dir):
+    """Dual-hash near-dup verification: every x158 candidate pair
+    re-scored by the INDEPENDENT dHash distance — (doc_a, doc_b, ham_a,
+    ham_d). A pair small under BOTH hashes is the production-grade
+    image-dup signal (the two hashes fail differently: aHash on global
+    brightness, dHash on gradients); a pair small under aHash alone is
+    the review queue. Two doc_id equi-joins past the x158 plan — no new
+    candidate generation."""
+    from .operators.multimodal import (
+        attach_consistent_bmp_payload,
+        image_ahash,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    pairs = image_neardup_pairs(image_ahash(mm)).withColumnRenamed(
+        "hamming", "ham_a"
+    )
+    dsig = D._persist(image_dhash(mm))
+    a = dsig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+    )
+    b = dsig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+    )
+    ham_d = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("ham_d", ham_d)
+        .select("doc_a", "doc_b", "ham_a", "ham_d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t3_tpch_join_agg_suite — the q15/t2 consolidation suites as ONE driver
+# row (funds the x168 slot)
+# ---------------------------------------------------------------------------
+
+
+def _t3_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT concat('j_', kind) AS kind, id1, id2, v1, {z} AS v2,
+       {z} AS v3, d1, d2, s1
+FROM ({member_oracle('q15_joins_suite')})
+UNION ALL
+SELECT concat('a_', kind), id1, id2, v1, {z}, {z}, d1, d2, s1
+FROM ({member_oracle('t2_aggstress_suite')})"""
+
+
+@register(
+    "t3_tpch_join_agg_suite", _t3_sql(), "EXT-JOIN", "EXT-AGG", "EXT-TOPK",
+)
+def t3_tpch_join_agg_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped TPC-H consolidation
+    suites (q15 = q7+q10 joins, t2 = q18+t1 agg stress) — r10 window
+    math: their two slots fund this row plus x168. Both members keep
+    their identical (kind, id1, id2, v1, d1, d2, s1) shape with a
+    kind-namespace prefix; member oracles embedded verbatim; q15/t2 and
+    THEIR members all stay benched (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    zl = F.lit(0).cast("long")
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", zl.alias("v2"), zl.alias("v3"),
+            "d1", "d2", "s1",
+        )
+
+    q15 = REGISTRY["q15_joins_suite"].fn(spark, sf_dir)
+    t2 = REGISTRY["t2_aggstress_suite"].fn(spark, sf_dir)
+    return widen(q15, "j_").unionAll(widen(t2, "a_"))
+
+
+# ---------------------------------------------------------------------------
+# x168_r10f_ops_suite — the r10 sixth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x168_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'gah' AS kind, doc_id AS id1, {z} AS id2, h_hi AS v1,
+       h_lo AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x166_gif_ahash')})
+UNION ALL
+SELECT 'dual', doc_a, doc_b, ham_a, ham_d, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x167_dualhash_pairs')})"""
+
+
+@register(
+    "x168_r10f_ops_suite", _x168_sql(), "EXT-02", "EXT-04",
+)
+def x168_r10f_ops_suite(spark, sf_dir):
+    """Driver row for the r10 sixth wave — the GIF-decoded aHash (x166)
+    and dual-hash verified pairs (x167) — union-folded into the shared
+    kind-tagged suite shape (2 small members → lazy union per the
+    SCALE.md composition rule)."""
+    gah = _suite_shape(
+        x166_gif_ahash(spark, sf_dir), "gah",
+        id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
+    )
+    dual = _suite_shape(
+        x167_dualhash_pairs(spark, sf_dir), "dual",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("ham_a"),
+        v2=F.col("ham_d"),
+    )
+    return gah.unionAll(dual)

@@ -222,6 +222,7 @@ FROM ({member_oracle('q10_returned_item_revenue')})"""
 
 @register(
     "q15_joins_suite", _q15_sql(), "EXT-AGG", "EXT-JOIN", "EXT-TOPK",
+    tier=1,  # r10: consolidated into t3 (stays in bench HEADLINE + members)
 )
 def q15_joins_suite(spark, sf_dir):
     """Driver row consolidating the two join-heavy TPC-H shapes (Q7

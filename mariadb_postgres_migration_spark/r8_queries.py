@@ -683,6 +683,7 @@ FROM ({member_oracle('t1_salted_skew_agg')})"""
 
 @register(
     "t2_aggstress_suite", _t2_sql(), "EXT-AGG",
+    tier=1,  # r10: consolidated into t3 (stays in bench HEADLINE + members)
 )
 def t2_aggstress_suite(spark, sf_dir):
     """Driver row consolidating the two aggregate-stress shapes (Q18

@@ -425,3 +425,57 @@ def test_x163_keep_one_matches_union_find_over_x158_pairs(q):
     assert got == exp
     assert set(got) == nodes
     assert any(not k for _, k in got.values())  # real collapses happened
+
+
+def test_x166_gif_ahash_matches_direct_lzw_decoder_replay(spark):
+    """The GIF-path aHash must equal a driver-side replay through the
+    REAL LZW decoder + the same resample/threshold kernel."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_gif_payload,
+        decode_gif_pixels,
+        image_ahash,
+        resize_nearest,
+    )
+
+    text = "How vexingly quick daft zebras jump! " * 16
+    docs = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    mm = attach_consistent_gif_payload(docs)
+    payload = bytes(mm.select("payload").collect()[0][0])
+    arr = decode_gif_pixels(payload)
+    assert arr is not None
+    s = resize_nearest(arr.astype(np.int64), 8, 8).reshape(-1)
+    total = int(s.sum())
+    hi = lo = 0
+    for k in range(32):
+        hi = (hi << 1) | int(64 * int(s[k]) > total)
+    for k in range(32, 64):
+        lo = (lo << 1) | int(64 * int(s[k]) > total)
+    row = image_ahash(mm).collect()[0]
+    assert (row["h_hi"], row["h_lo"]) == (hi, lo)
+
+
+def test_x167_dual_hamming_matches_python(q):
+    """ham_d must equal driver-side XOR popcounts of the x164 signatures
+    over exactly the x158 pair set, with ham_a carried unchanged."""
+    dsig = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"])
+        for r in q("x164_image_dhash").collect()
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q("x158_image_neardup").collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["ham_a"], r["ham_d"])
+        for r in q("x167_dualhash_pairs").collect()
+    }
+    assert set(got) == set(pairs)
+    for (a, b), (ham_a, ham_d) in got.items():
+        assert ham_a == pairs[(a, b)]
+        exp_d = bin(dsig[a][0] ^ dsig[b][0]).count("1") + bin(
+            dsig[a][1] ^ dsig[b][1]
+        ).count("1")
+        assert ham_d == exp_d
+        assert 0 <= ham_d <= 64
