@@ -172,6 +172,12 @@ HEADLINE = [
     # and all THEIR members stay benched; frozen series untouched)
     "t3_tpch_join_agg_suite",
     "x168_r10f_ops_suite",
+    # r10 seventh wave: incremental image dedup + per-source image
+    # profile — s6 is the s2+w4 suite-of-suites consolidation that funds
+    # it (s2/w4 and all THEIR members stay benched; frozen series
+    # untouched)
+    "s6_setwindow_suite",
+    "x171_r10g_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -354,6 +360,10 @@ SUITE_MEMBERS = {
     "x165_r10e_ops_suite": ["x163_image_dedup_keep_one", "x164_image_dhash"],
     "t3_tpch_join_agg_suite": ["q15_joins_suite", "t2_aggstress_suite"],
     "x168_r10f_ops_suite": ["x166_gif_ahash", "x167_dualhash_pairs"],
+    "s6_setwindow_suite": ["s2_setgroup_suite", "w4_window_suite"],
+    "x171_r10g_ops_suite": [
+        "x169_incremental_image_dedup", "x170_source_image_profile",
+    ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -1038,3 +1038,192 @@ def x168_r10f_ops_suite(spark, sf_dir):
         v2=F.col("ham_d"),
     )
     return gah.unionAll(dual)
+
+
+# ===========================================================================
+# r10 seventh wave: incremental image dedup (x169 — the x45/x57 nightly-
+# ingest pattern on perceptual signatures) and the per-source image
+# profile (x170) — funded by consolidating the s2/w4 suites into
+# s6_setwindow_suite.
+# ===========================================================================
+
+
+def _x169_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+    from .operators.multimodal import ahash_sql
+
+    return f"""WITH {_CONSISTENT_DIMS_CTES},
+sig AS MATERIALIZED ({ahash_sql('dims')}),
+old AS (SELECT DISTINCT h_hi, h_lo FROM sig WHERE doc_id % 10 < 8),
+new AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
+keepn AS (SELECT h_hi, h_lo, min(doc_id) AS doc_id FROM new GROUP BY 1, 2)
+SELECT k.doc_id, (o.h_hi IS NOT NULL) AS is_dup_of_corpus
+FROM keepn k LEFT JOIN old o ON k.h_hi = o.h_hi AND k.h_lo = o.h_lo"""
+
+
+@register(
+    "x169_incremental_image_dedup", _x169_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def x169_incremental_image_dedup(spark, sf_dir):
+    """Nightly-ingest image dedup (the x45/x57 incremental pattern on
+    perceptual signatures): the new batch (doc_id%10 >= 8) dedups
+    within itself (min doc_id per aHash signature) and flags survivors
+    whose signature already exists in the corpus index (doc_id%10 < 8)
+    — exactly what an ingest pipeline checks before admitting images.
+    The corpus side is a DISTINCT signature index (~16 bytes/image);
+    the probe is one equi-join on the two 32-bit halves, broadcastable
+    at any batch size."""
+    from .operators.multimodal import attach_consistent_bmp_payload, image_ahash
+
+    sig = D._persist(
+        image_ahash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    old = (
+        sig.filter(F.col("doc_id") % 10 < 8).select("h_hi", "h_lo").distinct()
+    )
+    new = sig.filter(F.col("doc_id") % 10 >= 8)
+    keepn = new.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        keepn.join(
+            old.withColumn("__hit", F.lit(1)), ["h_hi", "h_lo"], "left"
+        )
+        .select("doc_id", F.col("__hit").isNotNull().alias("is_dup_of_corpus"))
+    )
+
+
+def _x170_sql() -> str:
+    from .extension_queries import _CONSISTENT_DIMS_CTES
+
+    return f"""WITH {_CONSISTENT_DIMS_CTES},
+src AS (SELECT d.doc_id, d.source FROM documents d)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(54 + m.w * m.h) AS BIGINT) AS total_bytes,
+       CAST(sum(m.w) AS BIGINT) AS sum_w,
+       CAST(sum(m.h) AS BIGINT) AS sum_h,
+       CAST(sum(CASE WHEN m.w < 32 OR m.h < 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small
+FROM dims m JOIN src s USING (doc_id)
+WHERE m.h >= 1
+GROUP BY s.source"""
+
+
+@register(
+    "x170_source_image_profile", _x170_sql(), "EXT-04", "EXT-05", tier=1,
+)
+def x170_source_image_profile(spark, sf_dir):
+    """Per-source image corpus profile over REAL header decodes: image
+    count, total payload bytes, dimension sums (exact ints — averages
+    are a division away without float-sum hazards), and the undersized
+    count — the image-side capacity sheet next to x147's sequence-length
+    histogram. One Arrow parse pass + one (source) map-side-combined
+    aggregate; ≤ |sources| rows out."""
+    from .operators.multimodal import (
+        attach_consistent_bmp_payload,
+        decode_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = decode_payloads(attach_consistent_bmp_payload(docs))
+    return (
+        dec.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("width").cast("long").alias("sum_w"),
+            F.sum("height").cast("long").alias("sum_h"),
+            F.sum(
+                ((F.col("width") < 32) | (F.col("height") < 8)).cast("long")
+            )
+            .cast("long")
+            .alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s6_setwindow_suite — the s2/w4 consolidation suites as ONE driver row
+# (funds the x171 slot)
+# ---------------------------------------------------------------------------
+
+
+def _s6_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT concat('s_', kind) AS kind, id1, {z} AS id2, v1,
+       {z} AS v2, {z} AS v3, d1, {zd} AS d2, s1
+FROM ({member_oracle('s2_setgroup_suite')})
+UNION ALL
+SELECT concat('w_', kind), id1, id2, {z}, {z}, {z}, d1, d2, s1
+FROM ({member_oracle('w4_window_suite')})"""
+
+
+@register(
+    "s6_setwindow_suite", _s6_sql(), "EXT-SET", "EXT-AGG", "EXT-WINDOW",
+    "EXT-TOPK",
+)
+def s6_setwindow_suite(spark, sf_dir):
+    """Driver row consolidating two same-family consolidation suites
+    (s2 = set ops + grouping analytics, w4 = window analytics) — r10
+    window math: their two slots fund this row plus x171. Both members'
+    narrower shapes widen into the standard 9 columns with a
+    kind-namespace prefix; member oracles embedded verbatim; s2/w4 and
+    their members all stay benched (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    s2 = REGISTRY["s2_setgroup_suite"].fn(spark, sf_dir).select(
+        F.concat(F.lit("s_"), F.col("kind")).alias("kind"),
+        "id1", zl.alias("id2"), "v1", zl.alias("v2"), zl.alias("v3"),
+        "d1", zd.alias("d2"), "s1",
+    )
+    w4 = REGISTRY["w4_window_suite"].fn(spark, sf_dir).select(
+        F.concat(F.lit("w_"), F.col("kind")).alias("kind"),
+        "id1", "id2", zl.alias("v1"), zl.alias("v2"), zl.alias("v3"),
+        "d1", "d2", "s1",
+    )
+    return s2.unionAll(w4)
+
+
+# ---------------------------------------------------------------------------
+# x171_r10g_ops_suite — the r10 seventh-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x171_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'incr' AS kind, doc_id AS id1, {z} AS id2,
+       CAST(is_dup_of_corpus AS BIGINT) AS v1, {z} AS v2, {z} AS v3,
+       {zd} AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x169_incremental_image_dedup')})
+UNION ALL
+SELECT 'prof', {z}, {z}, n_images, total_bytes, sum_w + sum_h, {zd},
+       CAST(n_small AS DOUBLE), source
+FROM ({member_oracle('x170_source_image_profile')})"""
+
+
+@register(
+    "x171_r10g_ops_suite", _x171_sql(), "EXT-01", "EXT-02", "EXT-04",
+    "EXT-05",
+)
+def x171_r10g_ops_suite(spark, sf_dir):
+    """Driver row for the r10 seventh wave — incremental image dedup
+    (x169) and the per-source image profile (x170) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union
+    per the SCALE.md composition rule)."""
+    incr = _suite_shape(
+        x169_incremental_image_dedup(spark, sf_dir), "incr",
+        id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
+    )
+    prof = _suite_shape(
+        x170_source_image_profile(spark, sf_dir), "prof",
+        v1=F.col("n_images"), v2=F.col("total_bytes"),
+        v3=F.col("sum_w") + F.col("sum_h"), d2=F.col("n_small"),
+        s1=F.col("source"),
+    )
+    return incr.unionAll(prof)

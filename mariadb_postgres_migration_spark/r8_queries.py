@@ -350,6 +350,7 @@ FROM ({member_oracle('w2_3_window_analytics')})"""
 
 @register(
     "w4_window_suite", _w4_sql(), "EXT-TOPK", "EXT-WINDOW",
+    tier=1,  # r10: consolidated into s6 (stays in bench HEADLINE + members)
 )
 def w4_window_suite(spark, sf_dir):
     """Driver row consolidating the two batch-window shapes (w1 grouped
@@ -524,6 +525,7 @@ FROM ({member_oracle('g_grouping_analytics')})"""
 
 @register(
     "s2_setgroup_suite", _s2_sql(), "EXT-SET", "EXT-AGG",
+    tier=1,  # r10: consolidated into s6 (stays in bench HEADLINE + members)
 )
 def s2_setgroup_suite(spark, sf_dir):
     """Driver row consolidating the set-algebra shapes (union/intersect/

@@ -479,3 +479,58 @@ def test_x167_dual_hamming_matches_python(q):
         ).count("1")
         assert ham_d == exp_d
         assert 0 <= ham_d <= 64
+
+
+def test_x169_incremental_dedup_matches_python_replay(q):
+    """is_dup_of_corpus must equal a pure-Python replay over the x157
+    signatures: new-batch min-id per signature, flagged iff the
+    signature exists in the corpus partition."""
+    sigs = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"])
+        for r in q("x157_image_ahash").collect()
+    }
+    old = {s for d, s in sigs.items() if d % 10 < 8}
+    keep: dict[tuple[int, int], int] = {}
+    for d in sorted(sigs):
+        if d % 10 >= 8:
+            keep.setdefault(sigs[d], d)
+    exp = {d: (s in old) for s, d in keep.items()}
+    got = {
+        r["doc_id"]: r["is_dup_of_corpus"]
+        for r in q("x169_incremental_image_dedup").collect()
+    }
+    assert got == exp
+    assert any(got.values()) and not all(got.values())
+
+
+def test_x170_profile_matches_python_aggregation(spark, sf_dir, q):
+    """The per-source sums must equal a driver-side aggregation over the
+    REAL header decodes joined to source."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_bmp_payload,
+        decode_payloads,
+    )
+    from mariadb_postgres_migration_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = {
+        r["doc_id"]: (r["n_bytes"], r["width"], r["height"])
+        for r in decode_payloads(attach_consistent_bmp_payload(docs)).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    exp: dict[str, list[int]] = {}
+    for d, (nb, w, h) in dec.items():
+        g = exp.setdefault(src[d], [0, 0, 0, 0, 0])
+        g[0] += 1
+        g[1] += nb
+        g[2] += w
+        g[3] += h
+        g[4] += int(w < 32 or h < 8)
+    got = {
+        r["source"]: [
+            r["n_images"], r["total_bytes"], r["sum_w"], r["sum_h"],
+            r["n_small"],
+        ]
+        for r in q("x170_source_image_profile").collect()
+    }
+    assert got == exp
