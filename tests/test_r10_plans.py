@@ -73,6 +73,65 @@ def test_x158_pairing_adds_no_python_beyond_the_signature(q):
     _no_expansion(df)
 
 
+def test_x164_dhash_single_kernel(q):
+    """image_dhash is ONE Arrow pass over the JVM-assembled payloads."""
+    df = q("x164_image_dhash")
+    assert python_eval_count(df) == 1
+    _no_expansion(df)
+
+
+def test_x166_gif_path_two_kernels(q):
+    """The GIF tier pays exactly two Python operators: the LZW fixture
+    builder (attach_consistent_gif_payload — fixture assembly, not a hot
+    path) and the aHash kernel."""
+    df = q("x166_gif_ahash")
+    assert python_eval_count(df) == 2
+    _no_expansion(df)
+
+
+def test_x169_incremental_dedup_plan(q):
+    """One signature kernel in the lineage; the corpus probe is an
+    equi-join on the signature halves — never an expansion node."""
+    df = q("x169_incremental_image_dedup")
+    assert python_eval_count(df) <= 2  # persisted sig lineage per side
+    _no_expansion(df)
+
+
+def test_x170_profile_single_kernel(q):
+    df = q("x170_source_image_profile")
+    assert python_eval_count(df) == 1
+    _no_expansion(df)
+
+
+def test_x161_curriculum_no_global_single_partition_sort(q):
+    """The curriculum boundary pass must run on the value-grouped frame,
+    not funnel the manifest through a global ntile: the plan may carry
+    single-partition windows only over the tiny distinct-quality frame,
+    and the phase projection joins a 1-row broadcast."""
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    df = q("x161_curriculum_phases")
+    text = simple_plan(df)
+    assert "ntile" not in text.lower()
+    _no_expansion_allowing_scalar_cross(df)
+
+
+def _no_expansion_allowing_scalar_cross(df):
+    """x161's phase projection is a crossJoin against a 1-row boundary
+    aggregate — the bounded scalar-broadcast shape (a `keys=[]`
+    zero-grouping aggregate somewhere among the broadcast build sides),
+    which is allowed where a data-sized expansion is not."""
+    from mariadb_postgres_migration_spark.plans import broadcast_build_subtrees
+
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    if "BroadcastNestedLoopJoin" in text:
+        subs = broadcast_build_subtrees(df)
+        assert any("keys=[]" in s for s in subs), (
+            "nested-loop join without a 1-row scalar-aggregate build side"
+        )
+
+
 def test_r10_suites_plan_no_expansion(q):
     for name in (
         "d3_dedup_core_suite",
@@ -81,5 +140,16 @@ def test_r10_suites_plan_no_expansion(q):
         "x159_r10c_ops_suite",
         "x154_multimodal_funnel",
         "x155_paired_profile",
+        "x165_r10e_ops_suite",
+        "x168_r10f_ops_suite",
+        "x171_r10g_ops_suite",
+        "w5_windowthread_suite",
+        "j13_order_temporal_suite",
+        "t3_tpch_join_agg_suite",
+        "s6_setwindow_suite",
+        "x163_image_dedup_keep_one",
+        "x167_dualhash_pairs",
     ):
         _no_expansion(q(name))
+    # x162 carries x161's 1-row boundary cross — the scalar shape only
+    _no_expansion_allowing_scalar_cross(q("x162_r10d_ops_suite"))
