@@ -524,7 +524,7 @@ def main() -> int:
     # host drifting WITHIN a run (jvm 0.424 -> 0.609), which no start-only
     # probe can expose. Median-of-3 at both ends + their spread ride the
     # final line; spread > CALIB_SPREAD_TAINT marks the recording tainted.
-    calib_end = _host_calibration(spark)
+    calib_end = _host_calibration(spark, jvm_only=True)
     calib["jvm_start"] = calib["jvm_med"]
     calib["jvm_end"] = calib_end["jvm_med"]
     spread = round(
@@ -605,7 +605,7 @@ def _write_member_artifact(member_timings: dict[str, dict[str, float]]) -> None:
     print(f"suite member timings written to {path}")
 
 
-def _host_calibration(spark) -> dict[str, float]:
+def _host_calibration(spark, jvm_only: bool = False) -> dict[str, float]:
     """Fixed-work probes for cross-round normalization (seconds).
 
     ``np``: 1024x1024 float64 matmul x4 — the BLAS kernel speed every
@@ -634,11 +634,13 @@ def _host_calibration(spark) -> dict[str, float]:
         return time.time() - t0
 
     jvm_runs = sorted(_jvm_probe() for _ in range(3))
-    return {
-        "np": round(min(_np_probe() for _ in range(3)), 3),
+    out = {
         "jvm": round(jvm_runs[0], 3),
         "jvm_med": round(jvm_runs[1], 3),
     }
+    if not jvm_only:  # the end-of-run probe only consumes jvm_med
+        out["np"] = round(min(_np_probe() for _ in range(3)), 3)
+    return out
 
 
 #: Start/end median jvm probes disagreeing by more than this fraction mark

@@ -56,13 +56,22 @@ def shuffle_joins_on_key(plan_text: str, key_prefix: str) -> list[str]:
     ending in the key (``ps_suppkey`` contains ``s_suppkey`` — a
     legitimate partsupp-keyed shuffle join would false-trip the supplier
     pins; ADVICE r9)."""
-    pat = re.compile(r"(?<![A-Za-z_])" + re.escape(key_prefix) + r"#")
+    pat = key_pattern(key_prefix)
     return [
         ln
         for ln in plan_text.split("\n")
         if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
         and pat.search(ln)
     ]
+
+
+def key_pattern(key_prefix: str) -> re.Pattern:
+    """The ONE boundary-anchored plan-text column matcher (``<key>#`` with
+    a left letter/underscore boundary) — shared by
+    :func:`shuffle_joins_on_key` and the broadcast-side scans in
+    tests/test_aqe_broadcast_pins.py so the two rules cannot drift
+    (review r10: the test had grown a private copy)."""
+    return re.compile(r"(?<![A-Za-z_])" + re.escape(key_prefix) + r"#")
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -795,8 +795,9 @@ def j13_order_temporal_suite(spark, sf_dir):
     values, 2-decimal by fixture construction); j12's per-kind NULL
     columns coalesce to 0 (unambiguous — which columns are NULL is
     determined by the member's own kind tag). Member oracles embedded
-    verbatim; both stay in the bench HEADLINE and the driver replica at
-    tier 1."""
+    verbatim; both stay tier-1-verified in the driver replica, and p2
+    stays in the bench HEADLINE for the frozen r4 series (j12 was never
+    a HEADLINE standalone — its j1/j2 members are)."""
     from .analytics_queries import j12_temporal_joins
     from .registry import REGISTRY
 

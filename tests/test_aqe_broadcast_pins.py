@@ -23,7 +23,6 @@ shuffle, and if a plan-text format change ever blinds the detector.
 from __future__ import annotations
 
 import os
-import re
 
 import pytest
 
@@ -31,6 +30,7 @@ from mariadb_postgres_migration_spark.plans import (
     final_adaptive_plan,
     shuffle_joins_on_key,
 )
+from mariadb_postgres_migration_spark.plans.inspect import key_pattern
 from mariadb_postgres_migration_spark.registry import REGISTRY, load_all_query_modules
 
 load_all_query_modules()
@@ -50,8 +50,10 @@ SUPPLIER_PINS = {
 
 #: boundary-anchored supplier-key match (ADVICE r9): plain containment
 #: also counted partsupp-keyed joins — ``ps_suppkey`` contains
-#: ``s_suppkey`` — so a partsupp broadcast could satisfy a supplier pin
-_S_SUPPKEY = re.compile(r"(?<![A-Za-z_])s_suppkey#")
+#: ``s_suppkey`` — so a partsupp broadcast could satisfy a supplier pin.
+#: Shared with shuffle_joins_on_key via plans.inspect.key_pattern so the
+#: shuffle and broadcast scans use ONE rule.
+_S_SUPPKEY = key_pattern("s_suppkey")
 
 
 def _supplier_broadcast_ok(df) -> tuple[list[str], int]:
