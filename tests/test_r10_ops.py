@@ -534,3 +534,27 @@ def test_x170_profile_matches_python_aggregation(spark, sf_dir, q):
         for r in q("x170_source_image_profile").collect()
     }
     assert got == exp
+
+
+def test_c8_frames_cache_is_bounded_and_releasable(spark, sf_dir):
+    """The c8 stage-frame memo mirrors the c1 manifest memo's contract:
+    foreign-session entries evict on access, <= 1 live entry per
+    sf_dir, and the frames survive a full persist-pool release."""
+    from collections import Counter
+
+    from mariadb_postgres_migration_spark import r10_queries as R10
+    from mariadb_postgres_migration_spark.operators.dedup import (
+        release_cached_intermediates,
+    )
+
+    R10._C8_FRAMES_CACHE[("dead-app-id", sf_dir)] = object()
+    R10._C8_FRAMES_CACHE[("dead-app-id", "/elsewhere/sf9")] = object()
+    st = R10._c8_stage_frames(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in R10._C8_FRAMES_CACHE)
+    per_sf = Counter(k[1] for k in R10._C8_FRAMES_CACHE)
+    assert all(n == 1 for n in per_sf.values())
+    n_valid = st["valid"].count()
+    assert n_valid > 0
+    release_cached_intermediates()
+    assert R10._c8_stage_frames(spark, sf_dir)["valid"].count() == n_valid
