@@ -178,6 +178,11 @@ HEADLINE = [
     # untouched)
     "s6_setwindow_suite",
     "x171_r10g_ops_suite",
+    # r10 eighth wave: caption-image rank correlation + curriculum/split
+    # mix audit — t4 is the x08_11+q_scalar consolidation that funds it
+    # (x08_11 stays above as a standalone for the frozen r4 series)
+    "t4_profile_scalar_suite",
+    "x174_r10h_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -363,6 +368,10 @@ SUITE_MEMBERS = {
     "s6_setwindow_suite": ["s2_setgroup_suite", "w4_window_suite"],
     "x171_r10g_ops_suite": [
         "x169_incremental_image_dedup", "x170_source_image_profile",
+    ],
+    "t4_profile_scalar_suite": ["x08_11_text_profile", "q_scalar_suite"],
+    "x174_r10h_ops_suite": [
+        "x172_caption_image_corr", "x173_phase_split_mix",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

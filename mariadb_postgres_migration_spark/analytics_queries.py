@@ -1244,6 +1244,7 @@ def q20_excess_share_suppliers(spark, sf_dir):
                (SELECT avg_yearly FROM ({_Q17_SQL})) AS avg_yearly,
                (SELECT revenue FROM ({_Q19_SQL})) AS q19_revenue""",
     "EXT-AGG",
+    tier=1,  # r10: consolidated into t4_profile_scalar_suite
 )
 def q_scalar_suite(spark, sf_dir):
     """Four single-row TPC-H shapes (Q6 scan-agg, Q14 conditional-ratio,

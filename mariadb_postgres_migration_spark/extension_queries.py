@@ -499,6 +499,7 @@ def x11_fingerprint_md5(spark, sf_dir):
         JOIN ({_lang_id_sql()}) l USING (doc_id)
         JOIN ({_X11_SQL}) f USING (doc_id)""",
     "EXT-05",
+    tier=1,  # r10: consolidated into t4 (stays in bench HEADLINE, r4 series)
 )
 def x08_11_text_profile(spark, sf_dir):
     """EXT-05 one-pass profile: token stats + quality + lang-id + md5

@@ -1228,3 +1228,213 @@ def x171_r10g_ops_suite(spark, sf_dir):
         s1=F.col("source"),
     )
     return incr.unionAll(prof)
+
+
+# ===========================================================================
+# r10 eighth wave: caption-image size rank correlation (x172 — the paired-
+# dataset bias probe) and the curriculum×split mix audit (x173) — funded by
+# consolidating the x08_11/q_scalar standalones into t4_profile_scalar_suite.
+# ===========================================================================
+
+#: x172's fixed probe panel (the x142 device): bounded at every SF, so the
+#: two global rank windows never see more than ~512 rows.
+X172_PANEL_SQL = (
+    "doc_id < 4096 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+    " IN ('0', '1')"
+)
+
+
+def _x172_sql() -> str:
+    from .extension_queries import _TOKS_CTE
+
+    d2 = "sum((rb - rt) * (rb - rt))"
+    return f"""WITH c8r AS MATERIALIZED (SELECT doc_id, n_bytes
+     FROM ({member_oracle('c8_multimodal_pipeline')}) z
+     WHERE {X172_PANEL_SQL}),
+{_TOKS_CTE},
+j AS (SELECT c8r.doc_id, c8r.n_bytes, CAST(len(toks.w) AS BIGINT) AS n_tok
+      FROM c8r JOIN toks USING (doc_id)),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY n_bytes, doc_id) AS rb,
+             row_number() OVER (ORDER BY n_tok, doc_id) AS rt
+      FROM j)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST({d2} AS BIGINT) AS sum_d2,
+       CASE WHEN count(*) > 1
+            THEN round(1 - 6.0 * {d2}
+                       / (count(*) * (count(*) * count(*) - 1)), 4)
+            ELSE 0.0 END AS rho
+FROM r"""
+
+
+@register(
+    "x172_caption_image_corr", _x172_sql(), "EXT-04", "EXT-05",
+    "EXT-ANALYTICS", tier=1,
+)
+def x172_caption_image_corr(spark, sf_dir):
+    """Caption-length vs image-size Spearman over the c8 paired dataset
+    (the x126 deterministic-rank convention: row_number with doc_id
+    tiebreak, exact int64 Σd², rho one rounded IEEE expression) — the
+    modality-balance bias probe a paired-dataset audit runs ("are
+    longer captions systematically attached to bigger images"), on the
+    fixed md5-chosen panel so the global rank windows stay ≤512 rows at
+    any corpus scale. n_tok joins from the c7 manifest (the x155
+    consistency device)."""
+    from .r9_queries import c7_pretraining_pipeline
+
+    panel = c8_multimodal_pipeline(spark, sf_dir).select(
+        "doc_id", "n_bytes"
+    ).filter(
+        (F.col("doc_id") < 4096)
+        & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    )
+    j = panel.join(
+        c7_pretraining_pipeline(spark, sf_dir).select("doc_id", "n_tok"),
+        "doc_id",
+    )
+    rb = F.row_number().over(Window.orderBy("n_bytes", "doc_id"))
+    rt = F.row_number().over(Window.orderBy("n_tok", "doc_id"))
+    ranked = j.select(rb.alias("rb"), rt.alias("rt"))
+    n = F.count("*")
+    d2 = F.sum((F.col("rb") - F.col("rt")) * (F.col("rb") - F.col("rt")))
+    rho = F.when(
+        n > 1,
+        F.round(F.lit(1) - F.lit(6.0) * d2 / (n * (n * n - 1)), 4),
+    ).otherwise(F.lit(0.0))
+    return ranked.agg(
+        n.cast("long").alias("n_pairs"),
+        d2.cast("long").alias("sum_d2"),
+        rho.cast("double").alias("rho"),
+    )
+
+
+def _x173_sql() -> str:
+    from .operators import textanalysis as T
+
+    return f"""WITH ph AS (SELECT doc_id, phase
+           FROM ({member_oracle('x161_curriculum_phases')}) z)
+SELECT {T.split_case_sql()} AS split, phase,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ph GROUP BY 1, 2"""
+
+
+@register(
+    "x173_phase_split_mix", _x173_sql(), "EXT-05", tier=1,
+)
+def x173_phase_split_mix(spark, sf_dir):
+    """Curriculum×split mix audit: document counts per (split, phase)
+    over the x161 assignment — the report proving the quality-quartile
+    schedule is available in EVERY split (a curriculum whose val split
+    lacks phase-4 docs validates nothing). Split is the x138 row-local
+    hash rule applied directly (no c7 chain re-run); ≤ 3·4 rows out."""
+    from .operators import textanalysis as T
+
+    ph = x161_curriculum_phases(spark, sf_dir).select("doc_id", "phase")
+    return (
+        T.split_assign(ph)
+        .groupBy("split", "phase")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select("split", "phase", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t4_profile_scalar_suite — the x08_11/q_scalar standalones as ONE driver
+# row (funds the x174 slot)
+# ---------------------------------------------------------------------------
+
+
+def _t4_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'prof' AS kind, doc_id AS id1,
+       CAST(round(punct_ratio * 10000) AS BIGINT) AS id2,
+       n_tokens AS v1, n_subtokens AS v2, n_chars AS v3,
+       CAST(quality AS DOUBLE) AS d1,
+       CAST(round(stop_ratio * 10000) AS DOUBLE) AS d2,
+       concat(lang_pred, '|', fingerprint) AS s1
+FROM ({member_oracle('x08_11_text_profile')})
+UNION ALL
+SELECT 'qs', {z}, {z},
+       CAST(round(q6_revenue * 100) AS BIGINT),
+       CAST(round(promo_pct * 100) AS BIGINT),
+       CAST(round(avg_yearly * 100) AS BIGINT),
+       CAST(q19_revenue AS DOUBLE), {zd}, CAST(NULL AS VARCHAR)
+FROM ({member_oracle('q_scalar_suite')})"""
+
+
+@register(
+    "t4_profile_scalar_suite", _t4_sql(), "EXT-05", "EXT-AGG",
+)
+def t4_profile_scalar_suite(spark, sf_dir):
+    """Driver row consolidating the one-pass text profile (x08_11) and
+    the TPC-H scalar four-pack (q_scalar) — r10 window math: their two
+    slots fund this row plus x174. The profile's round(_,4) ratios ride
+    as exact ×10⁴ scalings and its two strings pipe-join into s1; the
+    scalar row's 2-decimal aggregates ride as half-up cents. Member
+    oracles embedded verbatim; both stay tier-1-verified (x08_11 stays
+    in the bench HEADLINE for the frozen r4 series; c1's oracle keeps
+    composing the registered x08_11 text unchanged)."""
+    from .registry import REGISTRY
+
+    zl = F.lit(0).cast("long")
+    prof = REGISTRY["x08_11_text_profile"].fn(spark, sf_dir).select(
+        F.lit("prof").alias("kind"),
+        F.col("doc_id").cast("long").alias("id1"),
+        F.round(F.col("punct_ratio") * 10000).cast("long").alias("id2"),
+        F.col("n_tokens").cast("long").alias("v1"),
+        F.col("n_subtokens").cast("long").alias("v2"),
+        F.col("n_chars").cast("long").alias("v3"),
+        F.col("quality").cast("double").alias("d1"),
+        F.round(F.col("stop_ratio") * 10000).cast("double").alias("d2"),
+        F.concat_ws("|", "lang_pred", "fingerprint").alias("s1"),
+    )
+    qs = REGISTRY["q_scalar_suite"].fn(spark, sf_dir).select(
+        F.lit("qs").alias("kind"),
+        zl.alias("id1"),
+        zl.alias("id2"),
+        F.round(F.col("q6_revenue") * 100).cast("long").alias("v1"),
+        F.round(F.col("promo_pct") * 100).cast("long").alias("v2"),
+        F.round(F.col("avg_yearly") * 100).cast("long").alias("v3"),
+        F.col("q19_revenue").cast("double").alias("d1"),
+        F.lit(0.0).alias("d2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    return prof.unionAll(qs)
+
+
+# ---------------------------------------------------------------------------
+# x174_r10h_ops_suite — the r10 eighth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x174_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'corr' AS kind, {z} AS id1, {z} AS id2, n_pairs AS v1,
+       sum_d2 AS v2, {z} AS v3, rho AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x172_caption_image_corr')})
+UNION ALL
+SELECT 'mix', phase, {z}, n_docs, {z}, {z}, {zd}, {zd}, split
+FROM ({member_oracle('x173_phase_split_mix')})"""
+
+
+@register(
+    "x174_r10h_ops_suite", _x174_sql(), "EXT-04", "EXT-05", "EXT-ANALYTICS",
+)
+def x174_r10h_ops_suite(spark, sf_dir):
+    """Driver row for the r10 eighth wave — the caption-image rank
+    correlation (x172) and the curriculum×split mix audit (x173) —
+    union-folded into the shared kind-tagged suite shape (2 small
+    members → lazy union per the SCALE.md composition rule; the c1/c8
+    chains underneath are shared through the session memos)."""
+    corr = _suite_shape(
+        x172_caption_image_corr(spark, sf_dir), "corr",
+        v1=F.col("n_pairs"), v2=F.col("sum_d2"), d1=F.col("rho"),
+    )
+    mix = _suite_shape(
+        x173_phase_split_mix(spark, sf_dir), "mix",
+        id1=F.col("phase"), v1=F.col("n_docs"), s1=F.col("split"),
+    )
+    return corr.unionAll(mix)

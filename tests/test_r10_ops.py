@@ -558,3 +558,71 @@ def test_c8_frames_cache_is_bounded_and_releasable(spark, sf_dir):
     assert n_valid > 0
     release_cached_intermediates()
     assert R10._c8_stage_frames(spark, sf_dir)["valid"].count() == n_valid
+
+
+def test_x172_spearman_matches_python_replay(q):
+    """n/Σd²/rho must equal a pure-Python rank replay over the SAME
+    panel pairs and n_tok values."""
+    ntok = {
+        r["doc_id"]: r["n_tok"]
+        for r in q("c7_pretraining_pipeline").collect()
+    }
+    import hashlib
+
+    panel = []
+    for r in q("c8_multimodal_pipeline").collect():
+        d = r["doc_id"]
+        if d < 4096 and hashlib.md5(str(d).encode()).hexdigest()[0] in "01":
+            panel.append((d, r["n_bytes"], ntok[d]))
+    rb = {
+        d: i + 1
+        for i, (d, _, _) in enumerate(
+            sorted(panel, key=lambda t: (t[1], t[0]))
+        )
+    }
+    rt = {
+        d: i + 1
+        for i, (d, _, _) in enumerate(
+            sorted(panel, key=lambda t: (t[2], t[0]))
+        )
+    }
+    n = len(panel)
+    d2 = sum((rb[d] - rt[d]) ** 2 for d, _, _ in panel)
+    rho = round(1 - 6.0 * d2 / (n * (n * n - 1)), 4) if n > 1 else 0.0
+    row = q("x172_caption_image_corr").collect()[0]
+    assert (row["n_pairs"], row["sum_d2"]) == (n, d2)
+    assert abs(row["rho"] - rho) < 1e-9
+    assert n > 1  # the fixed panel is non-vacuous at the test SF
+
+
+def test_x173_mix_matches_python_and_covers_phases(q):
+    """Counts must equal a driver-side (split, phase) aggregation of the
+    x161 assignment under the x138 hash rule, and the train split must
+    see every phase."""
+    import hashlib
+
+    from mariadb_postgres_migration_spark.operators.textanalysis import (
+        SPLIT_PERMILLE,
+    )
+
+    def split_of(doc_id):
+        frac = int(
+            hashlib.md5(f"{doc_id}:split".encode()).hexdigest()[:8], 16
+        ) % 1000
+        for name, bound in SPLIT_PERMILLE:
+            if frac < bound:
+                return name
+        return "test"
+
+    exp: dict[tuple[str, int], int] = {}
+    phases = q("x161_curriculum_phases").collect()
+    for r in phases:
+        k = (split_of(r["doc_id"]), r["phase"])
+        exp[k] = exp.get(k, 0) + 1
+    got = {
+        (r["split"], r["phase"]): r["n_docs"]
+        for r in q("x173_phase_split_mix").collect()
+    }
+    assert got == exp
+    train_phases = {p for (s, p) in got if s == "train"}
+    assert train_phases == {1, 2, 3, 4}
