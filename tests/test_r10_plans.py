@@ -151,5 +151,13 @@ def test_r10_suites_plan_no_expansion(q):
         "x167_dualhash_pairs",
     ):
         _no_expansion(q(name))
-    # x162 carries x161's 1-row boundary cross — the scalar shape only
-    _no_expansion_allowing_scalar_cross(q("x162_r10d_ops_suite"))
+    # rows carrying a 1-row scalar cross (x161's boundary frame inside
+    # x162/x173/x174; q_scalar's four 1-row subplans inside t4) allow
+    # ONLY the scalar-broadcast shape
+    for name in (
+        "x162_r10d_ops_suite",
+        "x173_phase_split_mix",
+        "x174_r10h_ops_suite",
+        "t4_profile_scalar_suite",
+    ):
+        _no_expansion_allowing_scalar_cross(q(name))
