@@ -597,11 +597,13 @@ def x161_curriculum_phases(spark, sf_dir):
     phases 1..4 via exact discrete percentiles (the p2 cum-count
     device) — the easy→hard schedule a curriculum data loader reads,
     computed the scalable 2-pass way (value-grouped boundary pass +
-    row-local CASE against a 1-row broadcast), never a global ntile."""
-    from .extension_queries import c1_curation_pipeline
+    row-local CASE against a 1-row broadcast), never a global ntile.
+    Consumes the memoized c1 result frame so x174's union action (and
+    any same-session consumer) pays the curation chain once."""
     from .operators import textanalysis as T
+    from .r9_queries import _c1_result
 
-    return T.curriculum_phases(c1_curation_pipeline(spark, sf_dir))
+    return T.curriculum_phases(_c1_result(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

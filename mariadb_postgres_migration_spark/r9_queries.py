@@ -216,7 +216,13 @@ def s4_ann_suite(spark, sf_dir):
 _C1_MANIFEST_CACHE: dict = {}
 
 
-def _c1_manifest(spark, sf_dir):
+def _c1_result(spark, sf_dir):
+    """The memoized FULL c1 output (doc_id, n_tokens, quality,
+    lang_pred) — r10 widened the memo from doc_id-only so consumers
+    needing survivor ATTRIBUTES (x161's quality-quartile phases, via
+    x174) share the same persisted chain as the manifest consumers
+    instead of re-running the curation; the frame is ≤ |survivors|
+    rows × 4 narrow columns, so the wider persist is negligible."""
     from .extension_queries import c1_curation_pipeline
 
     app = spark.sparkContext.applicationId
@@ -225,9 +231,13 @@ def _c1_manifest(spark, sf_dir):
     key = (app, sf_dir)
     m = _C1_MANIFEST_CACHE.get(key)
     if m is None:
-        m = c1_curation_pipeline(spark, sf_dir).select("doc_id")
+        m = c1_curation_pipeline(spark, sf_dir)
         _C1_MANIFEST_CACHE[key] = m
     return D._persist(m)
+
+
+def _c1_manifest(spark, sf_dir):
+    return _c1_result(spark, sf_dir).select("doc_id")
 
 
 def _c7_sql() -> str:
