@@ -1035,7 +1035,9 @@ def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
 
 
-def ahash_sql(dims_cte: str = "dims", flip: bool = True) -> str:
+def ahash_sql(
+    dims_cte: str = "dims", flip: bool = True, grid: int = AHASH_GRID
+) -> str:
     """The oracle-side aHash over the consistent-fixture closed form:
     the x60 dims CTE exposes (doc_id, text, w, h). ``flip=True`` (BMP):
     pixel (y, x) = text byte at (h-1-y)·w + x — the decoder un-flips
@@ -1045,6 +1047,11 @@ def ahash_sql(dims_cte: str = "dims", flip: bool = True) -> str:
     hash cannot — the two fixtures encode vertically mirrored images of
     the same byte stream. Emits a SELECT producing (doc_id, h_hi,
     h_lo)."""
+    if grid != AHASH_GRID:
+        # the literals below (8, 9, 64, bit positions 31-k / 63-k) are the
+        # grid=8 geometry; a caller registering image_ahash(grid=N) with
+        # this oracle would silently desync engine and oracle (ADVICE r10)
+        raise ValueError(f"ahash_sql only encodes grid={AHASH_GRID}, got {grid}")
     row = "(h - 1 - (((k // 8) * h) // 8))" if flip else "(((k // 8) * h) // 8)"
     sample = (
         "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
@@ -1105,10 +1112,13 @@ def image_dhash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
 
 
-def dhash_sql(dims_cte: str = "dims") -> str:
+def dhash_sql(dims_cte: str = "dims", grid: int = AHASH_GRID) -> str:
     """Oracle-side dHash over the consistent-BMP closed form (see
     :func:`ahash_sql` for the pixel addressing); bit k (y = k//8,
     x = k%8) compares the (grid+1)-wide resample's columns x+1 and x."""
+    if grid != AHASH_GRID:
+        # same grid=8 literal geometry guard as ahash_sql (ADVICE r10)
+        raise ValueError(f"dhash_sql only encodes grid={AHASH_GRID}, got {grid}")
 
     def val(sx_expr: str) -> str:
         return (

@@ -1129,7 +1129,13 @@ def x170_source_image_profile(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    dec = decode_payloads(attach_consistent_bmp_payload(docs))
+    # height >= 1 mirrors both the builder's own fixture filter and the
+    # oracle's `WHERE m.h >= 1` predicate explicitly (ADVICE r10): the
+    # decode side must never admit a degenerate-height header the oracle's
+    # closed form excludes, even if the fixture's filter ever changes.
+    dec = decode_payloads(attach_consistent_bmp_payload(docs)).filter(
+        F.col("height") >= 1
+    )
     return (
         dec.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -1354,7 +1360,7 @@ def _t4_sql() -> str:
        n_tokens AS v1, n_subtokens AS v2, n_chars AS v3,
        CAST(quality AS DOUBLE) AS d1,
        CAST(round(stop_ratio * 10000) AS DOUBLE) AS d2,
-       concat(lang_pred, '|', fingerprint) AS s1
+       concat_ws('|', lang_pred, fingerprint) AS s1
 FROM ({member_oracle('x08_11_text_profile')})
 UNION ALL
 SELECT 'qs', {z}, {z},
