@@ -171,7 +171,22 @@ def s4_ann_suite(spark, sf_dir):
     hash-verify in one row. r10 extends x142 to 5 tiers (rc_pq/rc_ivfpq
     join rc_ivf/rc_lsh/rc_mplsh — VERDICT r9 #2). Members' oracles
     embedded verbatim; x07/x25 stay in the bench HEADLINE for the
-    frozen r4 series."""
+    frozen r4 series.
+
+    Composition (adjudicated r11 after the r10 driver bench tripped
+    `suites_inflated` on a normal-numpy session — the x76 standing rule):
+    SPLIT-RC — the heavy x142 member materializes eagerly and its
+    internal brute-force persist releases immediately; the two
+    sub-second members stay a lazy union with it. Two same-session
+    isolated A/Bs at sf0.1 (the second untainted, spread 0.071): split-rc
+    medians 7.77/7.58s vs union 8.65/7.88s vs full-sequential 9.18/8.85s
+    against member sums 8.33/8.72 — split-rc is fastest AND caps the
+    storage-pool residency the inflation flag hunts. SCALE.md
+    suite-composition section has the numbers; MPS_SUITE_UNION=1 flips
+    back to the lazy union for future A/Bs."""
+    from .extension_queries import _suite_materialize, _suite_release
+    from .operators.dedup import persist_pool_mark
+
     zl = F.lit(0).cast("long")
     ivf = _suite_shape(
         x07_knn_ivf(spark, sf_dir), "ivf7",
@@ -185,6 +200,7 @@ def s4_ann_suite(spark, sf_dir):
     )
     # x142's kind is data-driven (rc_<tier>), so it bypasses _suite_shape's
     # literal-kind convention and projects the 9-column shape directly
+    mark = persist_pool_mark()
     rc = x142_ann_recall(spark, sf_dir).select(
         F.concat(F.lit("rc_"), F.col("tier")).alias("kind"),
         F.col("q_id").cast("long").alias("id1"),
@@ -194,6 +210,10 @@ def s4_ann_suite(spark, sf_dir):
         F.lit(0.0).alias("d1"), F.lit(0.0).alias("d2"),
         F.lit(None).cast("string").alias("s1"),
     )
+    # split-rc form (r11 A/B — see docstring): materialize the heavy
+    # member now, drop its brute-force persist before the union action
+    rc = _suite_materialize(rc)
+    _suite_release(mark)
     return ivf.unionAll(lsh).unionAll(rc)
 
 
