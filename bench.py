@@ -183,6 +183,13 @@ HEADLINE = [
     # (x08_11 stays above as a standalone for the frozen r4 series)
     "t4_profile_scalar_suite",
     "x174_r10h_ops_suite",
+    # r11: the perceptual-dedup composed multimodal pipeline (decode gate
+    # -> aHash/banded-LSH/keep-one dedup -> dim gate -> c7 pairing — the
+    # c8 skeleton with the dedup tier swapped) — m3 is the x156+x159
+    # suite-of-suites consolidation that funds it (x156/x159 and all
+    # THEIR members stay benched; frozen series untouched)
+    "m3_r10bc_suite",
+    "c9_multimodal_lsh",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -373,6 +380,7 @@ SUITE_MEMBERS = {
     "x174_r10h_ops_suite": [
         "x172_caption_image_corr", "x173_phase_split_mix",
     ],
+    "m3_r10bc_suite": ["x156_r10b_ops_suite", "x159_r10c_ops_suite"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

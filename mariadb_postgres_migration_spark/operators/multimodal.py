@@ -988,7 +988,9 @@ PIXEL_STATS_SCHEMA = StructType(
 AHASH_GRID = 8
 
 
-def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+def image_ahash(
+    multimodal: DataFrame, grid: int = AHASH_GRID, with_dims: bool = False
+) -> DataFrame:
     """EXT-04/EXT-02: average-hash perceptual signature over REAL decoded
     pixels — the image analog of SimHash (x04) and the first stage of
     every production image-dedup pass: decode (:func:`decode_pixels`,
@@ -1000,6 +1002,10 @@ def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
 
     Output ``(doc_id, h_hi, h_lo)`` — two 32-bit halves (see AHASH_GRID
     note). Rows whose payload no decoder recognizes emit nothing.
+    ``with_dims=True`` additionally carries the DECODED array's
+    (width, height) so a downstream dimension gate shares this single
+    Arrow pass instead of re-decoding (the c9 pipeline's device — the
+    decode_payloads ``carry_cols`` lesson applied to pixel decode).
 
     Scale: one Arrow-batched pass, no shuffle; the signature table is
     ~16 bytes/image, the thing a 100 TB image corpus actually indexes."""
@@ -1011,7 +1017,7 @@ def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            ids, his, los = [], [], []
+            ids, his, los, ws, hs = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = decode_pixels(bytes(payload) if payload is not None else b"")
                 if arr is None:
@@ -1030,9 +1036,19 @@ def image_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
                 ids.append(doc_id)
                 his.append(hi)
                 los.append(lo)
-            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+                if with_dims:
+                    hs.append(a.shape[0])
+                    ws.append(a.shape[1])
+            out = {"doc_id": ids, "h_hi": his, "h_lo": los}
+            if with_dims:
+                out["width"] = ws
+                out["height"] = hs
+            yield pd.DataFrame(out)
 
-    return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
+    schema = "doc_id long, h_hi long, h_lo long"
+    if with_dims:
+        schema += ", width long, height long"
+    return multimodal.mapInPandas(_hash, schema)
 
 
 def ahash_sql(
@@ -1224,14 +1240,16 @@ def image_neardup_pairs(
     )
 
 
-def ahash_pairs_sql(
+def ahash_pairs_ctes(
     sig_cte: str = "sig",
-    max_hamming: int = AHASH_MAX_HAMMING,
     max_bucket: int = AHASH_MAX_BUCKET,
 ) -> str:
-    """Oracle twin of :func:`image_neardup_pairs` over a signature CTE
-    named ``sig_cte`` — same 4×16 banding, same stop-bucket cap, same
-    exact hamming verify."""
+    """The CTE chain of :func:`ahash_pairs_sql` WITHOUT the final SELECT
+    (bands → stop-bucket filter → candidates → exact hamming in ``ham``)
+    — for composers that need the verified pairs as an intermediate of a
+    larger chain (c9's perceptual-dedup stage) rather than as the query
+    result. :func:`ahash_pairs_sql` is this text plus the final SELECT,
+    so the two can never drift."""
     return f"""bands AS (
   SELECT doc_id, 0 AS bno, h_hi // 65536 AS v FROM {sig_cte}
   UNION ALL SELECT doc_id, 1, h_hi % 65536 FROM {sig_cte}
@@ -1247,8 +1265,21 @@ ham AS (SELECT c.doc_a, c.doc_b,
                     + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
         FROM cand c
         JOIN {sig_cte} a ON a.doc_id = c.doc_a
-        JOIN {sig_cte} b ON b.doc_id = c.doc_b)
-SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}"""
+        JOIN {sig_cte} b ON b.doc_id = c.doc_b)"""
+
+
+def ahash_pairs_sql(
+    sig_cte: str = "sig",
+    max_hamming: int = AHASH_MAX_HAMMING,
+    max_bucket: int = AHASH_MAX_BUCKET,
+) -> str:
+    """Oracle twin of :func:`image_neardup_pairs` over a signature CTE
+    named ``sig_cte`` — same 4×16 banding, same stop-bucket cap, same
+    exact hamming verify."""
+    return (
+        ahash_pairs_ctes(sig_cte, max_bucket)
+        + f"\nSELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}"
+    )
 
 
 def pixel_stats(multimodal: DataFrame) -> DataFrame:

@@ -394,6 +394,7 @@ FROM ({member_oracle('x155_paired_profile')})"""
 
 @register(
     "x156_r10b_ops_suite", _x156_sql(), "EXT-04", "EXT-05",
+    tier=1,  # r11: consolidated into m3_r10bc_suite (stays in bench HEADLINE)
 )
 def x156_r10b_ops_suite(spark, sf_dir):
     """Driver row for the r10 second wave — the multimodal curation
@@ -540,6 +541,7 @@ FROM ({member_oracle('x158_image_neardup')})"""
 
 @register(
     "x159_r10c_ops_suite", _x159_sql(), "EXT-02", "EXT-04",
+    tier=1,  # r11: consolidated into m3_r10bc_suite (stays in bench HEADLINE)
 )
 def x159_r10c_ops_suite(spark, sf_dir):
     """Driver row for the r10 third wave — the image aHash signature

@@ -68,3 +68,127 @@ def test_consistent_bmp_builder_drops_subwidth_texts(spark):
     assert rows[2]["width"] == 16 and rows[2]["height"] == 1
     # and the unfiltered decode agrees: the builder never emitted h=0
     assert decode_payloads(mm).count() == 1
+
+
+def test_image_ahash_with_dims_carries_decoded_shape(spark):
+    """with_dims=True must emit the DECODED array's dims (one Arrow pass
+    for gate + signature + dim gate — the c9 device), identical bits to
+    the plain form."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        image_ahash,
+    )
+
+    text = "The quick brown fox jumps over the lazy dog " * 12
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    mm = attach_consistent_bmp_payload(docs)
+    plain = image_ahash(mm).collect()[0]
+    dimmed = image_ahash(mm, with_dims=True).collect()[0]
+    assert (dimmed["h_hi"], dimmed["h_lo"]) == (plain["h_hi"], plain["h_lo"])
+    proj = "".join(ch for ch in text if " " <= ch <= "~")
+    w = 16 + (ord(proj[0]) % 16) * 4
+    assert dimmed["width"] == w
+    assert dimmed["height"] == min(len(proj) // w, 16)
+
+
+def _c9_python_replay(spark, sf_dir):
+    """Pure-Python replay of every c9 stage over the REAL fixture
+    payloads: decode (real decoder), aHash bits, 4x16 banding with the
+    bucket cap, exact hamming verify, union-find keep-one, dim gate."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        AHASH_MAX_BUCKET,
+        AHASH_MAX_HAMMING,
+        decode_bmp_pixels,
+        resize_nearest,
+    )
+    from mariadb_postgres_migration_spark.r10_queries import C8_CORRUPT_MOD
+    from mariadb_postgres_migration_spark.r11_queries import C9_MIN_H
+    from mariadb_postgres_migration_spark.registry import _t
+
+    mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    sigs, dims = {}, {}
+    for r in mm.collect():
+        payload = bytes(r["payload"])
+        if r["doc_id"] % C8_CORRUPT_MOD == 0:
+            payload = b"\x00\x00" + payload  # the corruption rule
+        arr = decode_bmp_pixels(payload)
+        if arr is None:
+            continue  # stage 1: the decode gate
+        s = resize_nearest(arr.astype(np.int64), 8, 8).reshape(-1)
+        total = int(s.sum())
+        hi = lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(64 * int(s[k]) > total)
+        for k in range(32, 64):
+            lo = (lo << 1) | int(64 * int(s[k]) > total)
+        sigs[r["doc_id"]] = (hi, lo)
+        dims[r["doc_id"]] = (arr.shape[1], arr.shape[0])
+    # stage 2: banded pairs + union-find keep-one
+    buckets = defaultdict(list)
+    for d, (hi, lo) in sigs.items():
+        for bno, v in enumerate((hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF)):
+            buckets[(bno, v)].append(d)
+    parent = {d: d for d in sigs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ids in buckets.values():
+        if len(ids) > AHASH_MAX_BUCKET:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                    sigs[a][1] ^ sigs[b][1]
+                ).count("1")
+                if h <= AHASH_MAX_HAMMING:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    keep = {d for d in sigs if find(d) == d}
+    # stage 3: the dimension gate
+    return {d for d in keep if dims[d][1] >= C9_MIN_H}, sigs, dims
+
+
+def test_c9_matches_pure_python_stage_replay(spark, sf_dir, q):
+    """c9's survivor set, dims and signatures must equal the pure-Python
+    replay of decode-gate -> perceptual keep-one -> dim-gate, and its
+    split/shard must come from the c7 manifest."""
+    qual, sigs, dims = _c9_python_replay(spark, sf_dir)
+    manifest = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in q("c7_pretraining_pipeline").collect()
+    }
+    expected = {d for d in qual if d in manifest}
+    rows = {r["doc_id"]: r for r in q("c9_multimodal_lsh").collect()}
+    assert set(rows) == expected
+    for d, r in rows.items():
+        assert (r["h_hi"], r["h_lo"]) == sigs[d]
+        assert (r["width"], r["height"]) == dims[d]
+        assert (r["split"], r["shard"]) == manifest[d]
+    assert expected, "fixture yields no c9 survivors — vacuous row"
+
+
+def test_c9_dedup_stage_is_perceptual_not_exact(spark, sf_dir, q):
+    """The tier-swap proof: c9 must drop at least one document whose
+    PAYLOAD BYTES are unique (exact md5 dedup would keep it) because its
+    PIXELS near-duplicate a lower-id survivor — and every c9 survivor
+    must be its own perceptual component representative."""
+    qual, sigs, dims = _c9_python_replay(spark, sf_dir)
+    survivors = set(r["doc_id"] for r in q("c9_multimodal_lsh").collect())
+    # perceptually-deduped docs that pass the gates but are NOT survivors
+    gated = {d for d in sigs if dims[d][1] >= 4}
+    dropped = gated - qual
+    assert dropped, "no doc was dropped by the perceptual stage — vacuous swap"
+    # at least one dropped doc has a UNIQUE signature-bearing payload text
+    # (hamming 0 pairs come from equal pixel content; hamming 1-3 pairs
+    # from near content — both collapse, unlike md5)
+    assert survivors <= qual
