@@ -190,6 +190,12 @@ HEADLINE = [
     # THEIR members stay benched; frozen series untouched)
     "m3_r10bc_suite",
     "c9_multimodal_lsh",
+    # r11 second wave: MJPEG-in-AVI frame decode (the last stub modality
+    # made real) + measured banded image near-dup recall — m4 is the
+    # x162+x165 suite-of-suites consolidation that funds it (x162/x165
+    # and all THEIR members stay benched; frozen series untouched)
+    "m4_r10de_suite",
+    "x177_r11b_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -381,6 +387,10 @@ SUITE_MEMBERS = {
         "x172_caption_image_corr", "x173_phase_split_mix",
     ],
     "m3_r10bc_suite": ["x156_r10b_ops_suite", "x159_r10c_ops_suite"],
+    "m4_r10de_suite": ["x162_r10d_ops_suite", "x165_r10e_ops_suite"],
+    "x177_r11b_ops_suite": [
+        "x175_video_frame_stats", "x176_image_neardup_recall",
+    ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -680,6 +680,7 @@ FROM ({member_oracle('x161_curriculum_phases')})"""
 
 @register(
     "x162_r10d_ops_suite", _x162_sql(), "EXT-05", "EXT-ANALYTICS",
+    tier=1,  # r11: consolidated into m4_r10de_suite (stays in bench HEADLINE)
 )
 def x162_r10d_ops_suite(spark, sf_dir):
     """Driver row for the r10 fourth wave — permutation entropy (x160)
@@ -852,6 +853,7 @@ FROM ({member_oracle('x164_image_dhash')})"""
 
 @register(
     "x165_r10e_ops_suite", _x165_sql(), "EXT-02", "EXT-04",
+    tier=1,  # r11: consolidated into m4_r10de_suite (stays in bench HEADLINE)
 )
 def x165_r10e_ops_suite(spark, sf_dir):
     """Driver row for the r10 fifth wave — image dedup keep-one (x163)

@@ -168,3 +168,220 @@ def m3_r10bc_suite(spark, sf_dir):
     b = REGISTRY["x156_r10b_ops_suite"].fn(spark, sf_dir)
     c = REGISTRY["x159_r10c_ops_suite"].fn(spark, sf_dir)
     return widen(b, "b_").unionAll(widen(c, "c_"))
+
+
+# ===========================================================================
+# r11 second wave: real video decode (x175 — MJPEG-in-AVI frame sampling,
+# the last stub modality, VERDICT r10 #4) and measured image near-dup
+# recall (x176 — the x142 device applied to the banded pair generator,
+# VERDICT r10 #5) — funded by consolidating the x162/x165 r10 wave suites
+# into m4_r10de_suite.
+# ===========================================================================
+
+
+def _x175_sql() -> str:
+    # the attach_consistent_avi_payload closed form: every stored frame f
+    # (sampled every 2nd) decodes to rows_f*8 x bpr*8 pixels where byte
+    # b[f + k] fills one constant 8x8 block -> px_sum = 64 * window sum
+    return """WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents),
+vdims AS (SELECT doc_id, text, length(text) AS n,
+          2 + ascii(substr(text, 1, 1)) % 4 AS bpr,
+          2 + ascii(substr(text, 1, 1)) % 3 AS nf
+   FROM ascii_docs WHERE length(text) >= 1),
+eff AS (SELECT doc_id, text, n, bpr,
+               least(nf, greatest(n - bpr + 1, 0)) AS nfe
+        FROM vdims),
+fr AS (SELECT doc_id, text, n, bpr,
+              unnest(range(0, CAST(nfe AS BIGINT), 2)) AS fno
+       FROM eff WHERE nfe >= 1),
+fx AS (SELECT doc_id, fno, bpr, least((n - fno) // bpr, 8) AS rows_f, text
+       FROM fr)
+SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+       CAST(bpr * 8 AS BIGINT) AS width,
+       CAST(rows_f * 8 AS BIGINT) AS height,
+       CAST(64 * list_sum(list_transform(
+                range(1, CAST(bpr * rows_f AS BIGINT) + 1),
+                i -> ascii(substr(text, CAST(fno + i AS INTEGER), 1))))
+            AS BIGINT) AS px_sum
+FROM fx"""
+
+
+@register("x175_video_frame_stats", _x175_sql(), "EXT-04", tier=1)
+def x175_video_frame_stats(spark, sf_dir):
+    """Video frame sampling with a REAL codec in the loop (VERDICT r10
+    #4 — the last stub modality): GENUINE MJPEG-in-AVI payloads are
+    assembled per doc (attach_consistent_avi_payload — every frame a
+    real baseline JPEG inside a spec-valid RIFF container, JUNK chunks
+    on odd firsts so fixed-offset parsing fails), then
+    :func:`operators.multimodal.mjpeg_frame_stats` walks the ACTUAL
+    chunk list, samples every 2nd stored frame and decodes it through
+    the full Huffman+IDCT path, emitting exact-integer per-frame stats.
+    The oracle recomputes the identical numbers from the fixture's
+    closed form — a driver hash match proves the container walk AND the
+    per-frame decode. Scale: one Arrow pass, payload→many-rows (the
+    explode shape); no shuffle."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        mjpeg_frame_stats,
+    )
+
+    return mjpeg_frame_stats(
+        attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+#: x176's fixed probe panel (the x142 device): md5-chosen from the first
+#: 1024 doc_ids — ≤ ~128 panel docs at any SF, so the exhaustive pair set
+#: stays ≤ ~8k in-row combinations.
+X176_PANEL_SQL = (
+    "doc_id < 1024 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+    " IN ('0', '1')"
+)
+
+
+def _x176_sql() -> str:
+    return f"""WITH {_CONSISTENT_DIMS_CTES},
+sig AS MATERIALIZED ({ahash_sql('dims')}),
+{ahash_pairs_ctes('sig')},
+banded AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+panel AS (SELECT * FROM sig WHERE {X176_PANEL_SQL}),
+ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.h_hi, b.h_hi))
+                   + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+       FROM panel a JOIN panel b ON a.doc_id < b.doc_id)
+SELECT e.doc_a, e.doc_b, e.hamming,
+       CAST(bd.doc_a IS NOT NULL AS BIGINT) AS in_banded
+FROM ex e LEFT JOIN banded bd USING (doc_a, doc_b)
+WHERE e.hamming <= 3"""
+
+
+@register(
+    "x176_image_neardup_recall", _x176_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x176_image_neardup_recall(spark, sf_dir):
+    """Measured image near-dup recall (VERDICT r10 #5 — the x142 device
+    applied to x158): on the fixed md5-chosen panel, EVERY hamming<=3
+    pair (exhaustive, in-row combinations over the bounded panel — never
+    a corpus expansion) is flagged with whether the production banded
+    generator found it. The 4×16 banding is pigeonhole-complete at
+    hamming<=3 EXCEPT for pairs pruned by the stop-bucket cap — so
+    in_banded=0 rows measure exactly that documented trade, and the
+    driver hash turns image-dedup recall into a regression canary."""
+    from .operators.dedup import _pair_combinations
+
+    mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    sig = D._persist(image_ahash(mm))
+    banded = image_neardup_pairs(sig).select(
+        "doc_a", "doc_b", F.lit(1).alias("__b")
+    )
+    panel = sig.filter(
+        (F.col("doc_id") < 1024)
+        & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    )
+    ids = panel.groupBy().agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    cand = ids.select(
+        F.explode(_pair_combinations(F.col("ids"))).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    ex = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+    )
+    return ex.join(banded, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", "hamming",
+        F.col("__b").isNotNull().cast("long").alias("in_banded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m4_r10de_suite — the x162/x165 r10 wave suites as ONE driver row (funds
+# the x177 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m4_sql() -> str:
+    return f"""SELECT concat('d_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x162_r10d_ops_suite')})
+UNION ALL
+SELECT concat('e_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x165_r10e_ops_suite')})"""
+
+
+@register(
+    "m4_r10de_suite", _m4_sql(), "EXT-02", "EXT-04", "EXT-05",
+    "EXT-ANALYTICS",
+)
+def m4_r10de_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r10 wave suites (x162 =
+    permutation entropy + curriculum phases, x165 = image keep-one +
+    dHash) — r11 window math: their two slots fund this row plus x177.
+    Kind-namespace prefixes, member oracles embedded verbatim; x162/x165
+    and their members stay benched (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    d = REGISTRY["x162_r10d_ops_suite"].fn(spark, sf_dir)
+    e = REGISTRY["x165_r10e_ops_suite"].fn(spark, sf_dir)
+    return widen(d, "d_").unionAll(widen(e, "e_"))
+
+
+# ---------------------------------------------------------------------------
+# x177_r11b_ops_suite — the r11 second-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x177_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'vf' AS kind, doc_id AS id1, frame_no AS id2,
+       width AS v1, height AS v2, px_sum AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x175_video_frame_stats')})
+UNION ALL
+SELECT 'rc', doc_a, doc_b, hamming, in_banded, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x176_image_neardup_recall')})"""
+
+
+@register(
+    "x177_r11b_ops_suite", _x177_sql(), "EXT-02", "EXT-04",
+)
+def x177_r11b_ops_suite(spark, sf_dir):
+    """Driver row for the r11 second wave — MJPEG-in-AVI frame stats
+    (x175) and measured banded near-dup recall (x176) — union-folded
+    into the shared kind-tagged suite shape (2 small members → lazy
+    union per the SCALE.md composition rule)."""
+    vf = _suite_shape(
+        x175_video_frame_stats(spark, sf_dir), "vf",
+        id1=F.col("doc_id"), id2=F.col("frame_no"), v1=F.col("width"),
+        v2=F.col("height"), v3=F.col("px_sum"),
+    )
+    rc = _suite_shape(
+        x176_image_neardup_recall(spark, sf_dir), "rc",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
+        v2=F.col("in_banded"),
+    )
+    return vf.unionAll(rc)

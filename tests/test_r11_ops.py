@@ -192,3 +192,107 @@ def test_c9_dedup_stage_is_perceptual_not_exact(spark, sf_dir, q):
     # (hamming 0 pairs come from equal pixel content; hamming 1-3 pairs
     # from near content — both collapse, unlike md5)
     assert survivors <= qual
+
+
+def test_avi_parser_walks_chunks_not_offsets(spark):
+    """The AVI walker must survive a JUNK chunk between hdrl and movi
+    (odd first byte) and reject truncated files — the parse_wav
+    discipline on the video container."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_avi_payload,
+        parse_avi_video_chunks,
+    )
+
+    # 'a' (odd, 97): JUNK chunk present; 'b' (even, 98): none
+    docs = spark.createDataFrame(
+        [(1, "a" * 40), (2, "b" * 40)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: bytes(r["payload"])
+            for r in attach_consistent_avi_payload(docs).collect()}
+    assert b"JUNK" in rows[1] and b"JUNK" not in rows[2]
+    for p in rows.values():
+        frames = parse_avi_video_chunks(p)
+        assert frames is not None and len(frames) >= 1
+        assert all(f[:2] == b"\xff\xd8" for f in frames)  # real JPEGs
+        assert parse_avi_video_chunks(p[:-3]) is None  # truncated body
+
+
+def test_x175_frames_match_direct_decoder_replay(spark):
+    """x175's per-frame stats must equal a driver-side replay through
+    the REAL chunk walker + JPEG decoder on a hand-built doc — proving
+    the Arrow kernel runs the codec, not a closed form."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_avi_payload,
+        mjpeg_frame_stats,
+        parse_avi_video_chunks,
+    )
+    from mariadb_postgres_migration_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+
+    text = "Sphinx of black quartz, judge my vow! " * 4
+    docs = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    mm = attach_consistent_avi_payload(docs)
+    payload = bytes(mm.select("payload").collect()[0][0])
+    frames = parse_avi_video_chunks(payload)
+    proj = "".join(ch for ch in text if " " <= ch <= "~").encode()
+    nf = 2 + proj[0] % 3
+    assert len(frames) == min(nf, len(proj) - (2 + proj[0] % 4) + 1, nf)
+    expected = {}
+    for fno in range(0, len(frames), 2):
+        arr = decode_jpeg_pixels(frames[fno])
+        expected[fno] = (arr.shape[1], arr.shape[0], int(arr.sum(dtype="int64")))
+    got = {
+        r["frame_no"]: (r["width"], r["height"], r["px_sum"])
+        for r in mjpeg_frame_stats(mm).collect()
+    }
+    assert got == expected
+    # and the closed form holds: every window byte appears exactly 64x
+    bpr = 2 + proj[0] % 4
+    for fno, (w, h, s) in got.items():
+        rows_f = min((len(proj) - fno) // bpr, 8)
+        assert (w, h) == (bpr * 8, rows_f * 8)
+        assert s == 64 * sum(proj[fno : fno + bpr * rows_f])
+
+
+def test_x176_recall_flags_only_stopbucket_misses(q):
+    """Pigeonhole: a hamming<=3 pair NOT found by the banded generator
+    must share every populated band with >AHASH_MAX_BUCKET docs — i.e.
+    every in_banded=0 row is attributable to the stop-bucket cap, never
+    to the banding itself."""
+    from collections import defaultdict
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        AHASH_MAX_BUCKET,
+    )
+
+    sigs = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"])
+        for r in q("x157_image_ahash").collect()
+    }
+    bucket_size = defaultdict(int)
+    for d, (hi, lo) in sigs.items():
+        for bno, v in enumerate((hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF)):
+            bucket_size[(bno, v)] += 1
+    rows = q("x176_image_neardup_recall").collect()
+    assert rows, "empty recall panel — vacuous row"
+    for r in rows:
+        if r["in_banded"]:
+            continue
+        a, b = sigs[r["doc_a"]], sigs[r["doc_b"]]
+        shared = [
+            bno
+            for bno, (va, vb) in enumerate(
+                zip(
+                    (a[0] >> 16, a[0] & 0xFFFF, a[1] >> 16, a[1] & 0xFFFF),
+                    (b[0] >> 16, b[0] & 0xFFFF, b[1] >> 16, b[1] & 0xFFFF),
+                )
+            )
+            if va == vb
+        ]
+        assert shared, "missed pair shares no band — banding broken"
+        assert all(
+            bucket_size[(bno, (a[0] >> 16, a[0] & 0xFFFF, a[1] >> 16,
+                               a[1] & 0xFFFF)[bno])] > AHASH_MAX_BUCKET
+            for bno in shared
+        ), "missed pair had an uncapped shared band — recall bug"

@@ -47,3 +47,37 @@ def test_c9_single_signature_pass(q):
 
 def test_m3_suite_plan_no_expansion(q):
     _no_expansion(q("m3_r10bc_suite"))
+
+
+def test_x175_video_two_kernels(q):
+    """x175 pays exactly two Python operators: the AVI fixture builder
+    (fixture assembly, not a hot path) and the frame-sampling decode
+    kernel — the x166 GIF-tier shape on the video container."""
+    df = q("x175_video_frame_stats")
+    assert python_eval_count(df) == 2
+    _no_expansion(df)
+
+
+def test_x176_recall_panel_stays_in_row(q):
+    """The exhaustive pair set comes from in-row combinations over the
+    bounded collected panel — no nested-loop / cartesian node may
+    appear even though the semantics are 'all panel pairs'."""
+    df = q("x176_image_neardup_recall")
+    _no_expansion(df)
+
+
+def test_x177_m4_suites_no_expansion(q):
+    _no_expansion(q("x177_r11b_ops_suite"))
+    # m4 carries x162 → x161's curriculum boundary frame: a crossJoin
+    # against a 1-row scalar aggregate is the allowed broadcast shape
+    # (test_r10_plans._no_expansion_allowing_scalar_cross)
+    from mariadb_postgres_migration_spark.plans import broadcast_build_subtrees
+
+    df = q("m4_r10de_suite")
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    if "BroadcastNestedLoopJoin" in text:
+        subs = broadcast_build_subtrees(df)
+        assert any("keys=[]" in s for s in subs), (
+            "nested-loop join without a 1-row scalar-aggregate build side"
+        )
