@@ -196,6 +196,12 @@ HEADLINE = [
     # and all THEIR members stay benched; frozen series untouched)
     "m4_r10de_suite",
     "x177_r11b_ops_suite",
+    # r11 third wave: JPEG decode-validity funnel (progressive counted
+    # distinctly from corrupt) + video perceptual dedup — m5 is the
+    # x168+x171 suite-of-suites consolidation that funds it (x168/x171
+    # and all THEIR members stay benched; frozen series untouched)
+    "m5_r10fg_suite",
+    "x180_r11c_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -390,6 +396,10 @@ SUITE_MEMBERS = {
     "m4_r10de_suite": ["x162_r10d_ops_suite", "x165_r10e_ops_suite"],
     "x177_r11b_ops_suite": [
         "x175_video_frame_stats", "x176_image_neardup_recall",
+    ],
+    "m5_r10fg_suite": ["x168_r10f_ops_suite", "x171_r10g_ops_suite"],
+    "x180_r11c_ops_suite": [
+        "x178_jpeg_decode_funnel", "x179_video_perceptual_dedup",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

@@ -1029,6 +1029,7 @@ FROM ({member_oracle('x167_dualhash_pairs')})"""
 
 @register(
     "x168_r10f_ops_suite", _x168_sql(), "EXT-02", "EXT-04",
+    tier=1,  # r11: consolidated into m5_r10fg_suite (stays in bench HEADLINE)
 )
 def x168_r10f_ops_suite(spark, sf_dir):
     """Driver row for the r10 sixth wave — the GIF-decoded aHash (x166)
@@ -1223,6 +1224,7 @@ FROM ({member_oracle('x170_source_image_profile')})"""
 @register(
     "x171_r10g_ops_suite", _x171_sql(), "EXT-01", "EXT-02", "EXT-04",
     "EXT-05",
+    tier=1,  # r11: consolidated into m5_r10fg_suite (stays in bench HEADLINE)
 )
 def x171_r10g_ops_suite(spark, sf_dir):
     """Driver row for the r10 seventh wave — incremental image dedup

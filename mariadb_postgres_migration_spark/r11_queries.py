@@ -385,3 +385,200 @@ def x177_r11b_ops_suite(spark, sf_dir):
         v2=F.col("in_banded"),
     )
     return vf.unionAll(rc)
+
+
+# ===========================================================================
+# r11 third wave: decode-validity classification (x178 — progressive
+# JPEGs counted distinctly from corrupt, VERDICT r10 'What's missing' #4)
+# and video perceptual dedup (x179 — the aHash keep-one applied to the
+# new MJPEG frame-0 decode) — funded by consolidating the x168/x171 r10
+# wave suites into m5_r10fg_suite.
+# ===========================================================================
+
+
+def _x178_sql() -> str:
+    # fixture domain: docs whose printable projection fills >= 1 block
+    # row (rows = min(n // bpr, 8) >= 1  <=>  n >= bpr); class is the
+    # mixed-fixture degradation rule
+    return """WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents),
+dom AS (SELECT doc_id FROM (
+          SELECT doc_id, length(text) AS n,
+                 2 + ascii(substr(text, 1, 1)) % 4 AS bpr
+          FROM ascii_docs WHERE length(text) >= 1)
+        WHERE n // bpr >= 1)
+SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'progressive'
+                    WHEN doc_id % 5 = 1 THEN 'corrupt'
+                    ELSE 'baseline' END AS decode_class
+FROM dom"""
+
+
+@register("x178_jpeg_decode_funnel", _x178_sql(), "EXT-04", "EXT-05", tier=1)
+def x178_jpeg_decode_funnel(spark, sf_dir):
+    """Decode-validity classification over a degraded JPEG corpus
+    (VERDICT r10 'What's missing' #4): the mixed fixture rewrites every
+    5th payload's SOF0 marker to SOF2 (a structurally-valid PROGRESSIVE
+    frame header) and zero-prefixes every 5th+1, and
+    :func:`operators.multimodal.jpeg_decode_class` routes each payload
+    by doing the REAL work — full baseline decode attempt, then the
+    SOFn header scan — so progressive images land in the
+    needs-fuller-codec queue instead of the trash. The oracle recomputes
+    the class from the degradation rule; a hash match proves the
+    classifier's byte-parse boundary sits exactly between 'decodes',
+    'valid frame header only' and 'no signature'."""
+    from .operators.multimodal import (
+        attach_consistent_jpeg_payload,
+        jpeg_decode_class,
+    )
+
+    return jpeg_decode_class(
+        attach_consistent_jpeg_payload(
+            _t(spark, sf_dir, "documents"), mixed=True
+        )
+    )
+
+
+def _x179_sql() -> str:
+    # frame 0 of the AVI fixture is constant 8x8 blocks of the byte
+    # window [0, bpr*rows0): the 8x8 nearest resample samples byte
+    # ((k//8 * rows0) // 8) * bpr + ((k%8) * bpr) // 8 — then the exact
+    # ahash_sql threshold/bit packing (no flip: JPEG rows are top-down)
+    s_expr = (
+        "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
+        "(((k // 8) * rows0) // 8) * bpr + (((k % 8) * bpr) // 8) + 1"
+        " AS INTEGER), 1)))"
+    )
+    return f"""WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents),
+v2 AS (SELECT doc_id, text,
+              2 + ascii(substr(text, 1, 1)) % 4 AS bpr,
+              least(length(text) // (2 + ascii(substr(text, 1, 1)) % 4), 8)
+                  AS rows0
+       FROM ascii_docs
+       WHERE length(text) >= 1
+         AND length(text) // (2 + ascii(substr(text, 1, 1)) % 4) >= 1),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), k ->
+              CASE WHEN 64 * s[k + 1] > total
+                   THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END))
+              AS BIGINT) AS h_hi,
+         CAST(list_sum(list_transform(range(32, 64), k ->
+              CASE WHEN 64 * s[k + 1] > total
+                   THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
+              AS BIGINT) AS h_lo
+  FROM (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total
+        FROM (SELECT doc_id, {s_expr} AS s FROM v2) y) z),
+keep AS (SELECT h_hi, h_lo, min(doc_id) AS mn FROM sig GROUP BY 1, 2)
+SELECT sig.doc_id, sig.h_hi, sig.h_lo, (sig.doc_id = k.mn) AS keep
+FROM sig JOIN keep k USING (h_hi, h_lo)"""
+
+
+@register(
+    "x179_video_perceptual_dedup", _x179_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def x179_video_perceptual_dedup(spark, sf_dir):
+    """Video-level perceptual dedup composing the new MJPEG decode path
+    with the dedup machinery: each video's FIRST frame (every MJPEG
+    frame is a keyframe) decodes through the real chunk-walk + JPEG
+    path and hashes with the x157 aHash kernel
+    (:func:`operators.multimodal.video_frame_ahash`); videos sharing a
+    frame-0 signature collapse to the min-id survivor — the thumbnail
+    dedup a 100 TB video corpus runs before paying for full-sequence
+    fingerprinting. Output (doc_id, h_hi, h_lo, keep); oracle recomputes
+    the signature from the fixture's constant-block closed form and the
+    keep rule from the group min."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_frame_ahash,
+    )
+
+    sig = D._persist(
+        video_frame_ahash(
+            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    keep = sig.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("__mn"))
+    return sig.join(keep, ["h_hi", "h_lo"]).select(
+        "doc_id", "h_hi", "h_lo",
+        (F.col("doc_id") == F.col("__mn")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m5_r10fg_suite — the x168/x171 r10 wave suites as ONE driver row (funds
+# the x180 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m5_sql() -> str:
+    return f"""SELECT concat('f_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x168_r10f_ops_suite')})
+UNION ALL
+SELECT concat('g_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x171_r10g_ops_suite')})"""
+
+
+@register(
+    "m5_r10fg_suite", _m5_sql(), "EXT-01", "EXT-02", "EXT-04", "EXT-05",
+)
+def m5_r10fg_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r10 wave suites (x168 =
+    GIF aHash + dual-hash pairs, x171 = incremental image dedup +
+    per-source image profile) — r11 window math: their two slots fund
+    this row plus x180. Kind-namespace prefixes, member oracles embedded
+    verbatim; x168/x171 and their members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    f = REGISTRY["x168_r10f_ops_suite"].fn(spark, sf_dir)
+    g = REGISTRY["x171_r10g_ops_suite"].fn(spark, sf_dir)
+    return widen(f, "f_").unionAll(widen(g, "g_"))
+
+
+# ---------------------------------------------------------------------------
+# x180_r11c_ops_suite — the r11 third-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x180_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'cls' AS kind, doc_id AS id1, {z} AS id2, {z} AS v1,
+       {z} AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2, decode_class AS s1
+FROM ({member_oracle('x178_jpeg_decode_funnel')})
+UNION ALL
+SELECT 'vdup', doc_id, {z}, h_hi, h_lo, CAST(keep AS BIGINT), {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x179_video_perceptual_dedup')})"""
+
+
+@register(
+    "x180_r11c_ops_suite", _x180_sql(), "EXT-01", "EXT-02", "EXT-04",
+    "EXT-05",
+)
+def x180_r11c_ops_suite(spark, sf_dir):
+    """Driver row for the r11 third wave — the JPEG decode-validity
+    funnel (x178) and video perceptual dedup (x179) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    cls = _suite_shape(
+        x178_jpeg_decode_funnel(spark, sf_dir), "cls",
+        id1=F.col("doc_id"), s1=F.col("decode_class"),
+    )
+    vdup = _suite_shape(
+        x179_video_perceptual_dedup(spark, sf_dir), "vdup",
+        id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
+        v3=F.col("keep").cast("long"),
+    )
+    return cls.unionAll(vdup)

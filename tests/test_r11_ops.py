@@ -296,3 +296,78 @@ def test_x176_recall_flags_only_stopbucket_misses(q):
                                a[1] & 0xFFFF)[bno])] > AHASH_MAX_BUCKET
             for bno in shared
         ), "missed pair had an uncapped shared band — recall bug"
+
+
+def test_jpeg_decode_class_boundary(spark):
+    """The classifier's three-way boundary must be byte-parse-driven:
+    a baseline JPEG decodes; the SAME bytes with SOF0 rewritten to SOF2
+    classify 'progressive' (valid header, outside the baseline subset);
+    the SAME bytes zero-prefixed classify 'corrupt'."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.jpeg import (
+        encode_jpeg_gray,
+    )
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        jpeg_decode_class,
+    )
+
+    base = encode_jpeg_gray(np.full((8, 16), 77, np.uint8))
+    rows = [
+        (1, base),
+        (2, base.replace(b"\xff\xc0", b"\xff\xc2", 1)),
+        (3, b"\x00\x00" + base),
+    ]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["decode_class"]
+           for r in jpeg_decode_class(mm).collect()}
+    assert got == {1: "baseline", 2: "progressive", 3: "corrupt"}
+
+
+def test_x179_signature_matches_direct_decoder_replay(spark):
+    """x179's video signature must equal a driver-side replay through
+    the REAL chunk walker + JPEG decoder + resampler on a hand-built
+    doc — proving the kernel hashes decoded frame-0 pixels."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_avi_payload,
+        parse_avi_video_chunks,
+        resize_nearest,
+        video_frame_ahash,
+    )
+
+    text = "Pack my box with five dozen liquor jugs!! " * 3
+    docs = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    mm = attach_consistent_avi_payload(docs)
+    payload = bytes(mm.select("payload").collect()[0][0])
+    arr = decode_jpeg_pixels(parse_avi_video_chunks(payload)[0])
+    s = resize_nearest(arr.astype(np.int64), 8, 8).reshape(-1)
+    total = int(s.sum())
+    hi = lo = 0
+    for k in range(32):
+        hi = (hi << 1) | int(64 * int(s[k]) > total)
+    for k in range(32, 64):
+        lo = (lo << 1) | int(64 * int(s[k]) > total)
+    row = video_frame_ahash(mm).collect()[0]
+    assert (row["h_hi"], row["h_lo"]) == (hi, lo)
+
+
+def test_x179_collapses_duplicate_videos(spark, sf_dir, q):
+    """Two docs with identical printable projections produce identical
+    frame-0 signatures and collapse to the min-id survivor; the keep
+    flag must mark exactly one survivor per signature group."""
+    rows = q("x179_video_perceptual_dedup").collect()
+    assert rows, "no video signatures — vacuous row"
+    by_sig = {}
+    for r in rows:
+        by_sig.setdefault((r["h_hi"], r["h_lo"]), []).append(r)
+    assert any(len(v) > 1 for v in by_sig.values()), (
+        "no duplicate video group in fixture — keep rule untested"
+    )
+    for grp in by_sig.values():
+        keepers = [r["doc_id"] for r in grp if r["keep"]]
+        assert keepers == [min(r["doc_id"] for r in grp)]

@@ -81,3 +81,17 @@ def test_x177_m4_suites_no_expansion(q):
         assert any("keys=[]" in s for s in subs), (
             "nested-loop join without a 1-row scalar-aggregate build side"
         )
+
+
+def test_x178_x179_kernels(q):
+    """x178 = the mixed fixture builder + the classifier (two Python
+    ops); x179 = the AVI builder + the frame-0 hash kernel, with the
+    keep rule a JVM groupBy over the persisted signature."""
+    df = q("x178_jpeg_decode_funnel")
+    assert python_eval_count(df) == 2
+    _no_expansion(df)
+    df = q("x179_video_perceptual_dedup")
+    assert python_eval_count(df) <= 4  # persisted sig lineage per consumer
+    _no_expansion(df)
+    _no_expansion(q("x180_r11c_ops_suite"))
+    _no_expansion(q("m5_r10fg_suite"))
