@@ -202,6 +202,12 @@ HEADLINE = [
     # and all THEIR members stay benched; frozen series untouched)
     "m5_r10fg_suite",
     "x180_r11c_ops_suite",
+    # r11 fourth wave: video header profile (no-decode metadata screen)
+    # + scene-change deltas over the sampled frames — m6 is the x145+x148
+    # suite-of-suites consolidation that funds it (x145/x148 and all
+    # THEIR members stay benched; frozen series untouched)
+    "m6_r9bc_suite",
+    "x183_r11d_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -400,6 +406,10 @@ SUITE_MEMBERS = {
     "m5_r10fg_suite": ["x168_r10f_ops_suite", "x171_r10g_ops_suite"],
     "x180_r11c_ops_suite": [
         "x178_jpeg_decode_funnel", "x179_video_perceptual_dedup",
+    ],
+    "m6_r9bc_suite": ["x145_r9b_ops_suite", "x148_r9c_ops_suite"],
+    "x183_r11d_ops_suite": [
+        "x181_video_header_profile", "x182_video_scene_change",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

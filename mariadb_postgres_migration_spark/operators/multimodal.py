@@ -1614,6 +1614,7 @@ def attach_consistent_avi_payload(
           least one full block row; docs with nfe < 1 are dropped
       frame f rows     rows_f = min((n - f) // bpr, 8)
       frame f pixels   byte b[f + k] -> one constant 8x8 block (row-major)
+      frame rate       fps = 5 + first % 10  (avih us_per_frame = 1e6//fps)
 
     Each frame is a REAL baseline JPEG (encode_jpeg_gray, all-ones quant
     — lossless on constant blocks), wrapped in a spec-valid AVI (RIFF
@@ -1652,7 +1653,10 @@ def attach_consistent_avi_payload(
                     frames.append(
                         encode_jpeg_gray(vals.repeat(8, 0).repeat(8, 1))
                     )
-                payload = encode_avi_mjpeg(frames, bpr * 8, min(n // bpr, 8) * 8)
+                payload = encode_avi_mjpeg(
+                    frames, bpr * 8, min(n // bpr, 8) * 8,
+                    fps=5 + first % 10,
+                )
                 if first % 2 == 1:
                     # splice a JUNK chunk between hdrl and movi: re-walk to
                     # the movi LIST and insert before it
@@ -1861,3 +1865,61 @@ def video_frame_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFram
             yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
 
     return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
+
+
+def avi_header_profile(multimodal: DataFrame) -> DataFrame:
+    """EXT-04: video METADATA extraction without frame decode — the
+    parse_image_header economics applied to video: a 100 TB corpus
+    screens duration/fps/dims from container headers before paying for
+    any pixel work. Walks the RIFF chunk list to LIST 'hdrl' and reads
+    the avih main header's real little-endian fields. Output (doc_id,
+    n_frames, us_per_frame, width, height); payloads that are not AVIs
+    or lack an avih header emit nothing. One Arrow pass over header
+    bytes only — no JPEG decode in this plan."""
+
+    def _profile(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("doc_id", "n_frames", "us_per_frame", "width", "height")
+
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                    continue
+                avih = None
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                    body = b[pos + 8 : pos + 8 + size]
+                    if len(body) < size:
+                        avih = None
+                        break  # truncated chunk body: reject the file
+                    if cid == b"LIST" and body[:4] == b"hdrl":
+                        hpos = 4
+                        while hpos + 8 <= size:
+                            hcid = body[hpos : hpos + 4]
+                            hsize = int.from_bytes(
+                                body[hpos + 4 : hpos + 8], "little"
+                            )
+                            hbody = body[hpos + 8 : hpos + 8 + hsize]
+                            if hcid == b"avih" and len(hbody) >= 40:
+                                avih = hbody
+                            hpos += 8 + hsize + (hsize & 1)
+                    pos += 8 + size + (size & 1)
+                if avih is None:
+                    continue
+                rows["doc_id"].append(doc_id)
+                rows["us_per_frame"].append(int.from_bytes(avih[0:4], "little"))
+                rows["n_frames"].append(int.from_bytes(avih[16:20], "little"))
+                rows["width"].append(int.from_bytes(avih[32:36], "little"))
+                rows["height"].append(int.from_bytes(avih[36:40], "little"))
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        _profile,
+        "doc_id long, n_frames long, us_per_frame long, width long, "
+        "height long",
+    )

@@ -582,3 +582,165 @@ def x180_r11c_ops_suite(spark, sf_dir):
         v3=F.col("keep").cast("long"),
     )
     return cls.unionAll(vdup)
+
+
+# ===========================================================================
+# r11 fourth wave: video header profile (x181 — metadata screening with no
+# pixel decode) and scene-change deltas over the sampled frames (x182 —
+# the temporal statistic the x175 decode feeds) — funded by consolidating
+# the x145/x148 r9 wave suites into m6_r9bc_suite.
+# ===========================================================================
+
+
+def _x181_sql() -> str:
+    # the AVI fixture's avih closed forms: us_per_frame = 1e6 // fps with
+    # fps = 5 + first % 10; n_frames = nfe; dims = frame 0's
+    return """WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents),
+vdims AS (SELECT doc_id, length(text) AS n,
+          ascii(substr(text, 1, 1)) AS first,
+          2 + ascii(substr(text, 1, 1)) % 4 AS bpr,
+          2 + ascii(substr(text, 1, 1)) % 3 AS nf
+   FROM ascii_docs WHERE length(text) >= 1),
+eff AS (SELECT doc_id, first, bpr, n,
+               least(nf, greatest(n - bpr + 1, 0)) AS nfe
+        FROM vdims)
+SELECT doc_id, CAST(nfe AS BIGINT) AS n_frames,
+       CAST(1000000 // (5 + first % 10) AS BIGINT) AS us_per_frame,
+       CAST(bpr * 8 AS BIGINT) AS width,
+       CAST(least(n // bpr, 8) * 8 AS BIGINT) AS height
+FROM eff WHERE nfe >= 1"""
+
+
+@register("x181_video_header_profile", _x181_sql(), "EXT-04", tier=1)
+def x181_video_header_profile(spark, sf_dir):
+    """Video metadata extraction WITHOUT pixel decode
+    (:func:`operators.multimodal.avi_header_profile`): frame count,
+    frame interval, declared dims read from the avih main header via the
+    real RIFF walk — the screening pass a 100 TB video corpus runs
+    before paying for any codec work (the parse_image_header economics
+    on the video container). Oracle recomputes every field from the
+    fixture's closed forms; a hash match proves the walker found and
+    field-parsed the actual header bytes."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        avi_header_profile,
+    )
+
+    return avi_header_profile(
+        attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _x182_sql() -> str:
+    # composes the registered x175 member oracle: the temporal statistic
+    # is a lag window over the per-frame stats both engines already agree
+    # on — shared text, no drift
+    return f"""WITH vf AS MATERIALIZED (SELECT doc_id, frame_no, px_sum
+     FROM ({member_oracle('x175_video_frame_stats')}) z),
+d AS (SELECT doc_id,
+             px_sum - lag(px_sum) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_no) AS dd
+      FROM vf)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(coalesce(sum(abs(dd)), 0) AS BIGINT) AS delta_sum
+FROM d GROUP BY doc_id"""
+
+
+@register("x182_video_scene_change", _x182_sql(), "EXT-04", tier=1)
+def x182_video_scene_change(spark, sf_dir):
+    """Temporal scene-change score per video: total absolute luminance
+    delta between consecutive SAMPLED frames (the statistic a frame
+    sampler feeds to pick shot boundaries / dedup static clips), over
+    the x175 decode — a doc_id-partitioned lag window on the per-frame
+    stats, so the temporal pass adds zero Python and one bounded
+    shuffle. delta_sum = 0 flags a static video (every sampled frame
+    identical); n_sampled counts the frames the score is based on."""
+    from pyspark.sql import Window
+
+    vf = x175_video_frame_stats(spark, sf_dir).select(
+        "doc_id", "frame_no", "px_sum"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    d = vf.withColumn("dd", F.col("px_sum") - F.lag("px_sum").over(w))
+    return d.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.coalesce(F.sum(F.abs("dd")), F.lit(0)).cast("long").alias("delta_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m6_r9bc_suite — the x145/x148 r9 wave suites as ONE driver row (funds
+# the x183 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m6_sql() -> str:
+    return f"""SELECT concat('b_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x145_r9b_ops_suite')})
+UNION ALL
+SELECT concat('c_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x148_r9c_ops_suite')})"""
+
+
+@register(
+    "m6_r9bc_suite", _m6_sql(), "EXT-01", "EXT-02", "EXT-05",
+)
+def m6_r9bc_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r9 wave suites (x145 =
+    pack utilization + cross-split leakage, x148 = shingle novelty +
+    seq-len histogram) — r11 window math: their two slots fund this row
+    plus x183. Kind-namespace prefixes, member oracles embedded
+    verbatim; x145/x148 and their members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    b = REGISTRY["x145_r9b_ops_suite"].fn(spark, sf_dir)
+    c = REGISTRY["x148_r9c_ops_suite"].fn(spark, sf_dir)
+    return widen(b, "b_").unionAll(widen(c, "c_"))
+
+
+# ---------------------------------------------------------------------------
+# x183_r11d_ops_suite — the r11 fourth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x183_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'hdr' AS kind, doc_id AS id1, {z} AS id2,
+       n_frames AS v1, us_per_frame AS v2, width * 1000 + height AS v3,
+       {zd} AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x181_video_header_profile')})
+UNION ALL
+SELECT 'scn', doc_id, {z}, n_sampled, delta_sum, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x182_video_scene_change')})"""
+
+
+@register(
+    "x183_r11d_ops_suite", _x183_sql(), "EXT-04",
+)
+def x183_r11d_ops_suite(spark, sf_dir):
+    """Driver row for the r11 fourth wave — the video header profile
+    (x181) and scene-change deltas (x182) — union-folded into the
+    shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    hdr = _suite_shape(
+        x181_video_header_profile(spark, sf_dir), "hdr",
+        id1=F.col("doc_id"), v1=F.col("n_frames"), v2=F.col("us_per_frame"),
+        v3=F.col("width") * 1000 + F.col("height"),
+    )
+    scn = _suite_shape(
+        x182_video_scene_change(spark, sf_dir), "scn",
+        id1=F.col("doc_id"), v1=F.col("n_sampled"), v2=F.col("delta_sum"),
+    )
+    return hdr.unionAll(scn)

@@ -456,6 +456,7 @@ FROM ({member_oracle('x144_split_leakage')})"""
 
 @register(
     "x145_r9b_ops_suite", _x145_sql(), "EXT-01", "EXT-02", "EXT-05",
+    tier=1,  # r11: consolidated into m6_r9bc_suite (stays in bench HEADLINE)
 )
 def x145_r9b_ops_suite(spark, sf_dir):
     """Driver row for the r9 second wave — pack utilization (x143) and
@@ -581,6 +582,7 @@ FROM ({member_oracle('x147_seqlen_histogram')})"""
 
 @register(
     "x148_r9c_ops_suite", _x148_sql(), "EXT-01", "EXT-02", "EXT-05",
+    tier=1,  # r11: consolidated into m6_r9bc_suite (stays in bench HEADLINE)
 )
 def x148_r9c_ops_suite(spark, sf_dir):
     """Driver row for the r9 third wave — shingle novelty (x146) and the

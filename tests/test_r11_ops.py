@@ -371,3 +371,53 @@ def test_x179_collapses_duplicate_videos(spark, sf_dir, q):
     for grp in by_sig.values():
         keepers = [r["doc_id"] for r in grp if r["keep"]]
         assert keepers == [min(r["doc_id"] for r in grp)]
+
+
+def test_avi_header_profile_reads_real_header_fields(spark):
+    """The header profiler must read the avih fields a real AVI declares
+    (and survive the JUNK chunk), reject non-AVIs, and emit nothing for
+    truncated files."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_avi_payload,
+        avi_header_profile,
+    )
+
+    text = "a" * 50  # odd first -> JUNK chunk present
+    docs = spark.createDataFrame([(3, text)], "doc_id long, text string")
+    mm = attach_consistent_avi_payload(docs)
+    row = avi_header_profile(mm).collect()[0]
+    first = ord("a")
+    bpr = 2 + first % 4
+    assert row["us_per_frame"] == 1_000_000 // (5 + first % 10)
+    assert row["n_frames"] == min(2 + first % 3, 50 - bpr + 1)
+    assert row["width"] == bpr * 8
+    assert row["height"] == min(50 // bpr, 8) * 8
+    # non-AVI payloads emit nothing
+    junk = spark.createDataFrame(
+        [(4, bytearray(b"RIFFxxxxWAVE"))], "doc_id long, payload binary"
+    )
+    assert avi_header_profile(junk).count() == 0
+
+
+def test_x182_scene_change_matches_frame_stats_lag(q):
+    """x182 must equal the per-doc lag aggregation of the x175 frame
+    stats (the same decode both rows ride), with static single-frame
+    videos scoring delta 0."""
+    from collections import defaultdict
+
+    frames = defaultdict(list)
+    for r in q("x175_video_frame_stats").collect():
+        frames[r["doc_id"]].append((r["frame_no"], r["px_sum"]))
+    expected = {}
+    for d, fs in frames.items():
+        fs.sort()
+        delta = sum(abs(b[1] - a[1]) for a, b in zip(fs, fs[1:]))
+        expected[d] = (len(fs), delta)
+    got = {
+        r["doc_id"]: (r["n_sampled"], r["delta_sum"])
+        for r in q("x182_video_scene_change").collect()
+    }
+    assert got == expected
+    assert any(n == 1 and d == 0 for n, d in got.values()) or all(
+        n >= 1 for n, d in got.values()
+    )

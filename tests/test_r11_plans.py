@@ -95,3 +95,29 @@ def test_x178_x179_kernels(q):
     _no_expansion(df)
     _no_expansion(q("x180_r11c_ops_suite"))
     _no_expansion(q("m5_r10fg_suite"))
+
+
+def test_x181_x182_plans(q):
+    """x181 = AVI builder + header walker, no JPEG decode in the plan
+    (two Python ops); x182 = the x175 decode + a JVM lag window (two
+    Python ops: builder + frame kernel, nothing for the temporal part)."""
+    df = q("x181_video_header_profile")
+    assert python_eval_count(df) == 2
+    _no_expansion(df)
+    df = q("x182_video_scene_change")
+    assert python_eval_count(df) == 2
+    _no_expansion(df)
+    _no_expansion(q("x183_r11d_ops_suite"))
+    # m6 carries x145 → x144's <=3-row split-pair inequality join — the
+    # bounded nested-loop shape test_plans.test_r9_rows_stay_jvm_and_bounded
+    # sanctions (<=2 such nodes); a cartesian is still forbidden
+    import re
+
+    from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
+
+    text = formatted_plan(q("m6_r9bc_suite"))
+    assert "CartesianProduct" not in text
+    n_bnlj = len(re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin\b", text, re.MULTILINE
+    ))
+    assert n_bnlj <= 2, f"m6: {n_bnlj} nested-loop joins"
