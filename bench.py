@@ -208,6 +208,12 @@ HEADLINE = [
     # THEIR members stay benched; frozen series untouched)
     "m6_r9bc_suite",
     "x183_r11d_ops_suite",
+    # r11 fifth wave: incremental video ingest dedup + audio energy
+    # screening — m7 is the x151+x174 suite-of-suites consolidation that
+    # funds it (x151/x174 and all THEIR members stay benched; frozen
+    # series untouched)
+    "m7_r9d10h_suite",
+    "x186_r11e_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -410,6 +416,10 @@ SUITE_MEMBERS = {
     "m6_r9bc_suite": ["x145_r9b_ops_suite", "x148_r9c_ops_suite"],
     "x183_r11d_ops_suite": [
         "x181_video_header_profile", "x182_video_scene_change",
+    ],
+    "m7_r9d10h_suite": ["x151_r9d_ops_suite", "x174_r10h_ops_suite"],
+    "x186_r11e_ops_suite": [
+        "x184_incremental_video_dedup", "x185_audio_energy_screen",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

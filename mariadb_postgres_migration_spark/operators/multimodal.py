@@ -1923,3 +1923,34 @@ def avi_header_profile(multimodal: DataFrame) -> DataFrame:
         "doc_id long, n_frames long, us_per_frame long, width long, "
         "height long",
     )
+
+
+def pcm_energy_screen(multimodal: DataFrame, window: int = 64) -> DataFrame:
+    """EXT-04 audio: energy screening over REAL decoded PCM — the
+    VAD-style pre-filter a speech corpus runs before paying for feature
+    extraction (silent / clipped clips never reach the model). Decode
+    (:func:`decode_wav`, the real chunk walker), then exact-integer
+    energy stats: window count at ``window`` samples (ceil), total sum
+    of squares, peak absolute amplitude. Output (doc_id, n_windows,
+    sum_sq, peak_abs); non-PCM payloads emit nothing. One Arrow pass,
+    no shuffle; int64-exact so the fixture oracle hash-matches."""
+
+    def _screen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_windows", "sum_sq", "peak_abs")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(p) if p is not None else b"")
+                if decoded is None:
+                    continue
+                _, arr = decoded
+                rows["doc_id"].append(doc_id)
+                rows["n_windows"].append((len(arr) + window - 1) // window)
+                rows["sum_sq"].append(int((arr * arr).sum()) if arr.size else 0)
+                rows["peak_abs"].append(int(abs(arr).max()) if arr.size else 0)
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        _screen, "doc_id long, n_windows long, sum_sq long, peak_abs long"
+    )

@@ -1436,6 +1436,7 @@ FROM ({member_oracle('x173_phase_split_mix')})"""
 
 @register(
     "x174_r10h_ops_suite", _x174_sql(), "EXT-04", "EXT-05", "EXT-ANALYTICS",
+    tier=1,  # r11: consolidated into m7_r9d10h_suite (stays in bench HEADLINE)
 )
 def x174_r10h_ops_suite(spark, sf_dir):
     """Driver row for the r10 eighth wave — the caption-image rank

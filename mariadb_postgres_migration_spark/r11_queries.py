@@ -439,17 +439,21 @@ def x178_jpeg_decode_funnel(spark, sf_dir):
     )
 
 
-def _x179_sql() -> str:
-    # frame 0 of the AVI fixture is constant 8x8 blocks of the byte
-    # window [0, bpr*rows0): the 8x8 nearest resample samples byte
-    # ((k//8 * rows0) // 8) * bpr + ((k%8) * bpr) // 8 — then the exact
-    # ahash_sql threshold/bit packing (no flip: JPEG rows are top-down)
+def _video_sig_ctes() -> str:
+    """The frame-0 aHash signature closed form as a CTE chain (ascii
+    projection → eligible-video dims → sig), shared by x179 (keep-one)
+    and x184 (incremental ingest) — one definition, two consumers, per
+    the _c8_ctes convention. Frame 0 of the AVI fixture is constant 8x8
+    blocks of the byte window [0, bpr*rows0): the 8x8 nearest resample
+    samples byte ((k//8 * rows0) // 8) * bpr + ((k%8) * bpr) // 8 — then
+    the exact ahash_sql threshold/bit packing (no flip: JPEG rows are
+    top-down)."""
     s_expr = (
         "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
         "(((k // 8) * rows0) // 8) * bpr + (((k % 8) * bpr) // 8) + 1"
         " AS INTEGER), 1)))"
     )
-    return f"""WITH ascii_docs AS (
+    return f"""ascii_docs AS (
          SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
          FROM documents),
 v2 AS (SELECT doc_id, text,
@@ -470,7 +474,11 @@ sig AS MATERIALIZED (
                    THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
               AS BIGINT) AS h_lo
   FROM (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total
-        FROM (SELECT doc_id, {s_expr} AS s FROM v2) y) z),
+        FROM (SELECT doc_id, {s_expr} AS s FROM v2) y) z)"""
+
+
+def _x179_sql() -> str:
+    return f"""WITH {_video_sig_ctes()},
 keep AS (SELECT h_hi, h_lo, min(doc_id) AS mn FROM sig GROUP BY 1, 2)
 SELECT sig.doc_id, sig.h_hi, sig.h_lo, (sig.doc_id = k.mn) AS keep
 FROM sig JOIN keep k USING (h_hi, h_lo)"""
@@ -744,3 +752,167 @@ def x183_r11d_ops_suite(spark, sf_dir):
         id1=F.col("doc_id"), v1=F.col("n_sampled"), v2=F.col("delta_sum"),
     )
     return hdr.unionAll(scn)
+
+
+# ===========================================================================
+# r11 fifth wave: incremental video ingest dedup (x184 — the x45/x57/x169
+# nightly-ingest pattern on the frame-0 video signatures) and audio energy
+# screening (x185 — VAD-style pre-filter over real decoded PCM) — funded
+# by consolidating the x151/x174 wave suites into m7_r9d10h_suite.
+# ===========================================================================
+
+
+def _x184_sql() -> str:
+    return f"""WITH {_video_sig_ctes()},
+old AS (SELECT DISTINCT h_hi, h_lo FROM sig WHERE doc_id % 10 < 8),
+new AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
+keepn AS (SELECT h_hi, h_lo, min(doc_id) AS doc_id FROM new GROUP BY 1, 2)
+SELECT k.doc_id, (o.h_hi IS NOT NULL) AS is_dup_of_corpus
+FROM keepn k LEFT JOIN old o ON k.h_hi = o.h_hi AND k.h_lo = o.h_lo"""
+
+
+@register(
+    "x184_incremental_video_dedup", _x184_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def x184_incremental_video_dedup(spark, sf_dir):
+    """Nightly-ingest video dedup (the x45/x57/x169 incremental pattern
+    on frame-0 signatures): the new batch (doc_id%10 >= 8) dedups within
+    itself (min doc_id per signature) and flags survivors whose
+    signature already exists in the corpus index (doc_id%10 < 8) — the
+    check an ingest pipeline runs before admitting videos. Corpus side
+    is a DISTINCT ~16-byte signature index; the probe is one equi-join
+    on the two halves, broadcastable at any batch size. Oracle shares
+    the _video_sig_ctes closed form with x179."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_frame_ahash,
+    )
+
+    sig = D._persist(
+        video_frame_ahash(
+            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    old = (
+        sig.filter(F.col("doc_id") % 10 < 8).select("h_hi", "h_lo").distinct()
+    )
+    new = sig.filter(F.col("doc_id") % 10 >= 8)
+    keepn = new.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        keepn.join(
+            old.withColumn("__hit", F.lit(1)), ["h_hi", "h_lo"], "left"
+        )
+        .select("doc_id", F.col("__hit").isNotNull().alias("is_dup_of_corpus"))
+    )
+
+
+def _x185_sql() -> str:
+    # the attach_wav_payload closed forms (the x86 oracle's f/c CTEs):
+    # n constant samples of value v -> n_windows = ceil(n/64),
+    # sum_sq = n*v*v, peak = v
+    return """WITH f AS (
+  SELECT doc_id,
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+              ELSE ascii(substr(coalesce(text, ''), 1, 1)) END AS first,
+         octet_length(encode(coalesce(text, ''))) AS nb
+  FROM documents),
+c AS (SELECT doc_id, 40 + nb % 216 AS n, 1 + first % 127 AS v FROM f)
+SELECT doc_id,
+       CAST((n + 63) // 64 AS BIGINT) AS n_windows,
+       CAST(n * v * v AS BIGINT) AS sum_sq,
+       CAST(v AS BIGINT) AS peak_abs
+FROM c"""
+
+
+@register("x185_audio_energy_screen", _x185_sql(), "EXT-04", tier=1)
+def x185_audio_energy_screen(spark, sf_dir):
+    """Audio energy screening over REAL decoded PCM
+    (:func:`operators.multimodal.pcm_energy_screen`): 64-sample window
+    count, exact int64 sum of squares and peak absolute amplitude — the
+    VAD-style silence/clipping pre-filter a speech corpus runs before
+    paying for features. The chunk walker earns its keep on the same
+    fixture trick as x86 (LIST/INFO chunks on odd firsts); the oracle
+    recomputes the energy from the constant-sample closed forms."""
+    from .operators.multimodal import attach_wav_payload, pcm_energy_screen
+
+    return pcm_energy_screen(
+        attach_wav_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# m7_r9d10h_suite — the x151/x174 wave suites as ONE driver row (funds the
+# x186 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m7_sql() -> str:
+    return f"""SELECT concat('d_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x151_r9d_ops_suite')})
+UNION ALL
+SELECT concat('h_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x174_r10h_ops_suite')})"""
+
+
+@register(
+    "m7_r9d10h_suite", _m7_sql(), "EXT-04", "EXT-05", "EXT-ANALYTICS",
+    "EXT-ANOM",
+)
+def m7_r9d10h_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped wave suites (x151 = runs
+    test + ordinal patterns, x174 = caption-image correlation +
+    curriculum/split mix) — r11 window math: their two slots fund this
+    row plus x186. Kind-namespace prefixes, member oracles embedded
+    verbatim; x151/x174 and their members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    d = REGISTRY["x151_r9d_ops_suite"].fn(spark, sf_dir)
+    h = REGISTRY["x174_r10h_ops_suite"].fn(spark, sf_dir)
+    return widen(d, "d_").unionAll(widen(h, "h_"))
+
+
+# ---------------------------------------------------------------------------
+# x186_r11e_ops_suite — the r11 fifth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x186_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'vinc' AS kind, doc_id AS id1, {z} AS id2,
+       CAST(is_dup_of_corpus AS BIGINT) AS v1, {z} AS v2, {z} AS v3,
+       {zd} AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x184_incremental_video_dedup')})
+UNION ALL
+SELECT 'nrg', doc_id, {z}, n_windows, sum_sq, peak_abs, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x185_audio_energy_screen')})"""
+
+
+@register(
+    "x186_r11e_ops_suite", _x186_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def x186_r11e_ops_suite(spark, sf_dir):
+    """Driver row for the r11 fifth wave — incremental video ingest
+    dedup (x184) and audio energy screening (x185) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    vinc = _suite_shape(
+        x184_incremental_video_dedup(spark, sf_dir), "vinc",
+        id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
+    )
+    nrg = _suite_shape(
+        x185_audio_energy_screen(spark, sf_dir), "nrg",
+        id1=F.col("doc_id"), v1=F.col("n_windows"), v2=F.col("sum_sq"),
+        v3=F.col("peak_abs"),
+    )
+    return vinc.unionAll(nrg)

@@ -700,6 +700,7 @@ FROM ({member_oracle('x150_ordinal_patterns')})"""
 
 @register(
     "x151_r9d_ops_suite", _x151_sql(), "EXT-ANALYTICS", "EXT-ANOM",
+    tier=1,  # r11: consolidated into m7_r9d10h_suite (stays in bench HEADLINE)
 )
 def x151_r9d_ops_suite(spark, sf_dir):
     """Driver row for the r9 fourth wave — the runs test (x149) and the

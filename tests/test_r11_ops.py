@@ -421,3 +421,48 @@ def test_x182_scene_change_matches_frame_stats_lag(q):
     assert any(n == 1 and d == 0 for n, d in got.values()) or all(
         n >= 1 for n, d in got.values()
     )
+
+
+def test_pcm_energy_screen_matches_decode(spark):
+    """The energy kernel must equal a driver-side replay through the
+    real WAV decoder, including the LIST-chunk fixture variant."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav,
+        pcm_energy_screen,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 100), (3, "")],
+        "doc_id long, text string",
+    )
+    mm = attach_wav_payload(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}
+    got = {r["doc_id"]: (r["n_windows"], r["sum_sq"], r["peak_abs"])
+           for r in pcm_energy_screen(mm).collect()}
+    for d, p in payloads.items():
+        rate, arr = decode_wav(p)
+        exp = ((len(arr) + 63) // 64, int((arr * arr).sum()), int(abs(arr).max()))
+        assert got[d] == exp
+    # 'a' is odd -> its payload carries the LIST chunk the walker must skip
+    assert b"LIST" in payloads[1] and b"LIST" not in payloads[2]
+
+
+def test_x184_matches_x179_signature_partition(q):
+    """The incremental probe must agree with x179's signatures: a new-
+    batch survivor flags dup-of-corpus exactly when its signature exists
+    among old-batch docs."""
+    sigs = {r["doc_id"]: (r["h_hi"], r["h_lo"])
+            for r in q("x179_video_perceptual_dedup").collect()}
+    old_sigs = {s for d, s in sigs.items() if d % 10 < 8}
+    new = {d: s for d, s in sigs.items() if d % 10 >= 8}
+    expected = {}
+    seen = {}
+    for d in sorted(new):
+        s = new[d]
+        if s not in seen:
+            seen[s] = d
+            expected[d] = s in old_sigs
+    got = {r["doc_id"]: r["is_dup_of_corpus"]
+           for r in q("x184_incremental_video_dedup").collect()}
+    assert got == expected

@@ -121,3 +121,16 @@ def test_x181_x182_plans(q):
         r"^\(\d+\) BroadcastNestedLoopJoin\b", text, re.MULTILINE
     ))
     assert n_bnlj <= 2, f"m6: {n_bnlj} nested-loop joins"
+
+
+def test_x184_x185_plans(q):
+    """x184 = AVI builder + frame-0 hash kernel (persisted sig feeds both
+    probe sides); x185 = WAV fixture assembly is JVM binary concat, so
+    the ONLY Python is the energy kernel."""
+    df = q("x184_incremental_video_dedup")
+    assert python_eval_count(df) <= 4
+    _no_expansion(df)
+    df = q("x185_audio_energy_screen")
+    assert python_eval_count(df) == 1
+    _no_expansion(df)
+    _no_expansion(q("x186_r11e_ops_suite"))
