@@ -214,6 +214,13 @@ HEADLINE = [
     # series untouched)
     "m7_r9d10h_suite",
     "x186_r11e_ops_suite",
+    # r11 sixth wave: c10, the composed video curation pipeline (decode
+    # gate -> frame-0 signature dedup -> duration gate -> c7 pairing),
+    # completing the composed family across modalities — d5 is the d3+d4
+    # suite-of-suites consolidation that funds it (d3/d4 and all THEIR
+    # members stay benched; frozen series untouched)
+    "d5_dedup_agg_suite",
+    "c10_video_pipeline",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -421,6 +428,7 @@ SUITE_MEMBERS = {
     "x186_r11e_ops_suite": [
         "x184_incremental_video_dedup", "x185_audio_energy_screen",
     ],
+    "d5_dedup_agg_suite": ["d3_dedup_core_suite", "d4_cc_term_suite"],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

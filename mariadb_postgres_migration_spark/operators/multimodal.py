@@ -1819,15 +1819,21 @@ def jpeg_decode_class(multimodal: DataFrame) -> DataFrame:
     )
 
 
-def video_frame_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+def video_frame_ahash(
+    multimodal: DataFrame, grid: int = AHASH_GRID, with_meta: bool = False
+) -> DataFrame:
     """EXT-02/EXT-04: per-VIDEO perceptual signature — the x157 aHash
     kernel over each video's FIRST stored frame (every MJPEG frame is a
     keyframe, so frame 0 is the thumbnail a production video-dedup pass
     hashes): RIFF chunk walk → decode frame 0 through the real JPEG path
     → 8×8 nearest resample → strict integer mean threshold. Output
     (doc_id, h_hi, h_lo); payloads that are not AVIs, or whose first
-    frame doesn't decode, emit nothing. One Arrow pass, ~16 bytes/video
-    out — the index a 100 TB video corpus dedups on."""
+    frame doesn't decode, emit nothing. ``with_meta=True`` additionally
+    carries the container's stored-frame count so a downstream duration
+    gate shares this single Arrow pass (the c10 pipeline's device — the
+    image-side ``with_dims`` lesson on the video container). One Arrow
+    pass, ~16 bytes/video out — the index a 100 TB video corpus dedups
+    on."""
     import numpy as np
 
     n = grid * grid
@@ -1838,7 +1844,7 @@ def video_frame_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFram
         from .jpeg import decode_jpeg_pixels
 
         for pdf in batches:
-            ids, his, los = [], [], []
+            ids, his, los, nfs = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 frames = parse_avi_video_chunks(
                     bytes(p) if p is not None else b""
@@ -1862,9 +1868,17 @@ def video_frame_ahash(multimodal: DataFrame, grid: int = AHASH_GRID) -> DataFram
                 ids.append(doc_id)
                 his.append(hi)
                 los.append(lo)
-            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+                if with_meta:
+                    nfs.append(len(frames))
+            out = {"doc_id": ids, "h_hi": his, "h_lo": los}
+            if with_meta:
+                out["n_frames"] = nfs
+            yield pd.DataFrame(out)
 
-    return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
+    schema = "doc_id long, h_hi long, h_lo long"
+    if with_meta:
+        schema += ", n_frames long"
+    return multimodal.mapInPandas(_hash, schema)
 
 
 def avi_header_profile(multimodal: DataFrame) -> DataFrame:

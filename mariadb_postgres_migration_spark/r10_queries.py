@@ -211,6 +211,7 @@ FROM ({member_oracle('x02_dedup_ngram_jaccard')})"""
 
 @register(
     "d3_dedup_core_suite", _d3_sql(), "EXT-01", "EXT-02", "OP-05",
+    tier=1,  # r11: consolidated into d5_dedup_agg_suite (stays in bench HEADLINE)
 )
 def d3_dedup_core_suite(spark, sf_dir):
     """Driver row consolidating the core dedup standalones (x01 exact
@@ -498,6 +499,7 @@ FROM ({member_oracle('x28_term_doc_freq')})"""
 
 @register(
     "d4_cc_term_suite", _d4_sql(), "EXT-01", "EXT-02", "EXT-05", "OP-28",
+    tier=1,  # r11: consolidated into d5_dedup_agg_suite (stays in bench HEADLINE)
 )
 def d4_cc_term_suite(spark, sf_dir):
     """Driver row consolidating the connected-components dedup (x27) and

@@ -439,15 +439,18 @@ def x178_jpeg_decode_funnel(spark, sf_dir):
     )
 
 
-def _video_sig_ctes() -> str:
+def _video_sig_ctes(extra_pred: str = "") -> str:
     """The frame-0 aHash signature closed form as a CTE chain (ascii
-    projection → eligible-video dims → sig), shared by x179 (keep-one)
-    and x184 (incremental ingest) — one definition, two consumers, per
-    the _c8_ctes convention. Frame 0 of the AVI fixture is constant 8x8
-    blocks of the byte window [0, bpr*rows0): the 8x8 nearest resample
-    samples byte ((k//8 * rows0) // 8) * bpr + ((k%8) * bpr) // 8 — then
-    the exact ahash_sql threshold/bit packing (no flip: JPEG rows are
-    top-down)."""
+    projection → eligible-video dims → sig), shared by x179 (keep-one),
+    x184 (incremental ingest) and c10 (composed pipeline, which passes
+    the corruption-gate predicate via ``extra_pred``) — one definition,
+    three consumers, per the _c8_ctes convention. Frame 0 of the AVI
+    fixture is constant 8x8 blocks of the byte window [0, bpr*rows0):
+    the 8x8 nearest resample samples byte
+    ((k//8 * rows0) // 8) * bpr + ((k%8) * bpr) // 8 — then the exact
+    ahash_sql threshold/bit packing (no flip: JPEG rows are top-down).
+    v2 also exposes the stored-frame-count closed form nfe
+    (least(nf, n - bpr + 1)) for duration gates."""
     s_expr = (
         "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
         "(((k // 8) * rows0) // 8) * bpr + (((k % 8) * bpr) // 8) + 1"
@@ -459,10 +462,15 @@ def _video_sig_ctes() -> str:
 v2 AS (SELECT doc_id, text,
               2 + ascii(substr(text, 1, 1)) % 4 AS bpr,
               least(length(text) // (2 + ascii(substr(text, 1, 1)) % 4), 8)
-                  AS rows0
+                  AS rows0,
+              least(2 + ascii(substr(text, 1, 1)) % 3,
+                    greatest(length(text)
+                             - (2 + ascii(substr(text, 1, 1)) % 4) + 1, 0))
+                  AS nfe
        FROM ascii_docs
        WHERE length(text) >= 1
-         AND length(text) // (2 + ascii(substr(text, 1, 1)) % 4) >= 1),
+         AND length(text) // (2 + ascii(substr(text, 1, 1)) % 4) >= 1
+         {extra_pred}),
 sig AS MATERIALIZED (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(0, 32), k ->
@@ -916,3 +924,125 @@ def x186_r11e_ops_suite(spark, sf_dir):
         v3=F.col("peak_abs"),
     )
     return vinc.unionAll(nrg)
+
+
+# ===========================================================================
+# r11 sixth wave: c10 — the composed VIDEO curation pipeline, completing
+# the composed-pipeline family across modalities (c1/c2 text, c7
+# pretraining endgame, c8/c9 image, c10 video) — funded by consolidating
+# the d3/d4 dedup suites into d5_dedup_agg_suite.
+# ===========================================================================
+
+#: c10's duration quality gate: drop too-short videos (a real curation
+#: run drops stills and micro-clips); the fixture's stored-frame count
+#: is the nfe closed form (2 + first % 3 capped by text length, so 2..4
+#: on long texts) — a gate at 3 drops the first%3 == 0 class, giving the
+#: stage real teeth at every SF.
+C10_MIN_FRAMES = 3
+
+
+def _c10_sql() -> str:
+    return f"""WITH c7m AS (SELECT doc_id, split, shard
+        FROM ({member_oracle('c7_pretraining_pipeline')}) z),
+{_video_sig_ctes(extra_pred=f"AND doc_id % {C8_CORRUPT_MOD} <> 0")},
+keep AS (SELECT h_hi, h_lo, min(doc_id) AS mn FROM sig GROUP BY 1, 2),
+surv AS (SELECT s.doc_id, s.h_hi, s.h_lo
+         FROM sig s JOIN keep k USING (h_hi, h_lo) WHERE s.doc_id = k.mn),
+qual AS (SELECT surv.doc_id, surv.h_hi, surv.h_lo, v2.nfe
+         FROM surv JOIN v2 USING (doc_id) WHERE v2.nfe >= {C10_MIN_FRAMES})
+SELECT q.doc_id, CAST(q.nfe AS BIGINT) AS n_frames, q.h_hi, q.h_lo,
+       c7m.split, c7m.shard
+FROM qual q JOIN c7m USING (doc_id)"""
+
+
+@register(
+    "c10_video_pipeline", _c10_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def c10_video_pipeline(spark, sf_dir):
+    """The composed VIDEO curation pipeline — the c8/c9 stage skeleton on
+    the video modality, completing the composed family (c1/c2 text, c7
+    endgame, c8/c9 image, c10 video):
+
+      1. decode-validity gate: every C8_CORRUPT_MOD-th AVI payload is
+         corrupted (2-zero-byte prefix breaks the RIFF magic) and the
+         gate IS the real chunk walk + frame-0 JPEG decode — a payload
+         the walker rejects emits no signature;
+      2. video dedup: exact frame-0 aHash signature (the x179 rule),
+         min-id survivor per group — signature AND stored-frame count
+         ride ONE Arrow pass (video_frame_ahash with_meta=True);
+      3. duration quality gate: n_frames >= 3 (drop stills and
+         micro-clips), read from the ACTUAL '00dc' chunk count;
+      4. pair with the training layout: join survivors to the c7
+         split/shard manifest.
+
+    ONE composed oracle (the shared _video_sig_ctes closed form with the
+    corruption predicate, the group-min keep rule, the nfe duration
+    form, the c7 member oracle) hash-checks every stage. Scale: one
+    Arrow decode pass total, one 16-byte-signature shuffle, a row-local
+    gate, one doc_id equi-join — the c8 shape on video."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_frame_ahash,
+    )
+    from .r9_queries import c7_pretraining_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    mm = attach_consistent_avi_payload(docs)
+    corrupted = F.when(
+        F.col("doc_id") % C8_CORRUPT_MOD == 0,
+        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+    ).otherwise(F.col("payload"))
+    mm = mm.select("doc_id", corrupted.alias("payload"))
+    sig = D._persist(video_frame_ahash(mm, with_meta=True))
+    keep = sig.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("__mn"))
+    surv = (
+        sig.join(keep, ["h_hi", "h_lo"])
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .drop("__mn")
+    )
+    qual = surv.filter(F.col("n_frames") >= C10_MIN_FRAMES)
+    manifest = c7_pretraining_pipeline(spark, sf_dir).select(
+        "doc_id", "split", "shard"
+    )
+    return qual.join(manifest, "doc_id").select(
+        "doc_id", "n_frames", "h_hi", "h_lo", "split", "shard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d5_dedup_agg_suite — the d3/d4 dedup suites as ONE driver row (funds the
+# c10 slot)
+# ---------------------------------------------------------------------------
+
+
+def _d5_sql() -> str:
+    return f"""SELECT concat('3_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('d3_dedup_core_suite')})
+UNION ALL
+SELECT concat('4_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('d4_cc_term_suite')})"""
+
+
+@register(
+    "d5_dedup_agg_suite", _d5_sql(), "EXT-01", "EXT-02", "EXT-05", "OP-05",
+    "OP-28",
+)
+def d5_dedup_agg_suite(spark, sf_dir):
+    """Driver row consolidating the two dedup consolidation suites (d3 =
+    exact + n-gram Jaccard, d4 = connected components + term/doc freq) —
+    r11 window math: their two slots fund this row plus c10. Carries
+    d3's OP-05 and d4's OP-28 coverage. Kind-namespace prefixes, member
+    oracles embedded verbatim; d3/d4 and their members stay benched
+    (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    d3 = REGISTRY["d3_dedup_core_suite"].fn(spark, sf_dir)
+    d4 = REGISTRY["d4_cc_term_suite"].fn(spark, sf_dir)
+    return widen(d3, "3_").unionAll(widen(d4, "4_"))

@@ -466,3 +466,87 @@ def test_x184_matches_x179_signature_partition(q):
     got = {r["doc_id"]: r["is_dup_of_corpus"]
            for r in q("x184_incremental_video_dedup").collect()}
     assert got == expected
+
+
+def _c10_python_replay(spark, sf_dir):
+    """Pure-Python replay of every c10 stage over the REAL AVI payloads:
+    corruption, chunk walk + frame-0 decode (gate), aHash, exact
+    signature keep-one, duration gate."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_avi_payload,
+        parse_avi_video_chunks,
+        resize_nearest,
+    )
+    from mariadb_postgres_migration_spark.r10_queries import C8_CORRUPT_MOD
+    from mariadb_postgres_migration_spark.r11_queries import C10_MIN_FRAMES
+    from mariadb_postgres_migration_spark.registry import _t
+
+    mm = attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+    sigs, nframes = {}, {}
+    for r in mm.collect():
+        payload = bytes(r["payload"])
+        if r["doc_id"] % C8_CORRUPT_MOD == 0:
+            payload = b"\x00\x00" + payload
+        frames = parse_avi_video_chunks(payload)
+        if not frames:
+            continue  # the decode gate
+        arr = decode_jpeg_pixels(frames[0])
+        if arr is None:
+            continue
+        s = resize_nearest(arr.astype(np.int64), 8, 8).reshape(-1)
+        total = int(s.sum())
+        hi = lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(64 * int(s[k]) > total)
+        for k in range(32, 64):
+            lo = (lo << 1) | int(64 * int(s[k]) > total)
+        sigs[r["doc_id"]] = (hi, lo)
+        nframes[r["doc_id"]] = len(frames)
+    keep_min = {}
+    for d in sorted(sigs):
+        keep_min.setdefault(sigs[d], d)
+    qual = {
+        d for d in sigs
+        if keep_min[sigs[d]] == d and nframes[d] >= C10_MIN_FRAMES
+    }
+    return qual, sigs, nframes
+
+
+def test_c10_matches_pure_python_stage_replay(spark, sf_dir, q):
+    """c10's survivor set, signatures, frame counts and split/shard must
+    equal the pure-Python replay through the real decoders."""
+    qual, sigs, nframes = _c10_python_replay(spark, sf_dir)
+    manifest = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in q("c7_pretraining_pipeline").collect()
+    }
+    expected = {d for d in qual if d in manifest}
+    rows = {r["doc_id"]: r for r in q("c10_video_pipeline").collect()}
+    assert set(rows) == expected
+    for d, r in rows.items():
+        assert (r["h_hi"], r["h_lo"]) == sigs[d]
+        assert r["n_frames"] == nframes[d]
+        assert (r["split"], r["shard"]) == manifest[d]
+    assert expected, "fixture yields no c10 survivors — vacuous row"
+
+
+def test_c10_gates_do_real_work(spark, sf_dir, q):
+    """Every stage must drop something on the fixture corpus: corrupted
+    docs fail the walk, duplicate signatures collapse, and at least one
+    single-frame video hits the duration gate."""
+    qual, sigs, nframes = _c10_python_replay(spark, sf_dir)
+    survivors = {r["doc_id"] for r in q("c10_video_pipeline").collect()}
+    assert survivors <= qual
+    # decode gate: corrupted ids never appear among signatures
+    assert all(d % 13 != 0 for d in sigs)
+    # dedup stage drops at least one duplicate-signature doc
+    assert len(sigs) > len(set(sigs.values()))
+    # duration gate has teeth at this SF
+    from mariadb_postgres_migration_spark.r11_queries import C10_MIN_FRAMES
+
+    assert any(n < C10_MIN_FRAMES for n in nframes.values())

@@ -134,3 +134,14 @@ def test_x184_x185_plans(q):
     assert python_eval_count(df) == 1
     _no_expansion(df)
     _no_expansion(q("x186_r11e_ops_suite"))
+
+
+def test_c10_single_decode_pass(q):
+    """c10's only Python is the AVI builder + the frame-0 hash kernel
+    (with_meta carries n_frames through the SAME pass — a second walk
+    for the duration gate would add a third kernel); dedup/gate/pairing
+    are JVM-side."""
+    df = q("c10_video_pipeline")
+    assert python_eval_count(df) <= 4  # persisted sig lineage per consumer
+    _no_expansion(df)
+    _no_expansion(q("d5_dedup_agg_suite"))
