@@ -221,6 +221,12 @@ HEADLINE = [
     # members stay benched; frozen series untouched)
     "d5_dedup_agg_suite",
     "c10_video_pipeline",
+    # r11 seventh wave: cross-modal pairing audit (c9 ∩ c10 per split) +
+    # per-source video capacity profile — w6 is the w5+j13
+    # suite-of-suites consolidation that funds it (w5/j13 and all THEIR
+    # members stay benched; frozen series untouched)
+    "w6_windowtemporal_suite",
+    "x189_r11f_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -429,6 +435,12 @@ SUITE_MEMBERS = {
         "x184_incremental_video_dedup", "x185_audio_energy_screen",
     ],
     "d5_dedup_agg_suite": ["d3_dedup_core_suite", "d4_cc_term_suite"],
+    "w6_windowtemporal_suite": [
+        "w5_windowthread_suite", "j13_order_temporal_suite",
+    ],
+    "x189_r11f_ops_suite": [
+        "x187_crossmodal_pairs", "x188_video_source_profile",
+    ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",

@@ -632,6 +632,7 @@ FROM ({member_oracle('x24_stream_threading')})"""
 
 @register(
     "w5_windowthread_suite", _w5_sql(), "EXT-06", "EXT-08", "EXT-09",
+    tier=1,  # r11: consolidated into w6_windowtemporal_suite (stays benched)
 )
 def w5_windowthread_suite(spark, sf_dir):
     """Driver row consolidating the batch window-agg pair (x15_16) and
@@ -793,6 +794,7 @@ FROM ({member_oracle('j12_temporal_joins')})"""
 
 @register(
     "j13_order_temporal_suite", _j13_sql(), "EXT-ORDER", "EXT-JOIN",
+    tier=1,  # r11: consolidated into w6_windowtemporal_suite (stays benched)
 )
 def j13_order_temporal_suite(spark, sf_dir):
     """Driver row consolidating the distributed percentile_disc row (p2)

@@ -1046,3 +1046,191 @@ def d5_dedup_agg_suite(spark, sf_dir):
     d3 = REGISTRY["d3_dedup_core_suite"].fn(spark, sf_dir)
     d4 = REGISTRY["d4_cc_term_suite"].fn(spark, sf_dir)
     return widen(d3, "3_").unionAll(widen(d4, "4_"))
+
+
+# ===========================================================================
+# r11 seventh wave: the cross-modal pairing audit (x187 — which docs
+# survive BOTH the c9 image and c10 video curations, per split: the
+# joint-training usable set) and the per-source video capacity profile
+# (x188 — x170's sheet on the video modality) — funded by consolidating
+# the w5/j13 suites into w6_windowtemporal_suite.
+# ===========================================================================
+
+
+def _x187_sql() -> str:
+    # one c9 chain + one c10 chain, each MATERIALIZED (referenced once
+    # but heavy; materialization keeps DuckDB from re-inlining them into
+    # both sides of the FULL OUTER join — the x144 lesson)
+    return f"""WITH c9r AS MATERIALIZED (SELECT doc_id, split
+            FROM ({member_oracle('c9_multimodal_lsh')}) a),
+c10r AS MATERIALIZED (SELECT doc_id, split
+            FROM ({member_oracle('c10_video_pipeline')}) b),
+j AS (SELECT coalesce(c9r.split, c10r.split) AS split,
+             (c9r.doc_id IS NOT NULL) AS has_img,
+             (c10r.doc_id IS NOT NULL) AS has_vid
+      FROM c9r FULL OUTER JOIN c10r USING (doc_id))
+SELECT split,
+       CAST(sum(CASE WHEN has_img AND has_vid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+       CAST(sum(CASE WHEN has_img AND NOT has_vid THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_image_only,
+       CAST(sum(CASE WHEN has_vid AND NOT has_img THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_video_only
+FROM j GROUP BY split"""
+
+
+@register(
+    "x187_crossmodal_pairs", _x187_sql(), "EXT-04", "EXT-05", tier=1,
+)
+def x187_crossmodal_pairs(spark, sf_dir):
+    """Cross-modal pairing audit: per split, how many documents survived
+    BOTH the c9 image curation and the c10 video curation (the set a
+    joint image+video training run can actually use), versus one
+    modality only — the coverage sheet that decides whether a paired
+    objective is feasible or the corpus is effectively unimodal. Both
+    pipelines place docs via the same c7 manifest, so split agrees on
+    matched rows by construction; one doc_id full-outer join over the
+    two survivor manifests, ≤ |splits| rows out."""
+    c9 = c9_multimodal_lsh(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("s9")
+    )
+    c10 = c10_video_pipeline(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("s10")
+    )
+    j = c9.join(c10, "doc_id", "full_outer").select(
+        F.coalesce("s9", "s10").alias("split"),
+        F.col("s9").isNotNull().alias("has_img"),
+        F.col("s10").isNotNull().alias("has_vid"),
+    )
+    return j.groupBy("split").agg(
+        F.sum((F.col("has_img") & F.col("has_vid")).cast("long"))
+        .cast("long").alias("n_both"),
+        F.sum((F.col("has_img") & ~F.col("has_vid")).cast("long"))
+        .cast("long").alias("n_image_only"),
+        F.sum((F.col("has_vid") & ~F.col("has_img")).cast("long"))
+        .cast("long").alias("n_video_only"),
+    )
+
+
+def _x188_sql() -> str:
+    return f"""WITH hdr AS (SELECT doc_id, n_frames, us_per_frame
+            FROM ({member_oracle('x181_video_header_profile')}) z)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(sum(hdr.n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(hdr.n_frames * hdr.us_per_frame) AS BIGINT)
+           AS total_duration_us,
+       CAST(sum(CASE WHEN hdr.n_frames < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short
+FROM hdr JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+@register(
+    "x188_video_source_profile", _x188_sql(), "EXT-04", "EXT-05", tier=1,
+)
+def x188_video_source_profile(spark, sf_dir):
+    """Per-source video corpus capacity sheet (the x170 image sheet on
+    the video modality, from HEADERS only — no codec cost): video count,
+    total frames, exact integer total duration (Σ n_frames ×
+    us_per_frame) and the under-3-frame count the c10 duration gate will
+    drop — what a data team reads to budget a video-training ingest per
+    crawl source. One header-walk Arrow pass + one map-side-combined
+    aggregate; ≤ |sources| rows out."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        avi_header_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hdr = avi_header_profile(attach_consistent_avi_payload(docs))
+    return (
+        hdr.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_videos"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum(F.col("n_frames") * F.col("us_per_frame"))
+            .cast("long").alias("total_duration_us"),
+            F.sum((F.col("n_frames") < 3).cast("long"))
+            .cast("long").alias("n_short"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# w6_windowtemporal_suite — the w5/j13 suites as ONE driver row (funds the
+# x189 slot)
+# ---------------------------------------------------------------------------
+
+
+def _w6_sql() -> str:
+    return f"""SELECT concat('w_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('w5_windowthread_suite')})
+UNION ALL
+SELECT concat('j_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('j13_order_temporal_suite')})"""
+
+
+@register(
+    "w6_windowtemporal_suite", _w6_sql(), "EXT-06", "EXT-08", "EXT-09",
+    "EXT-ORDER", "EXT-JOIN",
+)
+def w6_windowtemporal_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r10 suites (w5 = batch
+    window pair + streaming threading, j13 = distributed percentiles +
+    temporal joins) — r11 window math: their two slots fund this row
+    plus x189. Kind-namespace prefixes, member oracles embedded
+    verbatim; w5/j13 and their members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    w = REGISTRY["w5_windowthread_suite"].fn(spark, sf_dir)
+    j = REGISTRY["j13_order_temporal_suite"].fn(spark, sf_dir)
+    return widen(w, "w_").unionAll(widen(j, "j_"))
+
+
+# ---------------------------------------------------------------------------
+# x189_r11f_ops_suite — the r11 seventh-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x189_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'xm' AS kind, {z} AS id1, {z} AS id2, n_both AS v1,
+       n_image_only AS v2, n_video_only AS v3, {zd} AS d1, {zd} AS d2,
+       split AS s1
+FROM ({member_oracle('x187_crossmodal_pairs')})
+UNION ALL
+SELECT 'vsp', {z}, {z}, n_videos, total_frames, total_duration_us, {zd},
+       CAST(n_short AS DOUBLE), source
+FROM ({member_oracle('x188_video_source_profile')})"""
+
+
+@register(
+    "x189_r11f_ops_suite", _x189_sql(), "EXT-04", "EXT-05",
+)
+def x189_r11f_ops_suite(spark, sf_dir):
+    """Driver row for the r11 seventh wave — the cross-modal pairing
+    audit (x187) and the per-source video capacity profile (x188) —
+    union-folded into the shared kind-tagged suite shape (2 small
+    members → lazy union per the SCALE.md composition rule)."""
+    xm = _suite_shape(
+        x187_crossmodal_pairs(spark, sf_dir), "xm",
+        v1=F.col("n_both"), v2=F.col("n_image_only"),
+        v3=F.col("n_video_only"), s1=F.col("split"),
+    )
+    vsp = _suite_shape(
+        x188_video_source_profile(spark, sf_dir), "vsp",
+        v1=F.col("n_videos"), v2=F.col("total_frames"),
+        v3=F.col("total_duration_us"), d2=F.col("n_short"),
+        s1=F.col("source"),
+    )
+    return xm.unionAll(vsp)

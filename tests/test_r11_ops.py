@@ -550,3 +550,49 @@ def test_c10_gates_do_real_work(spark, sf_dir, q):
     from mariadb_postgres_migration_spark.r11_queries import C10_MIN_FRAMES
 
     assert any(n < C10_MIN_FRAMES for n in nframes.values())
+
+
+def test_x187_crossmodal_counts_match_member_manifests(q):
+    """x187's per-split counts must equal the set algebra over the c9
+    and c10 survivor manifests it composes."""
+    img = {(r["doc_id"], r["split"]) for r in q("c9_multimodal_lsh").collect()}
+    vid = {(r["doc_id"], r["split"]) for r in q("c10_video_pipeline").collect()}
+    splits = {s for _, s in img | vid}
+    expected = {}
+    for s in splits:
+        i = {d for d, sp in img if sp == s}
+        v = {d for d, sp in vid if sp == s}
+        expected[s] = (len(i & v), len(i - v), len(v - i))
+    got = {
+        r["split"]: (r["n_both"], r["n_image_only"], r["n_video_only"])
+        for r in q("x187_crossmodal_pairs").collect()
+    }
+    assert got == expected
+    assert any(b for b, _, _ in got.values()), "no cross-modal pairs — vacuous"
+
+
+def test_x188_profile_matches_header_aggregation(spark, sf_dir, q):
+    """x188 must equal the per-source aggregation of the x181 header
+    profile (same header decode both rows ride)."""
+    from collections import defaultdict
+
+    from mariadb_postgres_migration_spark.registry import _t
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    exp = defaultdict(lambda: [0, 0, 0, 0])
+    for r in q("x181_video_header_profile").collect():
+        e = exp[src[r["doc_id"]]]
+        e[0] += 1
+        e[1] += r["n_frames"]
+        e[2] += r["n_frames"] * r["us_per_frame"]
+        e[3] += 1 if r["n_frames"] < 3 else 0
+    got = {
+        r["source"]: [r["n_videos"], r["total_frames"],
+                      r["total_duration_us"], r["n_short"]]
+        for r in q("x188_video_source_profile").collect()
+    }
+    assert got == dict(exp)
+    assert got, "no sources — vacuous row"

@@ -145,3 +145,26 @@ def test_c10_single_decode_pass(q):
     assert python_eval_count(df) <= 4  # persisted sig lineage per consumer
     _no_expansion(df)
     _no_expansion(q("d5_dedup_agg_suite"))
+
+
+def test_x187_x188_plans(q):
+    """x187 = two pipeline subtrees + a doc_id full-outer join and one
+    small aggregate — no expansion nodes anywhere; x188 = AVI builder +
+    header walker (two Python ops) + a map-side-combined aggregate."""
+    _no_expansion(q("x187_crossmodal_pairs"))
+    df = q("x188_video_source_profile")
+    assert python_eval_count(df) == 2
+    _no_expansion(df)
+    _no_expansion(q("x189_r11f_ops_suite"))
+    # w6 carries j13 → p2's distributed percentile machinery (scalar
+    # broadcasts only) — same policy as the other m-fold suites
+    from mariadb_postgres_migration_spark.plans import broadcast_build_subtrees
+
+    df = q("w6_windowtemporal_suite")
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    if "BroadcastNestedLoopJoin" in text:
+        subs = broadcast_build_subtrees(df)
+        assert any("keys=[]" in s for s in subs), (
+            "nested-loop join without a 1-row scalar-aggregate build side"
+        )
