@@ -227,6 +227,12 @@ HEADLINE = [
     # members stay benched; frozen series untouched)
     "w6_windowtemporal_suite",
     "x189_r11f_ops_suite",
+    # r12: video near-dup keep-one (banded hamming over frame-0
+    # signatures) + measured video near-dup recall — m8 is the x177+x180
+    # suite-of-suites consolidation that funds it (x177/x180 and all
+    # THEIR members stay benched; frozen series untouched)
+    "m8_r11bc_suite",
+    "x192_r12a_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -440,6 +446,10 @@ SUITE_MEMBERS = {
     ],
     "x189_r11f_ops_suite": [
         "x187_crossmodal_pairs", "x188_video_source_profile",
+    ],
+    "m8_r11bc_suite": ["x177_r11b_ops_suite", "x180_r11c_ops_suite"],
+    "x192_r12a_ops_suite": [
+        "x190_video_neardup_keep_one", "x191_video_neardup_recall",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

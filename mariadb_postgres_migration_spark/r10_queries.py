@@ -137,10 +137,10 @@ def c8_multimodal_pipeline(spark, sf_dir):
     payload scan), one dedup shuffle on the 16-byte hash, a row-local
     gate, one doc_id equi-join to the manifest. No stage widens the
     payload column beyond the single decode pass."""
-    from .r9_queries import c7_pretraining_pipeline
+    from .r9_queries import _c7_result
 
     st = _c8_stage_frames(spark, sf_dir)
-    manifest = c7_pretraining_pipeline(spark, sf_dir).select(
+    manifest = _c7_result(spark, sf_dir).select(
         "doc_id", "split", "shard"
     )
     return st["qual"].join(manifest, "doc_id").select(
@@ -266,11 +266,11 @@ def x154_multimodal_funnel(spark, sf_dir):
     agree. Stage definitions shared with c8 itself (_c8_stage_frames /
     _c8_ctes — one definition, two consumers); 5 rows out at any
     corpus scale."""
-    from .r9_queries import c7_pretraining_pipeline
+    from .r9_queries import _c7_result
 
     st = _c8_stage_frames(spark, sf_dir)
     paired = st["qual"].join(
-        c7_pretraining_pipeline(spark, sf_dir).select("doc_id"),
+        _c7_result(spark, sf_dir).select("doc_id"),
         "doc_id",
         "left_semi",
     )
@@ -318,12 +318,12 @@ def x155_paired_profile(spark, sf_dir):
     survivors. n_tok joins from the c7 manifest (already driver-hashed
     there) rather than re-tokenizing, so the two rows cannot disagree
     on tokenization; ≤ |splits| (3) rows out."""
-    from .r9_queries import c7_pretraining_pipeline
+    from .r9_queries import _c7_result
 
     pairs = c8_multimodal_pipeline(spark, sf_dir).select(
         "doc_id", "split", "n_bytes"
     )
-    ntok = c7_pretraining_pipeline(spark, sf_dir).select("doc_id", "n_tok")
+    ntok = _c7_result(spark, sf_dir).select("doc_id", "n_tok")
     return (
         pairs.join(ntok, "doc_id")
         .groupBy("split")
@@ -1298,7 +1298,7 @@ def x172_caption_image_corr(spark, sf_dir):
     fixed md5-chosen panel so the global rank windows stay ≤512 rows at
     any corpus scale. n_tok joins from the c7 manifest (the x155
     consistency device)."""
-    from .r9_queries import c7_pretraining_pipeline
+    from .r9_queries import _c7_result
 
     panel = c8_multimodal_pipeline(spark, sf_dir).select(
         "doc_id", "n_bytes"
@@ -1307,7 +1307,7 @@ def x172_caption_image_corr(spark, sf_dir):
         & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
     )
     j = panel.join(
-        c7_pretraining_pipeline(spark, sf_dir).select("doc_id", "n_tok"),
+        _c7_result(spark, sf_dir).select("doc_id", "n_tok"),
         "doc_id",
     )
     rb = F.row_number().over(Window.orderBy("n_bytes", "doc_id"))

@@ -102,33 +102,66 @@ def c9_multimodal_lsh(spark, sf_dir):
     capped posting lists (never image×image); the CC pays only for
     docs with edges; two doc_id equi-joins. No stage re-reads payload
     bytes after the single decode."""
-    from .r9_queries import c7_pretraining_pipeline
+    return _c9_frames(spark, sf_dir)["result"]
 
-    docs = _t(spark, sf_dir, "documents")
-    mm = attach_consistent_bmp_payload(docs)
-    corrupted = F.when(
-        F.col("doc_id") % C8_CORRUPT_MOD == 0,
-        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-    ).otherwise(F.col("payload"))
-    mm = mm.select("doc_id", corrupted.alias("payload"))
-    # gate + signature + dims in ONE Arrow pass: corrupted payloads fail
-    # the real decode and emit nothing
-    sig = D._persist(image_ahash(mm, with_dims=True))
-    pairs = image_neardup_pairs(
-        sig.select("doc_id", "h_hi", "h_lo")
-    ).select("doc_a", "doc_b")
-    keep = (
-        D.dedup_keep_one(sig.select("doc_id"), pairs)
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    qual = sig.join(keep, "doc_id").filter(F.col("height") >= C9_MIN_H)
-    manifest = c7_pretraining_pipeline(spark, sf_dir).select(
-        "doc_id", "split", "shard"
-    )
-    return qual.join(manifest, "doc_id").select(
-        "doc_id", "width", "height", "h_hi", "h_lo", "split", "shard"
-    )
+
+#: The c9 chain frames, memoized per (session, sf_dir) with the same
+#: foreign-session eviction + re-persist-on-access contract as r9's
+#: _C1_MANIFEST_CACHE / r10's _C8_FRAMES_CACHE (r12, VERDICT r11 "What's
+#: missing #2"): x187 consumes the FULL c9 chain (Arrow image decode +
+#: banded pairs + CC) alongside the full c10 chain in one action —
+#: without the memo every consumer carries an independent decode subtree.
+#: Both the internal sig frame (3 consumers: pairs, keep, qual) and the
+#: final manifest (≤ |survivors| rows × 7 narrow columns) re-persist on
+#: every access so bench-harness releases stay safe.
+_C9_FRAMES_CACHE: dict = {}
+
+
+def _c9_frames(spark, sf_dir):
+    from .r9_queries import _c7_result
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _C9_FRAMES_CACHE if k[0] != app]:
+        del _C9_FRAMES_CACHE[stale]
+    key = (app, sf_dir)
+    st = _C9_FRAMES_CACHE.get(key)
+    if st is None:
+        docs = _t(spark, sf_dir, "documents")
+        mm = attach_consistent_bmp_payload(docs)
+        corrupted = F.when(
+            F.col("doc_id") % C8_CORRUPT_MOD == 0,
+            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+        ).otherwise(F.col("payload"))
+        mm = mm.select("doc_id", corrupted.alias("payload"))
+        # gate + signature + dims in ONE Arrow pass: corrupted payloads
+        # fail the real decode and emit nothing
+        sig = image_ahash(mm, with_dims=True)
+        pairs = image_neardup_pairs(
+            sig.select("doc_id", "h_hi", "h_lo")
+        ).select("doc_a", "doc_b")
+        keep = (
+            D.dedup_keep_one(sig.select("doc_id"), pairs)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        qual = sig.join(keep, "doc_id").filter(F.col("height") >= C9_MIN_H)
+        manifest = _c7_result(spark, sf_dir).select(
+            "doc_id", "split", "shard"
+        )
+        result = qual.join(manifest, "doc_id").select(
+            "doc_id", "width", "height", "h_hi", "h_lo", "split", "shard"
+        )
+        st = {"sig": sig, "result": result}
+        _C9_FRAMES_CACHE[key] = st
+    D._persist(st["sig"])
+    _c7_result(spark, sf_dir)  # re-persist the embedded c7 manifest
+    return st
+
+
+def _c9_result(spark, sf_dir):
+    """The memoized, persisted c9 survivor manifest — for multi-consumer
+    rows (x187) that pair image survivors with other modalities."""
+    return D._persist(_c9_frames(spark, sf_dir)["result"])
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +401,7 @@ FROM ({member_oracle('x176_image_neardup_recall')})"""
 
 @register(
     "x177_r11b_ops_suite", _x177_sql(), "EXT-02", "EXT-04",
+    tier=1,  # r12: consolidated into m8_r11bc_suite (stays in bench HEADLINE)
 )
 def x177_r11b_ops_suite(spark, sf_dir):
     """Driver row for the r11 second wave — MJPEG-in-AVI frame stats
@@ -582,6 +616,7 @@ FROM ({member_oracle('x179_video_perceptual_dedup')})"""
 @register(
     "x180_r11c_ops_suite", _x180_sql(), "EXT-01", "EXT-02", "EXT-04",
     "EXT-05",
+    tier=1,  # r12: consolidated into m8_r11bc_suite (stays in bench HEADLINE)
 )
 def x180_r11c_ops_suite(spark, sf_dir):
     """Driver row for the r11 third wave — the JPEG decode-validity
@@ -980,33 +1015,61 @@ def c10_video_pipeline(spark, sf_dir):
     form, the c7 member oracle) hash-checks every stage. Scale: one
     Arrow decode pass total, one 16-byte-signature shuffle, a row-local
     gate, one doc_id equi-join — the c8 shape on video."""
+    return _c10_frames(spark, sf_dir)["result"]
+
+
+#: The c10 chain frames memo — the _C9_FRAMES_CACHE twin on the video
+#: modality (same eviction + re-persist-on-access contract); x187 is the
+#: multi-consumer that funds it. sig feeds 2 consumers (keep agg, surv
+#: join); the result manifest is ≤ |survivors| × 6 narrow columns.
+_C10_FRAMES_CACHE: dict = {}
+
+
+def _c10_frames(spark, sf_dir):
     from .operators.multimodal import (
         attach_consistent_avi_payload,
         video_frame_ahash,
     )
-    from .r9_queries import c7_pretraining_pipeline
+    from .r9_queries import _c7_result
 
-    docs = _t(spark, sf_dir, "documents")
-    mm = attach_consistent_avi_payload(docs)
-    corrupted = F.when(
-        F.col("doc_id") % C8_CORRUPT_MOD == 0,
-        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-    ).otherwise(F.col("payload"))
-    mm = mm.select("doc_id", corrupted.alias("payload"))
-    sig = D._persist(video_frame_ahash(mm, with_meta=True))
-    keep = sig.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("__mn"))
-    surv = (
-        sig.join(keep, ["h_hi", "h_lo"])
-        .filter(F.col("doc_id") == F.col("__mn"))
-        .drop("__mn")
-    )
-    qual = surv.filter(F.col("n_frames") >= C10_MIN_FRAMES)
-    manifest = c7_pretraining_pipeline(spark, sf_dir).select(
-        "doc_id", "split", "shard"
-    )
-    return qual.join(manifest, "doc_id").select(
-        "doc_id", "n_frames", "h_hi", "h_lo", "split", "shard"
-    )
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _C10_FRAMES_CACHE if k[0] != app]:
+        del _C10_FRAMES_CACHE[stale]
+    key = (app, sf_dir)
+    st = _C10_FRAMES_CACHE.get(key)
+    if st is None:
+        docs = _t(spark, sf_dir, "documents")
+        mm = attach_consistent_avi_payload(docs)
+        corrupted = F.when(
+            F.col("doc_id") % C8_CORRUPT_MOD == 0,
+            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+        ).otherwise(F.col("payload"))
+        mm = mm.select("doc_id", corrupted.alias("payload"))
+        sig = video_frame_ahash(mm, with_meta=True)
+        keep = sig.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("__mn"))
+        surv = (
+            sig.join(keep, ["h_hi", "h_lo"])
+            .filter(F.col("doc_id") == F.col("__mn"))
+            .drop("__mn")
+        )
+        qual = surv.filter(F.col("n_frames") >= C10_MIN_FRAMES)
+        manifest = _c7_result(spark, sf_dir).select(
+            "doc_id", "split", "shard"
+        )
+        result = qual.join(manifest, "doc_id").select(
+            "doc_id", "n_frames", "h_hi", "h_lo", "split", "shard"
+        )
+        st = {"sig": sig, "result": result}
+        _C10_FRAMES_CACHE[key] = st
+    D._persist(st["sig"])
+    _c7_result(spark, sf_dir)  # re-persist the embedded c7 manifest
+    return st
+
+
+def _c10_result(spark, sf_dir):
+    """The memoized, persisted c10 survivor manifest — for multi-consumer
+    rows (x187) that pair video survivors with other modalities."""
+    return D._persist(_c10_frames(spark, sf_dir)["result"])
 
 
 # ---------------------------------------------------------------------------
@@ -1090,13 +1153,29 @@ def x187_crossmodal_pairs(spark, sf_dir):
     objective is feasible or the corpus is effectively unimodal. Both
     pipelines place docs via the same c7 manifest, so split agrees on
     matched rows by construction; one doc_id full-outer join over the
-    two survivor manifests, ≤ |splits| rows out."""
-    c9 = c9_multimodal_lsh(spark, sf_dir).select(
-        "doc_id", F.col("split").alias("s9")
+    two survivor manifests, ≤ |splits| rows out.
+
+    Composition (r12, VERDICT r11 'What's wrong: x189'): the s4 split-rc
+    device — both survivor manifests come from the _c9_result/_c10_result
+    memos and MATERIALIZE eagerly (tiny frames: doc_id + split), then the
+    two chains' heavy internal persists (the image-decode and video-decode
+    sig frames, the shared c7/c1 manifests) release IMMEDIATELY, so the
+    full-outer join runs over two materialized narrow frames instead of
+    carrying both decode subtrees' storage residency into the action —
+    the exact mechanism behind x189's 2.5-3.0x suites_inflated flag in
+    both r11 driver runs. MPS_SUITE_UNION=1 flips back to the lazy form
+    for A/Bs."""
+    from .extension_queries import _suite_materialize, _suite_release
+    from .operators.dedup import persist_pool_mark
+
+    mark = persist_pool_mark()
+    c9 = _suite_materialize(
+        _c9_result(spark, sf_dir).select("doc_id", F.col("split").alias("s9"))
     )
-    c10 = c10_video_pipeline(spark, sf_dir).select(
-        "doc_id", F.col("split").alias("s10")
+    c10 = _suite_materialize(
+        _c10_result(spark, sf_dir).select("doc_id", F.col("split").alias("s10"))
     )
+    _suite_release(mark)
     j = c9.join(c10, "doc_id", "full_outer").select(
         F.coalesce("s9", "s10").alias("split"),
         F.col("s9").isNotNull().alias("has_img"),

@@ -1,0 +1,246 @@
+"""Round-12 registered queries: the banded near-dup tier applied to VIDEO
+signatures (VERDICT r11 'Next round' #4 — x179's exact-signature dedup
+misses re-encodes; x190 runs the x158 banded-hamming machinery over the
+frame-0 aHash signatures with CC keep-one, and x191 measures its recall
+with the x176 bounded-panel device), plus the driver-window rows that
+fund them per the r11 suite-of-suites convention (m8 consolidates the
+x177/x180 r11 wave suites; tier-0 stays == DRIVER_WINDOW).
+
+Registration/oracle conventions follow r7-r11_queries: every standalone
+here is tier 1, every one is also driver-verified same-round, and suite
+oracles compose the members' SQL via member_oracle() so member edits
+can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import r11_queries  # noqa: F401  (m8 composes x177/x180 oracles)
+from .extension_queries import _suite_shape
+from .operators import dedup as D
+from .operators.multimodal import ahash_pairs_ctes, image_neardup_pairs
+from .r11_queries import _video_sig_ctes
+from .registry import _t, member_oracle, register
+
+# ---------------------------------------------------------------------------
+# x190 — video near-dup keep-one: the banded hamming tier over frame-0
+# signatures (two re-encodes of one clip differ by a few signature bits;
+# x179's exact grouping misses them, this tier collapses them)
+# ---------------------------------------------------------------------------
+
+
+def _x190_sql() -> str:
+    # sig comes MATERIALIZED from _video_sig_ctes (it feeds the band
+    # union, both verify joins and the CC seed); p materialized per the
+    # x144 CTE-inlining lesson (both edge directions); the CC is x163's
+    # recursive form seeded with every video so singletons keep
+    # themselves
+    return f"""WITH RECURSIVE
+{_video_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+p AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS rep, (doc_id = min(n)) AS keep
+FROM reach GROUP BY doc_id"""
+
+
+@register(
+    "x190_video_neardup_keep_one", _x190_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def x190_video_neardup_keep_one(spark, sf_dir):
+    """Video NEAR-dup dedup decision (VERDICT r11 'Next round' #4): the
+    x158 banded-hamming pair generator + x163 CC keep-one applied to the
+    frame-0 aHash signatures from the real AVI chunk walk + JPEG decode
+    (:func:`operators.multimodal.video_frame_ahash`) — so two re-encodes
+    of the same clip whose signatures differ by <= 3 bits collapse to
+    one survivor, which x179's exact (h_hi, h_lo) grouping structurally
+    cannot do. Output (doc_id, rep, keep) — the survivor manifest shape.
+    Scale: pair generation is capped posting lists over 4×16-bit bands
+    (never video×video); the CC pays only for videos with edges; one
+    Arrow decode pass total."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_frame_ahash,
+    )
+
+    sig = D._persist(
+        video_frame_ahash(
+            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+    return D.dedup_keep_one(sig.select("doc_id"), pairs)
+
+
+# ---------------------------------------------------------------------------
+# x191 — measured video near-dup recall: the x176 bounded-panel device on
+# the video signature space (every exhaustive hamming<=3 panel pair
+# flagged with whether the banded generator found it)
+# ---------------------------------------------------------------------------
+
+#: x191's fixed probe panel — the x176 rule verbatim (md5-chosen from the
+#: first 1024 doc_ids, ≤ ~128 panel videos at any SF, so the exhaustive
+#: side stays ≤ ~8k in-row combinations).
+X191_PANEL_SQL = (
+    "doc_id < 1024 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+    " IN ('0', '1')"
+)
+
+
+def _x191_sql() -> str:
+    return f"""WITH {_video_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+banded AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+panel AS (SELECT * FROM sig WHERE {X191_PANEL_SQL}),
+ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.h_hi, b.h_hi))
+                   + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+       FROM panel a JOIN panel b ON a.doc_id < b.doc_id)
+SELECT e.doc_a, e.doc_b, e.hamming,
+       CAST(bd.doc_a IS NOT NULL AS BIGINT) AS in_banded
+FROM ex e LEFT JOIN banded bd USING (doc_a, doc_b)
+WHERE e.hamming <= 3"""
+
+
+@register(
+    "x191_video_neardup_recall", _x191_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x191_video_neardup_recall(spark, sf_dir):
+    """Measured video near-dup recall (the x176 device on the video
+    signature space): on the fixed md5-chosen panel, EVERY hamming<=3
+    pair (exhaustive, in-row combinations over the bounded panel — never
+    a corpus expansion) is flagged with whether the banded generator
+    found it. The 4×16 banding is pigeonhole-complete at hamming<=3
+    EXCEPT for pairs pruned by the stop-bucket cap, so in_banded=0 rows
+    measure exactly that documented trade — video-dedup recall becomes a
+    driver-hashed regression canary alongside the image (x176) and ANN
+    (x142) canaries."""
+    from .operators.dedup import _pair_combinations
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_frame_ahash,
+    )
+
+    sig = D._persist(
+        video_frame_ahash(
+            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    banded = image_neardup_pairs(sig).select(
+        "doc_a", "doc_b", F.lit(1).alias("__b")
+    )
+    panel = sig.filter(
+        (F.col("doc_id") < 1024)
+        & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    )
+    ids = panel.groupBy().agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    cand = ids.select(
+        F.explode(_pair_combinations(F.col("ids"))).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    ex = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+    )
+    return ex.join(banded, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", "hamming",
+        F.col("__b").isNotNull().cast("long").alias("in_banded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m8_r11bc_suite — the x177/x180 r11 wave suites as ONE driver row (funds
+# the x192 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m8_sql() -> str:
+    return f"""SELECT concat('b_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x177_r11b_ops_suite')})
+UNION ALL
+SELECT concat('c_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x180_r11c_ops_suite')})"""
+
+
+@register(
+    "m8_r11bc_suite", _m8_sql(), "EXT-01", "EXT-02", "EXT-04", "EXT-05",
+)
+def m8_r11bc_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r11 wave suites (x177 =
+    MJPEG frame stats + measured image near-dup recall, x180 = JPEG
+    decode funnel + video perceptual dedup) — r12 window math: their two
+    slots fund this row plus x192. Kind-namespace prefixes, member
+    oracles embedded verbatim; x177/x180 and their members stay benched
+    (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    b = REGISTRY["x177_r11b_ops_suite"].fn(spark, sf_dir)
+    c = REGISTRY["x180_r11c_ops_suite"].fn(spark, sf_dir)
+    return widen(b, "b_").unionAll(widen(c, "c_"))
+
+
+# ---------------------------------------------------------------------------
+# x192_r12a_ops_suite — the r12 first-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x192_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'vnd' AS kind, doc_id AS id1, rep AS id2,
+       CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3, {zd} AS d1,
+       {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x190_video_neardup_keep_one')})
+UNION ALL
+SELECT 'vrc', doc_a, doc_b, hamming, in_banded, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x191_video_neardup_recall')})"""
+
+
+@register(
+    "x192_r12a_ops_suite", _x192_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def x192_r12a_ops_suite(spark, sf_dir):
+    """Driver row for the r12 first wave — video near-dup keep-one
+    (x190) and measured video near-dup recall (x191) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    vnd = _suite_shape(
+        x190_video_neardup_keep_one(spark, sf_dir), "vnd",
+        id1=F.col("doc_id"), id2=F.col("rep"),
+        v1=F.col("keep").cast("long"),
+    )
+    vrc = _suite_shape(
+        x191_video_neardup_recall(spark, sf_dir), "vrc",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
+        v2=F.col("in_banded"),
+    )
+    return vnd.unionAll(vrc)

@@ -322,6 +322,37 @@ def c7_pretraining_pipeline(spark, sf_dir):
     )
 
 
+#: The c7 training-layout manifest, memoized per (session, sf_dir) with
+#: the same foreign-session eviction + re-persist-on-access contract as
+#: _C1_MANIFEST_CACHE (r12, VERDICT r11 'What's missing #2'): c8, c9,
+#: c10, x143 and the x155/x161/x172-family audits each consume the c7
+#: manifest, and x187 consumes it TWICE in one action (once under its c9
+#: subtree, once under its c10 subtree) — without the memo each consumer
+#: carries an independent tokenize + pack-window subtree. The frame is
+#: ≤ |survivors| rows × 6 narrow columns.
+_C7_MANIFEST_CACHE: dict = {}
+
+
+def _c7_result(spark, sf_dir):
+    """The memoized full c7 output (doc_id, split, shard, n_tok,
+    start_pack, end_pack) — the _c1_result pattern one stage later, so
+    every training-layout consumer shares ONE persisted manifest instead
+    of re-running split/shard/pack per consumer."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _C7_MANIFEST_CACHE if k[0] != app]:
+        del _C7_MANIFEST_CACHE[stale]
+    key = (app, sf_dir)
+    m = _C7_MANIFEST_CACHE.get(key)
+    if m is None:
+        m = c7_pretraining_pipeline(spark, sf_dir)
+        _C7_MANIFEST_CACHE[key] = m
+    # the memoized c7 DAG embeds the memoized c1 frame — re-persist it too
+    # (construction did this via c7_pretraining_pipeline → _c1_manifest;
+    # memo hits must keep the same contract)
+    _c1_manifest(spark, sf_dir)
+    return D._persist(m)
+
+
 # ===========================================================================
 # r9 second wave: pack-utilization report (x143) and the cross-split
 # leakage screen (x144) — the audit half of the c7 endgame — funded by
@@ -343,7 +374,7 @@ def x143_pack_utilization(spark, sf_dir):
     map-side-combined aggregate past the c7 plan; ≤ 48 rows at any
     corpus scale. The number packing exists to optimize, now
     driver-hashed."""
-    return T.pack_utilization(c7_pretraining_pipeline(spark, sf_dir))
+    return T.pack_utilization(_c7_result(spark, sf_dir))
 
 
 def _x144_sql() -> str:

@@ -84,6 +84,7 @@ def load_all_query_modules() -> None:
     from . import r9_queries  # noqa: F401
     from . import r10_queries  # noqa: F401
     from . import r11_queries  # noqa: F401
+    from . import r12_queries  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
