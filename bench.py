@@ -233,6 +233,13 @@ HEADLINE = [
     # THEIR members stay benched; frozen series untouched)
     "m8_r11bc_suite",
     "x192_r12a_ops_suite",
+    # r12 second wave: progressive-JPEG pixel stats (the multi-scan
+    # Annex-G decode made real) + the decode funnel v2 whose progressive
+    # queue drains to pixels — m9 is the x183+x186 suite-of-suites
+    # consolidation that funds it (x183/x186 and all THEIR members stay
+    # benched; frozen series untouched)
+    "m9_r11de_suite",
+    "x195_r12b_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -451,6 +458,10 @@ SUITE_MEMBERS = {
     "x192_r12a_ops_suite": [
         "x190_video_neardup_keep_one", "x191_video_neardup_recall",
     ],
+    "m9_r11de_suite": ["x183_r11d_ops_suite", "x186_r11e_ops_suite"],
+    "x195_r12b_ops_suite": [
+        "x193_progressive_pixel_stats", "x194_jpeg_decode_funnel_v2",
+    ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",
         "x136_zipf_profile",
@@ -560,25 +571,65 @@ def main() -> int:
         # a typo'd name silently shrinking the recorded totals is the same
         # coverage hole the registry's duplicate guard closes — fail loudly
         raise SystemExit(f"bench: unknown query names {unknown}")
+
+    # Sectioned recording (r12, VERDICT r11 'Next round #3'): two rounds of
+    # ~55-minute full-run recordings were start/end-taint-flagged while
+    # ~6-minute windows landed clean, so the run is split into sections of
+    # SECTION_RUNS timed queries with a jvm probe at every boundary. A
+    # section whose bracketing probes agree is a valid measurement window
+    # even when the HOST drifts between sections; taint becomes
+    # per-section (any bad section taints the recording) and the
+    # drift-robust series composite `value_r4set_cal_sec` normalizes each
+    # query by ITS section's probe instead of one start-of-run ratio. The
+    # anchored fields (value_r4set_cal etc.) keep their r7 semantics.
+    boundary_min: list[float] = []  # min-of-3 jvm per boundary (anchor units)
+    boundary_med: list[float] = []  # median-of-3 jvm per boundary (taint units)
+    sec_of: dict[str, int] = {}  # timed-run name -> section index
+    runs_in_section = 0
+
+    def _boundary_probe() -> None:
+        p = _host_calibration(spark, jvm_only=True)
+        boundary_min.append(p["jvm"])
+        boundary_med.append(p["jvm_med"])
+
+    def _maybe_probe() -> None:
+        nonlocal runs_in_section
+        if runs_in_section >= SECTION_RUNS:
+            _boundary_probe()
+            runs_in_section = 0
+
+    boundary_min.append(calib["jvm"])
+    boundary_med.append(calib["jvm_med"])
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in headline:
+        _maybe_probe()
         cold[name] = round(run(name), 3)  # warmup = this query's cold run
         # min of two steady runs: the shared local JVM still has GC/JIT
         # noise a real cluster doesn't; min is the standard de-noiser.
         timings[name] = round(min(run(name), run(name)), 3)
+        sec_of[name] = len(boundary_min) - 1
+        runs_in_section += 1
 
     # Per-member attribution for the consolidation suites: one untimed
     # compile/warm run, one timed run per member. Detail-line only — the
-    # suite row already counts this work once in the totals.
+    # suite row already counts this work once in the totals. Member runs
+    # continue the section probes: the suite-vs-member-sum inflation flag
+    # compares timings taken up to ~25 minutes apart, so each side's
+    # section probe is what separates a host story from an eviction story.
     member_timings: dict[str, dict[str, float]] = {}
+    member_section: dict[str, int] = {}  # suite -> section of its member block
     for suite, members in SUITE_MEMBERS.items():
         if suite not in headline:
             continue
+        _maybe_probe()
         member_timings[suite] = {}
+        member_section[suite] = len(boundary_min) - 1
         for m in members:
             run(m)
             member_timings[suite][m] = round(run(m), 3)
+            runs_in_section += 1
     # Suite-vs-member self-check (VERDICT r7 #3): a suite row costing far
     # more than its members' individual sum in the SAME process is the
     # persist-eviction signature that shipped unremarked in r7 (x77: 35.0s
@@ -610,8 +661,14 @@ def main() -> int:
     # end-of-run calibration (VERDICT r9 #3): the r9 snapshot A/B caught the
     # host drifting WITHIN a run (jvm 0.424 -> 0.609), which no start-only
     # probe can expose. Median-of-3 at both ends + their spread ride the
-    # final line; spread > CALIB_SPREAD_TAINT marks the recording tainted.
+    # final line. r12 (VERDICT r11 #3): taint is now adjudicated PER
+    # SECTION — a recording every one of whose ~6-minute sections has
+    # agreeing bracketing probes is a valid series point even if the host
+    # drifted BETWEEN sections, which is what start/end-only probing could
+    # never certify. The whole-run spread stays reported for continuity.
     calib_end = _host_calibration(spark, jvm_only=True)
+    boundary_min.append(calib_end["jvm"])
+    boundary_med.append(calib_end["jvm_med"])
     calib["jvm_start"] = calib["jvm_med"]
     calib["jvm_end"] = calib_end["jvm_med"]
     spread = round(
@@ -620,8 +677,37 @@ def main() -> int:
         3,
     )
     calib["spread"] = spread
-    calib["tainted"] = spread > CALIB_SPREAD_TAINT
+    sec_spreads = [
+        round(abs(b - a) / min(a, b), 3)
+        for a, b in zip(boundary_med, boundary_med[1:])
+    ]
+    calib["n_sections"] = len(sec_spreads)
+    calib["max_sec_spread"] = max(sec_spreads, default=0.0)
+    calib["tainted"] = calib["max_sec_spread"] > CALIB_SPREAD_TAINT
     del calib["jvm_med"]  # superseded by the explicit jvm_start key
+    print(json.dumps({
+        "detail": "section_calibration",
+        "boundary_jvm_min": boundary_min,
+        "boundary_jvm_med": boundary_med,
+        "section_spreads": sec_spreads,
+        "member_block_section": member_section,
+    }))
+
+    def _sec_ratio(sec: int) -> float:
+        # a section's host-speed ratio: mean of its bracketing min-of-3
+        # probes over the r7 anchor (min-of-3 keeps the anchor's units)
+        lo = boundary_min[min(sec, len(boundary_min) - 1)]
+        hi = boundary_min[min(sec + 1, len(boundary_min) - 1)]
+        return ((lo + hi) / 2) / JVM_CALIB_REF
+
+    r4set_cal_sec = round(
+        sum(
+            t / _sec_ratio(sec_of[n])
+            for n, t in timings.items()
+            if n in R4_COMPARABLE
+        ),
+        3,
+    )
 
     total = round(sum(timings.values()), 3)
     r4set = round(sum(t for n, t in timings.items() if n in R4_COMPARABLE), 3)
@@ -655,6 +741,7 @@ def main() -> int:
             value_r6set=r6set,
             value_r4set_cal=round(r4set / calib_ratio, 3),
             value_r6set_cal=round(r6set / calib_ratio, 3),
+            value_r4set_cal_sec=r4set_cal_sec,
             suites_inflated=suites_inflated,
         )
     )
@@ -730,6 +817,12 @@ def _host_calibration(spark, jvm_only: bool = False) -> dict[str, float]:
     return out
 
 
+#: Timed runs per calibration section (~6 minutes of a ~95-row headline +
+#: ~160 member runs at sf0.1): small enough that a section fits the
+#: short-window regime the r11 A/B sessions showed lands clean, large
+#: enough that the ~1-4s median-of-3 probe overhead stays ~2% of the run.
+SECTION_RUNS = 12
+
 #: Start/end median jvm probes disagreeing by more than this fraction mark
 #: the whole recording TAINTED on the final line: the host's speed moved
 #: mid-run (the r9 A/B caught 0.424 -> 0.609 within one session), so no
@@ -755,6 +848,7 @@ def compact_final_line(
     value_r6set: float | None = None,
     value_r4set_cal: float | None = None,
     value_r6set_cal: float | None = None,
+    value_r4set_cal_sec: float | None = None,
     suites_inflated: list[str] | None = None,
 ) -> str:
     """Serialize the machine-readable summary line, always < FINAL_LINE_BUDGET.
@@ -782,6 +876,9 @@ def compact_final_line(
             # host-speed-normalized series (r7-anchored; see JVM_CALIB_REF)
             "value_r4set_cal": value_r4set_cal,
             "value_r6set_cal": value_r6set_cal,
+            # drift-robust composite (r12): each query normalized by ITS
+            # calibration section's probes instead of one start-of-run ratio
+            "value_r4set_cal_sec": value_r4set_cal_sec,
             # suites whose warm time ran > SUITE_INFLATION_RATIO x their
             # members' same-process individual sum (empty = healthy)
             "suites_inflated": suites_inflated or [],

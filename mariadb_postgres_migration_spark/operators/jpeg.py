@@ -2,28 +2,35 @@
 pixel-decode stub in the multimodal family (BMP/PNG/GIF/WAV are already
 real; see operators/multimodal.py).
 
-Decoder scope (decode_jpeg_pixels): baseline DCT (SOF0), Huffman entropy
-coding (DHT), 8-bit samples, 1 component (grayscale) or 3 components
-(JFIF YCbCr) at any integer sampling factors up to 2x2 (4:4:4, 4:2:2,
-4:2:0), restart intervals (DRI/RSTn), 0xFF00 byte stuffing, multiple
-DQT/DHT segments. Progressive (SOF2), arithmetic coding, 12-bit and
+Decoder scope (decode_jpeg_pixels): baseline DCT (SOF0) per Annex F and
+— since r12 — PROGRESSIVE DCT (SOF2) per Annex G (spectral selection,
+successive approximation, DC/AC first and refinement scans, end-of-band
+runs), Huffman entropy coding (DHT), 8-bit samples, 1 component
+(grayscale) or 3 components (JFIF YCbCr) at any integer sampling factors
+up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), 0xFF00
+byte stuffing, multiple DQT/DHT segments. Arithmetic coding, 12-bit and
 hierarchical modes return None (header metadata still comes from
 multimodal.parse_image_header). That is the same honest-subset contract
 as the GIF decoder (87a/89a, no animation compositing).
 
-Encoder scope (encode_jpeg_gray / encode_jpeg_color): the test/fixture
-counterpart — forward DCT, quantization against an explicit table,
-standard Annex K.3.3 Huffman tables, optional 2x2-subsampled color. With
-the all-ones quant table and CONSTANT 8x8 blocks, encode→decode is
-EXACTLY lossless (all AC coefficients are zero, the DC coefficient is an
-exact multiple of 8, and the IDCT of a DC-only block is a constant with
+Encoder scope (encode_jpeg_gray / encode_jpeg_color /
+encode_jpeg_gray_progressive / encode_jpeg_color_progressive): the
+test/fixture counterpart — forward DCT, quantization against an explicit
+table, standard Annex K.3.3 Huffman tables (plus a fixed-length
+canonical AC table for progressive scans, which need EOBn symbols the
+baseline table lacks), optional 2x2-subsampled color, and a
+libjpeg-style multi-scan progression script. With the all-ones quant
+table and CONSTANT 8x8 blocks, encode→decode is EXACTLY lossless through
+BOTH entropy paths (all AC coefficients are zero, the DC coefficient is
+an exact multiple of 8 that the point transform + refinement bits
+reassemble exactly, and the IDCT of a DC-only block is a constant with
 no rounding ambiguity) — which is what lets a SQL oracle verify the
-registered x115 query's decoded-pixel statistics in closed form, the
-same trick the BMP/GIF fixtures use with genuinely lossless codecs.
+registered x115/x193 queries' decoded-pixel statistics in closed form,
+the same trick the BMP/GIF fixtures use with genuinely lossless codecs.
 
 Everything here is public knowledge: ITU-T T.81 (the JPEG spec, incl.
-Annex F sequential coding, Annex K reference tables) and the JFIF 1.02
-color conversion.
+Annex F sequential coding, Annex G progressive coding, Annex K reference
+tables) and the JFIF 1.02 color conversion.
 """
 
 from __future__ import annotations
@@ -253,9 +260,11 @@ def decode_jpeg_pixels(b: bytes):
                     hv = seg[7 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
                 frame = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:  # SOF2 progressive — the multi-scan engine
+                return _decode_progressive(b)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/arithmetic/hierarchical
+                return None  # arithmetic/hierarchical/12-bit extended
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS
@@ -346,6 +355,341 @@ def _decode_scan(b, pos, frame, scan_tabs, qt, huff, restart_interval):
                         plane[y0:y0 + 8, x0:x0 + 8] = samples[bi]
                         bi += 1
         # nearest-neighbor chroma upsample to full grid, crop to H x W
+        plane = plane.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
+        planes.append(plane[:H, :W])
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    return np.clip(
+        np.round(np.stack([r, g, bl], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (ITU-T T.81 Annex G: spectral selection +
+# successive approximation, Huffman entropy coding) — a SEPARATE parser
+# so the proven baseline path above stays byte-identical. Coefficients
+# accumulate across scans in transmission (zig-zag) order per block;
+# dequantization + IDCT run once after the last scan.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(b: bytes):
+    """Decode a progressive (SOF2) JPEG: multiple SOS scans, each either
+    a DC scan (Ss=Se=0; interleaved over all components or single) or a
+    single-component AC band scan (1 <= Ss <= Se <= 63), first pass
+    (Ah=0) or successive-approximation refinement (Ah>0). Returns the
+    same shapes as the baseline decoder, or None outside the supported
+    subset (8-bit, 1 or 3 components, sampling <= 2x2). A baseline
+    entropy segment behind a rewritten SOF2 marker fails here on the
+    scan-header validation (Ss=0 with Se=63 is not a legal progressive
+    scan), which is exactly the honest behavior the x178 funnel needs."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    stores = None  # per comp: (hb_pad, wb_pad, 64) int32 zig-zag coeffs
+    geom = None
+    i = 2
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI — all scans consumed
+                break
+            seglen = int.from_bytes(b[i + 2:i + 4], "big")
+            seg = b[i + 4:i + 2 + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(seg):
+                    prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                    j += 1
+                    n = 64 * (2 if prec else 1)
+                    raw = seg[j:j + n]
+                    vals = (
+                        np.frombuffer(raw, ">u2") if prec
+                        else np.frombuffer(raw, np.uint8)
+                    ).astype(np.int64)
+                    tab = np.zeros(64, np.int64)
+                    tab[ZIGZAG] = vals
+                    qt[tid] = tab.reshape(8, 8)
+                    j += n
+            elif marker == 0xC4:
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0x0F
+                    counts = list(seg[j + 1:j + 17])
+                    nsym = sum(counts)
+                    syms = list(seg[j + 17:j + 17 + nsym])
+                    huff[(tc, th)] = HuffTable(counts, syms)
+                    j += 17 + nsym
+            elif marker == 0xC2:
+                if seg[0] != 8:
+                    return None  # 12-bit
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                ncomp = seg[5]
+                if ncomp not in (1, 3):
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid = seg[6 + 3 * c]
+                    hv = seg[7 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+                    return None
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                frame = (h, w, comps, hmax, vmax, mcux, mcuy)
+                stores = [
+                    np.zeros((mcuy * v, mcux * ch, 64), np.int32)
+                    for _, ch, v, _ in comps
+                ]
+                # non-interleaved block grid per comp (G.1: actual comp
+                # dims, NOT MCU-padded)
+                geom = []
+                for _, ch, v, _tq in comps:
+                    cw = -(-w * ch // hmax)  # ceil(w * ch / hmax)
+                    chh = -(-h * v // vmax)
+                    geom.append((-(-cw // 8), -(-chh // 8)))  # (wb, hb)
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # wrong frame type for this parser
+            elif marker == 0xDD:
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                i = _decode_progressive_scan(
+                    b, i + 2 + seglen, seg, frame, stores, geom, huff,
+                    restart_interval,
+                )
+                continue  # i already points at the next marker
+            i += 2 + seglen
+    except (ValueError, IndexError, KeyError, OverflowError):
+        return None
+    if frame is None or stores is None:
+        return None
+    return _assemble_progressive(frame, stores, qt)
+
+
+def _decode_progressive_scan(b, pos, seg, frame, stores, geom, huff,
+                             restart_interval):
+    """Decode one progressive SOS; returns the byte offset of the next
+    marker segment. Raises ValueError on any structural violation."""
+    H, W, comps, hmax, vmax, mcux, mcuy = frame
+    ns = seg[0]
+    sel = []  # (comp_index, td, ta)
+    for c in range(ns):
+        cs = seg[1 + 2 * c]
+        tt = seg[2 + 2 * c]
+        ci = next(
+            (k for k, comp in enumerate(comps) if comp[0] == cs), None
+        )
+        if ci is None:
+            raise ValueError("jpeg: scan component not in frame")
+        sel.append((ci, tt >> 4, tt & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+        dc_scan = True
+    else:
+        if ns != 1 or se < ss or se > 63:
+            raise ValueError("jpeg: invalid progressive AC scan header")
+        dc_scan = False
+    reader = _BitReader(b, pos)
+    if dc_scan:
+        _scan_dc(reader, comps, sel, stores, ah, al, mcux, mcuy, huff,
+                 restart_interval, geom, ns)
+    else:
+        _scan_ac(reader, sel[0], stores, geom, ss, se, ah, al, huff,
+                 restart_interval)
+    # advance to the next marker segment (skip padding + any RSTn)
+    p = reader.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(b)
+
+
+def _scan_dc(reader, comps, sel, stores, ah, al, mcux, mcuy, huff,
+             restart_interval, geom, ns):
+    preds = [0] * len(sel)
+    if ns > 1:  # interleaved MCU order over the padded grid
+        nmcu = mcux * mcuy
+        for m in range(nmcu):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(sel)
+            for si, (ci, td, _ta) in enumerate(sel):
+                _, ch, cv, _ = comps[ci]
+                my, mx = divmod(m, mcux)
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = stores[ci][my * cv + by, mx * ch + bx]
+                        _dc_block(reader, blk, preds, si, huff, td, ah, al)
+    else:  # single-component DC scan: raster over the actual block grid
+        ci, td, _ta = sel[0]
+        wb, hb = geom[ci]
+        n = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    preds = [0] * len(sel)
+                _dc_block(reader, stores[ci][by, bx], preds, 0, huff, td,
+                          ah, al)
+                n += 1
+
+
+def _dc_block(reader, blk, preds, si, huff, td, ah, al):
+    if ah == 0:  # first pass: diff coding of the point-transformed DC
+        t = reader.decode_huff(huff[(0, td)])
+        if t > 11:
+            raise ValueError("jpeg: DC size out of range")
+        diff = _extend(reader.receive(t), t)
+        preds[si] += diff
+        blk[0] = preds[si] << al
+    else:  # refinement: one bit per block
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _scan_ac(reader, sel0, stores, geom, ss, se, ah, al, huff,
+             restart_interval):
+    ci, _td, ta = sel0
+    ac_tab = huff[(1, ta)]
+    wb, hb = geom[ci]
+    eobrun = 0
+    n = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and n and n % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            blk = stores[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, blk, ac_tab, ss, se, al,
+                                         eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, blk, ac_tab, ss, se, al,
+                                          eobrun)
+            n += 1
+
+
+def _ac_first_block(reader, blk, ac_tab, ss, se, al, eobrun):
+    """G.1.2.2: first pass over an AC band — run/size coding of the
+    point-transformed coefficients, with end-of-band (EOBn) runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past band end")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, blk, ac_tab, ss, se, al, eobrun):
+    """G.1.2.3: successive-approximation refinement of an AC band —
+    newly-significant coefficients arrive as run/1 symbols whose runs
+    count zero-HISTORY positions only; every nonzero-history coefficient
+    passed (and every one inside an EOB run) gets a correction bit.
+    ``eobrun`` counts blocks REMAINING in the pending end-of-band run
+    (this block excluded); both entry paths consume exactly one block."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def _correct(k):
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    if eobrun > 0:  # inside a pending run: corrections only
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                _correct(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:  # EOBn: total run = (1 << r) + appended bits
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break  # tail corrections of THIS block read below
+            # r == 15: ZRL — skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("jpeg: AC refine size must be 1")
+            val = p1 if reader.read_bit() else m1
+        while k <= se:
+            if blk[k] != 0:
+                _correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            blk[k] = val
+        k += 1
+    if eobrun > 0:  # EOBn consumed this block: read its tail corrections
+        while k <= se:
+            if blk[k] != 0:
+                _correct(k)
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _assemble_progressive(frame, stores, qt):
+    """Dequantize the accumulated zig-zag coefficients, IDCT, reassemble
+    planes and color-convert — the baseline tail applied to the
+    progressive coefficient store."""
+    H, W, comps, hmax, vmax, mcux, mcuy = frame
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        hb_pad, wb_pad, _ = stores[ci].shape
+        zz = stores[ci].reshape(-1, 64).astype(np.int64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        coeffs = nat.reshape(-1, 8, 8) * qt[tq]
+        spatial = idct_blocks(coeffs)
+        samples = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        # (hb*wb, 8, 8) raster blocks → (hb*8, wb*8) plane
+        plane = (
+            samples.reshape(hb_pad, wb_pad, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(hb_pad * 8, wb_pad * 8)
+        )
         plane = plane.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
         planes.append(plane[:H, :W])
     if len(planes) == 1:
@@ -556,3 +900,253 @@ def encode_jpeg_color(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + _dqt_seg(q) + sof + _dht_seg() + sos
             + bytes(bw.out) + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (test/fixture side) — the forward-DCT machinery
+# above emitting a spec-valid multi-scan SOF2 stream, so the progressive
+# decoder's every path (DC first/refine, AC first with EOB runs, AC
+# successive-approximation refinement with buffered correction bits) is
+# exercised by fixtures the SQL oracle can still verify in closed form.
+# ---------------------------------------------------------------------------
+
+#: Default scan script: spectral selection (bands 1-5 / 6-63) crossed
+#: with successive approximation (Al 2 → 1 → 0 for AC, 1 → 0 for DC) —
+#: the libjpeg-style progression shape, so refinement scans are real,
+#: not degenerate.
+DEFAULT_PROGRESSION = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2), (6, 63, 0, 2),
+    (1, 5, 2, 1), (6, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0), (6, 63, 1, 0),
+)
+
+
+#: AC table for progressive scans: the Annex K baseline AC table has no
+#: EOBn symbols (0x10..0xE0 — baseline never emits an end-of-band RUN),
+#: so progressive streams need their own table, exactly why libjpeg
+#: always emits custom DHTs in progressive mode. This one is the
+#: simplest spec-valid canonical code: every needed symbol (EOB0..EOB14,
+#: ZRL, and run/size for sizes 1..10) at length 8 — 176 codes < 255, so
+#: the forbidden all-ones codeword is never assigned. Compression is a
+#: fixture non-goal; decodability by ANY conformant decoder is.
+PROG_AC_SYMBOLS = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_COUNTS = [0] * 16
+PROG_AC_COUNTS[7] = len(PROG_AC_SYMBOLS)  # all codes 8 bits long
+
+_PROG_AC_TABLE = HuffTable(PROG_AC_COUNTS, PROG_AC_SYMBOLS)
+
+
+def _dht_prog_seg() -> bytes:
+    """DHT for the progressive AC table, registered as (class 1, id 1)."""
+    return _seg(
+        0xC4,
+        bytes([0x11]) + bytes(PROG_AC_COUNTS) + bytes(PROG_AC_SYMBOLS),
+    )
+
+
+class _ProgACState:
+    """Per-AC-scan entropy state: the pending end-of-band run and the
+    correction bits it owns (flushed together — run-level bits precede
+    the next symbol; the caller flushes each block's own buffered bits
+    separately after its significance symbol, matching the decoder's
+    read order)."""
+
+    def __init__(self, w: _BitWriter, ac: HuffTable):
+        self.w = w
+        self.ac = ac
+        self.eobrun = 0
+        self.run_bits: list[int] = []
+
+    def emit_symbol(self, sym: int) -> None:
+        code, ln = self.ac.encode_map[sym]
+        self.w.write(code, ln)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for bit in self.run_bits:
+                self.w.write(bit, 1)
+            self.run_bits = []
+
+    def end_block(self, deferred: bool, cur_bits: list[int]) -> None:
+        """Close one block: if its band tail was not explicitly coded,
+        it joins the pending EOB run (carrying its buffered correction
+        bits); a full run flushes."""
+        if deferred:
+            self.eobrun += 1
+            self.run_bits.extend(cur_bits)
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+
+def _enc_ac_first_block(st: _ProgACState, blk, ss: int, se: int,
+                        al: int) -> None:
+    """First AC pass over a band (G.1.2.2 encoder side): run/size coding
+    of the point-transformed coefficients with end-of-band runs."""
+    r = 0
+    coded_to_end = False
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        a = (abs(t) >> al)
+        if a == 0:
+            r += 1
+            coded_to_end = False
+            continue
+        st.emit_eobrun()
+        while r > 15:
+            st.emit_symbol(0xF0)
+            r -= 16
+        v = a if t > 0 else -a
+        nbits, code = _magnitude(v)
+        st.emit_symbol((r << 4) | nbits)
+        st.w.write(code & ((1 << nbits) - 1), nbits)
+        r = 0
+        coded_to_end = True
+    st.end_block(deferred=not coded_to_end or r > 0, cur_bits=[])
+
+
+def _enc_ac_refine_block(st: _ProgACState, blk, ss: int, se: int,
+                         al: int) -> None:
+    """AC refinement pass (G.1.2.3 encoder side): newly-significant
+    coefficients as run/1 symbols whose runs count zero-history
+    positions; already-nonzero coefficients contribute buffered
+    correction bits, emitted after the next symbol (or with the EOB
+    run that absorbs them)."""
+    absv = {}
+    eob = ss - 1  # last newly-significant position
+    for k in range(ss, se + 1):
+        a = abs(int(blk[k])) >> al
+        absv[k] = a
+        if a == 1:
+            eob = k
+    r = 0
+    cur_bits: list[int] = []
+    for k in range(ss, se + 1):
+        a = absv[k]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.emit_eobrun()
+            st.emit_symbol(0xF0)
+            r -= 16
+            for bit in cur_bits:
+                st.w.write(bit, 1)
+            cur_bits = []
+        if a > 1:  # nonzero history: one correction bit, run unchanged
+            cur_bits.append(a & 1)
+            continue
+        st.emit_eobrun()
+        st.emit_symbol((r << 4) | 1)
+        st.w.write(1 if int(blk[k]) > 0 else 0, 1)
+        for bit in cur_bits:
+            st.w.write(bit, 1)
+        cur_bits = []
+        r = 0
+    st.end_block(deferred=r > 0 or bool(cur_bits), cur_bits=cur_bits)
+
+
+def _sof2_seg(h: int, w: int, ncomp: int) -> bytes:
+    payload = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    payload += bytes([ncomp])
+    for c in range(ncomp):
+        payload += bytes([c + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+    return _seg(0xC2, payload)
+
+
+def _encode_progressive_planes(planes: list, scans) -> bytes:
+    """Shared SOF2 emitter over 1x1-sampled planes (1 = grayscale, 3 =
+    YCbCr). DC scan entries (ss == 0) run interleaved over all
+    components; AC entries expand to one single-component scan each, in
+    component order — both exactly the structures the decoder's scan
+    dispatch handles."""
+    H, W = planes[0].shape
+    q = np.ones((8, 8), np.int64)
+    dc, _ = _LUM_TABLES
+    ac = _PROG_AC_TABLE
+    zz = [_quantized_zigzag(_plane_blocks(p), q) for p in planes]
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8" + _dqt_seg(q) + _sof2_seg(H, W, ncomp)
+                    + _dht_seg() + _dht_prog_seg())
+    for ss, se, ah, al in scans:
+        if ss == 0:  # DC scan, interleaved (1x1 sampling: MCU = 1 block/comp)
+            bw = _BitWriter()
+            if ah == 0:
+                preds = [0] * ncomp
+                for bi in range(zz[0].shape[0]):
+                    for ci in range(ncomp):
+                        v = int(zz[ci][bi][0]) >> al
+                        t, code = _magnitude(v - preds[ci])
+                        preds[ci] = v
+                        hcode, hlen = dc.encode_map[t]
+                        bw.write(hcode, hlen)
+                        if t:
+                            bw.write(code, t)
+            else:
+                for bi in range(zz[0].shape[0]):
+                    for ci in range(ncomp):
+                        bw.write((int(zz[ci][bi][0]) >> al) & 1, 1)
+            bw.flush()
+            hdr = bytes([ncomp])
+            for c in range(ncomp):
+                hdr += bytes([c + 1, 0x00])
+            out += _seg(0xDA, hdr + bytes([ss, se, (ah << 4) | al]))
+            out += bytes(bw.out)
+        else:  # AC scans: one per component
+            for ci in range(ncomp):
+                bw = _BitWriter()
+                st = _ProgACState(bw, ac)
+                for bi in range(zz[ci].shape[0]):
+                    if ah == 0:
+                        _enc_ac_first_block(st, zz[ci][bi], ss, se, al)
+                    else:
+                        _enc_ac_refine_block(st, zz[ci][bi], ss, se, al)
+                st.emit_eobrun()
+                bw.flush()
+                out += _seg(0xDA, bytes([1, ci + 1, 0x01,  # Ta = 1 (prog AC)
+                                         ss, se, (ah << 4) | al]))
+                out += bytes(bw.out)
+    return bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_gray_progressive(
+    arr: np.ndarray, scans=DEFAULT_PROGRESSION
+) -> bytes:
+    """Encode a (H, W) uint8 grayscale array (dims multiples of 8) as a
+    spec-valid PROGRESSIVE JPEG (SOF2) with the default libjpeg-style
+    scan script. With the all-ones quant table, constant 8x8 blocks
+    round-trip exactly through every progressive pass (DC point
+    transform + refinement reassemble the exact DC; all AC are zero, so
+    the AC scans are pure end-of-band runs) — the closed-form-oracle
+    property of encode_jpeg_gray extended to the multi-scan stream."""
+    h, w = arr.shape
+    if h % 8 or w % 8:
+        raise ValueError(
+            "encode_jpeg_gray_progressive: dims must be multiples of 8"
+        )
+    return _encode_progressive_planes([arr], scans)
+
+
+def encode_jpeg_color_progressive(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, scans=DEFAULT_PROGRESSION
+) -> bytes:
+    """Encode explicit full-resolution YCbCr planes (1x1 sampling) as a
+    3-component progressive JPEG — exercises the decoder's interleaved
+    DC scans and per-component AC band scans."""
+    if y.shape != cb.shape or cb.shape != cr.shape:
+        raise ValueError("encode_jpeg_color_progressive: plane mismatch")
+    h, w = y.shape
+    if h % 8 or w % 8:
+        raise ValueError(
+            "encode_jpeg_color_progressive: dims must be multiples of 8"
+        )
+    return _encode_progressive_planes([y, cb, cr], scans)

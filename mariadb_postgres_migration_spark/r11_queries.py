@@ -779,6 +779,7 @@ FROM ({member_oracle('x182_video_scene_change')})"""
 
 @register(
     "x183_r11d_ops_suite", _x183_sql(), "EXT-04",
+    tier=1,  # r12: consolidated into m9_r11de_suite (stays in bench HEADLINE)
 )
 def x183_r11d_ops_suite(spark, sf_dir):
     """Driver row for the r11 fourth wave — the video header profile
@@ -943,6 +944,7 @@ FROM ({member_oracle('x185_audio_energy_screen')})"""
 
 @register(
     "x186_r11e_ops_suite", _x186_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,  # r12: consolidated into m9_r11de_suite (stays in bench HEADLINE)
 )
 def x186_r11e_ops_suite(spark, sf_dir):
     """Driver row for the r11 fifth wave — incremental video ingest

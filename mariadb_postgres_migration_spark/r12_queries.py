@@ -2,9 +2,13 @@
 signatures (VERDICT r11 'Next round' #4 — x179's exact-signature dedup
 misses re-encodes; x190 runs the x158 banded-hamming machinery over the
 frame-0 aHash signatures with CC keep-one, and x191 measures its recall
-with the x176 bounded-panel device), plus the driver-window rows that
-fund them per the r11 suite-of-suites convention (m8 consolidates the
-x177/x180 r11 wave suites; tier-0 stays == DRIVER_WINDOW).
+with the x176 bounded-panel device), and the progressive-JPEG decode
+made REAL (VERDICT r11 'What's missing #3' — x193 driver-hashes exact
+pixel stats through the Annex-G multi-scan engine, x194 drains the
+decode funnel's needs-fuller-codec queue to pixels), plus the
+driver-window rows that fund them per the r11 suite-of-suites convention
+(m8 consolidates x177/x180, m9 consolidates x183/x186; tier-0 stays ==
+DRIVER_WINDOW).
 
 Registration/oracle conventions follow r7-r11_queries: every standalone
 here is tier 1, every one is also driver-verified same-round, and suite
@@ -244,3 +248,174 @@ def x192_r12a_ops_suite(spark, sf_dir):
         v2=F.col("in_banded"),
     )
     return vnd.unionAll(vrc)
+
+
+# ===========================================================================
+# r12 second wave: the progressive-JPEG decoder made real (VERDICT r11
+# 'What's missing #3') — x193 runs the full multi-scan decode (DC + AC
+# spectral bands under successive approximation) over genuinely
+# progressive payloads and driver-hashes the exact pixel stats; x194 is
+# the decode funnel whose 'needs-fuller-codec queue' now DRAINS (class +
+# decoded px_sum per payload over a mixed baseline/progressive/corrupt
+# corpus) — funded by consolidating the x183/x186 r11 wave suites into
+# m9_r11de_suite.
+# ===========================================================================
+
+
+def _x193_sql() -> str:
+    from .extension_queries import _X115_SQL
+
+    # the x115 closed form VERBATIM: the progressive stream carries the
+    # same constant-block content, and the multi-scan decode is exactly
+    # lossless on it (DC point transform + refinement reassemble the
+    # exact DC; AC scans are pure end-of-band runs)
+    return _X115_SQL
+
+
+@register("x193_progressive_pixel_stats", _x193_sql(), "EXT-04", tier=1)
+def x193_progressive_pixel_stats(spark, sf_dir):
+    """Pixel stats through the REAL progressive-JPEG decode path
+    (VERDICT r11 'What's missing #3'): every payload is a spec-valid
+    multi-scan SOF2 stream (DC first + refinement, AC spectral bands
+    1-5/6-63 at successive-approximation levels 2→1→0, end-of-band runs
+    with buffered correction bits — operators/jpeg.py
+    encode_jpeg_gray_progressive), and the query side decodes it with
+    the Annex-G multi-scan engine (_decode_progressive), NOT the
+    baseline path. The oracle is x115's closed form verbatim — a hash
+    match proves the progressive entropy decode reassembles the exact
+    same pixels the baseline path produces. General-content parity
+    (nonzero AC, refinement corrections, color) is pinned in
+    tests/test_jpeg_codec.py round-trips."""
+    from .operators.multimodal import (
+        attach_consistent_jpeg_payload,
+        pixel_stats,
+    )
+
+    return pixel_stats(
+        attach_consistent_jpeg_payload(
+            _t(spark, sf_dir, "documents"), progressive=True
+        )
+    )
+
+
+def _x194_sql() -> str:
+    bpr = ("2 + (CASE WHEN length(t) = 0 THEN 0"
+           " ELSE ascii(substr(t, 1, 1)) END % 4)")
+    return f"""WITH ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+         FROM documents),
+dims AS (SELECT doc_id, t, {bpr} AS bpr,
+                least(length(t) // ({bpr}), 8) AS nrows
+         FROM ascii_docs)
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'progressive'
+            WHEN doc_id % 5 = 1 THEN 'corrupt'
+            ELSE 'baseline' END AS decode_class,
+       CASE WHEN doc_id % 5 = 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(64 * list_sum(list_transform(
+                     range(1, CAST(bpr * nrows AS BIGINT) + 1),
+                     i -> ascii(substr(t, CAST(i AS INTEGER), 1))))
+                 AS BIGINT) END AS px_sum
+FROM dims WHERE nrows >= 1"""
+
+
+@register(
+    "x194_jpeg_decode_funnel_v2", _x194_sql(), "EXT-04", "EXT-05", tier=1,
+)
+def x194_jpeg_decode_funnel_v2(spark, sf_dir):
+    """The x178 decode funnel with its progressive queue CONVERTED TO
+    PIXELS: the mixed fixture's doc_id%5==0 class is now a GENUINE
+    multi-scan progressive encoding (not a marker rewrite), and the
+    classifier kernel (:func:`operators.multimodal.jpeg_decode_funnel`)
+    decodes every payload through whichever entropy path its frame
+    header demands, emitting class + exact decoded px_sum. The oracle
+    recomputes both from the degradation rule and the constant-block
+    closed form — a hash match proves progressive payloads produce the
+    SAME pixels as their baseline siblings, per doc, through a
+    completely different entropy path."""
+    from .operators.multimodal import (
+        attach_consistent_jpeg_payload,
+        jpeg_decode_funnel,
+    )
+
+    return jpeg_decode_funnel(
+        attach_consistent_jpeg_payload(
+            _t(spark, sf_dir, "documents"), mixed=True, progressive=True
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m9_r11de_suite — the x183/x186 r11 wave suites as ONE driver row (funds
+# the x195 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m9_sql() -> str:
+    return f"""SELECT concat('d_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x183_r11d_ops_suite')})
+UNION ALL
+SELECT concat('e_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x186_r11e_ops_suite')})"""
+
+
+@register(
+    "m9_r11de_suite", _m9_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def m9_r11de_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r11 wave suites (x183 =
+    video header profile + scene-change deltas, x186 = incremental video
+    dedup + audio energy screen) — r12 window math: their two slots fund
+    this row plus x195. Kind-namespace prefixes, member oracles embedded
+    verbatim; x183/x186 and their members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    d = REGISTRY["x183_r11d_ops_suite"].fn(spark, sf_dir)
+    e = REGISTRY["x186_r11e_ops_suite"].fn(spark, sf_dir)
+    return widen(d, "d_").unionAll(widen(e, "e_"))
+
+
+# ---------------------------------------------------------------------------
+# x195_r12b_ops_suite — the r12 second-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x195_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'ppx' AS kind, doc_id AS id1, {z} AS id2, width AS v1,
+       height AS v2, px_sum AS v3, CAST(px_min AS DOUBLE) AS d1,
+       CAST(px_max AS DOUBLE) AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x193_progressive_pixel_stats')})
+UNION ALL
+SELECT 'fnl', doc_id, {z}, px_sum, {z}, {z}, {zd}, {zd}, decode_class
+FROM ({member_oracle('x194_jpeg_decode_funnel_v2')})"""
+
+
+@register(
+    "x195_r12b_ops_suite", _x195_sql(), "EXT-04", "EXT-05",
+)
+def x195_r12b_ops_suite(spark, sf_dir):
+    """Driver row for the r12 second wave — progressive-JPEG pixel stats
+    (x193) and the decode funnel v2 with real progressive decode (x194)
+    — union-folded into the shared kind-tagged suite shape (2 small
+    members → lazy union per the SCALE.md composition rule)."""
+    ppx = _suite_shape(
+        x193_progressive_pixel_stats(spark, sf_dir), "ppx",
+        id1=F.col("doc_id"), v1=F.col("width"), v2=F.col("height"),
+        v3=F.col("px_sum"), d1=F.col("px_min").cast("double"),
+        d2=F.col("px_max").cast("double"),
+    )
+    fnl = _suite_shape(
+        x194_jpeg_decode_funnel_v2(spark, sf_dir), "fnl",
+        id1=F.col("doc_id"), v1=F.col("px_sum"), s1=F.col("decode_class"),
+    )
+    return ppx.unionAll(fnl)

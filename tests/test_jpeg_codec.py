@@ -250,3 +250,110 @@ def test_encoder_rejects_oversized_quant_table():
         encode_jpeg_gray(img, q=np.zeros((8, 8), dtype=np.int64))
     # in-range table still encodes
     assert encode_jpeg_gray(img, q=np.full((8, 8), 255, dtype=np.int64))[:2] == b"\xff\xd8"
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) codec — r12
+# ---------------------------------------------------------------------------
+
+from mariadb_postgres_migration_spark.operators.jpeg import (  # noqa: E402
+    DEFAULT_PROGRESSION,
+    encode_jpeg_color_progressive,
+    encode_jpeg_gray_progressive,
+)
+
+
+def test_progressive_constant_blocks_round_trip_exactly():
+    """The fixture property: constant 8x8 blocks survive the multi-scan
+    stream bit-exactly (DC point transform + refinement reassemble the
+    exact DC; AC scans are pure end-of-band runs)."""
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        bpr, rows = int(rng.integers(2, 6)), int(rng.integers(1, 9))
+        vals = rng.integers(32, 127, (rows, bpr)).astype(np.uint8)
+        arr = vals.repeat(8, 0).repeat(8, 1)
+        dec = decode_jpeg_pixels(encode_jpeg_gray_progressive(arr))
+        assert dec is not None and np.array_equal(dec, arr)
+
+
+def test_progressive_matches_baseline_on_arbitrary_content():
+    """The strong parity pin: for ANY input, the progressive stream's
+    decode must equal the baseline stream's decode of the same array —
+    both paths quantize identically (all-ones table), so any divergence
+    is an entropy-coding bug (EOB runs, ZRL-in-refinement, buffered
+    correction bits, successive approximation)."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        h, w = 8 * int(rng.integers(1, 6)), 8 * int(rng.integers(1, 6))
+        arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_gray(arr))
+        prog = decode_jpeg_pixels(encode_jpeg_gray_progressive(arr))
+        assert prog is not None
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_color_matches_baseline_color():
+    """3-component parity at 1x1 sampling: interleaved DC scans +
+    per-component AC band scans reproduce the baseline color decode."""
+    rng = np.random.default_rng(13)
+    y, cb, cr = (
+        rng.integers(0, 256, (16, 24)).astype(np.uint8) for _ in range(3)
+    )
+    base = decode_jpeg_pixels(encode_jpeg_color(y, cb, cr, sampling=(1, 1)))
+    prog = decode_jpeg_pixels(encode_jpeg_color_progressive(y, cb, cr))
+    assert prog is not None and prog.shape == base.shape
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_stream_is_genuinely_multi_scan():
+    """The stream must actually exercise the progression: one SOS per
+    script entry (AC entries expand per component), and at least one
+    refinement scan (Ah > 0) present."""
+    arr = np.full((8, 16), 99, np.uint8)
+    enc = encode_jpeg_gray_progressive(arr)
+    scans = []
+    i = 2
+    while i + 4 <= len(enc):
+        marker = enc[i + 1]
+        seglen = int.from_bytes(enc[i + 2:i + 4], "big")
+        if marker == 0xDA:
+            seg = enc[i + 4:i + 2 + seglen]
+            ns = seg[0]
+            scans.append((seg[1 + 2 * ns], seg[2 + 2 * ns],
+                          seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F))
+            # skip entropy data to the next marker segment
+            j = i + 2 + seglen
+            while j + 1 < len(enc):
+                if enc[j] == 0xFF and enc[j + 1] not in (0x00,) and not (
+                    0xD0 <= enc[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            i = j
+            continue
+        i += 2 + seglen
+        if marker == 0xD9:
+            break
+    assert len(scans) == len(DEFAULT_PROGRESSION)
+    assert scans == list(DEFAULT_PROGRESSION)
+    assert any(ah > 0 for _, _, ah, _ in scans)
+
+
+def test_progressive_truncation_never_raises():
+    rng = np.random.default_rng(17)
+    enc = encode_jpeg_gray_progressive(
+        rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    )
+    for cut in range(0, len(enc), 7):
+        out = decode_jpeg_pixels(enc[:cut])
+        assert out is None or out.shape == (16, 16)
+
+
+def test_progressive_rejects_baseline_entropy_behind_sof2():
+    """The x178 franken fixture contract: a baseline entropy segment
+    behind a rewritten SOF2 marker must fail the progressive scan-header
+    validation (Ss=0 with Se=63), never decode."""
+    enc = bytearray(encode_jpeg_gray(np.full((8, 8), 10, np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(enc)) is None
