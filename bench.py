@@ -240,6 +240,12 @@ HEADLINE = [
     # benched; frozen series untouched)
     "m9_r11de_suite",
     "x195_r12b_ops_suite",
+    # r12 third wave: cross-path decode parity canary + per-source video
+    # near-dup sheet — m10 is the x128+x133 suite-of-suites consolidation
+    # that funds it (x128/x133 and all THEIR members stay benched; frozen
+    # series untouched)
+    "m10_r8ab_suite",
+    "x198_r12c_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -461,6 +467,10 @@ SUITE_MEMBERS = {
     "m9_r11de_suite": ["x183_r11d_ops_suite", "x186_r11e_ops_suite"],
     "x195_r12b_ops_suite": [
         "x193_progressive_pixel_stats", "x194_jpeg_decode_funnel_v2",
+    ],
+    "m10_r8ab_suite": ["x128_r8_ops_suite", "x133_r8b_ops_suite"],
+    "x198_r12c_ops_suite": [
+        "x196_decode_path_parity", "x197_video_neardup_source_sheet",
     ],
     "x137_r8c_ops_suite": [
         "x134_cluster_size_histogram", "x135_interarrival_burstiness",

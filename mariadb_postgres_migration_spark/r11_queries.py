@@ -1157,27 +1157,31 @@ def x187_crossmodal_pairs(spark, sf_dir):
     matched rows by construction; one doc_id full-outer join over the
     two survivor manifests, ≤ |splits| rows out.
 
-    Composition (r12, VERDICT r11 'What's wrong: x189'): the s4 split-rc
-    device — both survivor manifests come from the _c9_result/_c10_result
-    memos and MATERIALIZE eagerly (tiny frames: doc_id + split), then the
-    two chains' heavy internal persists (the image-decode and video-decode
-    sig frames, the shared c7/c1 manifests) release IMMEDIATELY, so the
-    full-outer join runs over two materialized narrow frames instead of
-    carrying both decode subtrees' storage residency into the action —
-    the exact mechanism behind x189's 2.5-3.0x suites_inflated flag in
-    both r11 driver runs. MPS_SUITE_UNION=1 flips back to the lazy form
-    for A/Bs."""
-    from .extension_queries import _suite_materialize, _suite_release
-    from .operators.dedup import persist_pool_mark
+    Composition (r12, VERDICT r11 'What's wrong: x189' — adjudicated by
+    TWO same-session A/Bs, isolated and at full-bench depth, SCALE.md):
+    the structural cause of the r11 inflation was the double c7 chain
+    (x187 paid curation+tokenize+pack once under the c9 subtree and
+    again under c10's) — fixed by the _c9_result/_c10_result/_c7_result
+    memos, after which the LAZY UNION form measured at-or-under the
+    split-rc (checkpoint-both-manifests) form in isolation (7.78 vs
+    8.09 median) and clearly under it at 88-row bench depth (12.6 vs
+    16.6 median, all 3 interleaved pairs): the two pipeline chains are
+    independent subtrees that fill the cores under one action, the s4
+    x84a lesson. Ships lazy; MPS_X187_SPLIT=1 flips to the split-rc
+    form for future A/Bs."""
+    import os
+
+    from .operators.dedup import persist_pool_mark, release_cached_intermediates
 
     mark = persist_pool_mark()
-    c9 = _suite_materialize(
-        _c9_result(spark, sf_dir).select("doc_id", F.col("split").alias("s9"))
+    c9 = _c9_result(spark, sf_dir).select("doc_id", F.col("split").alias("s9"))
+    c10 = _c10_result(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("s10")
     )
-    c10 = _suite_materialize(
-        _c10_result(spark, sf_dir).select("doc_id", F.col("split").alias("s10"))
-    )
-    _suite_release(mark)
+    if os.environ.get("MPS_X187_SPLIT"):
+        c9 = c9.localCheckpoint(eager=True)
+        c10 = c10.localCheckpoint(eager=True)
+        release_cached_intermediates(since=mark)
     j = c9.join(c10, "doc_id", "full_outer").select(
         F.coalesce("s9", "s10").alias("split"),
         F.col("s9").isNotNull().alias("has_img"),

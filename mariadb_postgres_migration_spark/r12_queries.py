@@ -7,8 +7,11 @@ made REAL (VERDICT r11 'What's missing #3' — x193 driver-hashes exact
 pixel stats through the Annex-G multi-scan engine, x194 drains the
 decode funnel's needs-fuller-codec queue to pixels), plus the
 driver-window rows that fund them per the r11 suite-of-suites convention
-(m8 consolidates x177/x180, m9 consolidates x183/x186; tier-0 stays ==
-DRIVER_WINDOW).
+(m8 consolidates x177/x180, m9 consolidates x183/x186, m10 consolidates
+x128/x133; tier-0 stays == DRIVER_WINDOW). The third wave adds the
+cross-path decode parity canary (x196 — baseline and progressive decodes
+must agree per doc, as a driver-hashed row) and the per-source video
+near-dup capacity sheet (x197).
 
 Registration/oracle conventions follow r7-r11_queries: every standalone
 here is tier 1, every one is also driver-verified same-round, and suite
@@ -419,3 +422,172 @@ def x195_r12b_ops_suite(spark, sf_dir):
         id1=F.col("doc_id"), v1=F.col("px_sum"), s1=F.col("decode_class"),
     )
     return ppx.unionAll(fnl)
+
+
+# ===========================================================================
+# r12 third wave: the cross-path decode parity canary (x196 — baseline and
+# progressive entropy paths must reproduce identical pixels PER DOC, as a
+# driver-hashed row rather than only a local test) and the per-source
+# video near-dup capacity sheet (x197 — what the x190 tier actually saves
+# per crawl source) — funded by consolidating the x128/x133 r8 wave
+# suites into m10_r8ab_suite.
+# ===========================================================================
+
+
+def _x196_sql() -> str:
+    # parity is CONSTANT TRUE in the closed form — the row exists so the
+    # SPARK side must PROVE it: any divergence between the two entropy
+    # decoders flips parity (or drops a row) and the driver hash breaks
+    return f"""SELECT doc_id, width, height, px_sum,
+       CAST(1 AS BIGINT) AS parity
+FROM ({member_oracle('x115_jpeg_pixel_stats')})"""
+
+
+@register(
+    "x196_decode_path_parity", _x196_sql(), "EXT-04", tier=1,
+)
+def x196_decode_path_parity(spark, sf_dir):
+    """Cross-entropy-path decode parity as DATA: per document, the
+    baseline (Annex F) decode of the baseline encoding and the
+    progressive (Annex G) decode of the progressive encoding of the
+    SAME content are joined and compared field-by-field — parity = all
+    five pixel stats equal. The oracle pins parity to constant true, so
+    the Spark side carries the burden of proof: a single diverging
+    document (or one that decodes on one path only) breaks the driver
+    hash. The per-doc x142/x176/x191 canary device applied to codec
+    correctness itself."""
+    from .extension_queries import x115_jpeg_pixel_stats
+
+    stats = ["width", "height", "px_min", "px_max", "px_sum"]
+    b = x115_jpeg_pixel_stats(spark, sf_dir)
+    p = x193_progressive_pixel_stats(spark, sf_dir)
+    pr = p.select(
+        "doc_id", *[F.col(c).alias(f"p_{c}") for c in stats]
+    )
+    parity = None
+    for c in stats:
+        eq = F.col(c) == F.col(f"p_{c}")
+        parity = eq if parity is None else (parity & eq)
+    return (
+        b.join(pr, "doc_id")
+        .select(
+            "doc_id", "width", "height", "px_sum",
+            parity.cast("long").alias("parity"),
+        )
+    )
+
+
+def _x197_sql() -> str:
+    return f"""WITH k AS (SELECT doc_id, keep
+           FROM ({member_oracle('x190_video_neardup_keep_one')}) z)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors,
+       CAST(sum(CASE WHEN k.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes
+FROM k JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+@register(
+    "x197_video_neardup_source_sheet", _x197_sql(), "EXT-02", "EXT-04",
+    "EXT-05", tier=1,
+)
+def x197_video_neardup_source_sheet(spark, sf_dir):
+    """Per-source video NEAR-dup capacity sheet (the x170/x188 sheet
+    family over the x190 tier): videos, near-dup survivors and the
+    collapse count per crawl source — what a data team reads to see
+    which sources are re-encode farms before paying for ingest. One
+    doc_id equi-join + one map-side-combined aggregate past the x190
+    plan; ≤ |sources| rows out."""
+    docs = _t(spark, sf_dir, "documents")
+    k = x190_video_neardup_keep_one(spark, sf_dir).select("doc_id", "keep")
+    return (
+        k.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_videos"),
+            F.sum(F.col("keep").cast("long")).cast("long")
+            .alias("n_survivors"),
+            F.sum((~F.col("keep")).cast("long")).cast("long")
+            .alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m10_r8ab_suite — the x128/x133 r8 wave suites as ONE driver row (funds
+# the x198 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m10_sql() -> str:
+    return f"""SELECT concat('a_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x128_r8_ops_suite')})
+UNION ALL
+SELECT concat('b_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('x133_r8b_ops_suite')})"""
+
+
+@register(
+    "m10_r8ab_suite", _m10_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-GRAPH", "EXT-ANOM", "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
+    "EXT-05",
+)
+def m10_r8ab_suite(spark, sf_dir):
+    """Driver row consolidating two same-shaped r8 wave suites (x128 =
+    CUSUM + label propagation + Spearman + KS drift, x133 = Mann-Kendall
+    + Theil-Sen + Gini + vocab richness) — r12 window math: their two
+    slots fund this row plus x198. Kind-namespace prefixes, member
+    oracles embedded verbatim; x128/x133 and their members stay benched
+    (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["x128_r8_ops_suite"].fn(spark, sf_dir)
+    b = REGISTRY["x133_r8b_ops_suite"].fn(spark, sf_dir)
+    return widen(a, "a_").unionAll(widen(b, "b_"))
+
+
+# ---------------------------------------------------------------------------
+# x198_r12c_ops_suite — the r12 third-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x198_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'pvb' AS kind, doc_id AS id1, {z} AS id2, px_sum AS v1,
+       width * 1000 + height AS v2, parity AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x196_decode_path_parity')})
+UNION ALL
+SELECT 'vsrc', {z}, {z}, n_videos, n_survivors, n_dupes, {zd}, {zd}, source
+FROM ({member_oracle('x197_video_neardup_source_sheet')})"""
+
+
+@register(
+    "x198_r12c_ops_suite", _x198_sql(), "EXT-02", "EXT-04", "EXT-05",
+)
+def x198_r12c_ops_suite(spark, sf_dir):
+    """Driver row for the r12 third wave — the cross-path decode parity
+    canary (x196) and the per-source video near-dup sheet (x197) —
+    union-folded into the shared kind-tagged suite shape (2 small
+    members → lazy union per the SCALE.md composition rule)."""
+    pvb = _suite_shape(
+        x196_decode_path_parity(spark, sf_dir), "pvb",
+        id1=F.col("doc_id"), v1=F.col("px_sum"),
+        v2=F.col("width") * 1000 + F.col("height"), v3=F.col("parity"),
+    )
+    vsrc = _suite_shape(
+        x197_video_neardup_source_sheet(spark, sf_dir), "vsrc",
+        v1=F.col("n_videos"), v2=F.col("n_survivors"), v3=F.col("n_dupes"),
+        s1=F.col("source"),
+    )
+    return pvb.unionAll(vsrc)

@@ -205,6 +205,7 @@ FROM ({member_oracle('x127_ks_source_drift')})"""
     "x128_r8_ops_suite",
     _x128_sql(),
     "EXT-GRAPH", "EXT-ANOM", "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
+    tier=1,  # r12: consolidated into m10_r8ab_suite (stays in bench HEADLINE)
 )
 def x128_r8_ops_suite(spark, sf_dir):
     """Driver-verified representative for the round-8 operator tail,
@@ -405,6 +406,7 @@ FROM ({member_oracle('x132_vocab_richness')})"""
     "x133_r8b_ops_suite",
     _x133_sql(),
     "EXT-05", "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
+    tier=1,  # r12: consolidated into m10_r8ab_suite (stays in bench HEADLINE)
 )
 def x133_r8b_ops_suite(spark, sf_dir):
     """Driver-verified representative for the round-8 second wave,

@@ -85,10 +85,10 @@ def test_c7_memo_matches_pipeline(q, spark, sf_dir):
 
 
 def test_x187_split_rc_matches_lazy_form(q, spark, sf_dir, monkeypatch):
-    """The x187 split-rc composition (eager manifests, early release) and
-    the MPS_SUITE_UNION=1 lazy form must produce identical rows — the
+    """The shipped lazy form and the MPS_X187_SPLIT=1 split-rc form
+    (eager manifests, early release) must produce identical rows — the
     A/B flip is a physical-form switch only."""
-    rc = sorted(q("x187_crossmodal_pairs").collect())
-    monkeypatch.setenv("MPS_SUITE_UNION", "1")
     lazy = sorted(q("x187_crossmodal_pairs").collect())
+    monkeypatch.setenv("MPS_X187_SPLIT", "1")
+    rc = sorted(q("x187_crossmodal_pairs").collect())
     assert rc == lazy

@@ -69,3 +69,37 @@ def test_x193_x194_kernels(q):
 def test_m9_x195_suites_no_expansion(q):
     _no_expansion(q("m9_r11de_suite"))
     _no_expansion(q("x195_r12b_ops_suite"))
+
+
+def test_x196_x197_plans(q):
+    """x196 = two fixture builders + two decode kernels (baseline and
+    progressive sides of the parity join — four Python ops, one doc_id
+    equi-join); x197 = AVI builder + frame-0 hash kernel over the
+    persisted x190 sig plus one aggregate."""
+    df = q("x196_decode_path_parity")
+    assert python_eval_count(df) == 4
+    _no_expansion(df)
+    df = q("x197_video_neardup_source_sheet")
+    assert python_eval_count(df) <= 4
+    _no_expansion(df)
+
+
+def test_m10_x198_suites_no_expansion(q):
+    # m10 carries x128's KS-drift / x133's Gini scalar aggregates: a
+    # crossJoin against a 1-row scalar-aggregate build side is the
+    # allowed broadcast shape (the test_r10_plans
+    # _no_expansion_allowing_scalar_cross policy); a cartesian is
+    # still forbidden
+    from mariadb_postgres_migration_spark.plans import (
+        broadcast_build_subtrees,
+    )
+
+    df = q("m10_r8ab_suite")
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    if "BroadcastNestedLoopJoin" in text:
+        subs = broadcast_build_subtrees(df)
+        assert any("keys=[]" in s for s in subs), (
+            "nested-loop join without a 1-row scalar-aggregate build side"
+        )
+    _no_expansion(q("x198_r12c_ops_suite"))
