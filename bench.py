@@ -594,13 +594,18 @@ def main() -> int:
     # anchored fields (value_r4set_cal etc.) keep their r7 semantics.
     boundary_min: list[float] = []  # min-of-3 jvm per boundary (anchor units)
     boundary_med: list[float] = []  # median-of-3 jvm per boundary (taint units)
+    boundary_np: list[float] = []  # min-of-3 numpy matmul per boundary
     sec_of: dict[str, int] = {}  # timed-run name -> section index
     runs_in_section = 0
 
     def _boundary_probe() -> None:
+        # jvm AND np per boundary (r12 first recording: the host ran jvm
+        # probes FASTER than the anchor while numpy ran 5x slower — only
+        # a per-section np series can attribute that class of session)
         p = _host_calibration(spark, jvm_only=True)
         boundary_min.append(p["jvm"])
         boundary_med.append(p["jvm_med"])
+        boundary_np.append(_np_probe_min())
 
     def _maybe_probe() -> None:
         nonlocal runs_in_section
@@ -610,6 +615,7 @@ def main() -> int:
 
     boundary_min.append(calib["jvm"])
     boundary_med.append(calib["jvm_med"])
+    boundary_np.append(calib["np"])
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -679,6 +685,7 @@ def main() -> int:
     calib_end = _host_calibration(spark, jvm_only=True)
     boundary_min.append(calib_end["jvm"])
     boundary_med.append(calib_end["jvm_med"])
+    boundary_np.append(_np_probe_min())
     calib["jvm_start"] = calib["jvm_med"]
     calib["jvm_end"] = calib_end["jvm_med"]
     spread = round(
@@ -699,6 +706,7 @@ def main() -> int:
         "detail": "section_calibration",
         "boundary_jvm_min": boundary_min,
         "boundary_jvm_med": boundary_med,
+        "boundary_np": boundary_np,
         "section_spreads": sec_spreads,
         "member_block_section": member_section,
     }))
@@ -825,6 +833,22 @@ def _host_calibration(spark, jvm_only: bool = False) -> dict[str, float]:
     if not jvm_only:  # the end-of-run probe only consumes jvm_med
         out["np"] = round(min(_np_probe() for _ in range(3)), 3)
     return out
+
+
+def _np_probe_min() -> float:
+    """min-of-3 of the fixed 1024³ float64 matmul probe — the numpy/BLAS
+    speed companion to the jvm boundary probes (module-level because the
+    section probes need it outside _host_calibration)."""
+    import numpy as np
+
+    def once() -> float:
+        a = np.ones((1024, 1024))
+        t0 = time.time()
+        for _ in range(4):
+            a = a @ a * 1e-3
+        return time.time() - t0
+
+    return round(min(once() for _ in range(3)), 3)
 
 
 #: Timed runs per calibration section (~6 minutes of a ~95-row headline +
