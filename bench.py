@@ -246,6 +246,27 @@ HEADLINE = [
     # series untouched)
     "m10_r8ab_suite",
     "x198_r12c_ops_suite",
+    # r12 fourth wave: audio near-dup keep-one (banded hamming over the
+    # PCM energy-envelope fingerprint) + measured audio near-dup recall —
+    # m11 is the x137+x140 suite-of-suites consolidation that funds it
+    # (x137/x140 and all THEIR members stay benched; frozen series
+    # untouched)
+    "m11_r8cd_suite",
+    "x201_r12d_ops_suite",
+    # r12 fifth wave: c11, the composed audio curation pipeline (decode
+    # gate -> VAD silence gate -> envelope near-dup keep-one -> duration
+    # gate -> c7 pairing), completing the composed family across every
+    # decoded modality — m12 is the s5+s6 suite-of-suites consolidation
+    # that funds it (s5/s6 and all THEIR members stay benched; frozen
+    # series untouched)
+    "m12_embsetwin_suite",
+    "c11_audio_pipeline",
+    # r12 sixth wave: audio onset screening (the scene-change device on
+    # the energy envelope) + per-source audio near-dup sheet — m13 is the
+    # t3+t4 suite-of-suites consolidation that funds it (t3/t4 and all
+    # THEIR members stay benched; frozen series untouched)
+    "m13_joinprofile_suite",
+    "x204_r12f_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone

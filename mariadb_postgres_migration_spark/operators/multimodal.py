@@ -2065,3 +2065,229 @@ def pcm_energy_screen(multimodal: DataFrame, window: int = 64) -> DataFrame:
     return multimodal.mapInPandas(
         _screen, "doc_id long, n_windows long, sum_sq long, peak_abs long"
     )
+
+
+# --------------------------------------------------------------------------
+# Audio perceptual fingerprinting (r12): the image aHash discipline on the
+# audio modality — a 64-bit energy-envelope signature over REAL decoded
+# PCM, so the banded near-dup machinery (image_neardup_pairs /
+# ahash_pairs_ctes) and the measured-recall device apply to audio
+# verbatim. The reference pipes audio bytes through a subprocess unseen
+# (normalize_tags.mjs:4); a 100 TB speech corpus dedups re-encoded clips
+# on exactly this kind of ~16-byte envelope index before paying for
+# feature extraction.
+# --------------------------------------------------------------------------
+
+
+def attach_consistent_wav_payload(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    silent_mod: int | None = None,
+) -> DataFrame:
+    """GENUINE RIFF/WAVE PCM payloads whose 64-window energy envelope is
+    EXACTLY predictable — the attach_consistent_avi_payload closed form
+    on the audio modality: with b = the printable-ASCII projection of
+    the text (n bytes, first = b[0]),
+
+      samples per window  spw = 2 + first % 7            (2..8)
+      intro window        m   = min(n, 32)               (the clip
+          "records" the text's INTRO — the device that gives the
+          corpus real near-dup structure, exactly as the video
+          fixture's frame 0 covers only the first ≤ 40 bytes: docs
+          sharing a text prefix become re-encodes of the same clip)
+      window w value      v_w = b[(w * m) // 64]         (w in 0..63 —
+          the 1-D nearest resample of the intro bytes, the
+          resize_nearest formula on a 64-sample axis)
+      samples             64 windows × spw constant int16 samples v_w
+      sample rate         8000 + (first % 8) * 1000
+
+    so window w's energy is spw·v_w² and every envelope quantity is a
+    closed form DuckDB recomputes from the text. ``silent_mod`` builds
+    every silent_mod-th doc with ALL-ZERO samples (a spec-valid but
+    silent clip — the c11 pipeline's VAD-gate fixture). Rows with an odd
+    first byte get a LIST/INFO chunk BETWEEN fmt and data (the
+    attach_wav_payload device): only a real chunk walker parses half the
+    corpus. Arrow-batched fixture assembly — fixture cost, not the
+    operator under test."""
+
+    def _build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = "".join(
+                    ch for ch in (text or "") if " " <= ch <= "~"
+                ).encode()
+                n = len(b)
+                if not n:
+                    continue
+                first = b[0]
+                spw = 2 + first % 7
+                rate = 8000 + (first % 8) * 1000
+                if silent_mod is not None and doc_id % silent_mod == 0:
+                    samples = np.zeros(64 * spw, dtype="<i2")
+                else:
+                    m = min(n, 32)
+                    win_vals = np.frombuffer(b, np.uint8)[
+                        (np.arange(64) * m) // 64
+                    ]
+                    samples = np.repeat(
+                        win_vals.astype("<i2"), spw
+                    )
+                data = samples.tobytes()
+                odd = first % 2 == 1
+                riff_size = 36 + len(data) + (12 if odd else 0)
+                payload = (
+                    b"RIFF"
+                    + riff_size.to_bytes(4, "little")
+                    + b"WAVEfmt "
+                    + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")     # PCM
+                    + (1).to_bytes(2, "little")     # mono
+                    + rate.to_bytes(4, "little")
+                    + (rate * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")     # block align
+                    + (16).to_bytes(2, "little")    # bits per sample
+                    + (b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+                       if odd else b"")
+                    + b"data"
+                    + len(data).to_bytes(4, "little")
+                    + data
+                )
+                ids.append(doc_id)
+                payloads.append(payload)
+                metas.append({"n_bytes": len(payload), "mime": "audio/wav"})
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("n_bytes", LongType()),
+                        StructField("mime", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    from .dedup import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(_build, schema=schema)
+
+
+def _window_energies(arr, nw: int):
+    """Exact int64 per-window energies of a PCM vector split into ``nw``
+    equal windows at boundaries ``w * n // nw`` (the 1-D resize_nearest
+    partition — reproduces the fixture's equal windows exactly when
+    ``n % nw == 0`` and degrades gracefully otherwise)."""
+    import numpy as np
+
+    sq = arr * arr
+    cs = np.concatenate(([0], np.cumsum(sq)))
+    bounds = (np.arange(nw + 1) * len(arr)) // nw
+    return cs[bounds[1:]] - cs[bounds[:-1]], int(cs[-1])
+
+
+def audio_energy_fingerprint(
+    multimodal: DataFrame, grid: int = 64, with_meta: bool = False
+) -> DataFrame:
+    """EXT-02/EXT-04: per-CLIP perceptual signature — the x157 aHash
+    kernel on the audio energy envelope: decode PCM (:func:`decode_wav`,
+    the real chunk walker), split into 64 equal windows, exact-int64
+    energy per window, then the strict aHash threshold (bit w = 1 iff
+    64·e_w > Σe — identical strictness to the image/video kernels).
+    Output (doc_id, h_hi, h_lo); non-PCM payloads and clips shorter than
+    64 samples emit nothing. ``with_meta=True`` additionally carries
+    n_samples / sum_sq / peak_abs so a downstream VAD or duration gate
+    shares this single Arrow pass (the c10 ``with_meta`` device on the
+    audio container). One Arrow pass, ~16 bytes/clip out — the index a
+    100 TB audio corpus dedups on."""
+    import numpy as np
+
+    nw = grid
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            nss, sqs, pks = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(p) if p is not None else b"")
+                if decoded is None:
+                    continue
+                _, arr = decoded
+                if len(arr) < nw:
+                    continue
+                e, total = _window_energies(arr, nw)
+                hi = 0
+                lo = 0
+                for k in range(nw // 2):
+                    hi = (hi << 1) | int(nw * int(e[k]) > total)
+                for k in range(nw // 2, nw):
+                    lo = (lo << 1) | int(nw * int(e[k]) > total)
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+                if with_meta:
+                    nss.append(len(arr))
+                    sqs.append(total)
+                    pks.append(int(np.abs(arr).max()))
+            out = {"doc_id": ids, "h_hi": his, "h_lo": los}
+            if with_meta:
+                out["n_samples"] = nss
+                out["sum_sq"] = sqs
+                out["peak_abs"] = pks
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, h_hi long, h_lo long"
+    if with_meta:
+        schema += ", n_samples long, sum_sq long, peak_abs long"
+    return multimodal.mapInPandas(_hash, schema)
+
+
+def audio_onset_stats(multimodal: DataFrame, grid: int = 64) -> DataFrame:
+    """EXT-04 audio: onset screening over the same 64-window energy
+    envelope — the x182 scene-change device on audio: an onset is a
+    window whose energy more than DOUBLES its predecessor's
+    (e_w > 2·e_{w-1}, exact int64 — the ratio a VAD/beat screen keys
+    on), and peak_w is the FIRST window holding the max energy. Output
+    (doc_id, n_onsets, peak_w); non-PCM payloads and clips shorter than
+    64 samples emit nothing. One Arrow pass, no shuffle; integer-exact
+    so the fixture oracle hash-matches."""
+    import numpy as np
+
+    nw = grid
+
+    def _stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_onsets", "peak_w")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(p) if p is not None else b"")
+                if decoded is None:
+                    continue
+                _, arr = decoded
+                if len(arr) < nw:
+                    continue
+                e, _ = _window_energies(arr, nw)
+                rows["doc_id"].append(doc_id)
+                rows["n_onsets"].append(int(np.sum(e[1:] > 2 * e[:-1])))
+                rows["peak_w"].append(int(np.argmax(e)))
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        _stats, "doc_id long, n_onsets long, peak_w long"
+    )

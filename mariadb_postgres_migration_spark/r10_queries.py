@@ -356,6 +356,7 @@ FROM ({member_oracle('x06_knn_bruteforce')})"""
 
 @register(
     "s5_embcore_suite", _s5_sql(), "EXT-02", "EXT-03",
+    tier=1,  # r12: consolidated into m12_embsetwin_suite (stays in bench HEADLINE)
 )
 def s5_embcore_suite(spark, sf_dir):
     """Driver row consolidating the embedding-core standalones (x05
@@ -989,6 +990,7 @@ FROM ({member_oracle('t2_aggstress_suite')})"""
 
 @register(
     "t3_tpch_join_agg_suite", _t3_sql(), "EXT-JOIN", "EXT-AGG", "EXT-TOPK",
+    tier=1,  # r12: consolidated into m13_joinprofile_suite (stays in bench HEADLINE)
 )
 def t3_tpch_join_agg_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped TPC-H consolidation
@@ -1182,6 +1184,7 @@ FROM ({member_oracle('w4_window_suite')})"""
 @register(
     "s6_setwindow_suite", _s6_sql(), "EXT-SET", "EXT-AGG", "EXT-WINDOW",
     "EXT-TOPK",
+    tier=1,  # r12: consolidated into m12_embsetwin_suite (stays in bench HEADLINE)
 )
 def s6_setwindow_suite(spark, sf_dir):
     """Driver row consolidating two same-family consolidation suites
@@ -1383,6 +1386,7 @@ FROM ({member_oracle('q_scalar_suite')})"""
 
 @register(
     "t4_profile_scalar_suite", _t4_sql(), "EXT-05", "EXT-AGG",
+    tier=1,  # r12: consolidated into m13_joinprofile_suite (stays in bench HEADLINE)
 )
 def t4_profile_scalar_suite(spark, sf_dir):
     """Driver row consolidating the one-pass text profile (x08_11) and

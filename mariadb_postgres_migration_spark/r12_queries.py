@@ -27,6 +27,7 @@ from . import r11_queries  # noqa: F401  (m8 composes x177/x180 oracles)
 from .extension_queries import _suite_shape
 from .operators import dedup as D
 from .operators.multimodal import ahash_pairs_ctes, image_neardup_pairs
+from .r10_queries import C8_CORRUPT_MOD
 from .r11_queries import _video_sig_ctes
 from .registry import _t, member_oracle, register
 
@@ -591,3 +592,589 @@ def x198_r12c_ops_suite(spark, sf_dir):
         s1=F.col("source"),
     )
     return pvb.unionAll(vsrc)
+
+
+# ===========================================================================
+# r12 fourth wave: the perceptual near-dup tier applied to AUDIO — the
+# last modality without one (text x02/x03, image x157/x158/x163, video
+# x190; audio had only the exact-stats screens x86/x185). x199 runs the
+# banded-hamming + CC keep-one machinery over a 64-bit energy-envelope
+# fingerprint computed from REAL decoded PCM, and x200 measures its
+# recall with the x176/x191 bounded-panel device (the FOURTH driver-
+# hashed recall canary). Funded by consolidating the x137/x140 r8 wave
+# suites into m11_r8cd_suite.
+# ===========================================================================
+
+
+def _audio_v_ctes(extra_pred: str = "") -> str:
+    """The audio fixture's window-value closed form as a CTE chain
+    (ascii projection → eligible-clip params → the 64-window value list
+    ``v``), shared by the audio signature CTEs (x199/x200/c11) and the
+    onset oracle (x202) — one definition, many consumers, per the
+    _video_sig_ctes convention. Window w of the WAV fixture is spw
+    constant int16 samples of byte b[(w·m)//64] with m = min(n, 32) (the
+    intro window — the near-dup device), so window ENERGY is spw·v_w²
+    and every energy comparison cancels spw — the oracle never needs to
+    model the sample axis, only the 64-value envelope."""
+    v_expr = (
+        "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
+        "(k * least(n, 32)) // 64 AS INTEGER) + 1, 1)))"
+    )
+    return f"""ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents),
+a2 AS (SELECT doc_id, text, length(text) AS n,
+              2 + ascii(substr(text, 1, 1)) % 7 AS spw
+       FROM ascii_docs WHERE length(text) >= 1 {extra_pred}),
+av AS (SELECT doc_id, spw, {v_expr} AS v FROM a2)"""
+
+
+def _audio_sig_ctes(extra_pred: str = "") -> str:
+    """The audio energy-envelope fingerprint closed form (the
+    _video_sig_ctes twin): bit w = 64·e_w > Σe with e_w = spw·v_w², and
+    spw cancels — 64·v_w² > Σv² — so ``sig`` packs exactly the bits
+    :func:`operators.multimodal.audio_energy_fingerprint` computes from
+    the decoded samples. MATERIALIZED because every consumer feeds it to
+    the band union, both verify joins and the CC seed (the x144
+    CTE-inlining lesson)."""
+    return f"""{_audio_v_ctes(extra_pred)},
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), k ->
+              CASE WHEN 64 * v[k + 1] * v[k + 1] > total
+                   THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END))
+              AS BIGINT) AS h_hi,
+         CAST(list_sum(list_transform(range(32, 64), k ->
+              CASE WHEN 64 * v[k + 1] * v[k + 1] > total
+                   THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
+              AS BIGINT) AS h_lo
+  FROM (SELECT doc_id, v,
+               CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                   AS total
+        FROM av) z)"""
+
+
+def _x199_sql() -> str:
+    # the x190 keep-one form verbatim on the audio signature space
+    return f"""WITH RECURSIVE
+{_audio_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+p AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS rep, (doc_id = min(n)) AS keep
+FROM reach GROUP BY doc_id"""
+
+
+@register(
+    "x199_audio_neardup_keep_one", _x199_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def x199_audio_neardup_keep_one(spark, sf_dir):
+    """Audio NEAR-dup dedup decision — the x190 device on the audio
+    modality: a 64-bit energy-envelope fingerprint from REAL decoded PCM
+    (:func:`operators.multimodal.audio_energy_fingerprint` — the chunk
+    walk, then exact int64 window energies under the strict aHash
+    threshold), banded-hamming pair generation, CC keep-one — so two
+    re-encodes of one clip whose envelopes differ by <= 3 bits collapse
+    to one survivor, which exact stats screens (x86/x185) structurally
+    cannot do. Output (doc_id, rep, keep) — the survivor manifest shape.
+    Scale: pair generation is capped posting lists over 4×16-bit bands
+    (never clip×clip); the CC pays only for clips with edges; one Arrow
+    decode pass total."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_energy_fingerprint,
+    )
+
+    sig = D._persist(
+        audio_energy_fingerprint(
+            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+    return D.dedup_keep_one(sig.select("doc_id"), pairs)
+
+
+#: x200's fixed probe panel — the x176 rule WIDENED to a 1/4 md5 slice
+#: (the audio envelope space is higher-entropy than the image/video
+#: hashes, so the 1/8 slice goes empty at the driver SF; 1/4 keeps the
+#: exhaustive side ≤ C(256,2) ≈ 33k in-row combinations at any SF —
+#: still panel-bounded, never a corpus expansion).
+X200_PANEL_SQL = (
+    "doc_id < 1024 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+    " IN ('0', '1', '2', '3')"
+)
+
+
+def _x200_sql() -> str:
+    return f"""WITH {_audio_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+banded AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+panel AS (SELECT * FROM sig WHERE {X200_PANEL_SQL}),
+ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.h_hi, b.h_hi))
+                   + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+       FROM panel a JOIN panel b ON a.doc_id < b.doc_id)
+SELECT e.doc_a, e.doc_b, e.hamming,
+       CAST(bd.doc_a IS NOT NULL AS BIGINT) AS in_banded
+FROM ex e LEFT JOIN banded bd USING (doc_a, doc_b)
+WHERE e.hamming <= 3"""
+
+
+@register(
+    "x200_audio_neardup_recall", _x200_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x200_audio_neardup_recall(spark, sf_dir):
+    """Measured audio near-dup recall (the x176/x191 bounded-panel
+    device on the audio fingerprint space): on the fixed md5-chosen
+    panel, EVERY hamming<=3 pair (exhaustive, in-row combinations over
+    the bounded panel — never a corpus expansion) is flagged with
+    whether the banded generator found it; in_banded=0 rows measure
+    exactly the documented stop-bucket trade. The FOURTH driver-hashed
+    recall canary (ANN x142, image x176, video x191 — now audio), so
+    every similarity tier in the engine carries a measured-quality
+    regression gate."""
+    from .operators.dedup import _pair_combinations
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_energy_fingerprint,
+    )
+
+    sig = D._persist(
+        audio_energy_fingerprint(
+            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    banded = image_neardup_pairs(sig).select(
+        "doc_a", "doc_b", F.lit(1).alias("__b")
+    )
+    panel = sig.filter(
+        (F.col("doc_id") < 1024)
+        & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3")
+    )
+    ids = panel.groupBy().agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    cand = ids.select(
+        F.explode(_pair_combinations(F.col("ids"))).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    ex = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+    )
+    return ex.join(banded, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", "hamming",
+        F.col("__b").isNotNull().cast("long").alias("in_banded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m11_r8cd_suite — the x137/x140 r8 wave suites as ONE driver row (funds
+# the x201 slot). x140's 6-column shape pads to the shared 9-column shape.
+# ---------------------------------------------------------------------------
+
+
+def _m11_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT concat('c_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('x137_r8c_ops_suite')})
+UNION ALL
+SELECT concat('d_', kind), id1, id2, v1, {z}, {z}, d1, {zd}, s1
+FROM ({member_oracle('x140_r8d_ops_suite')})"""
+
+
+@register(
+    "m11_r8cd_suite", _m11_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-01", "EXT-02", "EXT-05", "EXT-ANALYTICS", "EXT-ANOM", "EXT-AGG",
+)
+def m11_r8cd_suite(spark, sf_dir):
+    """Driver row consolidating two r8 wave suites (x137 = cluster-size
+    histogram + burstiness + Zipf profile, x140 = split manifest +
+    rendezvous shards + streamed split ledger) — r12 window math: their
+    two slots fund this row plus x201. x140's 6-column shape pads to the
+    shared 9-column shape (v2/v3/d2 defaults); kind-namespace prefixes,
+    member oracles embedded verbatim; x137/x140 and their members stay
+    benched (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+    c = REGISTRY["x137_r8c_ops_suite"].fn(spark, sf_dir).select(
+        F.concat(F.lit("c_"), F.col("kind")).alias("kind"),
+        "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+    )
+    d = REGISTRY["x140_r8d_ops_suite"].fn(spark, sf_dir).select(
+        F.concat(F.lit("d_"), F.col("kind")).alias("kind"),
+        "id1", "id2", "v1", zl.alias("v2"), zl.alias("v3"), "d1",
+        zd.alias("d2"), "s1",
+    )
+    return c.unionAll(d)
+
+
+# ---------------------------------------------------------------------------
+# x201_r12d_ops_suite — the r12 fourth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x201_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'and' AS kind, doc_id AS id1, rep AS id2,
+       CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3, {zd} AS d1,
+       {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x199_audio_neardup_keep_one')})
+UNION ALL
+SELECT 'arc', doc_a, doc_b, hamming, in_banded, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x200_audio_neardup_recall')})"""
+
+
+@register(
+    "x201_r12d_ops_suite", _x201_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def x201_r12d_ops_suite(spark, sf_dir):
+    """Driver row for the r12 fourth wave — audio near-dup keep-one
+    (x199) and measured audio near-dup recall (x200) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    and_ = _suite_shape(
+        x199_audio_neardup_keep_one(spark, sf_dir), "and",
+        id1=F.col("doc_id"), id2=F.col("rep"),
+        v1=F.col("keep").cast("long"),
+    )
+    arc = _suite_shape(
+        x200_audio_neardup_recall(spark, sf_dir), "arc",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
+        v2=F.col("in_banded"),
+    )
+    return and_.unionAll(arc)
+
+
+# ===========================================================================
+# r12 fifth wave: c11 — the composed AUDIO curation pipeline, completing
+# the composed-pipeline family across ALL modalities (c1/c2 text, c7
+# endgame, c8/c9 image, c10 video, c11 audio) — funded by consolidating
+# the s5/s6 r10 consolidation suites into m12_embsetwin_suite.
+# ===========================================================================
+
+#: c11's decode-validity fixture: every C8_CORRUPT_MOD-th payload gets a
+#: 2-zero-byte prefix (no RIFF magic starts 0x0000) — the c9/c10 device.
+#: Every C11_SILENT_MOD-th clip is built SILENT (spec-valid all-zero PCM)
+#: so the VAD gate (sum_sq > 0) has real teeth at every SF.
+C11_SILENT_MOD = 6
+
+#: c11's duration quality gate: drop micro-clips. The fixture's sample
+#: count is 64·spw with spw = 2 + first % 7, so a gate at 256 samples
+#: drops the first%7 < 2 class — real teeth at every SF.
+C11_MIN_SAMPLES = 256
+
+
+def _c11_sql() -> str:
+    silent = f"AND doc_id % {C11_SILENT_MOD} <> 0"
+    corrupt = f"AND doc_id % {C8_CORRUPT_MOD} <> 0"
+    return f"""WITH RECURSIVE
+c7m AS (SELECT doc_id, split, shard
+        FROM ({member_oracle('c7_pretraining_pipeline')}) z),
+{_audio_sig_ctes(extra_pred=f"{corrupt} {silent}")},
+{ahash_pairs_ctes('sig')},
+p AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
+keep AS (SELECT doc_id FROM (
+           SELECT doc_id, min(n) AS rep FROM reach GROUP BY doc_id)
+         WHERE doc_id = rep),
+qual AS (SELECT s.doc_id, s.h_hi, s.h_lo, a2.spw
+         FROM sig s JOIN keep USING (doc_id) JOIN a2 USING (doc_id)
+         WHERE 64 * a2.spw >= {C11_MIN_SAMPLES})
+SELECT q.doc_id, CAST(64 * q.spw AS BIGINT) AS n_samples, q.h_hi, q.h_lo,
+       c7m.split, c7m.shard
+FROM qual q JOIN c7m USING (doc_id)"""
+
+
+@register(
+    "c11_audio_pipeline", _c11_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def c11_audio_pipeline(spark, sf_dir):
+    """The composed AUDIO curation pipeline — the c9 stage skeleton on
+    the audio modality, completing the composed family across every
+    modality the engine decodes (c1/c2 text, c7 endgame, c8/c9 image,
+    c10 video, c11 audio):
+
+      1. decode-validity gate: every C8_CORRUPT_MOD-th WAV payload is
+         corrupted (2-zero-byte prefix breaks the RIFF magic) and the
+         gate IS the real chunk walk — a payload decode_wav rejects
+         emits no signature;
+      2. VAD silence gate: every C11_SILENT_MOD-th clip is spec-valid
+         all-zero PCM; sum_sq > 0 (exact int64, riding the SAME Arrow
+         pass via with_meta) drops it before any pairing cost — the
+         x185 energy screen composed into a pipeline stage;
+      3. perceptual dedup: the x199 tier — banded-hamming pairs over
+         the energy-envelope fingerprint, CC keep-one;
+      4. duration quality gate: n_samples >= 256 (drop micro-clips),
+         read from the ACTUAL decoded sample count;
+      5. pair with the training layout: join survivors to the c7
+         split/shard manifest.
+
+    ONE composed oracle (the shared _audio_sig_ctes closed form with the
+    corruption+silence predicates, the banded-pair CTEs, the x163
+    recursive CC, the spw duration form, the c7 member oracle)
+    hash-checks every stage. Scale: one Arrow decode pass total
+    (signature + n_samples + sum_sq share it), one 16-byte-signature
+    shuffle, capped posting-list pair generation, a row-local gate, one
+    doc_id equi-join — the c9 shape on audio."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_energy_fingerprint,
+    )
+    from .r9_queries import _c7_result
+
+    docs = _t(spark, sf_dir, "documents")
+    mm = attach_consistent_wav_payload(docs, silent_mod=C11_SILENT_MOD)
+    corrupted = F.when(
+        F.col("doc_id") % C8_CORRUPT_MOD == 0,
+        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+    ).otherwise(F.col("payload"))
+    mm = mm.select("doc_id", corrupted.alias("payload"))
+    # gate + signature + meta in ONE Arrow pass; the VAD gate is a
+    # row-local filter on the carried sum_sq
+    sig = D._persist(
+        audio_energy_fingerprint(mm, with_meta=True).filter(
+            F.col("sum_sq") > 0
+        )
+    )
+    pairs = image_neardup_pairs(
+        sig.select("doc_id", "h_hi", "h_lo")
+    ).select("doc_a", "doc_b")
+    keep = (
+        D.dedup_keep_one(sig.select("doc_id"), pairs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    qual = sig.join(keep, "doc_id").filter(
+        F.col("n_samples") >= C11_MIN_SAMPLES
+    )
+    manifest = _c7_result(spark, sf_dir).select("doc_id", "split", "shard")
+    return qual.join(manifest, "doc_id").select(
+        "doc_id", "n_samples", "h_hi", "h_lo", "split", "shard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# m12_embsetwin_suite — the s5/s6 r10 consolidation suites as ONE driver
+# row (funds the c11 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m12_sql() -> str:
+    return f"""SELECT concat('5_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('s5_embcore_suite')})
+UNION ALL
+SELECT concat('6_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('s6_setwindow_suite')})"""
+
+
+@register(
+    "m12_embsetwin_suite", _m12_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-02", "EXT-03", "EXT-SET", "EXT-AGG", "EXT-WINDOW", "EXT-TOPK",
+)
+def m12_embsetwin_suite(spark, sf_dir):
+    """Driver row consolidating two r10 consolidation suites (s5 =
+    embedding cosine + brute kNN, s6 = the s2+w4 set/group/window
+    suite-of-suites) — r12 window math: their two slots fund this row
+    plus c11. Kind-namespace prefixes, member oracles embedded verbatim;
+    s5/s6 and all THEIR members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["s5_embcore_suite"].fn(spark, sf_dir)
+    b = REGISTRY["s6_setwindow_suite"].fn(spark, sf_dir)
+    return widen(a, "5_").unionAll(widen(b, "6_"))
+
+
+# ===========================================================================
+# r12 sixth wave: the audio screening sheets — x202 onset screening (the
+# x182 scene-change device on the energy envelope) and x203 the
+# per-source audio near-dup capacity sheet (the x197 sheet on the x199
+# tier) — funded by consolidating the t3/t4 r10 consolidation suites
+# into m13_joinprofile_suite.
+# ===========================================================================
+
+
+def _x202_sql() -> str:
+    return f"""WITH {_audio_v_ctes()}
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, 64), k ->
+            CASE WHEN v[k + 1] * v[k + 1] > 2 * v[k] * v[k]
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS n_onsets,
+       CAST(list_position(v, list_max(v)) - 1 AS BIGINT) AS peak_w
+FROM av"""
+
+
+@register(
+    "x202_audio_onset_screen", _x202_sql(), "EXT-04", "EXT-ANOM", tier=1,
+)
+def x202_audio_onset_screen(spark, sf_dir):
+    """Audio onset screening over the REAL decoded PCM (the x182
+    scene-change device on the audio modality): per clip, the count of
+    windows whose energy more than DOUBLES the previous window's (the
+    VAD/beat-detection ratio, exact int64 — spw cancels so the oracle
+    only models the 64-value envelope) and the first peak-energy window
+    index. A speech/music corpus runs exactly this screen to find clips
+    with structure worth keeping before paying for feature extraction.
+    One Arrow pass, no shuffle."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_onset_stats,
+    )
+
+    return audio_onset_stats(
+        attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _x203_sql() -> str:
+    return f"""WITH k AS (SELECT doc_id, keep
+           FROM ({member_oracle('x199_audio_neardup_keep_one')}) z)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors,
+       CAST(sum(CASE WHEN k.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes
+FROM k JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+@register(
+    "x203_audio_neardup_source_sheet", _x203_sql(), "EXT-02", "EXT-04",
+    "EXT-05", tier=1,
+)
+def x203_audio_neardup_source_sheet(spark, sf_dir):
+    """Per-source audio NEAR-dup capacity sheet (the x170/x188/x197
+    sheet family on the audio modality): clips, near-dup survivors and
+    the collapse count per crawl source — what a data team reads to see
+    which sources are re-encode farms before paying for audio ingest.
+    One doc_id equi-join + one map-side-combined aggregate past the x199
+    plan; ≤ |sources| rows out."""
+    docs = _t(spark, sf_dir, "documents")
+    k = x199_audio_neardup_keep_one(spark, sf_dir).select("doc_id", "keep")
+    return (
+        k.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum(F.col("keep").cast("long")).cast("long")
+            .alias("n_survivors"),
+            F.sum((~F.col("keep")).cast("long")).cast("long")
+            .alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m13_joinprofile_suite — the t3/t4 r10 consolidation suites as ONE driver
+# row (funds the x204 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m13_sql() -> str:
+    return f"""SELECT concat('j_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('t3_tpch_join_agg_suite')})
+UNION ALL
+SELECT concat('p_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('t4_profile_scalar_suite')})"""
+
+
+@register(
+    "m13_joinprofile_suite", _m13_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-JOIN", "EXT-AGG", "EXT-TOPK", "EXT-05",
+)
+def m13_joinprofile_suite(spark, sf_dir):
+    """Driver row consolidating two r10 consolidation suites (t3 = the
+    q15+t2 TPC-H join/agg suite-of-suites, t4 = text profile + scalar
+    aggregates) — r12 window math: their two slots fund this row plus
+    x204. Kind-namespace prefixes, member oracles embedded verbatim;
+    t3/t4 and all THEIR members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["t3_tpch_join_agg_suite"].fn(spark, sf_dir)
+    b = REGISTRY["t4_profile_scalar_suite"].fn(spark, sf_dir)
+    return widen(a, "j_").unionAll(widen(b, "p_"))
+
+
+# ---------------------------------------------------------------------------
+# x204_r12f_ops_suite — the r12 sixth-wave operators under one driver hash
+# ---------------------------------------------------------------------------
+
+
+def _x204_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'ons' AS kind, doc_id AS id1, {z} AS id2,
+       n_onsets AS v1, peak_w AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x202_audio_onset_screen')})
+UNION ALL
+SELECT 'asrc', {z}, {z}, n_clips, n_survivors, n_dupes, {zd}, {zd}, source
+FROM ({member_oracle('x203_audio_neardup_source_sheet')})"""
+
+
+@register(
+    "x204_r12f_ops_suite", _x204_sql(), "EXT-02", "EXT-04", "EXT-05",
+    "EXT-ANOM",
+)
+def x204_r12f_ops_suite(spark, sf_dir):
+    """Driver row for the r12 sixth wave — audio onset screening (x202)
+    and the per-source audio near-dup sheet (x203) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    ons = _suite_shape(
+        x202_audio_onset_screen(spark, sf_dir), "ons",
+        id1=F.col("doc_id"), v1=F.col("n_onsets"), v2=F.col("peak_w"),
+    )
+    asrc = _suite_shape(
+        x203_audio_neardup_source_sheet(spark, sf_dir), "asrc",
+        v1=F.col("n_clips"), v2=F.col("n_survivors"), v3=F.col("n_dupes"),
+        s1=F.col("source"),
+    )
+    return ons.unionAll(asrc)

@@ -583,6 +583,7 @@ FROM ({member_oracle('x136_zipf_profile')})"""
     "x137_r8c_ops_suite",
     _x137_sql(),
     "EXT-01", "EXT-02", "EXT-05", "EXT-ANALYTICS", "EXT-ANOM",
+    tier=1,  # r12: consolidated into m11_r8cd_suite (stays in bench HEADLINE)
 )
 def x137_r8c_ops_suite(spark, sf_dir):
     """Driver-verified representative for the round-8 third wave,
@@ -735,6 +736,7 @@ FROM ({member_oracle('x141_stream_split_manifest')})"""
 
 @register(
     "x140_r8d_ops_suite", _x140_sql(), "EXT-05", "EXT-AGG",
+    tier=1,  # r12: consolidated into m11_r8cd_suite (stays in bench HEADLINE)
 )
 def x140_r8d_ops_suite(spark, sf_dir):
     """Driver-verified representative for the round-8 fourth wave,

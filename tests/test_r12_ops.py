@@ -92,3 +92,239 @@ def test_x187_split_rc_matches_lazy_form(q, spark, sf_dir, monkeypatch):
     monkeypatch.setenv("MPS_X187_SPLIT", "1")
     rc = sorted(q("x187_crossmodal_pairs").collect())
     assert rc == lazy
+
+
+# ---------------------------------------------------------------------------
+# r12 fourth wave: the audio perceptual tier (WAV fixture builder, energy
+# fingerprint, onset stats) — unit parity against the closed forms the
+# oracles recompute, plus the decode-discipline devices (LIST chunk,
+# silence, short clips).
+# ---------------------------------------------------------------------------
+
+
+def _audio_closed_form(text):
+    """The fixture's documented closed form, independently transcribed:
+    (spw, rate, v[64]) from the printable projection, or None."""
+    import numpy as np
+
+    b = "".join(ch for ch in (text or "") if " " <= ch <= "~").encode()
+    n = len(b)
+    if not n:
+        return None
+    first = b[0]
+    m = min(n, 32)
+    v = np.frombuffer(b, np.uint8)[(np.arange(64) * m) // 64].astype(
+        np.int64
+    )
+    return 2 + first % 7, 8000 + (first % 8) * 1000, v
+
+
+AUDIO_TEXTS = [
+    (1, "hello world this is a longer test clip with some words"),
+    (2, "Odd?"),                      # odd first byte -> LIST chunk
+    (3, "a"),                         # 1-char intro
+    (4, "x" * 200),                   # constant envelope -> all-zero hash
+    (5, "The quick brown fox jumps over the lazy dog"),
+]
+
+
+def _audio_mm(spark, silent_mod=None):
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_wav_payload,
+    )
+
+    docs = spark.createDataFrame(AUDIO_TEXTS, "doc_id long, text string")
+    return attach_consistent_wav_payload(docs, silent_mod=silent_mod)
+
+
+def test_wav_builder_roundtrip(spark):
+    """Payloads are genuine RIFF/WAVE PCM: the real chunk walker decodes
+    every one (including the odd-first LIST/INFO variant) to exactly the
+    closed-form samples at the closed-form rate."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in _audio_mm(spark).collect()}
+    assert set(rows) == {d for d, _ in AUDIO_TEXTS}
+    for doc_id, text in AUDIO_TEXTS:
+        spw, rate, v = _audio_closed_form(text)
+        got = decode_wav(rows[doc_id])
+        assert got is not None
+        grate, arr = got
+        assert grate == rate
+        assert np.array_equal(arr, np.repeat(v, spw))
+        # the odd-first device: a LIST chunk sits between fmt and data
+        assert (b"LIST" in rows[doc_id]) == (text.encode()[0] % 2 == 1)
+
+
+def test_audio_fingerprint_matches_closed_form(spark):
+    """The kernel's 64-bit envelope hash equals the oracle's closed form
+    (64·v_w² > Σv², strict, spw cancelled) bit-for-bit, and with_meta
+    carries the exact integer stats."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in audio_energy_fingerprint(
+            _audio_mm(spark), with_meta=True
+        ).collect()
+    }
+    for doc_id, text in AUDIO_TEXTS:
+        spw, _, v = _audio_closed_form(text)
+        total = int((v * v).sum())
+        hi = 0
+        lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(64 * int(v[k]) ** 2 > total)
+        for k in range(32, 64):
+            lo = (lo << 1) | int(64 * int(v[k]) ** 2 > total)
+        r = got[doc_id]
+        assert (r["h_hi"], r["h_lo"]) == (hi, lo), text
+        assert r["n_samples"] == 64 * spw
+        assert r["sum_sq"] == spw * total
+        assert r["peak_abs"] == int(v.max())
+    # constant envelope -> strict threshold never fires
+    assert (got[4]["h_hi"], got[4]["h_lo"]) == (0, 0)
+
+
+def test_audio_fingerprint_silent_and_rejects(spark):
+    """silent_mod clips are spec-valid all-zero PCM (hash 0, sum_sq 0 —
+    the c11 VAD-gate fixture); non-WAV payloads and sub-64-sample clips
+    emit nothing."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r
+        for r in audio_energy_fingerprint(
+            _audio_mm(spark, silent_mod=2), with_meta=True
+        ).collect()
+    }
+    assert (got[2]["h_hi"], got[2]["h_lo"], got[2]["sum_sq"]) == (0, 0, 0)
+    assert (got[4]["h_hi"], got[4]["h_lo"], got[4]["sum_sq"]) == (0, 0, 0)
+    assert got[1]["sum_sq"] > 0
+    # corrupt payloads (broken magic) emit nothing
+    mm = _audio_mm(spark).select(
+        "doc_id",
+        F.concat(F.unhex(F.lit("0000")), F.col("payload")).alias("payload"),
+    )
+    assert audio_energy_fingerprint(mm).count() == 0
+    # a truncated clip (< 64 samples) emits nothing: truncate the data
+    # chunk by rewriting the payload to its first 100 bytes — the walker
+    # rejects the truncated chunk body
+    mm2 = _audio_mm(spark).select(
+        "doc_id", F.expr("substring(payload, 1, 100)").alias("payload")
+    )
+    assert audio_energy_fingerprint(mm2).count() == 0
+
+
+def test_audio_onset_stats_closed_form(spark):
+    """n_onsets counts strict energy-doubling steps (spw cancels:
+    v_w² > 2·v_{w-1}²) and peak_w is the FIRST argmax window."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        audio_onset_stats,
+    )
+
+    got = {
+        r["doc_id"]: r for r in audio_onset_stats(_audio_mm(spark)).collect()
+    }
+    for doc_id, text in AUDIO_TEXTS:
+        _, _, v = _audio_closed_form(text)
+        sq = v * v
+        assert got[doc_id]["n_onsets"] == int(np.sum(sq[1:] > 2 * sq[:-1]))
+        assert got[doc_id]["peak_w"] == int(np.argmax(sq))
+
+
+def test_audio_rows_plans(q):
+    """Plan pins for the audio wave: x199 pays the builder + fingerprint
+    Python pass (persisted sig lineage may reprint per consumer, never a
+    distinct extra kernel), everything downstream is JVM-side, and no
+    row plans a cartesian/nested-loop expansion (x200's exhaustive side
+    is in-row combinations over the bounded panel)."""
+    from mariadb_postgres_migration_spark.plans import python_eval_count
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    def no_expansion(df):
+        text = simple_plan(df)
+        assert "CartesianProduct" not in text
+        assert "BroadcastNestedLoopJoin" not in text
+
+    df199 = q("x199_audio_neardup_keep_one")
+    assert python_eval_count(df199) <= 4
+    no_expansion(df199)
+    no_expansion(q("x200_audio_neardup_recall"))
+    no_expansion(q("x201_r12d_ops_suite"))
+    no_expansion(q("m11_r8cd_suite"))
+
+
+def test_c11_single_decode_pass_and_gates(q, spark, sf_dir):
+    """c11's only Python surface is the builder + fingerprint pass
+    (with_meta=True — VAD's sum_sq and the duration gate's n_samples
+    ride the SAME Arrow pass); pairing, CC keep-one and the c7 join are
+    JVM-side, nothing plans an expansion, and the gates have real teeth
+    at this SF (corrupt, silent and micro-clip classes all non-empty and
+    all absent from the result)."""
+    from pyspark.sql import functions as F
+
+    from mariadb_postgres_migration_spark.plans import python_eval_count
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+    from mariadb_postgres_migration_spark.r10_queries import C8_CORRUPT_MOD
+    from mariadb_postgres_migration_spark.r12_queries import (
+        C11_MIN_SAMPLES,
+        C11_SILENT_MOD,
+    )
+
+    df = q("c11_audio_pipeline")
+    # sig is consumed by pairs (2 sides), keep and qual; the c7 manifest
+    # contributes its own bounded kernel lineage
+    assert python_eval_count(df) <= 6
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % C8_CORRUPT_MOD != 0          # decode gate
+        assert r["doc_id"] % C11_SILENT_MOD != 0          # VAD gate
+        assert r["n_samples"] >= C11_MIN_SAMPLES          # duration gate
+    # each gated class is non-empty among the eligible corpus (the gates
+    # are exercised, not vacuous)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    ids = {r["doc_id"] for r in docs}
+    assert any(d % C8_CORRUPT_MOD == 0 for d in ids)
+    assert any(d % C11_SILENT_MOD == 0 for d in ids)
+    survivors = {r["doc_id"] for r in rows}
+    assert all(d % C11_SILENT_MOD != 0 for d in survivors)
+
+
+def test_audio_sheet_rows_plans(q):
+    """No-expansion pins for the sixth wave and its funding rows. m13 is
+    pinned separately: its t4 member embeds the q_scalar suite, whose
+    1-row scalar aggregates legitimately cross-join as
+    BroadcastNestedLoopJoin (1-row build sides, bounded at any SF) — so
+    m13 allows BNLJ but still forbids a true CartesianProduct."""
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    for name in (
+        "x202_audio_onset_screen",
+        "x203_audio_neardup_source_sheet",
+        "x204_r12f_ops_suite",
+        "m12_embsetwin_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+    assert "CartesianProduct" not in simple_plan(q("m13_joinprofile_suite"))
