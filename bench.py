@@ -267,6 +267,13 @@ HEADLINE = [
     # THEIR members stay benched; frozen series untouched)
     "m13_joinprofile_suite",
     "x204_r12f_ops_suite",
+    # r12 seventh wave: incremental audio ingest probe + the tri-modal
+    # pairing audit (c9 ∩ c10 ∩ c11 Venn per split, fed by the session
+    # manifest memos) — m14 is the d2+m2 suite-of-suites consolidation
+    # that funds it (d2/m2 and all THEIR members stay benched; frozen
+    # series untouched)
+    "m14_sigmodal_suite",
+    "x207_r12g_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone

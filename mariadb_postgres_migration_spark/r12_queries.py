@@ -947,41 +947,70 @@ def c11_audio_pipeline(spark, sf_dir):
     (signature + n_samples + sum_sq share it), one 16-byte-signature
     shuffle, capped posting-list pair generation, a row-local gate, one
     doc_id equi-join — the c9 shape on audio."""
+    return _c11_frames(spark, sf_dir)["result"]
+
+
+#: The c11 chain frames memo — the _C9/_C10_FRAMES_CACHE pattern on the
+#: audio modality (same foreign-session eviction + re-persist-on-access
+#: contract): x206 consumes the full c11 chain alongside c9 and c10 in
+#: one action, so without the memo the trimodal audit would rebuild the
+#: audio decode + pairing — the exact x189/x187 recompute lesson.
+_C11_FRAMES_CACHE: dict = {}
+
+
+def _c11_frames(spark, sf_dir):
     from .operators.multimodal import (
         attach_consistent_wav_payload,
         audio_energy_fingerprint,
     )
     from .r9_queries import _c7_result
 
-    docs = _t(spark, sf_dir, "documents")
-    mm = attach_consistent_wav_payload(docs, silent_mod=C11_SILENT_MOD)
-    corrupted = F.when(
-        F.col("doc_id") % C8_CORRUPT_MOD == 0,
-        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-    ).otherwise(F.col("payload"))
-    mm = mm.select("doc_id", corrupted.alias("payload"))
-    # gate + signature + meta in ONE Arrow pass; the VAD gate is a
-    # row-local filter on the carried sum_sq
-    sig = D._persist(
-        audio_energy_fingerprint(mm, with_meta=True).filter(
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _C11_FRAMES_CACHE if k[0] != app]:
+        del _C11_FRAMES_CACHE[stale]
+    key = (app, sf_dir)
+    st = _C11_FRAMES_CACHE.get(key)
+    if st is None:
+        docs = _t(spark, sf_dir, "documents")
+        mm = attach_consistent_wav_payload(docs, silent_mod=C11_SILENT_MOD)
+        corrupted = F.when(
+            F.col("doc_id") % C8_CORRUPT_MOD == 0,
+            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+        ).otherwise(F.col("payload"))
+        mm = mm.select("doc_id", corrupted.alias("payload"))
+        # gate + signature + meta in ONE Arrow pass; the VAD gate is a
+        # row-local filter on the carried sum_sq
+        sig = audio_energy_fingerprint(mm, with_meta=True).filter(
             F.col("sum_sq") > 0
         )
-    )
-    pairs = image_neardup_pairs(
-        sig.select("doc_id", "h_hi", "h_lo")
-    ).select("doc_a", "doc_b")
-    keep = (
-        D.dedup_keep_one(sig.select("doc_id"), pairs)
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    qual = sig.join(keep, "doc_id").filter(
-        F.col("n_samples") >= C11_MIN_SAMPLES
-    )
-    manifest = _c7_result(spark, sf_dir).select("doc_id", "split", "shard")
-    return qual.join(manifest, "doc_id").select(
-        "doc_id", "n_samples", "h_hi", "h_lo", "split", "shard"
-    )
+        pairs = image_neardup_pairs(
+            sig.select("doc_id", "h_hi", "h_lo")
+        ).select("doc_a", "doc_b")
+        keep = (
+            D.dedup_keep_one(sig.select("doc_id"), pairs)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        qual = sig.join(keep, "doc_id").filter(
+            F.col("n_samples") >= C11_MIN_SAMPLES
+        )
+        manifest = _c7_result(spark, sf_dir).select(
+            "doc_id", "split", "shard"
+        )
+        result = qual.join(manifest, "doc_id").select(
+            "doc_id", "n_samples", "h_hi", "h_lo", "split", "shard"
+        )
+        st = {"sig": sig, "result": result}
+        _C11_FRAMES_CACHE[key] = st
+    D._persist(st["sig"])
+    _c7_result(spark, sf_dir)  # re-persist the embedded c7 manifest
+    return st
+
+
+def _c11_result(spark, sf_dir):
+    """The memoized, persisted c11 survivor manifest — for multi-consumer
+    rows (x206) that pair audio survivors with other modalities."""
+    return D._persist(_c11_frames(spark, sf_dir)["result"])
 
 
 # ---------------------------------------------------------------------------
@@ -1178,3 +1207,231 @@ def x204_r12f_ops_suite(spark, sf_dir):
         s1=F.col("source"),
     )
     return ons.unionAll(asrc)
+
+
+# ===========================================================================
+# r12 seventh wave: the audio ingest probe (x205 — the x45/x57/x169/x184
+# incremental pattern on the envelope index) and the TRI-modal pairing
+# audit (x206 — x187 extended to all three decoded payload modalities,
+# funded structurally by the c9/c10/c11 manifest memos so the audit never
+# rebuilds a pipeline chain) — window-funded by consolidating the d2/m2
+# r9 consolidation suites into m14_sigmodal_suite.
+# ===========================================================================
+
+
+def _x205_sql() -> str:
+    return f"""WITH {_audio_sig_ctes()},
+old AS (SELECT DISTINCT h_hi, h_lo FROM sig WHERE doc_id % 10 < 8),
+new AS (SELECT * FROM sig WHERE doc_id % 10 >= 8),
+keepn AS (SELECT h_hi, h_lo, min(doc_id) AS doc_id FROM new GROUP BY 1, 2)
+SELECT k.doc_id, (o.h_hi IS NOT NULL) AS is_dup_of_corpus
+FROM keepn k LEFT JOIN old o ON k.h_hi = o.h_hi AND k.h_lo = o.h_lo"""
+
+
+@register(
+    "x205_incremental_audio_dedup", _x205_sql(), "EXT-01", "EXT-02",
+    "EXT-04", tier=1,
+)
+def x205_incremental_audio_dedup(spark, sf_dir):
+    """Nightly-ingest audio dedup (the x45/x57/x169/x184 incremental
+    pattern on the envelope fingerprint): the new batch (doc_id%10 >= 8)
+    dedups within itself (min doc_id per signature) and flags survivors
+    whose envelope already exists in the corpus index (doc_id%10 < 8) —
+    the check an ingest pipeline runs before admitting clips. Corpus
+    side is a DISTINCT ~16-byte signature index; the probe is one
+    equi-join on the two halves, broadcastable at any batch size. Oracle
+    shares the _audio_sig_ctes closed form with x199."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_energy_fingerprint,
+    )
+
+    sig = D._persist(
+        audio_energy_fingerprint(
+            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    old = (
+        sig.filter(F.col("doc_id") % 10 < 8).select("h_hi", "h_lo").distinct()
+    )
+    new = sig.filter(F.col("doc_id") % 10 >= 8)
+    keepn = new.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        keepn.join(
+            old.withColumn("__hit", F.lit(1)), ["h_hi", "h_lo"], "left"
+        )
+        .select("doc_id", F.col("__hit").isNotNull().alias("is_dup_of_corpus"))
+    )
+
+
+def _x206_sql() -> str:
+    # three pipeline chains, each MATERIALIZED (the x187 x144-lesson
+    # form); the joins use explicit coalesce so the 3-way full-outer is
+    # unambiguous in both engines
+    return f"""WITH c9r AS MATERIALIZED (SELECT doc_id, split
+            FROM ({member_oracle('c9_multimodal_lsh')}) a),
+c10r AS MATERIALIZED (SELECT doc_id, split
+            FROM ({member_oracle('c10_video_pipeline')}) b),
+c11r AS MATERIALIZED (SELECT doc_id, split
+            FROM ({member_oracle('c11_audio_pipeline')}) c),
+j1 AS (SELECT coalesce(c9r.doc_id, c10r.doc_id) AS doc_id,
+              coalesce(c9r.split, c10r.split) AS split,
+              (c9r.doc_id IS NOT NULL) AS has_img,
+              (c10r.doc_id IS NOT NULL) AS has_vid
+       FROM c9r FULL OUTER JOIN c10r ON c9r.doc_id = c10r.doc_id),
+j AS (SELECT coalesce(j1.split, c11r.split) AS split,
+             coalesce(j1.has_img, FALSE) AS has_img,
+             coalesce(j1.has_vid, FALSE) AS has_vid,
+             (c11r.doc_id IS NOT NULL) AS has_aud
+      FROM j1 FULL OUTER JOIN c11r ON j1.doc_id = c11r.doc_id)
+SELECT split,
+       CAST(sum(CASE WHEN has_img AND has_vid AND has_aud
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_all3,
+       CAST(sum(CASE WHEN has_img AND has_vid AND NOT has_aud
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_img_vid,
+       CAST(sum(CASE WHEN has_img AND has_aud AND NOT has_vid
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_img_aud,
+       CAST(sum(CASE WHEN has_vid AND has_aud AND NOT has_img
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_vid_aud,
+       CAST(sum(CASE WHEN has_img AND NOT has_vid AND NOT has_aud
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_img_only,
+       CAST(sum(CASE WHEN has_vid AND NOT has_img AND NOT has_aud
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_vid_only,
+       CAST(sum(CASE WHEN has_aud AND NOT has_img AND NOT has_vid
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_aud_only
+FROM j GROUP BY split"""
+
+
+@register(
+    "x206_trimodal_pairs", _x206_sql(), "EXT-04", "EXT-05", tier=1,
+)
+def x206_trimodal_pairs(spark, sf_dir):
+    """TRI-modal pairing audit (x187 extended to every decoded payload
+    modality): per split, the full survivorship Venn over the c9 image,
+    c10 video and c11 audio curations — n_all3 is the set a joint
+    image+video+audio objective can train on; the pairwise and
+    single-modality counts say where coverage falls off. All three
+    pipelines place docs via the same c7 manifest, so split agrees on
+    matched rows by construction. Composition: all three manifests come
+    from the session memos (_c9_result/_c10_result/_c11_result — the
+    x189/x187 recompute lesson applied BEFORE the audit ships, not
+    after a driver flag), so the audit pays two doc_id full-outer joins
+    over ≤ |survivors| narrow rows, never a pipeline rebuild; ≤ |splits|
+    rows out."""
+    from .r11_queries import _c9_result, _c10_result
+
+    c9 = _c9_result(spark, sf_dir).select("doc_id", F.col("split").alias("s9"))
+    c10 = _c10_result(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("s10")
+    )
+    c11 = _c11_result(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("s11")
+    )
+    j = (
+        c9.join(c10, "doc_id", "full_outer")
+        .join(c11, "doc_id", "full_outer")
+        .select(
+            F.coalesce("s9", "s10", "s11").alias("split"),
+            F.col("s9").isNotNull().alias("has_img"),
+            F.col("s10").isNotNull().alias("has_vid"),
+            F.col("s11").isNotNull().alias("has_aud"),
+        )
+    )
+
+    def n(label, cond):
+        return F.sum(cond.cast("long")).cast("long").alias(label)
+
+    i, v, a = F.col("has_img"), F.col("has_vid"), F.col("has_aud")
+    return j.groupBy("split").agg(
+        n("n_all3", i & v & a),
+        n("n_img_vid", i & v & ~a),
+        n("n_img_aud", i & a & ~v),
+        n("n_vid_aud", v & a & ~i),
+        n("n_img_only", i & ~v & ~a),
+        n("n_vid_only", v & ~i & ~a),
+        n("n_aud_only", a & ~i & ~v),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m14_sigmodal_suite — the d2/m2 r9 consolidation suites as ONE driver row
+# (funds the x207 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m14_sql() -> str:
+    return f"""SELECT concat('d_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('d2_signature_suite')})
+UNION ALL
+SELECT concat('m_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('m2_multimodal_suite')})"""
+
+
+@register(
+    "m14_sigmodal_suite", _m14_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-01", "EXT-02", "EXT-04",
+)
+def m14_sigmodal_suite(spark, sf_dir):
+    """Driver row consolidating two r9 consolidation suites (d2 =
+    MinHash-LSH + SimHash signatures, m2 = multimodal header decode +
+    features) — r12 window math: their two slots fund this row plus
+    x207. Kind-namespace prefixes, member oracles embedded verbatim;
+    d2/m2 and all THEIR members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["d2_signature_suite"].fn(spark, sf_dir)
+    b = REGISTRY["m2_multimodal_suite"].fn(spark, sf_dir)
+    return widen(a, "d_").unionAll(widen(b, "m_"))
+
+
+# ---------------------------------------------------------------------------
+# x207_r12g_ops_suite — the r12 seventh-wave operators under one driver
+# hash
+# ---------------------------------------------------------------------------
+
+
+def _x207_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'ain' AS kind, doc_id AS id1, {z} AS id2,
+       CAST(is_dup_of_corpus AS BIGINT) AS v1, {z} AS v2, {z} AS v3,
+       {zd} AS d1, {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x205_incremental_audio_dedup')})
+UNION ALL
+SELECT 'tri', n_all3, n_img_vid, n_img_aud, n_vid_aud, n_img_only,
+       CAST(n_vid_only AS DOUBLE), CAST(n_aud_only AS DOUBLE), split
+FROM ({member_oracle('x206_trimodal_pairs')})"""
+
+
+@register(
+    "x207_r12g_ops_suite", _x207_sql(), "EXT-01", "EXT-02", "EXT-04",
+    "EXT-05",
+)
+def x207_r12g_ops_suite(spark, sf_dir):
+    """Driver row for the r12 seventh wave — the incremental audio
+    ingest probe (x205) and the tri-modal pairing audit (x206) —
+    union-folded into the shared kind-tagged suite shape (2 small
+    members → lazy union per the SCALE.md composition rule; x206's
+    pipeline inputs come from the session memos so the union never
+    rebuilds a chain)."""
+    ain = _suite_shape(
+        x205_incremental_audio_dedup(spark, sf_dir), "ain",
+        id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
+    )
+    tri = _suite_shape(
+        x206_trimodal_pairs(spark, sf_dir), "tri",
+        id1=F.col("n_all3"), id2=F.col("n_img_vid"), v1=F.col("n_img_aud"),
+        v2=F.col("n_vid_aud"), v3=F.col("n_img_only"),
+        d1=F.col("n_vid_only").cast("double"),
+        d2=F.col("n_aud_only").cast("double"), s1=F.col("split"),
+    )
+    return ain.unionAll(tri)

@@ -693,6 +693,7 @@ FROM ({member_oracle('x04_dedup_simhash')})"""
 
 @register(
     "d2_signature_suite", _d2_sql(), "EXT-01", "EXT-02",
+    tier=1,  # r12: consolidated into m14_sigmodal_suite (stays in bench HEADLINE)
 )
 def d2_signature_suite(spark, sf_dir):
     """Driver row consolidating the signature-dedup standalones (x03
@@ -839,6 +840,7 @@ FROM ({member_oracle('x26_multimodal_features')})"""
 
 @register(
     "m2_multimodal_suite", _m2_sql(), "EXT-04",
+    tier=1,  # r12: consolidated into m14_sigmodal_suite (stays in bench HEADLINE)
 )
 def m2_multimodal_suite(spark, sf_dir):
     """Driver row consolidating the multimodal standalones (x14 real BMP

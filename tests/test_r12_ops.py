@@ -310,6 +310,47 @@ def test_c11_single_decode_pass_and_gates(q, spark, sf_dir):
     assert all(d % C11_SILENT_MOD != 0 for d in survivors)
 
 
+def test_c11_frames_cache_contract(spark, sf_dir):
+    from mariadb_postgres_migration_spark import r12_queries as R12
+
+    _assert_memo_contract(
+        R12._C11_FRAMES_CACHE, R12._c11_frames, spark, sf_dir,
+        lambda st: st["result"].count(),
+    )
+
+
+def test_x206_trimodal_consistent_with_x187(q):
+    """The tri-modal Venn must agree with the bimodal x187 audit on the
+    image/video margins: per split, x187's n_both == n_all3 + n_img_vid
+    and n_image_only == n_img_aud + n_img_only (an independent
+    cross-check that the 3-way full-outer didn't drop or double-count a
+    membership)."""
+    tri = {r["split"]: r for r in q("x206_trimodal_pairs").collect()}
+    bi = {r["split"]: r for r in q("x187_crossmodal_pairs").collect()}
+    assert set(tri) == set(bi)
+    for split, b in bi.items():
+        t = tri[split]
+        assert b["n_both"] == t["n_all3"] + t["n_img_vid"], split
+        assert b["n_image_only"] == t["n_img_aud"] + t["n_img_only"], split
+        assert b["n_video_only"] == t["n_vid_aud"] + t["n_vid_only"], split
+
+
+def test_wave7_rows_plans(q):
+    """No-expansion pins for the seventh wave; x205's probe join and
+    x206's two full-outer manifest joins stay equi-joins."""
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    for name in (
+        "x205_incremental_audio_dedup",
+        "x206_trimodal_pairs",
+        "x207_r12g_ops_suite",
+        "m14_sigmodal_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+
+
 def test_audio_sheet_rows_plans(q):
     """No-expansion pins for the sixth wave and its funding rows. m13 is
     pinned separately: its t4 member embeds the q_scalar suite, whose
