@@ -274,6 +274,19 @@ HEADLINE = [
     # series untouched)
     "m14_sigmodal_suite",
     "x207_r12g_ops_suite",
+    # r12 eighth wave: the audio delta-fingerprint (sign-of-energy-delta)
+    # + dual-fingerprint verified pairs — m15 is the st3+st4
+    # suite-of-suites consolidation that funds it (st3/st4 and all THEIR
+    # members stay benched; frozen series untouched)
+    "m15_streaming_suite",
+    "x210_r12h_ops_suite",
+    # r12 ninth wave: the dual-keyframe video verification device (last-
+    # frame aHash + frame-0-banded pairs re-scored by the independent
+    # last-frame distance) — m16 is the m3+m4 suite-of-suites
+    # consolidation that funds it (m3/m4 and all THEIR members stay
+    # benched; frozen series untouched)
+    "m16_r10bcde_suite",
+    "x213_r12i_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -517,6 +530,34 @@ SUITE_MEMBERS = {
         "x71_funnel_stages", "x73_stream_funnel", "x74_stream_windowed_topk",
         "x75_rolling_anomaly", "c3_entity_resolution",
         "x57_stream_incremental_dedup", "c2_curation_pipeline_lsh",
+    ],
+    # r12 fourth-eighth waves (members are the DIRECT union legs only —
+    # deeper members are attributed through their own entries above;
+    # composed c-pipelines stay out per the c9/c10 convention)
+    "m11_r8cd_suite": ["x137_r8c_ops_suite", "x140_r8d_ops_suite"],
+    "x201_r12d_ops_suite": [
+        "x199_audio_neardup_keep_one", "x200_audio_neardup_recall",
+    ],
+    "m12_embsetwin_suite": ["s5_embcore_suite", "s6_setwindow_suite"],
+    "m13_joinprofile_suite": [
+        "t3_tpch_join_agg_suite", "t4_profile_scalar_suite",
+    ],
+    "x204_r12f_ops_suite": [
+        "x202_audio_onset_screen", "x203_audio_neardup_source_sheet",
+    ],
+    "m14_sigmodal_suite": ["d2_signature_suite", "m2_multimodal_suite"],
+    "x207_r12g_ops_suite": [
+        "x205_incremental_audio_dedup", "x206_trimodal_pairs",
+    ],
+    "m15_streaming_suite": [
+        "st3_stream_window_suite", "st4_stream_pair_suite",
+    ],
+    "x210_r12h_ops_suite": [
+        "x208_audio_delta_fingerprint", "x209_audio_dualhash_pairs",
+    ],
+    "m16_r10bcde_suite": ["m3_r10bc_suite", "m4_r10de_suite"],
+    "x213_r12i_ops_suite": [
+        "x211_video_lastframe_ahash", "x212_video_dualframe_pairs",
     ],
 }
 

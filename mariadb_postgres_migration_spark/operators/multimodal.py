@@ -1978,6 +1978,72 @@ def video_frame_ahash(
     return multimodal.mapInPandas(_hash, schema)
 
 
+def video_keyframe_ahashes(
+    multimodal: DataFrame, grid: int = AHASH_GRID
+) -> DataFrame:
+    """EXT-02/EXT-04: DUAL-keyframe perceptual signatures in ONE Arrow
+    pass — the aHash kernel over each video's FIRST stored frame
+    (h_hi, h_lo — :func:`video_frame_ahash`'s signature, byte-identical)
+    AND its LAST stored frame (l_hi, l_lo). The two keyframes fail
+    differently: clips sharing an intro card (black lead-in, channel
+    slate) collide on frame 0 but not on the closing frame, while two
+    re-encodes of one clip match on BOTH — the x167 dual-hash
+    verification device on video, sampled at the cheapest pair of
+    keyframes a production dedup pass reads (MJPEG: every frame is a
+    keyframe, so 'last' is an index step over the '00dc' list, not a
+    scan). Output (doc_id, h_hi, h_lo, l_hi, l_lo) — ~32 bytes/video;
+    payloads that are not AVIs, or whose sampled frames don't decode,
+    emit nothing. The payload is parsed and shipped ONCE for both
+    signatures — the with_meta/with_dims single-pass lesson."""
+    import numpy as np
+
+    n = grid * grid
+
+    def _ahash64(arr) -> tuple[int, int]:
+        a = arr.astype(np.int64)
+        if a.ndim == 3:
+            a = a.sum(axis=2)
+        s = resize_nearest(a, grid, grid).reshape(-1)
+        total = int(s.sum())
+        hi = 0
+        lo = 0
+        for k in range(n // 2):
+            hi = (hi << 1) | int(n * int(s[k]) > total)
+        for k in range(n // 2, n):
+            lo = (lo << 1) | int(n * int(s[k]) > total)
+        return hi, lo
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "h_hi", "h_lo", "l_hi", "l_lo")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames = parse_avi_video_chunks(
+                    bytes(p) if p is not None else b""
+                )
+                if not frames:
+                    continue
+                first = decode_jpeg_pixels(frames[0])
+                last = decode_jpeg_pixels(frames[-1])
+                if first is None or last is None:
+                    continue
+                f_hi, f_lo = _ahash64(first)
+                l_hi, l_lo = _ahash64(last)
+                rows["doc_id"].append(doc_id)
+                rows["h_hi"].append(f_hi)
+                rows["h_lo"].append(f_lo)
+                rows["l_hi"].append(l_hi)
+                rows["l_lo"].append(l_lo)
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        _hash, "doc_id long, h_hi long, h_lo long, l_hi long, l_lo long"
+    )
+
+
 def avi_header_profile(multimodal: DataFrame) -> DataFrame:
     """EXT-04: video METADATA extraction without frame decode — the
     parse_image_header economics applied to video: a 100 TB corpus
@@ -2255,6 +2321,49 @@ def audio_energy_fingerprint(
     if with_meta:
         schema += ", n_samples long, sum_sq long, peak_abs long"
     return multimodal.mapInPandas(_hash, schema)
+
+
+def audio_delta_fingerprint(
+    multimodal: DataFrame, grid: int = 64
+) -> DataFrame:
+    """EXT-02/EXT-04: difference-fingerprint over the energy envelope —
+    the envelope hash's production companion, exactly the dHash/aHash
+    relationship on images (different failure modes: the envelope hash
+    tracks which windows are loud RELATIVE TO THE CLIP MEAN, this one
+    tracks local energy GRADIENTS — the Haitsma-Kalker sign-of-delta
+    bit rule). Bit k (k in 0..62) = window k+1's energy STRICTLY exceeds
+    window k's (exact int64); bit 63 pads 0 (a 1-D envelope has 63
+    deltas). Same two-32-bit-halves packing and scale shape as
+    :func:`audio_energy_fingerprint`; non-PCM payloads and sub-``grid``
+    clips emit nothing."""
+    nw = grid
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(p) if p is not None else b"")
+                if decoded is None:
+                    continue
+                _, arr = decoded
+                if len(arr) < nw:
+                    continue
+                e, _ = _window_energies(arr, nw)
+                hi = 0
+                lo = 0
+                for k in range(nw // 2):
+                    hi = (hi << 1) | int(e[k + 1] > e[k])
+                for k in range(nw // 2, nw - 1):
+                    lo = (lo << 1) | int(e[k + 1] > e[k])
+                lo <<= 1  # bit 63: pad 0 (63 deltas over 64 windows)
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "h_hi": his, "h_lo": los})
+
+    return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
 
 
 def audio_onset_stats(multimodal: DataFrame, grid: int = 64) -> DataFrame:

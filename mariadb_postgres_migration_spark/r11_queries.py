@@ -181,6 +181,7 @@ FROM ({member_oracle('x159_r10c_ops_suite')})"""
 
 @register(
     "m3_r10bc_suite", _m3_sql(), "EXT-02", "EXT-04", "EXT-05",
+    tier=1,  # r12: consolidated into m16_r10bcde_suite (stays in bench HEADLINE)
 )
 def m3_r10bc_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r10 wave suites (x156 =
@@ -361,6 +362,7 @@ FROM ({member_oracle('x165_r10e_ops_suite')})"""
 @register(
     "m4_r10de_suite", _m4_sql(), "EXT-02", "EXT-04", "EXT-05",
     "EXT-ANALYTICS",
+    tier=1,  # r12: consolidated into m16_r10bcde_suite (stays in bench HEADLINE)
 )
 def m4_r10de_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r10 wave suites (x162 =

@@ -1435,3 +1435,431 @@ def x207_r12g_ops_suite(spark, sf_dir):
         d2=F.col("n_aud_only").cast("double"), s1=F.col("split"),
     )
     return ain.unionAll(tri)
+
+
+# ===========================================================================
+# r12 eighth wave: the audio DUAL-fingerprint device (the image
+# aHash/dHash/x167 relationship on the envelope space) — x208 is the
+# sign-of-energy-delta companion fingerprint (Haitsma & Kalker 2002's bit
+# rule), x209 re-scores every envelope-banded pair with the independent
+# delta distance — funded by consolidating the st3/st4 r9 streaming
+# suites into m15_streaming_suite.
+# ===========================================================================
+
+
+def _delta_sig_sql() -> str:
+    """The delta-fingerprint closed form over the shared ``av`` window
+    list (spw cancels in every strict energy comparison: e_{k+1} > e_k
+    ⟺ v_{k+1}² > v_k²); bit 63 pads 0 — 63 deltas over 64 windows."""
+
+    def bit(k_plus: str, k: str) -> str:
+        return f"v[{k_plus}] * v[{k_plus}] > v[{k}] * v[{k}]"
+
+    return f"""SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 32), k ->
+            CASE WHEN {bit('k + 2', 'k + 1')}
+                 THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END))
+            AS BIGINT) AS h_hi,
+       CAST(list_sum(list_transform(range(32, 63), k ->
+            CASE WHEN {bit('k + 2', 'k + 1')}
+                 THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
+            AS BIGINT) AS h_lo
+FROM av"""
+
+
+def _x208_sql() -> str:
+    return f"""WITH {_audio_v_ctes()}
+{_delta_sig_sql()}"""
+
+
+@register(
+    "x208_audio_delta_fingerprint", _x208_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x208_audio_delta_fingerprint(spark, sf_dir):
+    """Per-clip difference-fingerprint
+    (:func:`operators.multimodal.audio_delta_fingerprint`): the
+    sign-of-energy-delta bit rule (Haitsma & Kalker's robust audio
+    fingerprint) over the same REAL decoded PCM — the independent
+    companion signature to x199's envelope hash, exactly the image
+    aHash/dHash pairing. Output (doc_id, h_hi, h_lo); oracle packs the
+    63 strict delta comparisons from the intro-window closed form (spw
+    cancels). One Arrow pass, ~16 bytes/clip."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_delta_fingerprint,
+    )
+
+    return audio_delta_fingerprint(
+        attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _x209_sql() -> str:
+    # p and dsig each feed two references (dsig joins as both pair
+    # sides) — MATERIALIZED per the x144 lesson; both signature spaces
+    # share the single av window-list CTE
+    return f"""WITH {_audio_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+p AS MATERIALIZED (SELECT doc_a, doc_b, hamming AS ham_e FROM ham
+                   WHERE hamming <= 3),
+dsig AS MATERIALIZED ({_delta_sig_sql()})
+SELECT p.doc_a, p.doc_b, p.ham_e,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS ham_d
+FROM p JOIN dsig a ON a.doc_id = p.doc_a
+       JOIN dsig b ON b.doc_id = p.doc_b"""
+
+
+@register(
+    "x209_audio_dualhash_pairs", _x209_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x209_audio_dualhash_pairs(spark, sf_dir):
+    """Dual-fingerprint near-dup verification on audio (the x167 device):
+    every envelope-banded candidate pair re-scored by the INDEPENDENT
+    delta-fingerprint distance — (doc_a, doc_b, ham_e, ham_d). A pair
+    small under BOTH fingerprints is the production-grade audio-dup
+    signal (the two fail differently: the envelope hash on
+    loud-relative-to-mean structure, the delta hash on local gradients);
+    small under the envelope alone is the review queue. Two doc_id
+    equi-joins past the x199 pair plan — no new candidate generation;
+    BOTH signatures decode on Arrow passes over the same ~1 KB
+    payloads."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_delta_fingerprint,
+        audio_energy_fingerprint,
+    )
+
+    mm = attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+    pairs = image_neardup_pairs(
+        D._persist(audio_energy_fingerprint(mm))
+    ).withColumnRenamed("hamming", "ham_e")
+    dsig = D._persist(audio_delta_fingerprint(mm))
+    a = dsig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+    )
+    b = dsig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+    )
+    ham_d = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("ham_d", ham_d)
+        .select("doc_a", "doc_b", "ham_e", "ham_d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m15_streaming_suite — the st3/st4 r9 streaming suites as ONE driver row
+# (funds the x210 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m15_sql() -> str:
+    return f"""SELECT concat('w_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('st3_stream_window_suite')})
+UNION ALL
+SELECT concat('p_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('st4_stream_pair_suite')})"""
+
+
+@register(
+    "m15_streaming_suite", _m15_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-06", "EXT-07", "EXT-08", "EXT-09",
+)
+def m15_streaming_suite(spark, sf_dir):
+    """Driver row consolidating the two r9 streaming consolidation
+    suites (st3 = tumbling + session windows, st4 = stateful dedup +
+    stream-stream join — all four members REAL availableNow Structured
+    Streaming replays) — r12 window math: their two slots fund this row
+    plus x210. Kind-namespace prefixes, member oracles embedded
+    verbatim; st3/st4 and all THEIR members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["st3_stream_window_suite"].fn(spark, sf_dir)
+    b = REGISTRY["st4_stream_pair_suite"].fn(spark, sf_dir)
+    return widen(a, "w_").unionAll(widen(b, "p_"))
+
+
+# ---------------------------------------------------------------------------
+# x210_r12h_ops_suite — the r12 eighth-wave operators under one driver
+# hash
+# ---------------------------------------------------------------------------
+
+
+def _x210_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'adf' AS kind, doc_id AS id1, {z} AS id2, h_hi AS v1,
+       h_lo AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x208_audio_delta_fingerprint')})
+UNION ALL
+SELECT 'adp', doc_a, doc_b, ham_e, ham_d, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x209_audio_dualhash_pairs')})"""
+
+
+@register(
+    "x210_r12h_ops_suite", _x210_sql(), "EXT-02", "EXT-04",
+)
+def x210_r12h_ops_suite(spark, sf_dir):
+    """Driver row for the r12 eighth wave — the audio delta-fingerprint
+    (x208) and dual-fingerprint verified pairs (x209) — union-folded
+    into the shared kind-tagged suite shape (2 small members → lazy
+    union per the SCALE.md composition rule)."""
+    adf = _suite_shape(
+        x208_audio_delta_fingerprint(spark, sf_dir), "adf",
+        id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
+    )
+    adp = _suite_shape(
+        x209_audio_dualhash_pairs(spark, sf_dir), "adp",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("ham_e"),
+        v2=F.col("ham_d"),
+    )
+    return adf.unionAll(adp)
+
+
+# ===========================================================================
+# r12 ninth wave: the dual-KEYFRAME video verification device — x211
+# hashes each video's LAST stored frame (the second keyframe a production
+# video-dedup pass samples), x212 re-scores every frame-0-banded pair
+# with the independent last-frame distance (the x167/x209 device on
+# video) — funded by consolidating the m3/m4 r11 suite-of-suites into
+# m16_r10bcde_suite.
+# ===========================================================================
+
+#: ascii projection CTE for the last-frame chain (x211 standalone; x212
+#: reuses _video_sig_ctes' identical definition instead).
+_ASCII_DOCS_CTE = """ascii_docs AS (
+         SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         FROM documents)"""
+
+
+def _video_last_chain() -> str:
+    """Last-stored-frame aHash closed form as a CTE chain (references an
+    ``ascii_docs`` CTE the caller provides — _video_sig_ctes' byte text
+    stays frozen for its three r11/r12 consumers). Frame f0 = nfe − 1
+    starts at byte offset f0 with rowsL = least((n − f0) // bpr, 8)
+    block rows (≥ 1 by the nfe bound: f0 ≤ n − bpr); the 8×8 nearest
+    resample of the constant-block frame samples byte
+    f0 + ((k//8 · rowsL) // 8) · bpr + ((k%8 · bpr) // 8)."""
+    s_expr = (
+        "list_transform(range(0, 64), k -> ascii(substr(text, CAST("
+        "f0 + (((k // 8) * rowsL) // 8) * bpr + (((k % 8) * bpr) // 8) + 1"
+        " AS INTEGER), 1)))"
+    )
+    return f"""lv AS (SELECT doc_id, text, bpr,
+              least(2 + first % 3, greatest(n - bpr + 1, 0)) - 1 AS f0
+       FROM (SELECT doc_id, text, length(text) AS n,
+                    ascii(substr(text, 1, 1)) AS first,
+                    2 + ascii(substr(text, 1, 1)) % 4 AS bpr
+             FROM ascii_docs WHERE length(text) >= 1) b0
+       WHERE n // bpr >= 1),
+lv2 AS (SELECT doc_id, text, bpr, f0,
+               least((length(text) - f0) // bpr, 8) AS rowsL
+        FROM lv),
+lsig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), k ->
+              CASE WHEN 64 * s[k + 1] > total
+                   THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END))
+              AS BIGINT) AS h_hi,
+         CAST(list_sum(list_transform(range(32, 64), k ->
+              CASE WHEN 64 * s[k + 1] > total
+                   THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END))
+              AS BIGINT) AS h_lo
+  FROM (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total
+        FROM (SELECT doc_id, {s_expr} AS s FROM lv2) y) z)"""
+
+
+def _x211_sql() -> str:
+    return f"""WITH {_ASCII_DOCS_CTE},
+{_video_last_chain()}
+SELECT doc_id, h_hi, h_lo FROM lsig"""
+
+
+@register(
+    "x211_video_lastframe_ahash", _x211_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x211_video_lastframe_ahash(spark, sf_dir):
+    """Per-video aHash of the LAST stored frame
+    (:func:`operators.multimodal.video_keyframe_ahashes`, l columns):
+    the independent second keyframe signature next to x179's frame-0
+    hash — clips that share an intro card collide on frame 0 but not
+    here, two re-encodes of one clip match on both. The oracle
+    recomputes the signature from the fixture's constant-block closed
+    form at frame nfe−1 (byte window offset f0 = nfe−1, rowsL block
+    rows). One Arrow pass decoding both keyframes; ~16 bytes emitted
+    per video here."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_keyframe_ahashes,
+    )
+
+    ks = video_keyframe_ahashes(
+        attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+    )
+    return ks.select(
+        "doc_id", F.col("l_hi").alias("h_hi"), F.col("l_lo").alias("h_lo")
+    )
+
+
+def _x212_sql() -> str:
+    # p and lsig each feed two references (lsig joins as both pair
+    # sides) — MATERIALIZED per the x144 lesson; the frame-0 candidate
+    # side is _video_sig_ctes verbatim (x190's generator), the re-score
+    # side is the last-frame chain over the SAME ascii_docs CTE
+    return f"""WITH {_video_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+p AS MATERIALIZED (SELECT doc_a, doc_b, hamming AS ham_0 FROM ham
+                   WHERE hamming <= 3),
+{_video_last_chain()}
+SELECT p.doc_a, p.doc_b, p.ham_0,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS ham_z
+FROM p JOIN lsig a ON a.doc_id = p.doc_a
+       JOIN lsig b ON b.doc_id = p.doc_b"""
+
+
+@register(
+    "x212_video_dualframe_pairs", _x212_sql(), "EXT-02", "EXT-04", tier=1,
+)
+def x212_video_dualframe_pairs(spark, sf_dir):
+    """Dual-keyframe near-dup verification on video (the x167/x209
+    device): every frame-0-banded candidate pair from x190's generator
+    re-scored by the INDEPENDENT last-frame signature distance —
+    (doc_a, doc_b, ham_0, ham_z). Small under BOTH keyframes = the
+    production video-dup signal; small on frame 0 alone = the shared-
+    intro review queue. BOTH signatures ride ONE Arrow decode pass
+    (:func:`operators.multimodal.video_keyframe_ahashes` — the payload
+    is parsed once); past the x190 pair plan this adds only two doc_id
+    equi-joins against a ~32-byte/video frame."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_keyframe_ahashes,
+    )
+
+    ks = D._persist(
+        video_keyframe_ahashes(
+            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    pairs = image_neardup_pairs(
+        ks.select("doc_id", "h_hi", "h_lo")
+    ).withColumnRenamed("hamming", "ham_0")
+    a = ks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("l_hi").alias("a_hi"),
+        F.col("l_lo").alias("a_lo"),
+    )
+    b = ks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("l_hi").alias("b_hi"),
+        F.col("l_lo").alias("b_lo"),
+    )
+    ham_z = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("ham_z", ham_z)
+        .select("doc_a", "doc_b", "ham_0", "ham_z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m16_r10bcde_suite — the m3/m4 r11 suite-of-suites as ONE driver row
+# (funds the x213 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m16_sql() -> str:
+    return f"""SELECT concat('b_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('m3_r10bc_suite')})
+UNION ALL
+SELECT concat('d_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('m4_r10de_suite')})"""
+
+
+@register(
+    "m16_r10bcde_suite", _m16_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-02", "EXT-04", "EXT-05", "EXT-ANALYTICS",
+)
+def m16_r10bcde_suite(spark, sf_dir):
+    """Driver row consolidating the two r11 suite-of-suites over the r10
+    waves (m3 = x156+x159, m4 = x162+x165) — r12 window math: their two
+    slots fund this row plus x213. Kind-namespace prefixes, member
+    oracles embedded verbatim; m3/m4 and all THEIR members stay benched
+    (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["m3_r10bc_suite"].fn(spark, sf_dir)
+    b = REGISTRY["m4_r10de_suite"].fn(spark, sf_dir)
+    return widen(a, "b_").unionAll(widen(b, "d_"))
+
+
+# ---------------------------------------------------------------------------
+# x213_r12i_ops_suite — the r12 ninth-wave operators under one driver
+# hash
+# ---------------------------------------------------------------------------
+
+
+def _x213_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'lfa' AS kind, doc_id AS id1, {z} AS id2, h_hi AS v1,
+       h_lo AS v2, {z} AS v3, {zd} AS d1, {zd} AS d2,
+       CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x211_video_lastframe_ahash')})
+UNION ALL
+SELECT 'vdp', doc_a, doc_b, ham_0, ham_z, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x212_video_dualframe_pairs')})"""
+
+
+@register(
+    "x213_r12i_ops_suite", _x213_sql(), "EXT-02", "EXT-04",
+)
+def x213_r12i_ops_suite(spark, sf_dir):
+    """Driver row for the r12 ninth wave — the last-frame video aHash
+    (x211) and dual-keyframe verified pairs (x212) — union-folded into
+    the shared kind-tagged suite shape (2 small members → lazy union per
+    the SCALE.md composition rule)."""
+    lfa = _suite_shape(
+        x211_video_lastframe_ahash(spark, sf_dir), "lfa",
+        id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
+    )
+    vdp = _suite_shape(
+        x212_video_dualframe_pairs(spark, sf_dir), "vdp",
+        id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("ham_0"),
+        v2=F.col("ham_z"),
+    )
+    return lfa.unionAll(vdp)

@@ -443,6 +443,7 @@ FROM ({member_oracle('x19_stream_session')})"""
 
 @register(
     "st3_stream_window_suite", _st3_sql(), "EXT-06", "EXT-07", "EXT-08",
+    tier=1,  # r12: consolidated into m15_streaming_suite (stays in bench HEADLINE)
 )
 def st3_stream_window_suite(spark, sf_dir):
     """Driver row consolidating the two REAL Structured-Streaming window
@@ -573,6 +574,7 @@ FROM ({member_oracle('x22_stream_stream_join')})"""
 
 @register(
     "st4_stream_pair_suite", _st4_sql(), "EXT-08", "EXT-09",
+    tier=1,  # r12: consolidated into m15_streaming_suite (stays in bench HEADLINE)
 )
 def st4_stream_pair_suite(spark, sf_dir):
     """Driver row consolidating the two stateful-streaming replays (x20

@@ -335,6 +335,143 @@ def test_x206_trimodal_consistent_with_x187(q):
         assert b["n_video_only"] == t["n_vid_aud"] + t["n_vid_only"], split
 
 
+def test_audio_delta_fingerprint_matches_closed_form(spark):
+    """The delta kernel's 63 sign-of-energy-delta bits (+ pad-0 bit 63)
+    equal the oracle's closed form (v_{k+1}² > v_k², strict, spw
+    cancelled) bit-for-bit."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        audio_delta_fingerprint,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in audio_delta_fingerprint(_audio_mm(spark)).collect()
+    }
+    for doc_id, text in AUDIO_TEXTS:
+        _, _, v = _audio_closed_form(text)
+        sq = v * v
+        hi = 0
+        lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(sq[k + 1] > sq[k])
+        for k in range(32, 63):
+            lo = (lo << 1) | int(sq[k + 1] > sq[k])
+        lo <<= 1  # pad bit 63
+        r = got[doc_id]
+        assert (r["h_hi"], r["h_lo"]) == (hi, lo), text
+    # constant envelope -> no strict increase anywhere
+    assert (got[4]["h_hi"], got[4]["h_lo"]) == (0, 0)
+
+
+def test_x209_dual_distances_independent(q):
+    """x209's two distances come from genuinely different bit rules: on
+    the envelope-banded pairs, ham_e <= 3 always (the candidate
+    contract) while ham_d is free to disagree — and both columns must be
+    present per pair."""
+    rows = q("x209_audio_dualhash_pairs").collect()
+    for r in rows:
+        assert r["ham_e"] <= 3
+        assert 0 <= r["ham_d"] <= 64
+
+
+def test_wave8_rows_plans(q):
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    for name in (
+        "x208_audio_delta_fingerprint",
+        "x209_audio_dualhash_pairs",
+        "x210_r12h_ops_suite",
+        "m15_streaming_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+
+
+def test_video_keyframe_ahashes_both_frames(spark):
+    """One Arrow pass must emit frame-0 columns byte-identical to
+    video_frame_ahash AND last-frame columns equal to hashing the
+    decoded LAST '00dc' frame directly — proving both signatures come
+    from real decoded pixels of the right keyframes."""
+    import numpy as np
+
+    from mariadb_postgres_migration_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        attach_consistent_avi_payload,
+        parse_avi_video_chunks,
+        resize_nearest,
+        video_frame_ahash,
+        video_keyframe_ahashes,
+    )
+
+    def ahash(arr):
+        s = resize_nearest(arr.astype(np.int64), 8, 8).reshape(-1)
+        total = int(s.sum())
+        hi = lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(64 * int(s[k]) > total)
+        for k in range(32, 64):
+            lo = (lo << 1) | int(64 * int(s[k]) > total)
+        return hi, lo
+
+    # 'P' -> nf = 2 + 80 % 3 = 3 stored frames, so last != first
+    text = "Pack my box with five dozen liquor jugs!! " * 3
+    docs = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    mm = attach_consistent_avi_payload(docs)
+    frames = parse_avi_video_chunks(bytes(mm.select("payload").collect()[0][0]))
+    assert len(frames) >= 2, "fixture must store multiple frames"
+    row = video_keyframe_ahashes(mm).collect()[0]
+    f0 = video_frame_ahash(mm).collect()[0]
+    assert (row["h_hi"], row["h_lo"]) == (f0["h_hi"], f0["h_lo"])
+    assert (row["l_hi"], row["l_lo"]) == ahash(decode_jpeg_pixels(frames[-1]))
+    # non-AVI payloads emit nothing
+    junk = spark.createDataFrame(
+        [(4, bytearray(b"RIFFxxxxWAVE"))], "doc_id long, payload binary"
+    )
+    assert video_keyframe_ahashes(junk).count() == 0
+
+
+def test_x212_dual_distances_independent(q):
+    """x212's two distances come from different keyframes: on the
+    frame-0-banded pairs, ham_0 <= 3 always (the candidate contract)
+    while the last-frame ham_z is free to disagree — and both columns
+    must be present per pair."""
+    rows = q("x212_video_dualframe_pairs").collect()
+    for r in rows:
+        assert r["ham_0"] <= 3
+        assert 0 <= r["ham_z"] <= 64
+
+
+def test_wave9_rows_plans(q):
+    """No-expansion pins for the ninth wave. m16 carries m4 → x162 →
+    x161's curriculum boundary frame, whose crossJoin against a 1-row
+    scalar aggregate is the sanctioned broadcast shape
+    (tests/test_r11_plans.py::test_x177_m4_suites_no_expansion) — m16
+    allows exactly that build-side shape but still forbids a true
+    CartesianProduct."""
+    from mariadb_postgres_migration_spark.plans import broadcast_build_subtrees
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    for name in (
+        "x211_video_lastframe_ahash",
+        "x212_video_dualframe_pairs",
+        "x213_r12i_ops_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+    df = q("m16_r10bcde_suite")
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    if "BroadcastNestedLoopJoin" in text:
+        subs = broadcast_build_subtrees(df)
+        assert any("keys=[]" in s for s in subs), (
+            "nested-loop join without a 1-row scalar-aggregate build side"
+        )
+
+
 def test_wave7_rows_plans(q):
     """No-expansion pins for the seventh wave; x205's probe join and
     x206's two full-outer manifest joins stay equi-joins."""
