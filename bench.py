@@ -287,6 +287,12 @@ HEADLINE = [
     # benched; frozen series untouched)
     "m16_r10bcde_suite",
     "x213_r12i_ops_suite",
+    # r12 tenth wave: the dual-VERIFIED dedup decisions (video pairs
+    # confirmed by both keyframes, audio pairs confirmed by both bit
+    # rules, then CC keep-one) — m17 is the m5+m6 suite-of-suites
+    # consolidation that funds it
+    "m17_r10fg9bc_suite",
+    "x216_r12j_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -558,6 +564,10 @@ SUITE_MEMBERS = {
     "m16_r10bcde_suite": ["m3_r10bc_suite", "m4_r10de_suite"],
     "x213_r12i_ops_suite": [
         "x211_video_lastframe_ahash", "x212_video_dualframe_pairs",
+    ],
+    "m17_r10fg9bc_suite": ["m5_r10fg_suite", "m6_r9bc_suite"],
+    "x216_r12j_ops_suite": [
+        "x214_video_dualverified_keep_one", "x215_audio_dualverified_keep_one",
     ],
 }
 

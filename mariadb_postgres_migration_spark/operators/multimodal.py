@@ -2366,6 +2366,55 @@ def audio_delta_fingerprint(
     return multimodal.mapInPandas(_hash, "doc_id long, h_hi long, h_lo long")
 
 
+def audio_dual_fingerprints(
+    multimodal: DataFrame, grid: int = 64
+) -> DataFrame:
+    """EXT-02/EXT-04: BOTH audio fingerprints in ONE Arrow pass — the
+    envelope hash (h_hi, h_lo — :func:`audio_energy_fingerprint`'s
+    bits, byte-identical) and the sign-of-energy-delta hash
+    (d_hi, d_lo — :func:`audio_delta_fingerprint`'s bits). The PCM is
+    decoded and the 64-window energy envelope computed once; both bit
+    rules read the same exact int64 energies — the
+    ``video_keyframe_ahashes`` single-pass device on the audio
+    container. Output (doc_id, h_hi, h_lo, d_hi, d_lo) — ~32
+    bytes/clip; non-PCM payloads and sub-``grid`` clips emit
+    nothing."""
+    nw = grid
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "h_hi", "h_lo", "d_hi", "d_lo")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(p) if p is not None else b"")
+                if decoded is None:
+                    continue
+                _, arr = decoded
+                if len(arr) < nw:
+                    continue
+                e, total = _window_energies(arr, nw)
+                hi = lo = d_hi = d_lo = 0
+                for k in range(nw // 2):
+                    hi = (hi << 1) | int(nw * int(e[k]) > total)
+                    d_hi = (d_hi << 1) | int(e[k + 1] > e[k])
+                for k in range(nw // 2, nw):
+                    lo = (lo << 1) | int(nw * int(e[k]) > total)
+                for k in range(nw // 2, nw - 1):
+                    d_lo = (d_lo << 1) | int(e[k + 1] > e[k])
+                d_lo <<= 1  # bit 63: pad 0 (63 deltas over 64 windows)
+                rows["doc_id"].append(doc_id)
+                rows["h_hi"].append(hi)
+                rows["h_lo"].append(lo)
+                rows["d_hi"].append(d_hi)
+                rows["d_lo"].append(d_lo)
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(
+        _hash, "doc_id long, h_hi long, h_lo long, d_hi long, d_lo long"
+    )
+
+
 def audio_onset_stats(multimodal: DataFrame, grid: int = 64) -> DataFrame:
     """EXT-04 audio: onset screening over the same 64-window energy
     envelope — the x182 scene-change device on audio: an onset is a

@@ -577,6 +577,7 @@ FROM ({member_oracle('x171_r10g_ops_suite')})"""
 
 @register(
     "m5_r10fg_suite", _m5_sql(), "EXT-01", "EXT-02", "EXT-04", "EXT-05",
+    tier=1,  # r12: consolidated into m17_r10fg9bc_suite (stays in bench HEADLINE)
 )
 def m5_r10fg_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r10 wave suites (x168 =
@@ -740,6 +741,7 @@ FROM ({member_oracle('x148_r9c_ops_suite')})"""
 
 @register(
     "m6_r9bc_suite", _m6_sql(), "EXT-01", "EXT-02", "EXT-05",
+    tier=1,  # r12: consolidated into m17_r10fg9bc_suite (stays in bench HEADLINE)
 )
 def m6_r9bc_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r9 wave suites (x145 =

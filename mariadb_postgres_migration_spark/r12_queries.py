@@ -1522,28 +1522,31 @@ def x209_audio_dualhash_pairs(spark, sf_dir):
     loud-relative-to-mean structure, the delta hash on local gradients);
     small under the envelope alone is the review queue. Two doc_id
     equi-joins past the x199 pair plan — no new candidate generation;
-    BOTH signatures decode on Arrow passes over the same ~1 KB
-    payloads."""
+    BOTH signatures ride ONE Arrow decode pass
+    (:func:`operators.multimodal.audio_dual_fingerprints` — the PCM
+    decoded and the envelope computed once)."""
     from .operators.multimodal import (
         attach_consistent_wav_payload,
-        audio_delta_fingerprint,
-        audio_energy_fingerprint,
+        audio_dual_fingerprints,
     )
 
-    mm = attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
-    pairs = image_neardup_pairs(
-        D._persist(audio_energy_fingerprint(mm))
-    ).withColumnRenamed("hamming", "ham_e")
-    dsig = D._persist(audio_delta_fingerprint(mm))
-    a = dsig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("h_hi").alias("a_hi"),
-        F.col("h_lo").alias("a_lo"),
+    ds = D._persist(
+        audio_dual_fingerprints(
+            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        )
     )
-    b = dsig.select(
+    pairs = image_neardup_pairs(
+        ds.select("doc_id", "h_hi", "h_lo")
+    ).withColumnRenamed("hamming", "ham_e")
+    a = ds.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("d_hi").alias("a_hi"),
+        F.col("d_lo").alias("a_lo"),
+    )
+    b = ds.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("h_hi").alias("b_hi"),
-        F.col("h_lo").alias("b_lo"),
+        F.col("d_hi").alias("b_hi"),
+        F.col("d_lo").alias("b_lo"),
     )
     ham_d = (
         F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
@@ -1863,3 +1866,238 @@ def x213_r12i_ops_suite(spark, sf_dir):
         v2=F.col("ham_z"),
     )
     return lfa.unionAll(vdp)
+
+
+# ===========================================================================
+# r12 tenth wave: the dual-VERIFIED dedup DECISION — the x190/x199
+# keep-one collapse re-run over only the pairs BOTH independent
+# signatures confirm (x214 video: frame-0 banded AND last-frame ≤ 3;
+# x215 audio: envelope banded AND delta ≤ 3). Completes the
+# candidate → verify → decide chain the composed pipelines consume: the
+# single-signature keep-one is the high-recall tier, this is the
+# high-precision one. Funded by consolidating m5/m6 into m17.
+# ===========================================================================
+
+
+def _x214_sql() -> str:
+    # p0 (frame-0 candidates) and lsig both feed two references —
+    # MATERIALIZED per the x144 lesson; the CC is x190's recursive form
+    # seeded from sig so singletons (and pairs the last frame REFUTES)
+    # keep themselves
+    return f"""WITH RECURSIVE
+{_video_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+p0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+{_video_last_chain()},
+p AS MATERIALIZED (
+  SELECT p0.doc_a, p0.doc_b FROM p0
+  JOIN lsig a ON a.doc_id = p0.doc_a
+  JOIN lsig b ON b.doc_id = p0.doc_b
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS rep, (doc_id = min(n)) AS keep
+FROM reach GROUP BY doc_id"""
+
+
+@register(
+    "x214_video_dualverified_keep_one", _x214_sql(), "EXT-01", "EXT-02",
+    "EXT-04", tier=1,
+)
+def x214_video_dualverified_keep_one(spark, sf_dir):
+    """Video dedup DECISION over dual-verified pairs: x190's banded
+    frame-0 candidates filtered to those the INDEPENDENT last-frame
+    signature also confirms (ham ≤ 3 on both keyframes), then the CC
+    keep-one collapse — so a shared intro card alone can no longer
+    merge two distinct clips into one survivor group. Output (doc_id,
+    rep, keep); docs whose candidate pairs the last frame refutes stay
+    their own representatives. Scale: the x190 pair plan + two doc_id
+    equi-joins against the ~32-byte/video keyframe frame; the CC pays
+    only for videos with CONFIRMED edges (strictly fewer than x190's).
+    One Arrow decode pass for both signatures
+    (:func:`operators.multimodal.video_keyframe_ahashes`)."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_keyframe_ahashes,
+    )
+
+    ks = D._persist(
+        video_keyframe_ahashes(
+            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
+    a = ks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("l_hi").alias("a_hi"),
+        F.col("l_lo").alias("a_lo"),
+    )
+    b = ks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("l_hi").alias("b_hi"),
+        F.col("l_lo").alias("b_lo"),
+    )
+    ham_z = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    confirmed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(ham_z <= F.lit(3))
+        .select("doc_a", "doc_b")
+    )
+    return D.dedup_keep_one(ks.select("doc_id"), confirmed)
+
+
+def _x215_sql() -> str:
+    # the x214 form on the audio signature space: envelope-banded
+    # candidates confirmed by the delta fingerprint, then CC keep-one
+    return f"""WITH RECURSIVE
+{_audio_sig_ctes()},
+{ahash_pairs_ctes('sig')},
+p0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+dsig AS MATERIALIZED ({_delta_sig_sql()}),
+p AS MATERIALIZED (
+  SELECT p0.doc_a, p0.doc_b FROM p0
+  JOIN dsig a ON a.doc_id = p0.doc_a
+  JOIN dsig b ON b.doc_id = p0.doc_b
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS rep, (doc_id = min(n)) AS keep
+FROM reach GROUP BY doc_id"""
+
+
+@register(
+    "x215_audio_dualverified_keep_one", _x215_sql(), "EXT-01", "EXT-02",
+    "EXT-04", tier=1,
+)
+def x215_audio_dualverified_keep_one(spark, sf_dir):
+    """Audio dedup DECISION over dual-verified pairs — the x214 device
+    on the audio modality: x199's envelope-banded candidates filtered
+    to those the INDEPENDENT delta fingerprint also confirms (ham ≤ 3
+    on both bit rules), then the CC keep-one collapse. Output (doc_id,
+    rep, keep). Both fingerprints ride ONE Arrow decode pass
+    (:func:`operators.multimodal.audio_dual_fingerprints`); past the
+    x199 pair plan this adds two doc_id equi-joins and the CC pays only
+    for clips with CONFIRMED edges."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_dual_fingerprints,
+    )
+
+    ds = D._persist(
+        audio_dual_fingerprints(
+            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        )
+    )
+    pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
+    a = ds.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("d_hi").alias("a_hi"),
+        F.col("d_lo").alias("a_lo"),
+    )
+    b = ds.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("d_hi").alias("b_hi"),
+        F.col("d_lo").alias("b_lo"),
+    )
+    ham_d = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    confirmed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(ham_d <= F.lit(3))
+        .select("doc_a", "doc_b")
+    )
+    return D.dedup_keep_one(ds.select("doc_id"), confirmed)
+
+
+# ---------------------------------------------------------------------------
+# m17_r10fg9bc_suite — the m5/m6 r11 suite-of-suites as ONE driver row
+# (funds the x216 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m17_sql() -> str:
+    return f"""SELECT concat('f_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('m5_r10fg_suite')})
+UNION ALL
+SELECT concat('n_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('m6_r9bc_suite')})"""
+
+
+@register(
+    "m17_r10fg9bc_suite", _m17_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-01", "EXT-02", "EXT-04", "EXT-05",
+)
+def m17_r10fg9bc_suite(spark, sf_dir):
+    """Driver row consolidating the two r11 suite-of-suites (m5 =
+    x168+x171, m6 = x145+x148) — r12 window math: their two slots fund
+    this row plus x216. Kind-namespace prefixes, member oracles embedded
+    verbatim; m5/m6 and all THEIR members stay benched (frozen series
+    untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["m5_r10fg_suite"].fn(spark, sf_dir)
+    b = REGISTRY["m6_r9bc_suite"].fn(spark, sf_dir)
+    return widen(a, "f_").unionAll(widen(b, "n_"))
+
+
+# ---------------------------------------------------------------------------
+# x216_r12j_ops_suite — the r12 tenth-wave operators under one driver
+# hash
+# ---------------------------------------------------------------------------
+
+
+def _x216_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'vdk' AS kind, doc_id AS id1, rep AS id2,
+       CAST(keep AS BIGINT) AS v1, {z} AS v2, {z} AS v3, {zd} AS d1,
+       {zd} AS d2, CAST(NULL AS VARCHAR) AS s1
+FROM ({member_oracle('x214_video_dualverified_keep_one')})
+UNION ALL
+SELECT 'adk', doc_id, rep, CAST(keep AS BIGINT), {z}, {z}, {zd}, {zd},
+       CAST(NULL AS VARCHAR)
+FROM ({member_oracle('x215_audio_dualverified_keep_one')})"""
+
+
+@register(
+    "x216_r12j_ops_suite", _x216_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def x216_r12j_ops_suite(spark, sf_dir):
+    """Driver row for the r12 tenth wave — the dual-verified video
+    (x214) and audio (x215) dedup decisions — union-folded into the
+    shared kind-tagged suite shape (2 small members → lazy union per the
+    SCALE.md composition rule)."""
+    vdk = _suite_shape(
+        x214_video_dualverified_keep_one(spark, sf_dir), "vdk",
+        id1=F.col("doc_id"), id2=F.col("rep"),
+        v1=F.col("keep").cast("long"),
+    )
+    adk = _suite_shape(
+        x215_audio_dualverified_keep_one(spark, sf_dir), "adk",
+        id1=F.col("doc_id"), id2=F.col("rep"),
+        v1=F.col("keep").cast("long"),
+    )
+    return vdk.unionAll(adk)

@@ -472,6 +472,77 @@ def test_wave9_rows_plans(q):
         )
 
 
+def test_audio_dual_fingerprints_single_pass_parity(spark):
+    """The one-pass dual kernel's columns equal the two standalone
+    fingerprint operators bit-for-bit — the single-pass form is a
+    materialization detail, never a semantic fork."""
+    from mariadb_postgres_migration_spark.operators.multimodal import (
+        audio_delta_fingerprint,
+        audio_dual_fingerprints,
+        audio_energy_fingerprint,
+    )
+
+    mm = _audio_mm(spark)
+    dual = {r["doc_id"]: r for r in audio_dual_fingerprints(mm).collect()}
+    env = {r["doc_id"]: r for r in audio_energy_fingerprint(mm).collect()}
+    dlt = {r["doc_id"]: r for r in audio_delta_fingerprint(mm).collect()}
+    assert set(dual) == set(env) == set(dlt)
+    for doc_id, r in dual.items():
+        assert (r["h_hi"], r["h_lo"]) == (env[doc_id]["h_hi"], env[doc_id]["h_lo"])
+        assert (r["d_hi"], r["d_lo"]) == (dlt[doc_id]["h_hi"], dlt[doc_id]["h_lo"])
+
+
+def test_dualverified_never_merges_more(q):
+    """Filtering candidate edges by the second signature can only SPLIT
+    clusters: the dual-verified keep-one must have at least as many
+    survivors as the single-signature tier, on both modalities, and
+    every dual-confirmed group must sit inside a single-signature
+    group."""
+    for dual_name, single_name in (
+        ("x214_video_dualverified_keep_one", "x190_video_neardup_keep_one"),
+        ("x215_audio_dualverified_keep_one", "x199_audio_neardup_keep_one"),
+    ):
+        dual = {r["doc_id"]: r["rep"] for r in q(dual_name).collect()}
+        single = {r["doc_id"]: r["rep"] for r in q(single_name).collect()}
+        assert set(dual) == set(single), dual_name
+        n_dual = len(set(dual.values()))
+        n_single = len(set(single.values()))
+        assert n_dual >= n_single, (dual_name, n_dual, n_single)
+        # same dual rep -> same single rep (group refinement)
+        by_dual_rep = {}
+        for doc, rep in dual.items():
+            by_dual_rep.setdefault(rep, set()).add(single[doc])
+        assert all(len(s) == 1 for s in by_dual_rep.values()), dual_name
+
+
+def test_wave10_rows_plans(q):
+    """No-expansion pins for the tenth wave. m17 carries m6 → x145 →
+    x144's <=3-row split-pair inequality join — the bounded nested-loop
+    shape test_plans sanctions (<=2 such nodes, the m6 precedent in
+    tests/test_r11_plans.py); a cartesian is still forbidden."""
+    import re
+
+    from mariadb_postgres_migration_spark.plans.inspect import (
+        formatted_plan,
+        simple_plan,
+    )
+
+    for name in (
+        "x214_video_dualverified_keep_one",
+        "x215_audio_dualverified_keep_one",
+        "x216_r12j_ops_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+    text = formatted_plan(q("m17_r10fg9bc_suite"))
+    assert "CartesianProduct" not in text
+    n_bnlj = len(re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin\b", text, re.MULTILINE
+    ))
+    assert n_bnlj <= 2, f"m17: {n_bnlj} nested-loop joins"
+
+
 def test_wave7_rows_plans(q):
     """No-expansion pins for the seventh wave; x205's probe join and
     x206's two full-outer manifest joins stay equi-joins."""
