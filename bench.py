@@ -293,6 +293,22 @@ HEADLINE = [
     # consolidation that funds it
     "m17_r10fg9bc_suite",
     "x216_r12j_ops_suite",
+    # r12 eleventh wave: the composed pipelines on the dual-verified
+    # dedup tier (c12 video, c13 audio — the c9 tier-swap proof at the
+    # VERIFY level) — m18 is the m7+m8 suite-of-suites consolidation
+    # that funds it
+    "c12_video_dual_pipeline",
+    "c13_audio_dual_pipeline",
+    "m18_r9d10h11bc_suite",
+    "x217_r12k_ops_suite",
+    # r12 twelfth wave: the dual-vs-single per-source capacity sheets
+    # (n_protected = clips the verification tier keeps that single-
+    # signature banding would collapse) — m19 is the m9+m10
+    # suite-of-suites consolidation that funds it
+    "x218_video_dual_source_sheet",
+    "x219_audio_dual_source_sheet",
+    "m19_r8ab11de_suite",
+    "x220_r12l_ops_suite",
 ]
 
 #: The queries ALSO present in round 4's HEADLINE (x32-x37 ran standalone
@@ -568,6 +584,14 @@ SUITE_MEMBERS = {
     "m17_r10fg9bc_suite": ["m5_r10fg_suite", "m6_r9bc_suite"],
     "x216_r12j_ops_suite": [
         "x214_video_dualverified_keep_one", "x215_audio_dualverified_keep_one",
+    ],
+    "m18_r9d10h11bc_suite": ["m7_r9d10h_suite", "m8_r11bc_suite"],
+    "x217_r12k_ops_suite": [
+        "c12_video_dual_pipeline", "c13_audio_dual_pipeline",
+    ],
+    "m19_r8ab11de_suite": ["m9_r11de_suite", "m10_r8ab_suite"],
+    "x220_r12l_ops_suite": [
+        "x218_video_dual_source_sheet", "x219_audio_dual_source_sheet",
     ],
 }
 

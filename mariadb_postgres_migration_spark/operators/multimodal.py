@@ -1979,7 +1979,7 @@ def video_frame_ahash(
 
 
 def video_keyframe_ahashes(
-    multimodal: DataFrame, grid: int = AHASH_GRID
+    multimodal: DataFrame, grid: int = AHASH_GRID, with_meta: bool = False
 ) -> DataFrame:
     """EXT-02/EXT-04: DUAL-keyframe perceptual signatures in ONE Arrow
     pass — the aHash kernel over each video's FIRST stored frame
@@ -1993,7 +1993,9 @@ def video_keyframe_ahashes(
     keyframe, so 'last' is an index step over the '00dc' list, not a
     scan). Output (doc_id, h_hi, h_lo, l_hi, l_lo) — ~32 bytes/video;
     payloads that are not AVIs, or whose sampled frames don't decode,
-    emit nothing. The payload is parsed and shipped ONCE for both
+    emit nothing. ``with_meta=True`` additionally carries the stored-
+    frame count so a downstream duration gate shares this single pass
+    (the c10 device). The payload is parsed and shipped ONCE for both
     signatures — the with_meta/with_dims single-pass lesson."""
     import numpy as np
 
@@ -2019,7 +2021,10 @@ def video_keyframe_ahashes(
         from .jpeg import decode_jpeg_pixels
 
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "h_hi", "h_lo", "l_hi", "l_lo")}
+            cols = ["doc_id", "h_hi", "h_lo", "l_hi", "l_lo"]
+            if with_meta:
+                cols.append("n_frames")
+            rows = {k: [] for k in cols}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 frames = parse_avi_video_chunks(
                     bytes(p) if p is not None else b""
@@ -2037,11 +2042,14 @@ def video_keyframe_ahashes(
                 rows["h_lo"].append(f_lo)
                 rows["l_hi"].append(l_hi)
                 rows["l_lo"].append(l_lo)
+                if with_meta:
+                    rows["n_frames"].append(len(frames))
             yield pd.DataFrame(rows)
 
-    return multimodal.mapInPandas(
-        _hash, "doc_id long, h_hi long, h_lo long, l_hi long, l_lo long"
-    )
+    schema = "doc_id long, h_hi long, h_lo long, l_hi long, l_lo long"
+    if with_meta:
+        schema += ", n_frames long"
+    return multimodal.mapInPandas(_hash, schema)
 
 
 def avi_header_profile(multimodal: DataFrame) -> DataFrame:
@@ -2367,7 +2375,7 @@ def audio_delta_fingerprint(
 
 
 def audio_dual_fingerprints(
-    multimodal: DataFrame, grid: int = 64
+    multimodal: DataFrame, grid: int = 64, with_meta: bool = False
 ) -> DataFrame:
     """EXT-02/EXT-04: BOTH audio fingerprints in ONE Arrow pass — the
     envelope hash (h_hi, h_lo — :func:`audio_energy_fingerprint`'s
@@ -2377,15 +2385,22 @@ def audio_dual_fingerprints(
     rules read the same exact int64 energies — the
     ``video_keyframe_ahashes`` single-pass device on the audio
     container. Output (doc_id, h_hi, h_lo, d_hi, d_lo) — ~32
-    bytes/clip; non-PCM payloads and sub-``grid`` clips emit
-    nothing."""
+    bytes/clip; non-PCM payloads and sub-``grid`` clips emit nothing.
+    ``with_meta=True`` additionally carries n_samples / sum_sq /
+    peak_abs so a downstream VAD or duration gate shares this single
+    pass (the c11 device)."""
+    import numpy as np
+
     nw = grid
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "h_hi", "h_lo", "d_hi", "d_lo")}
+            cols = ["doc_id", "h_hi", "h_lo", "d_hi", "d_lo"]
+            if with_meta:
+                cols += ["n_samples", "sum_sq", "peak_abs"]
+            rows = {k: [] for k in cols}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 decoded = decode_wav(bytes(p) if p is not None else b"")
                 if decoded is None:
@@ -2408,11 +2423,16 @@ def audio_dual_fingerprints(
                 rows["h_lo"].append(lo)
                 rows["d_hi"].append(d_hi)
                 rows["d_lo"].append(d_lo)
+                if with_meta:
+                    rows["n_samples"].append(len(arr))
+                    rows["sum_sq"].append(total)
+                    rows["peak_abs"].append(int(np.abs(arr).max()))
             yield pd.DataFrame(rows)
 
-    return multimodal.mapInPandas(
-        _hash, "doc_id long, h_hi long, h_lo long, d_hi long, d_lo long"
-    )
+    schema = "doc_id long, h_hi long, h_lo long, d_hi long, d_lo long"
+    if with_meta:
+        schema += ", n_samples long, sum_sq long, peak_abs long"
+    return multimodal.mapInPandas(_hash, schema)
 
 
 def audio_onset_stats(multimodal: DataFrame, grid: int = 64) -> DataFrame:

@@ -907,6 +907,7 @@ FROM ({member_oracle('x174_r10h_ops_suite')})"""
 @register(
     "m7_r9d10h_suite", _m7_sql(), "EXT-04", "EXT-05", "EXT-ANALYTICS",
     "EXT-ANOM",
+    tier=1,  # r12: consolidated into m18_r9d10h11bc_suite (stays in bench HEADLINE)
 )
 def m7_r9d10h_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped wave suites (x151 = runs

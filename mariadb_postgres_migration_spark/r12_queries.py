@@ -13,6 +13,17 @@ cross-path decode parity canary (x196 — baseline and progressive decodes
 must agree per doc, as a driver-hashed row) and the per-source video
 near-dup capacity sheet (x197).
 
+Waves 4-11 complete the AUDIO perceptual tier (x199/x200 envelope
+fingerprint dedup + measured recall, x202 onset screen, x203 capacity
+sheet, x205 incremental ingest, c11 the composed audio pipeline, x206
+the tri-modal pairing audit) and then the DUAL-SIGNATURE verification
+family across both remaining modalities: x208/x209 the audio delta
+fingerprint + re-scored pairs, x211/x212 the video last-frame hash +
+re-scored pairs, x214/x215 the dual-VERIFIED keep-one decisions, and
+c12/c13 the composed pipelines on that tier (with test-pinned
+bracketing against c10/c11). Slots funded by the m11-m18 consolidation
+rows per the same window math.
+
 Registration/oracle conventions follow r7-r11_queries: every standalone
 here is tier 1, every one is also driver-verified same-round, and suite
 oracles compose the members' SQL via member_oracle() so member edits
@@ -28,7 +39,7 @@ from .extension_queries import _suite_shape
 from .operators import dedup as D
 from .operators.multimodal import ahash_pairs_ctes, image_neardup_pairs
 from .r10_queries import C8_CORRUPT_MOD
-from .r11_queries import _video_sig_ctes
+from .r11_queries import C10_MIN_FRAMES, _video_sig_ctes
 from .registry import _t, member_oracle, register
 
 # ---------------------------------------------------------------------------
@@ -194,6 +205,7 @@ FROM ({member_oracle('x180_r11c_ops_suite')})"""
 
 @register(
     "m8_r11bc_suite", _m8_sql(), "EXT-01", "EXT-02", "EXT-04", "EXT-05",
+    tier=1,  # r12: consolidated into m18_r9d10h11bc_suite (stays in bench HEADLINE)
 )
 def m8_r11bc_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r11 wave suites (x177 =
@@ -366,6 +378,7 @@ FROM ({member_oracle('x186_r11e_ops_suite')})"""
 
 @register(
     "m9_r11de_suite", _m9_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,  # r12: consolidated into m19_r8ab11de_suite (stays in bench HEADLINE)
 )
 def m9_r11de_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r11 wave suites (x183 =
@@ -535,6 +548,7 @@ FROM ({member_oracle('x133_r8b_ops_suite')})"""
     # the union of both members' coverage ids — the no-orphans invariant
     "EXT-GRAPH", "EXT-ANOM", "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
     "EXT-05",
+    tier=1,  # r12: consolidated into m19_r8ab11de_suite (stays in bench HEADLINE)
 )
 def m10_r8ab_suite(spark, sf_dir):
     """Driver row consolidating two same-shaped r8 wave suites (x128 =
@@ -2101,3 +2115,466 @@ def x216_r12j_ops_suite(spark, sf_dir):
         v1=F.col("keep").cast("long"),
     )
     return vdk.unionAll(adk)
+
+
+# ===========================================================================
+# r12 eleventh wave: the composed pipelines upgraded to the dual-verified
+# dedup tier — c12 is c10 with its exact frame-0 grouping swapped for the
+# x214 dual-keyframe decision, c13 is c11 with its envelope-only CC
+# swapped for the x215 dual-fingerprint decision (the c9 'perceptual
+# tier swap' proof, now at the VERIFY level on both remaining
+# modalities). Funded by consolidating m7/m8 into m18.
+# ===========================================================================
+
+
+def _c12_sql() -> str:
+    corrupt = f"AND doc_id % {C8_CORRUPT_MOD} <> 0"
+    return f"""WITH RECURSIVE
+c7m AS (SELECT doc_id, split, shard
+        FROM ({member_oracle('c7_pretraining_pipeline')}) z),
+{_video_sig_ctes(extra_pred=corrupt)},
+{ahash_pairs_ctes('sig')},
+p0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+{_video_last_chain()},
+p AS MATERIALIZED (
+  SELECT p0.doc_a, p0.doc_b FROM p0
+  JOIN lsig a ON a.doc_id = p0.doc_a
+  JOIN lsig b ON b.doc_id = p0.doc_b
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
+keep AS (SELECT doc_id FROM (
+           SELECT doc_id, min(n) AS rep FROM reach GROUP BY doc_id)
+         WHERE doc_id = rep),
+qual AS (SELECT s.doc_id, s.h_hi, s.h_lo, v2.nfe
+         FROM sig s JOIN keep USING (doc_id) JOIN v2 USING (doc_id)
+         WHERE v2.nfe >= {C10_MIN_FRAMES})
+SELECT q.doc_id, CAST(q.nfe AS BIGINT) AS n_frames, q.h_hi, q.h_lo,
+       c7m.split, c7m.shard
+FROM qual q JOIN c7m USING (doc_id)"""
+
+
+@register(
+    "c12_video_dual_pipeline", _c12_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def c12_video_dual_pipeline(spark, sf_dir):
+    """The composed VIDEO curation pipeline on the DUAL-VERIFIED dedup
+    tier — c10's stage skeleton (decode-validity gate → dedup →
+    duration gate → c7 pairing) with stage 2 swapped from exact frame-0
+    grouping to the x214 decision: banded frame-0 candidates confirmed
+    by the last-frame signature, then CC keep-one — the c9 tier-swap
+    proof applied at the VERIFY level. Signature pair AND stored-frame
+    count ride ONE Arrow pass (video_keyframe_ahashes with_meta=True).
+    ONE composed oracle (the corruption-gated sig closed form, the
+    banded pair CTEs, the last-frame confirm join, the recursive CC,
+    the nfe duration form, the c7 member oracle) hash-checks every
+    stage. Scale: one Arrow decode pass, one ~32-byte-signature
+    shuffle, capped posting-list pairs, two doc_id equi-joins for the
+    confirm step, a row-local gate, one doc_id equi-join to the
+    layout."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        video_keyframe_ahashes,
+    )
+    from .r9_queries import _c7_result
+
+    docs = _t(spark, sf_dir, "documents")
+    mm = attach_consistent_avi_payload(docs)
+    corrupted = F.when(
+        F.col("doc_id") % C8_CORRUPT_MOD == 0,
+        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+    ).otherwise(F.col("payload"))
+    mm = mm.select("doc_id", corrupted.alias("payload"))
+    ks = D._persist(video_keyframe_ahashes(mm, with_meta=True))
+    pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
+    a = ks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("l_hi").alias("a_hi"),
+        F.col("l_lo").alias("a_lo"),
+    )
+    b = ks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("l_hi").alias("b_hi"),
+        F.col("l_lo").alias("b_lo"),
+    )
+    ham_z = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    confirmed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(ham_z <= F.lit(3))
+        .select("doc_a", "doc_b")
+    )
+    keep = (
+        D.dedup_keep_one(ks.select("doc_id"), confirmed)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    qual = ks.join(keep, "doc_id").filter(
+        F.col("n_frames") >= C10_MIN_FRAMES
+    )
+    manifest = _c7_result(spark, sf_dir).select("doc_id", "split", "shard")
+    return qual.join(manifest, "doc_id").select(
+        "doc_id", "n_frames", "h_hi", "h_lo", "split", "shard"
+    )
+
+
+def _c13_sql() -> str:
+    silent = f"AND doc_id % {C11_SILENT_MOD} <> 0"
+    corrupt = f"AND doc_id % {C8_CORRUPT_MOD} <> 0"
+    return f"""WITH RECURSIVE
+c7m AS (SELECT doc_id, split, shard
+        FROM ({member_oracle('c7_pretraining_pipeline')}) z),
+{_audio_sig_ctes(extra_pred=f"{corrupt} {silent}")},
+{ahash_pairs_ctes('sig')},
+p0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+dsig AS MATERIALIZED ({_delta_sig_sql()}),
+p AS MATERIALIZED (
+  SELECT p0.doc_a, p0.doc_b FROM p0
+  JOIN dsig a ON a.doc_id = p0.doc_a
+  JOIN dsig b ON b.doc_id = p0.doc_b
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id, doc_id AS n FROM sig
+          UNION
+          SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.n),
+keep AS (SELECT doc_id FROM (
+           SELECT doc_id, min(n) AS rep FROM reach GROUP BY doc_id)
+         WHERE doc_id = rep),
+qual AS (SELECT s.doc_id, s.h_hi, s.h_lo, a2.spw
+         FROM sig s JOIN keep USING (doc_id) JOIN a2 USING (doc_id)
+         WHERE 64 * a2.spw >= {C11_MIN_SAMPLES})
+SELECT q.doc_id, CAST(64 * q.spw AS BIGINT) AS n_samples, q.h_hi, q.h_lo,
+       c7m.split, c7m.shard
+FROM qual q JOIN c7m USING (doc_id)"""
+
+
+@register(
+    "c13_audio_dual_pipeline", _c13_sql(), "EXT-01", "EXT-02", "EXT-04",
+    tier=1,
+)
+def c13_audio_dual_pipeline(spark, sf_dir):
+    """The composed AUDIO curation pipeline on the DUAL-VERIFIED dedup
+    tier — c11's stage skeleton (decode gate → VAD silence gate →
+    dedup → duration gate → c7 pairing) with stage 3 swapped from the
+    envelope-only CC to the x215 decision: envelope-banded candidates
+    confirmed by the delta fingerprint, then CC keep-one. BOTH bit
+    rules AND the VAD/duration meta ride ONE Arrow pass
+    (audio_dual_fingerprints with_meta=True). ONE composed oracle
+    (the corruption+silence-gated closed form, the pair CTEs, the
+    delta confirm join, the recursive CC, the spw duration form, the
+    c7 member oracle) hash-checks every stage."""
+    from .operators.multimodal import (
+        attach_consistent_wav_payload,
+        audio_dual_fingerprints,
+    )
+    from .r9_queries import _c7_result
+
+    docs = _t(spark, sf_dir, "documents")
+    mm = attach_consistent_wav_payload(docs, silent_mod=C11_SILENT_MOD)
+    corrupted = F.when(
+        F.col("doc_id") % C8_CORRUPT_MOD == 0,
+        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+    ).otherwise(F.col("payload"))
+    mm = mm.select("doc_id", corrupted.alias("payload"))
+    # gate + both signatures + meta in ONE Arrow pass; the VAD gate is a
+    # row-local filter on the carried sum_sq
+    ds = D._persist(
+        audio_dual_fingerprints(mm, with_meta=True).filter(
+            F.col("sum_sq") > 0
+        )
+    )
+    pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
+    a = ds.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("d_hi").alias("a_hi"),
+        F.col("d_lo").alias("a_lo"),
+    )
+    b = ds.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("d_hi").alias("b_hi"),
+        F.col("d_lo").alias("b_lo"),
+    )
+    ham_d = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    confirmed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(ham_d <= F.lit(3))
+        .select("doc_a", "doc_b")
+    )
+    keep = (
+        D.dedup_keep_one(ds.select("doc_id"), confirmed)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    qual = ds.join(keep, "doc_id").filter(
+        F.col("n_samples") >= C11_MIN_SAMPLES
+    )
+    manifest = _c7_result(spark, sf_dir).select("doc_id", "split", "shard")
+    return qual.join(manifest, "doc_id").select(
+        "doc_id", "n_samples", "h_hi", "h_lo", "split", "shard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# m18_r9d10h11bc_suite — the m7/m8 suite-of-suites as ONE driver row
+# (funds the x217 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m18_sql() -> str:
+    return f"""SELECT concat('p_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('m7_r9d10h_suite')})
+UNION ALL
+SELECT concat('v_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('m8_r11bc_suite')})"""
+
+
+@register(
+    "m18_r9d10h11bc_suite", _m18_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-01", "EXT-02", "EXT-04", "EXT-05", "EXT-ANALYTICS", "EXT-ANOM",
+)
+def m18_r9d10h11bc_suite(spark, sf_dir):
+    """Driver row consolidating m7 (x151+x174) and m8 (x177+x180) —
+    r12 window math: their two slots fund this row plus x217.
+    Kind-namespace prefixes, member oracles embedded verbatim; m7/m8
+    and all THEIR members stay benched (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["m7_r9d10h_suite"].fn(spark, sf_dir)
+    b = REGISTRY["m8_r11bc_suite"].fn(spark, sf_dir)
+    return widen(a, "p_").unionAll(widen(b, "v_"))
+
+
+# ---------------------------------------------------------------------------
+# x217_r12k_ops_suite — the r12 eleventh-wave pipelines under one driver
+# hash
+# ---------------------------------------------------------------------------
+
+
+def _x217_sql() -> str:
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'c12' AS kind, doc_id AS id1, shard AS id2,
+       h_hi AS v1, h_lo AS v2, n_frames AS v3, {zd} AS d1, {zd} AS d2,
+       split AS s1
+FROM ({member_oracle('c12_video_dual_pipeline')})
+UNION ALL
+SELECT 'c13', doc_id, shard, h_hi, h_lo, n_samples, {zd}, {zd}, split
+FROM ({member_oracle('c13_audio_dual_pipeline')})"""
+
+
+@register(
+    "x217_r12k_ops_suite", _x217_sql(), "EXT-01", "EXT-02", "EXT-04",
+)
+def x217_r12k_ops_suite(spark, sf_dir):
+    """Driver row for the r12 eleventh wave — the dual-verified video
+    (c12) and audio (c13) composed curation pipelines — union-folded
+    into the shared kind-tagged suite shape (2 members → lazy union per
+    the SCALE.md composition rule; the embedded c7 manifest comes from
+    the session memo so the union builds it once)."""
+    c12 = _suite_shape(
+        c12_video_dual_pipeline(spark, sf_dir), "c12",
+        id1=F.col("doc_id"), id2=F.col("shard"), v1=F.col("h_hi"),
+        v2=F.col("h_lo"), v3=F.col("n_frames"), s1=F.col("split"),
+    )
+    c13 = _suite_shape(
+        c13_audio_dual_pipeline(spark, sf_dir), "c13",
+        id1=F.col("doc_id"), id2=F.col("shard"), v1=F.col("h_hi"),
+        v2=F.col("h_lo"), v3=F.col("n_samples"), s1=F.col("split"),
+    )
+    return c12.unionAll(c13)
+
+
+# ===========================================================================
+# r12 twelfth wave: the dual-vs-single capacity sheets — per crawl
+# source, how many clips does the VERIFIED tier keep that the single-
+# signature tier would have collapsed (video: dual confirms fewer edges
+# so survivors grow; the sheet quantifies the overmerge protection per
+# source). Funded by consolidating m9/m10 into m19.
+# ===========================================================================
+
+
+def _dual_sheet_sql(single: str, dual: str, n_col: str) -> str:
+    """Shared oracle form: both keep-one member oracles joined per doc,
+    aggregated per source — n_protected = dual survivors the single
+    tier collapsed (≥ 0 by the edge-subset refinement)."""
+    return f"""WITH ks AS (SELECT doc_id, keep
+           FROM ({member_oracle(single)}) z),
+kd AS (SELECT doc_id, keep
+           FROM ({member_oracle(dual)}) z)
+SELECT d.source, CAST(count(*) AS BIGINT) AS {n_col},
+       CAST(sum(CASE WHEN ks.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors_single,
+       CAST(sum(CASE WHEN kd.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors_dual,
+       CAST(sum(CASE WHEN kd.keep AND NOT ks.keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_protected
+FROM ks JOIN kd USING (doc_id) JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+def _dual_sheet(spark, sf_dir, single_fn, dual_fn, n_col: str):
+    docs = _t(spark, sf_dir, "documents")
+    ks = single_fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_s")
+    )
+    kd = dual_fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_d")
+    )
+    return (
+        ks.join(kd, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias(n_col),
+            F.sum(F.col("keep_s").cast("long")).cast("long")
+            .alias("n_survivors_single"),
+            F.sum(F.col("keep_d").cast("long")).cast("long")
+            .alias("n_survivors_dual"),
+            F.sum((F.col("keep_d") & ~F.col("keep_s")).cast("long"))
+            .cast("long").alias("n_protected"),
+        )
+    )
+
+
+@register(
+    "x218_video_dual_source_sheet",
+    _dual_sheet_sql(
+        "x190_video_neardup_keep_one", "x214_video_dualverified_keep_one",
+        "n_videos",
+    ),
+    "EXT-02", "EXT-04", "EXT-05", tier=1,
+)
+def x218_video_dual_source_sheet(spark, sf_dir):
+    """Per-source dual-vs-single video dedup sheet (the x197 sheet over
+    BOTH tiers at once): videos, single-tier survivors, dual-verified
+    survivors and n_protected — the clips per crawl source that frame-0
+    banding alone would have merged away but the last-frame confirm
+    kept. The number a data team reads to decide whether a source needs
+    the verification tier (intro-card-heavy channels show high
+    n_protected). Two doc_id equi-joins + one map-side-combined
+    aggregate past the member plans; ≤ |sources| rows out."""
+    return _dual_sheet(
+        spark, sf_dir, x190_video_neardup_keep_one,
+        x214_video_dualverified_keep_one, "n_videos",
+    )
+
+
+@register(
+    "x219_audio_dual_source_sheet",
+    _dual_sheet_sql(
+        "x199_audio_neardup_keep_one", "x215_audio_dualverified_keep_one",
+        "n_clips",
+    ),
+    "EXT-02", "EXT-04", "EXT-05", tier=1,
+)
+def x219_audio_dual_source_sheet(spark, sf_dir):
+    """Per-source dual-vs-single audio dedup sheet — the x218 device on
+    the audio modality (x199 envelope tier vs x215 delta-confirmed
+    tier). Same plan shape: two doc_id equi-joins + one
+    map-side-combined aggregate; ≤ |sources| rows out."""
+    return _dual_sheet(
+        spark, sf_dir, x199_audio_neardup_keep_one,
+        x215_audio_dualverified_keep_one, "n_clips",
+    )
+
+
+# ---------------------------------------------------------------------------
+# m19_r8ab11de_suite — the m9/m10 suite-of-suites as ONE driver row
+# (funds the x220 slot)
+# ---------------------------------------------------------------------------
+
+
+def _m19_sql() -> str:
+    return f"""SELECT concat('d_', kind) AS kind, id1, id2, v1, v2, v3, d1,
+       d2, s1
+FROM ({member_oracle('m9_r11de_suite')})
+UNION ALL
+SELECT concat('a_', kind), id1, id2, v1, v2, v3, d1, d2, s1
+FROM ({member_oracle('m10_r8ab_suite')})"""
+
+
+@register(
+    "m19_r8ab11de_suite", _m19_sql(),
+    # the union of both members' coverage ids — the no-orphans invariant
+    "EXT-01", "EXT-02", "EXT-04", "EXT-05", "EXT-GRAPH", "EXT-ANOM",
+    "EXT-AUDIT", "EXT-ANALYTICS", "EXT-AGG",
+)
+def m19_r8ab11de_suite(spark, sf_dir):
+    """Driver row consolidating m9 (x183+x186) and m10 (x128+x133) —
+    r12 window math: their two slots fund this row plus x220.
+    Kind-namespace prefixes, member oracles embedded verbatim; m9/m10
+    and all THEIR members stay benched (frozen series untouched)."""
+    from .registry import REGISTRY
+
+    def widen(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("kind")).alias("kind"),
+            "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
+        )
+
+    a = REGISTRY["m9_r11de_suite"].fn(spark, sf_dir)
+    b = REGISTRY["m10_r8ab_suite"].fn(spark, sf_dir)
+    return widen(a, "d_").unionAll(widen(b, "a_"))
+
+
+# ---------------------------------------------------------------------------
+# x220_r12l_ops_suite — the r12 twelfth-wave operators under one driver
+# hash
+# ---------------------------------------------------------------------------
+
+
+def _x220_sql() -> str:
+    z = "CAST(0 AS BIGINT)"
+    zd = "CAST(0.0 AS DOUBLE)"
+    return f"""SELECT 'vds' AS kind, n_videos AS id1, {z} AS id2,
+       n_survivors_single AS v1, n_survivors_dual AS v2,
+       n_protected AS v3, {zd} AS d1, {zd} AS d2, source AS s1
+FROM ({member_oracle('x218_video_dual_source_sheet')})
+UNION ALL
+SELECT 'ads', n_clips, {z}, n_survivors_single, n_survivors_dual,
+       n_protected, {zd}, {zd}, source
+FROM ({member_oracle('x219_audio_dual_source_sheet')})"""
+
+
+@register(
+    "x220_r12l_ops_suite", _x220_sql(), "EXT-02", "EXT-04", "EXT-05",
+)
+def x220_r12l_ops_suite(spark, sf_dir):
+    """Driver row for the r12 twelfth wave — the dual-vs-single
+    capacity sheets on video (x218) and audio (x219) — union-folded
+    into the shared kind-tagged suite shape (2 small members → lazy
+    union per the SCALE.md composition rule)."""
+    vds = _suite_shape(
+        x218_video_dual_source_sheet(spark, sf_dir), "vds",
+        id1=F.col("n_videos"), v1=F.col("n_survivors_single"),
+        v2=F.col("n_survivors_dual"), v3=F.col("n_protected"),
+        s1=F.col("source"),
+    )
+    ads = _suite_shape(
+        x219_audio_dual_source_sheet(spark, sf_dir), "ads",
+        id1=F.col("n_clips"), v1=F.col("n_survivors_single"),
+        v2=F.col("n_survivors_dual"), v3=F.col("n_protected"),
+        s1=F.col("source"),
+    )
+    return vds.unionAll(ads)

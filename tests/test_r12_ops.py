@@ -543,6 +543,113 @@ def test_wave10_rows_plans(q):
     assert n_bnlj <= 2, f"m17: {n_bnlj} nested-loop joins"
 
 
+def test_c12_c13_pipeline_gates(q):
+    """Every c12/c13 output row passed the corrupt gate, the (c13)
+    silence gate and the duration gate — the stage semantics hold on
+    the delivered manifest, not just inside the oracle."""
+    rows = q("c12_video_dual_pipeline").collect()
+    assert rows, "c12 empty — vacuous pipeline"
+    for r in rows:
+        assert r["n_frames"] >= 3
+        assert r["doc_id"] % 13 != 0  # corrupt gate
+    rows = q("c13_audio_dual_pipeline").collect()
+    assert rows, "c13 empty — vacuous pipeline"
+    for r in rows:
+        assert r["n_samples"] >= 256
+        assert r["doc_id"] % 13 != 0  # corrupt gate
+        assert r["doc_id"] % 6 != 0  # VAD silence gate
+
+
+def test_c13_refines_c11(q):
+    """c13's edge set is c11's FILTERED by the delta confirm (same
+    banded generator on both), so its clusters refine and its manifest
+    is a SUPERSET of c11's. No such relation holds between c12 and c10:
+    c10's dedup is EXACT signature grouping while c12's is the banded
+    tier, and the stop-bucket cap means banded edges do not contain the
+    exact-equality groups — c12 vs the single BANDED tier is covered by
+    test_dualverified_never_merges_more on x214/x190 instead."""
+    c11 = {r["doc_id"] for r in q("c11_audio_pipeline").collect()}
+    c13 = {r["doc_id"] for r in q("c13_audio_dual_pipeline").collect()}
+    assert c11 <= c13, c11 - c13
+
+
+def test_wave11_rows_plans(q):
+    """No-expansion pins for the eleventh wave. m18 carries m7/m8 whose
+    members were pinned clean in r11 — but the composed depth can
+    surface the sanctioned bounded nested-loop shapes, so the pin
+    forbids a true cartesian and caps BNLJ nodes at 2 (the m6/m17
+    precedent)."""
+    import re
+
+    from mariadb_postgres_migration_spark.plans.inspect import (
+        formatted_plan,
+        simple_plan,
+    )
+
+    for name in (
+        "c12_video_dual_pipeline",
+        "c13_audio_dual_pipeline",
+        "x217_r12k_ops_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+    text = formatted_plan(q("m18_r9d10h11bc_suite"))
+    assert "CartesianProduct" not in text
+    n_bnlj = len(re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin\b", text, re.MULTILINE
+    ))
+    assert n_bnlj <= 2, f"m18: {n_bnlj} nested-loop joins"
+
+
+def test_dual_sheets_protection_semantics(q):
+    """The dual tier confirms a SUBSET of the single tier's edges, so
+    per source: dual survivors >= single survivors, n_protected is
+    exactly the difference, and every count is bounded by the source's
+    clip count."""
+    for name, n_col in (
+        ("x218_video_dual_source_sheet", "n_videos"),
+        ("x219_audio_dual_source_sheet", "n_clips"),
+    ):
+        rows = q(name).collect()
+        assert rows, name
+        for r in rows:
+            assert r["n_survivors_dual"] >= r["n_survivors_single"], name
+            assert (
+                r["n_protected"]
+                == r["n_survivors_dual"] - r["n_survivors_single"]
+            ), name
+            assert r["n_survivors_dual"] <= r[n_col], name
+
+
+def test_wave12_rows_plans(q):
+    """No-expansion pins for the twelfth wave. m19 carries m10 → x128's
+    KS-drift / x133's Gini scalar aggregates whose crossJoins against
+    1-row scalar-aggregate build sides are the sanctioned broadcast
+    shape (tests/test_r12_plans.py::test_m10_x198_suites_no_expansion)
+    — m19 allows exactly that build-side shape but still forbids a true
+    CartesianProduct."""
+    from mariadb_postgres_migration_spark.plans import broadcast_build_subtrees
+    from mariadb_postgres_migration_spark.plans.inspect import simple_plan
+
+    for name in (
+        "x218_video_dual_source_sheet",
+        "x219_audio_dual_source_sheet",
+        "x220_r12l_ops_suite",
+    ):
+        text = simple_plan(q(name))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+    df = q("m19_r8ab11de_suite")
+    text = simple_plan(df)
+    assert "CartesianProduct" not in text
+    if "BroadcastNestedLoopJoin" in text:
+        subs = broadcast_build_subtrees(df)
+        assert any("keys=[]" in s for s in subs), (
+            "nested-loop join without a 1-row scalar-aggregate build side"
+        )
+
+
 def test_wave7_rows_plans(q):
     """No-expansion pins for the seventh wave; x205's probe join and
     x206's two full-outer manifest joins stay equi-joins."""
