@@ -1036,7 +1036,13 @@ def editdist1_pairs(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
 
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, ``dist ≤ 1``.
     """
-    base = df.select(F.col(id_col).alias("rid"), F.col(s_col).alias("s"))
+    # parallelism floor BEFORE the explode: a one-row-group fixture scan
+    # otherwise runs the whole explode → join-probe → levenshtein chain as
+    # ONE task (the broadcast join adds no exchange to re-spread it) —
+    # measured 5.9s single-task vs sub-second 32-way at sf0.1
+    base = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("rid"), F.col(s_col).alias("s"))
+    )
     variants = base.select(
         "rid", "s",
         F.explode(

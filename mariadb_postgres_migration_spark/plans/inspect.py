@@ -231,9 +231,34 @@ def python_eval_count(df: DataFrame) -> int:
     contract: zero unless the operator is explicitly UDF-tier (OP-31
     normalize, multimodal decode, grouped threading, BLAS kernels).
     Counted on numbered node headers only — formatted mode prints every
-    node twice (tree summary + detail block)."""
+    node twice (tree summary + detail block) — and EXCLUDING nodes that
+    appear only under an ``== Initial Plan ==`` branch: a MATERIALIZED
+    cached relation prints its AdaptiveSparkPlan twice (final + initial),
+    so without the exclusion the same kernel counts once per print and
+    the result depends on whether the cache happens to be materialized."""
     text = formatted_plan(df)
-    return sum(
-        len(re.findall(rf"^\(\d+\) {marker}\b", text, re.MULTILINE))
-        for marker in _PYTHON_MARKERS
-    )
+    initial_ids: set[str] = set()
+    tree_lines = text.split("== Physical Plan ==", 1)[-1].splitlines()
+
+    def _depth(line: str) -> int:
+        # space-only indent: the initial plan's children print WITHOUT a
+        # "+-" connector, so stripping tree glyphs would put them at the
+        # header's own depth and end the subtree scan immediately
+        return len(line) - len(line.lstrip(" "))
+
+    for i, line in enumerate(tree_lines):
+        if "== Initial Plan ==" not in line:
+            continue
+        d = _depth(line)
+        for nxt in tree_lines[i + 1 :]:
+            if nxt.strip() and _depth(nxt) <= d:
+                break
+            initial_ids.update(re.findall(r"\((\d+)\)", nxt))
+    count = 0
+    for marker in _PYTHON_MARKERS:
+        for node_id in re.findall(
+            rf"^\((\d+)\) {marker}\b", text, re.MULTILINE
+        ):
+            if node_id not in initial_ids:
+                count += 1
+    return count

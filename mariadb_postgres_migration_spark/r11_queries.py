@@ -14,6 +14,8 @@ can't drift.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from . import r10_queries  # noqa: F401  (m3 composes x156/x159 oracles)
@@ -28,6 +30,58 @@ from .operators.multimodal import (
 )
 from .r10_queries import C8_CORRUPT_MOD
 from .registry import _t, member_oracle, register
+
+# ---------------------------------------------------------------------------
+# Memoized consistent AVI/WAV payload frames (r12 optimization round)
+# ---------------------------------------------------------------------------
+
+#: Session-scoped memo for the consistent AVI/WAV payload frames — the
+#: _C7/_C10/_C11 contract (keyed on applicationId + sf_dir, foreign-
+#: session eviction, re-persist on access, released between bench rows
+#: with every other tracked intermediate, so each timed row still
+#: computes payloads from the parquet inputs). Why it exists: the
+#: payload ASSEMBLY (the per-frame JPEG encode / PCM synth inside the
+#: fixture Arrow pass) is ~95% of every video/audio kernel's cost
+#: (measured sf0.1: 1.80s of the 1.88s build+frame0-hash pass), and the
+#: dual-tier rows (x218/x219/x197: a single-tier chain AND a dual-tier
+#: chain under ONE action) paid that assembly once per chain. Sharing
+#: the persisted payload frame makes every consumer in an action read
+#: the same ~20 MB cached table instead of re-encoding the corpus.
+_PAYLOAD_FRAME_CACHE: dict = {}
+
+
+def consistent_media_payloads(spark, sf_dir, kind="avi", silent_mod=None):
+    """The memoized persisted consistent payload frame over the full
+    documents table (``kind``: "avi" video / "wav" audio) — every
+    video/audio consumer shares ONE fixture-assembly subtree per action
+    instead of re-encoding the corpus per kernel."""
+    from .operators.multimodal import (
+        attach_consistent_avi_payload,
+        attach_consistent_wav_payload,
+    )
+
+    if os.environ.get("MPS_PAYLOAD_MEMO_OFF"):
+        # A/B bypass (the MPS_SUITE_UNION convention): the pre-memo form —
+        # every consumer assembles its own payload frame, nothing persisted
+        docs = _t(spark, sf_dir, "documents")
+        if kind == "avi":
+            return attach_consistent_avi_payload(docs)
+        return attach_consistent_wav_payload(docs, silent_mod=silent_mod)
+
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _PAYLOAD_FRAME_CACHE if k[0] != app]:
+        del _PAYLOAD_FRAME_CACHE[stale]
+    key = (app, sf_dir, kind, silent_mod)
+    mm = _PAYLOAD_FRAME_CACHE.get(key)
+    if mm is None:
+        docs = _t(spark, sf_dir, "documents")
+        if kind == "avi":
+            mm = attach_consistent_avi_payload(docs)
+        else:
+            mm = attach_consistent_wav_payload(docs, silent_mod=silent_mod)
+        _PAYLOAD_FRAME_CACHE[key] = mm
+    return D._persist(mm)
+
 
 # ---------------------------------------------------------------------------
 # c9 — the composed multimodal pipeline with the PERCEPTUAL dedup tier
@@ -257,12 +311,11 @@ def x175_video_frame_stats(spark, sf_dir):
     per-frame decode. Scale: one Arrow pass, payload→many-rows (the
     explode shape); no shuffle."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         mjpeg_frame_stats,
     )
 
     return mjpeg_frame_stats(
-        attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        consistent_media_payloads(spark, sf_dir)
     )
 
 
@@ -544,13 +597,12 @@ def x179_video_perceptual_dedup(spark, sf_dir):
     the signature from the fixture's constant-block closed form and the
     keep rule from the group min."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_frame_ahash,
     )
 
     sig = D._persist(
         video_frame_ahash(
-            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir)
         )
     )
     keep = sig.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("__mn"))
@@ -678,12 +730,11 @@ def x181_video_header_profile(spark, sf_dir):
     fixture's closed forms; a hash match proves the walker found and
     field-parsed the actual header bytes."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         avi_header_profile,
     )
 
     return avi_header_profile(
-        attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        consistent_media_payloads(spark, sf_dir)
     )
 
 
@@ -833,13 +884,12 @@ def x184_incremental_video_dedup(spark, sf_dir):
     on the two halves, broadcastable at any batch size. Oracle shares
     the _video_sig_ctes closed form with x179."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_frame_ahash,
     )
 
     sig = D._persist(
         video_frame_ahash(
-            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir)
         )
     )
     old = (
@@ -1034,7 +1084,6 @@ _C10_FRAMES_CACHE: dict = {}
 
 def _c10_frames(spark, sf_dir):
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_frame_ahash,
     )
     from .r9_queries import _c7_result
@@ -1046,7 +1095,7 @@ def _c10_frames(spark, sf_dir):
     st = _C10_FRAMES_CACHE.get(key)
     if st is None:
         docs = _t(spark, sf_dir, "documents")
-        mm = attach_consistent_avi_payload(docs)
+        mm = consistent_media_payloads(spark, sf_dir)
         corrupted = F.when(
             F.col("doc_id") % C8_CORRUPT_MOD == 0,
             F.concat(F.unhex(F.lit("0000")), F.col("payload")),
@@ -1227,12 +1276,11 @@ def x188_video_source_profile(spark, sf_dir):
     crawl source. One header-walk Arrow pass + one map-side-combined
     aggregate; ≤ |sources| rows out."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         avi_header_profile,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    hdr = avi_header_profile(attach_consistent_avi_payload(docs))
+    hdr = avi_header_profile(consistent_media_payloads(spark, sf_dir))
     return (
         hdr.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")

@@ -39,7 +39,7 @@ from .extension_queries import _suite_shape
 from .operators import dedup as D
 from .operators.multimodal import ahash_pairs_ctes, image_neardup_pairs
 from .r10_queries import C8_CORRUPT_MOD
-from .r11_queries import C10_MIN_FRAMES, _video_sig_ctes
+from .r11_queries import C10_MIN_FRAMES, _video_sig_ctes, consistent_media_payloads
 from .registry import _t, member_oracle, register
 
 # ---------------------------------------------------------------------------
@@ -84,13 +84,12 @@ def x190_video_neardup_keep_one(spark, sf_dir):
     (never video×video); the CC pays only for videos with edges; one
     Arrow decode pass total."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_frame_ahash,
     )
 
     sig = D._persist(
         video_frame_ahash(
-            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir)
         )
     )
     pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
@@ -142,13 +141,12 @@ def x191_video_neardup_recall(spark, sf_dir):
     (x142) canaries."""
     from .operators.dedup import _pair_combinations
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_frame_ahash,
     )
 
     sig = D._persist(
         video_frame_ahash(
-            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir)
         )
     )
     banded = image_neardup_pairs(sig).select(
@@ -700,13 +698,12 @@ def x199_audio_neardup_keep_one(spark, sf_dir):
     (never clip×clip); the CC pays only for clips with edges; one Arrow
     decode pass total."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_energy_fingerprint,
     )
 
     sig = D._persist(
         audio_energy_fingerprint(
-            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir, kind="wav")
         )
     )
     pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
@@ -754,13 +751,12 @@ def x200_audio_neardup_recall(spark, sf_dir):
     regression gate."""
     from .operators.dedup import _pair_combinations
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_energy_fingerprint,
     )
 
     sig = D._persist(
         audio_energy_fingerprint(
-            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir, kind="wav")
         )
     )
     banded = image_neardup_pairs(sig).select(
@@ -974,7 +970,6 @@ _C11_FRAMES_CACHE: dict = {}
 
 def _c11_frames(spark, sf_dir):
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_energy_fingerprint,
     )
     from .r9_queries import _c7_result
@@ -986,7 +981,7 @@ def _c11_frames(spark, sf_dir):
     st = _C11_FRAMES_CACHE.get(key)
     if st is None:
         docs = _t(spark, sf_dir, "documents")
-        mm = attach_consistent_wav_payload(docs, silent_mod=C11_SILENT_MOD)
+        mm = consistent_media_payloads(spark, sf_dir, kind="wav", silent_mod=C11_SILENT_MOD)
         corrupted = F.when(
             F.col("doc_id") % C8_CORRUPT_MOD == 0,
             F.concat(F.unhex(F.lit("0000")), F.col("payload")),
@@ -1099,12 +1094,11 @@ def x202_audio_onset_screen(spark, sf_dir):
     with structure worth keeping before paying for feature extraction.
     One Arrow pass, no shuffle."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_onset_stats,
     )
 
     return audio_onset_stats(
-        attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        consistent_media_payloads(spark, sf_dir, kind="wav")
     )
 
 
@@ -1256,13 +1250,12 @@ def x205_incremental_audio_dedup(spark, sf_dir):
     equi-join on the two halves, broadcastable at any batch size. Oracle
     shares the _audio_sig_ctes closed form with x199."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_energy_fingerprint,
     )
 
     sig = D._persist(
         audio_energy_fingerprint(
-            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir, kind="wav")
         )
     )
     old = (
@@ -1499,12 +1492,11 @@ def x208_audio_delta_fingerprint(spark, sf_dir):
     63 strict delta comparisons from the intro-window closed form (spw
     cancels). One Arrow pass, ~16 bytes/clip."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_delta_fingerprint,
     )
 
     return audio_delta_fingerprint(
-        attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+        consistent_media_payloads(spark, sf_dir, kind="wav")
     )
 
 
@@ -1540,13 +1532,12 @@ def x209_audio_dualhash_pairs(spark, sf_dir):
     (:func:`operators.multimodal.audio_dual_fingerprints` — the PCM
     decoded and the envelope computed once)."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_dual_fingerprints,
     )
 
     ds = D._persist(
         audio_dual_fingerprints(
-            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir, kind="wav")
         )
     )
     pairs = image_neardup_pairs(
@@ -1727,12 +1718,11 @@ def x211_video_lastframe_ahash(spark, sf_dir):
     rows). One Arrow pass decoding both keyframes; ~16 bytes emitted
     per video here."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_keyframe_ahashes,
     )
 
     ks = video_keyframe_ahashes(
-        attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+        consistent_media_payloads(spark, sf_dir)
     )
     return ks.select(
         "doc_id", F.col("l_hi").alias("h_hi"), F.col("l_lo").alias("h_lo")
@@ -1770,13 +1760,12 @@ def x212_video_dualframe_pairs(spark, sf_dir):
     is parsed once); past the x190 pair plan this adds only two doc_id
     equi-joins against a ~32-byte/video frame."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_keyframe_ahashes,
     )
 
     ks = D._persist(
         video_keyframe_ahashes(
-            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir)
         )
     )
     pairs = image_neardup_pairs(
@@ -1935,13 +1924,12 @@ def x214_video_dualverified_keep_one(spark, sf_dir):
     One Arrow decode pass for both signatures
     (:func:`operators.multimodal.video_keyframe_ahashes`)."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_keyframe_ahashes,
     )
 
     ks = D._persist(
         video_keyframe_ahashes(
-            attach_consistent_avi_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir)
         )
     )
     pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
@@ -2005,13 +1993,12 @@ def x215_audio_dualverified_keep_one(spark, sf_dir):
     x199 pair plan this adds two doc_id equi-joins and the CC pays only
     for clips with CONFIRMED edges."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_dual_fingerprints,
     )
 
     ds = D._persist(
         audio_dual_fingerprints(
-            attach_consistent_wav_payload(_t(spark, sf_dir, "documents"))
+            consistent_media_payloads(spark, sf_dir, kind="wav")
         )
     )
     pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
@@ -2178,13 +2165,12 @@ def c12_video_dual_pipeline(spark, sf_dir):
     confirm step, a row-local gate, one doc_id equi-join to the
     layout."""
     from .operators.multimodal import (
-        attach_consistent_avi_payload,
         video_keyframe_ahashes,
     )
     from .r9_queries import _c7_result
 
     docs = _t(spark, sf_dir, "documents")
-    mm = attach_consistent_avi_payload(docs)
+    mm = consistent_media_payloads(spark, sf_dir)
     corrupted = F.when(
         F.col("doc_id") % C8_CORRUPT_MOD == 0,
         F.concat(F.unhex(F.lit("0000")), F.col("payload")),
@@ -2274,13 +2260,12 @@ def c13_audio_dual_pipeline(spark, sf_dir):
     delta confirm join, the recursive CC, the spw duration form, the
     c7 member oracle) hash-checks every stage."""
     from .operators.multimodal import (
-        attach_consistent_wav_payload,
         audio_dual_fingerprints,
     )
     from .r9_queries import _c7_result
 
     docs = _t(spark, sf_dir, "documents")
-    mm = attach_consistent_wav_payload(docs, silent_mod=C11_SILENT_MOD)
+    mm = consistent_media_payloads(spark, sf_dir, kind="wav", silent_mod=C11_SILENT_MOD)
     corrupted = F.when(
         F.col("doc_id") % C8_CORRUPT_MOD == 0,
         F.concat(F.unhex(F.lit("0000")), F.col("payload")),

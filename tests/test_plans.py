@@ -352,6 +352,39 @@ def test_python_eval_counts_cogrouped_kernels(spark, sf_dir):
     assert python_eval_count(blocked) >= 1
 
 
+def test_python_eval_count_stable_across_cache_materialization(spark):
+    """A MATERIALIZED cached relation prints its AdaptiveSparkPlan twice
+    (== Final Plan == and == Initial Plan == branches), so a kernel above
+    a persisted frame used to count once per print — making every exact
+    plan pin depend on whether some earlier consumer had already run the
+    cache (r12: test_x175_video_two_kernels failed only in full-suite
+    order). The counter must exclude the Initial-Plan duplicate."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    def ident(it):
+        yield from it
+
+    base = (
+        spark.range(100)
+        .withColumn("k", F.col("id") % 7)
+        .groupBy("k")
+        .count()
+        .mapInPandas(ident, "k long, count long")
+        .persist()
+    )
+    try:
+        consumer = base.mapInPandas(ident, "k long, count long")
+        before = python_eval_count(consumer)
+        consumer.write.format("noop").mode("overwrite").save()
+        after = python_eval_count(
+            base.mapInPandas(ident, "k long, count long")
+        )
+        assert before == after == 2
+    finally:
+        base.unpersist()
+
+
 def test_inspect_counters_see_known_nodes(spark, sf_dir):
     """Anti-vacuous-zero self-test: each inspect counter must return >0 on
     a plan KNOWN to contain its node. The trap bit twice — r5's
