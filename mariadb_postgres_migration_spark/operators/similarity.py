@@ -492,11 +492,18 @@ def knn_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` cells nearest to each
     query. Recall vs :func:`knn_bruteforce` is property-tested; the win is
-    that the candidate join touches ~nprobe/ncells of the corpus."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    that the candidate join touches ~nprobe/ncells of the corpus.
+
+    ``assigned``: a precomputed :func:`ivf_assign` frame for the SAME
+    (corpus, centroids) — pass it (persisted) when several tiers share one
+    coarse quantizer (x142 runs ivf AND ivfpq over identical centroids;
+    without sharing, each pays its own full-corpus assignment kernel)."""
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cent = F.broadcast(  # bounded: k centroids
         centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
     )
@@ -1012,6 +1019,7 @@ def knn_pq_adc(
     vec_col: str = "embedding",
     k: int = 5,
     m: int = PQ_M,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-03: exhaustive PQ search — Asymmetric Distance Computation over
     EVERY encoded vector, no coarse quantizer (Jégou et al. 2011 §IV.A,
@@ -1029,7 +1037,12 @@ def knn_pq_adc(
     contract, same as :func:`knn_bruteforce`); the scoring kernel gathers
     adist for all queries per Arrow batch as one integer fancy-index and
     emits a PER-BATCH partial top-k, so the final global rank shuffles
-    k·batches rows per query, never the full corpus."""
+    k·batches rows per query, never the full corpus.
+
+    ``enc``: a precomputed :func:`pq_encode` frame for the SAME
+    (corpus, codebook, m) — pass it (persisted) when several tiers share
+    one code table (x142 runs pq AND ivfpq over the identical codebook;
+    without sharing, each pays its own full-corpus encode kernel)."""
     import numpy as np
     import pandas as pd
 
@@ -1079,7 +1092,8 @@ def knn_pq_adc(
                 }
             )
 
-    enc = pq_encode(corpus, codebook, m, id_col, vec_col)
+    if enc is None:
+        enc = pq_encode(corpus, codebook, m, id_col, vec_col)
     partial = enc.select("v_id", "codes").mapInPandas(
         adc_score, "q_id long, n_id long, adist_i long"
     )
@@ -1106,6 +1120,8 @@ def knn_ivfpq(
     k: int = 5,
     nprobe: int = 2,
     m: int = PQ_M,
+    assigned: DataFrame | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """EXT-03: full IVF-PQ search (Jégou et al. 2011) — coarse cells prune
     the scan to ``nprobe`` cells per query, PQ codes stand in for vectors,
@@ -1125,7 +1141,12 @@ def knn_ivfpq(
     pruning, ~nprobe/ncells of the data; the scoring kernel emits a
     PER-BATCH partial top-k (k rows per query per batch), so the final
     global rank shuffles k·batches rows per query, never the candidate
-    stream."""
+    stream.
+
+    ``assigned`` / ``enc``: precomputed :func:`ivf_assign` /
+    :func:`pq_encode` frames for the same (corpus, centroids/codebook) —
+    pass them (persisted) when the ivf/pq tiers already computed them
+    (the x142 suite sharing device); computed here otherwise."""
     import numpy as np
     import pandas as pd
 
@@ -1137,16 +1158,21 @@ def knn_ivfpq(
 
     # coarse quantizer: one broadcast-BLAS pass tags every vector's cell —
     # persisted because it feeds BOTH the encode kernel and the cell join
-    assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col))
+    if assigned is None:
+        assigned = _persist(ivf_assign(corpus, centroids, id_col, vec_col))
     # PQ codes ride along with the cell tag (at rest this is the
     # cell-partitioned encoded table an IVF-PQ index persists)
-    enc = pq_encode(
-        assigned.select(F.col("v_id").alias(id_col), F.col("vec").alias(vec_col)),
-        codebook,
-        m,
-        id_col,
-        vec_col,
-    ).join(assigned.select("v_id", "cell"), "v_id")
+    if enc is None:
+        enc = pq_encode(
+            assigned.select(
+                F.col("v_id").alias(id_col), F.col("vec").alias(vec_col)
+            ),
+            codebook,
+            m,
+            id_col,
+            vec_col,
+        )
+    enc = enc.join(assigned.select("v_id", "cell"), "v_id")
 
     # probe selection: identical rule to knn_ivf (cosine DESC, cell ASC)
     cent = F.broadcast(  # bounded: k centroids

@@ -1733,9 +1733,11 @@ def split_leakage(
     canary proving dedup ran BEFORE splitting).
 
     Plan: one distinct over (split, shingle) — the same shuffle class as
-    the decontamination join — then self-joins confined to ≤|splits|
-    distinct keys per shingle; the pair frame itself is ≤ C(|splits|,2)
-    rows. The distinct shingle/fingerprint frames feed 2-3 consumers
+    the decontamination join — then ONE groupBy per key frame collecting
+    the ≤|splits| split set and expanding ordered pairs row-locally
+    (r12: replaced the key-equi self-joins, which exchanged each frame
+    twice and sort-merged it against itself); the pair frame itself is
+    ≤ C(|splits|,2) rows. The distinct shingle/fingerprint frames feed 2-3 consumers
     each and go through the tracked persist pool so the upstream chain
     (in x144: the whole c1 curation) is paid once, mirroring the
     oracle's MATERIALIZED CTEs. A split with NO shingles never appears in
@@ -1743,6 +1745,8 @@ def split_leakage(
     entirely — identically in both engines (ADVICE r9: the least()==0
     guard in the per-mille expression is therefore defensive, not the
     path such splits take)."""
+    import os
+
     from .dedup import _persist
 
     sp = docs.select(F.col(id_col).alias("doc_id"), F.col(split_col).alias("split"))
@@ -1763,36 +1767,71 @@ def split_leakage(
             F.col("split_a") < F.col("split_b"),
         )
     )
-    shared = (
-        ssh.alias("x")
-        .join(
-            ssh.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col("x.split") < F.col("y.split")),
+
+    def _cross_split_counts(frame, key: str, out_col: str):
+        """Count keys present in BOTH splits of each ordered pair.
+
+        The r12 form: ONE exchange (groupBy key → sorted split set) + a
+        row-local ≤C(|splits|,2) pair expansion + a tiny pair aggregate,
+        replacing the key-equi self-join (TWO exchanges of the frame plus
+        a sort-merge of it against itself). Identical result: the
+        self-join emits exactly one row per (key, ordered split pair
+        present), which is what the expansion of the per-key split set
+        emits; ``sort_array`` orders by the same binary string comparison
+        as the join's ``x.split < y.split``. ``MPS_X144_SELFJOIN=1``
+        restores the self-join form for interleaved A/Bs."""
+        if os.environ.get("MPS_X144_SELFJOIN"):
+            return (
+                frame.alias("x")
+                .join(
+                    frame.alias("y"),
+                    (F.col(f"x.{key}") == F.col(f"y.{key}"))
+                    & (F.col("x.split") < F.col("y.split")),
+                )
+                .groupBy(
+                    F.col("x.split").alias("split_a"),
+                    F.col("y.split").alias("split_b"),
+                )
+                .agg(F.count("*").cast("long").alias(out_col))
+            )
+        g = frame.groupBy(key).agg(
+            F.sort_array(F.collect_set("split")).alias("__ss")
         )
-        .groupBy(
-            F.col("x.split").alias("split_a"), F.col("y.split").alias("split_b")
+        n = F.size(F.col("__ss"))
+        expanded = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.struct(
+                        F.element_at(F.col("__ss"), i).alias("split_a"),
+                        F.element_at(F.col("__ss"), j).alias("split_b"),
+                    ),
+                ),
+            )
         )
-        .agg(F.count("*").cast("long").alias("n_shared_sh"))
-    )
+        empty = F.array().cast(
+            "array<struct<split_a:string,split_b:string>>"
+        )
+        return (
+            g.select(
+                F.explode(F.when(n >= 2, expanded).otherwise(empty)).alias("p")
+            )
+            .groupBy(
+                F.col("p.split_a").alias("split_a"),
+                F.col("p.split_b").alias("split_b"),
+            )
+            .agg(F.count("*").cast("long").alias(out_col))
+        )
+
+    shared = _cross_split_counts(ssh, "sh", "n_shared_sh")
     fps = _persist(
         docs.select(
             F.col(split_col).alias("split"), F.md5(F.col(text_col)).alias("fp")
         )
         .distinct()
     )
-    fdup = (
-        fps.alias("x")
-        .join(
-            fps.alias("y"),
-            (F.col("x.fp") == F.col("y.fp"))
-            & (F.col("x.split") < F.col("y.split")),
-        )
-        .groupBy(
-            F.col("x.split").alias("split_a"), F.col("y.split").alias("split_b")
-        )
-        .agg(F.count("*").cast("long").alias("n_dup_fp"))
-    )
+    fdup = _cross_split_counts(fps, "fp", "n_dup_fp")
     return (
         pairs.join(shared, ["split_a", "split_b"], "left")
         .join(fdup, ["split_a", "split_b"], "left")

@@ -237,28 +237,34 @@ def python_eval_count(df: DataFrame) -> int:
     so without the exclusion the same kernel counts once per print and
     the result depends on whether the cache happens to be materialized."""
     text = formatted_plan(df)
-    initial_ids: set[str] = set()
     tree_lines = text.split("== Physical Plan ==", 1)[-1].splitlines()
-
-    def _depth(line: str) -> int:
-        # space-only indent: the initial plan's children print WITHOUT a
-        # "+-" connector, so stripping tree glyphs would put them at the
-        # header's own depth and end the subtree scan immediately
-        return len(line) - len(line.lstrip(" "))
-
-    for i, line in enumerate(tree_lines):
-        if "== Initial Plan ==" not in line:
+    # Walk the TREE section (it ends where the "(N) NodeName" detail
+    # blocks begin) with an indent stack of active Initial-Plan branches;
+    # id-based exclusion is impossible because Spark REUSES a node's id
+    # between the final and initial prints of the same adaptive plan.
+    # Distinct ids outside initial branches preserve the original
+    # detail-header semantics (a node referenced twice counts once).
+    final_ids: set[str] = set()
+    initial_indents: list[int] = []
+    marker_re = re.compile(
+        r"\b(" + "|".join(_PYTHON_MARKERS) + r") \((\d+)\)"
+    )
+    for line in tree_lines:
+        if re.match(r"^\(\d+\) ", line):
+            break  # detail section begins
+        if not line.strip():
             continue
-        d = _depth(line)
-        for nxt in tree_lines[i + 1 :]:
-            if nxt.strip() and _depth(nxt) <= d:
-                break
-            initial_ids.update(re.findall(r"\((\d+)\)", nxt))
-    count = 0
-    for marker in _PYTHON_MARKERS:
-        for node_id in re.findall(
-            rf"^\((\d+)\) {marker}\b", text, re.MULTILINE
-        ):
-            if node_id not in initial_ids:
-                count += 1
-    return count
+        # space-only indent: initial-plan children print WITHOUT a "+-"
+        # connector, so stripping tree glyphs would misplace them
+        indent = len(line) - len(line.lstrip(" "))
+        while initial_indents and indent <= initial_indents[-1]:
+            initial_indents.pop()
+        if "== Initial Plan ==" in line:
+            initial_indents.append(indent)
+            continue
+        if initial_indents:
+            continue
+        m = marker_re.search(line)
+        if m:
+            final_ids.add(m.group(2))
+    return len(final_ids)

@@ -108,19 +108,32 @@ def x142_ann_recall(spark, sf_dir):
     probes × 5 rows); each tier joins its registered plan; the hit
     count is five ≤320-row left joins. Nothing here exceeds the
     members' own 100 TB bounds."""
+    import os
+
     emb = _t(spark, sf_dir, "embeddings")
     panel = _x142_panel(emb)
     cb16 = emb.filter(F.col("vec_id") < 16)
+    cents = emb.filter(F.col("vec_id") < 80)
     brute = D._persist(S.knn_bruteforce(emb, panel, k=5).select("q_id", "n_id"))
+    if os.environ.get("MPS_X142_SHARE_OFF"):
+        # A/B bypass: the pre-r12 form — every tier computes its own
+        # coarse assignment / code table
+        assigned = enc = None
+    else:
+        # r12: ivf+ivfpq share ONE full-corpus coarse-assignment pass and
+        # pq+ivfpq share ONE full-corpus encode pass (identical centroids/
+        # codebook, so the shared frames are byte-identical to the
+        # per-tier ones they replace)
+        assigned = D._persist(S.ivf_assign(emb, cents))
+        enc = D._persist(S.pq_encode(emb, cb16))
     tiers = {
-        "ivf": S.knn_ivf(
-            emb, panel, emb.filter(F.col("vec_id") < 80), k=5, nprobe=2
-        ),
+        "ivf": S.knn_ivf(emb, panel, cents, k=5, nprobe=2, assigned=assigned),
         "lsh": S.knn_hyperplane_lsh(emb, panel, k=5),
         "mplsh": S.knn_hyperplane_multiprobe(emb, panel, k=5, n_flips=2),
-        "pq": S.knn_pq_adc(emb, panel, cb16, k=5),
+        "pq": S.knn_pq_adc(emb, panel, cb16, k=5, enc=enc),
         "ivfpq": S.knn_ivfpq(
-            emb, panel, emb.filter(F.col("vec_id") < 80), cb16, k=5, nprobe=2
+            emb, panel, cents, cb16, k=5, nprobe=2,
+            assigned=assigned, enc=enc,
         ),
     }
     outs = []

@@ -46,21 +46,93 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(df)
 
 
-def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+#: Target bytes of stream input per stateful shuffle partition. Streaming
+#: has no AQE: every stateful operator keys its state stores to
+#: ``spark.sql.shuffle.partitions`` AT STREAM START, and each partition
+#: owns a state store whose per-micro-batch init/commit/checkpoint I/O is
+#: paid whether or not rows arrive (a stream-stream join keeps FOUR stores
+#: per partition). The batch side coalesces tiny shuffles adaptively; the
+#: streaming side needs the equivalent derived up front.
+_STREAM_BYTES_PER_PARTITION = 32 << 20
+
+
+def _stream_shuffle_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    python_state: bool = False,
+) -> int | None:
+    """Scale-adaptive stateful-shuffle partition count for a bounded
+    replay over ``sf_dir/<table>.parquet``: ceil(input_bytes / 32 MiB),
+    floored at 4 (pipelining on a near-empty fixture), capped at the
+    session's configured ``spark.sql.shuffle.partitions`` (the cluster-
+    sized upper bound — at 100 TB the byte rule hits the cap and the
+    session conf governs, exactly like the batch side's pre-AQE bound).
+
+    ``python_state=True`` (the ``applyInPandasWithState`` runners) raises
+    the floor to the session's core count: those operators do heavy
+    per-group PYTHON compute, and the partition count is also the number
+    of parallel Python workers — the measured x24 A/B showed the 4-floor
+    costing ~30% there while the JVM-stateful rows want the small count
+    (state-store init/commit dominates their tiny inputs).
+
+    ``MPS_STREAM_SHUFFLE_PARTITIONS`` overrides for A/Bs and production
+    tuning; returns None (leave the session conf alone) if the source
+    file cannot be statted."""
+    env = os.environ.get("MPS_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return None
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    floor = (
+        spark.sparkContext.defaultParallelism if python_state else 4
+    )
+    derived = -(-size // _STREAM_BYTES_PER_PARTITION)
+    return min(cap, max(floor, derived))
+
+
+def _run_to_memory(
+    result: DataFrame,
+    output_mode: str,
+    sf_dir: str | None = None,
+    table: str = "events",
+    python_state: bool = False,
+) -> DataFrame:
     """Run a bounded stream to completion into a memory sink, return the
-    materialized result as a DataFrame."""
+    materialized result as a DataFrame. When ``sf_dir`` is given, the
+    stream starts under the scale-adaptive stateful-shuffle partition
+    count (:func:`_stream_shuffle_partitions`); the session conf is
+    restored afterwards, so batch plans in the same session never see the
+    override. Partition count never changes what a stateful aggregation /
+    dedup / join computes — only how many state stores carry it."""
     spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    n = (
+        _stream_shuffle_partitions(spark, sf_dir, table, python_state)
+        if sf_dir
+        else None
+    )
+    prev = spark.conf.get(conf_key, None) if n is not None else None
     with tempfile.TemporaryDirectory(prefix="mps_ckpt_") as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            if n is not None:
+                spark.conf.set(conf_key, str(n))
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if n is not None and prev is not None:
+                spark.conf.set(conf_key, prev)
         # detach the result from the memory-sink view (localCheckpoint
         # truncates lineage to materialized blocks) and DROP the view —
         # otherwise every streaming run pins its full result set in the
@@ -127,7 +199,7 @@ def run_tumbling_stream(
             "sum_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", sf_dir)
 
 
 def run_session_window_stream(
@@ -146,7 +218,7 @@ def run_session_window_stream(
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", sf_dir)
 
 
 def run_stream_dedup(
@@ -160,7 +232,7 @@ def run_stream_dedup(
         ["user_id", "event_type"]
     )
     counted = deduped.groupBy("user_id").agg(F.count("*").alias("n_unique_types"))
-    return _run_to_memory(counted, "complete")
+    return _run_to_memory(counted, "complete", sf_dir)
 
 def run_sliding_stream(
     spark: SparkSession,
@@ -186,7 +258,7 @@ def run_sliding_stream(
             "sum_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", sf_dir)
 
 
 def run_stream_stream_join(
@@ -228,7 +300,7 @@ def run_stream_stream_join(
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
-    return _run_to_memory(out, "append")
+    return _run_to_memory(out, "append", sf_dir)
 
 
 def run_stateful_seq_stream(
@@ -268,7 +340,7 @@ def run_stateful_seq_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(res, "append")
+    return _run_to_memory(res, "append", sf_dir, python_state=True)
 
 def run_stream_threading(
     spark: SparkSession, sf_dir: str, watermark: str = "60 minutes"
@@ -332,7 +404,7 @@ def run_stream_threading(
             GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(res, "append")
+    return _run_to_memory(res, "append", sf_dir, python_state=True)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +473,7 @@ def run_stream_incremental_dedup(
         )
         .select("doc_id", "source", "is_dup_of_corpus")
     )
-    return _run_to_memory(kept, "complete")
+    return _run_to_memory(kept, "complete", sf_dir, table="documents")
 
 
 def run_stream_checksum(
@@ -420,7 +492,9 @@ def run_stream_checksum(
     checksum that x66-style comparison reads instead of rescanning
     100 TB."""
     ev = read_events_stream(spark, sf_dir)
-    return _run_to_memory(events_checksum_agg(ev, n_buckets), "complete")
+    return _run_to_memory(
+        events_checksum_agg(ev, n_buckets), "complete", sf_dir
+    )
 
 
 def events_checksum_agg(ev: DataFrame, n_buckets: int = 64) -> DataFrame:
@@ -524,7 +598,9 @@ def run_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = read_events_stream(spark, sf_dir)
-    res = _run_to_memory(funnel_state_stream(events), "append")
+    res = _run_to_memory(
+        funnel_state_stream(events), "append", sf_dir, python_state=True
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("emit"))
     return (
         res.withColumn("__rn", F.row_number().over(w))
@@ -564,7 +640,7 @@ def run_stream_windowed_topk(
             F.unix_micros(F.col("w.start")).alias("window_start_us"), "item", "n"
         )
     )
-    done = _run_to_memory(counts, "complete")
+    done = _run_to_memory(counts, "complete", sf_dir)
     from pyspark.sql import Window
 
     wr = Window.partitionBy("window_start_us").orderBy(
@@ -650,7 +726,8 @@ def run_stream_rolling_anomaly(
     """Bounded availableNow replay of the streamed rolling anomaly."""
     events = read_events_stream(spark, sf_dir)
     return _run_to_memory(
-        rolling_anomaly_state_stream(events, window, min_n, z), "append"
+        rolling_anomaly_state_stream(events, window, min_n, z), "append",
+        sf_dir, python_state=True,
     )
 
 
@@ -675,7 +752,9 @@ def run_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads instead of re-counting the corpus (multi-micro-batch
     accumulation equivalence pinned in tests/test_stream_cms.py)."""
     docs = read_documents_stream(spark, sf_dir)
-    return _run_to_memory(stream_cms_counters(docs), "complete")
+    return _run_to_memory(
+        stream_cms_counters(docs), "complete", sf_dir, table="documents"
+    )
 
 
 KMV_STATE_K = 64
@@ -758,7 +837,10 @@ def run_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_documents_stream(spark, sf_dir)
-    res = _run_to_memory(stream_kmv_state(docs), "append")
+    res = _run_to_memory(
+        stream_kmv_state(docs), "append", sf_dir, table="documents",
+        python_state=True,
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("emit"))
     return (
         res.withColumn("__rn", F.row_number().over(w))
@@ -795,7 +877,9 @@ def run_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared to the batch register build (multi-batch accumulation
     equivalence pinned in tests/test_stream_hll.py)."""
     docs = read_documents_stream(spark, sf_dir)
-    return _run_to_memory(stream_hll_registers(docs), "complete")
+    return _run_to_memory(
+        stream_hll_registers(docs), "complete", sf_dir, table="documents"
+    )
 
 
 def stream_split_manifest(docs: DataFrame) -> DataFrame:
@@ -822,4 +906,6 @@ def run_stream_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared to the batch manifest (multi-batch accumulation
     equivalence pinned in tests/test_stream_split.py)."""
     docs = read_documents_stream(spark, sf_dir)
-    return _run_to_memory(stream_split_manifest(docs), "complete")
+    return _run_to_memory(
+        stream_split_manifest(docs), "complete", sf_dir, table="documents"
+    )
