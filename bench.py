@@ -622,10 +622,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: str) -> float:
+        # label the job group (guide §1.5) so event-log / UI triage can
+        # attribute every stage to its bench row
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.time()
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.time() - t0
+        spark.sparkContext.setJobDescription(None)
         # Operators legitimately persist() multi-consumer intermediates but
         # only for the query's own lifetime; ownership of those handles is
         # ours once the action completes (dedup.release_cached_intermediates)

@@ -42,10 +42,12 @@ def _hygiene(spark) -> None:
 
 
 def _run(spark, name: str, sf_dir: str) -> float:
+    spark.sparkContext.setJobDescription(f"qbench:{name}")
     t0 = time.time()
     df = REGISTRY[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     elapsed = time.time() - t0
+    spark.sparkContext.setJobDescription(None)
     _hygiene(spark)
     return elapsed
 
