@@ -32,6 +32,8 @@ can't drift.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from . import r11_queries  # noqa: F401  (m8 composes x177/x180 oracles)
@@ -41,6 +43,82 @@ from .operators.multimodal import ahash_pairs_ctes, image_neardup_pairs
 from .r10_queries import C8_CORRUPT_MOD
 from .r11_queries import C10_MIN_FRAMES, _video_sig_ctes, consistent_media_payloads
 from .registry import _t, member_oracle, register
+
+# ---------------------------------------------------------------------------
+# Memoized dual-signature frames (r12 optimization round) — the
+# consistent_media_payloads contract one level up: past the shared payload
+# frame, every video consumer still ran its OWN Arrow decode kernel
+# (video_frame_ahash or video_keyframe_ahashes) and every audio consumer
+# its own (energy / delta / dual fingerprint), so a composed row like x220
+# (= x190 + x214 + x199 + x215 under ONE action) paid four decode passes
+# over the same cached payloads. The dual-signature operators are supersets
+# of the single-signature ones: video_keyframe_ahashes' h_hi/h_lo are
+# video_frame_ahash's bits byte-identical, and audio_dual_fingerprints'
+# h_*/d_* are audio_energy_fingerprint's / audio_delta_fingerprint's with
+# the identical decode gate. Emission sets match too — audio by operator
+# construction (same decode + same >= grid length gate), video because
+# every stored fixture frame is a real encoded JPEG, so frame 0 decodes
+# iff the last frame does (x214's oracle parity, which seeds its CC from
+# the frame-0 closed form but its Spark side from the dual frame, already
+# pins this equality). So ONE memoized persisted dual frame per modality
+# serves every consumer as a projection. Memo contract = consistent_media_payloads verbatim: keyed on
+# applicationId + sf_dir, foreign-session eviction, re-persist on access,
+# released between bench rows with every other tracked intermediate — each
+# timed row still computes the signatures from the parquet inputs.
+# MPS_SIG_MEMO_OFF=1 restores the pre-memo per-consumer kernels for A/Bs.
+# c12/c13 keep their own passes on purpose: their inputs differ (corruption
+# prefix / silence gate), so their frames are NOT the shared ones.
+# ---------------------------------------------------------------------------
+
+_SIG_FRAME_CACHE: dict = {}
+
+
+def _sig_memo_off() -> bool:
+    return bool(os.environ.get("MPS_SIG_MEMO_OFF"))
+
+
+def _memo_sig_frame(spark, key, build):
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _SIG_FRAME_CACHE if k[0] != app]:
+        del _SIG_FRAME_CACHE[stale]
+    key = (app,) + key
+    df = _SIG_FRAME_CACHE.get(key)
+    if df is None:
+        df = build()
+        _SIG_FRAME_CACHE[key] = df
+    return D._persist(df)
+
+
+def video_sig_frame(spark, sf_dir):
+    """The memoized persisted dual-keyframe signature frame (doc_id, h_hi,
+    h_lo, l_hi, l_lo) over the shared AVI payload frame — every video
+    signature consumer (x190/x191 frame-0 tier, x211 last-frame tier,
+    x212/x214 dual tier) reads a projection of this ONE Arrow decode pass
+    per action."""
+    from .operators.multimodal import video_keyframe_ahashes
+
+    return _memo_sig_frame(
+        spark, (sf_dir, "avi"),
+        lambda: video_keyframe_ahashes(
+            consistent_media_payloads(spark, sf_dir)
+        ),
+    )
+
+
+def audio_sig_frame(spark, sf_dir):
+    """The memoized persisted dual-fingerprint frame (doc_id, h_hi, h_lo,
+    d_hi, d_lo) over the shared WAV payload frame — every audio signature
+    consumer (x199/x200 envelope tier, x208 delta tier, x209/x215 dual
+    tier) reads a projection of this ONE Arrow decode pass per action."""
+    from .operators.multimodal import audio_dual_fingerprints
+
+    return _memo_sig_frame(
+        spark, (sf_dir, "wav"),
+        lambda: audio_dual_fingerprints(
+            consistent_media_payloads(spark, sf_dir, kind="wav")
+        ),
+    )
+
 
 # ---------------------------------------------------------------------------
 # x190 — video near-dup keep-one: the banded hamming tier over frame-0
@@ -83,15 +161,20 @@ def x190_video_neardup_keep_one(spark, sf_dir):
     Scale: pair generation is capped posting lists over 4×16-bit bands
     (never video×video); the CC pays only for videos with edges; one
     Arrow decode pass total."""
-    from .operators.multimodal import (
-        video_frame_ahash,
-    )
-
-    sig = D._persist(
-        video_frame_ahash(
-            consistent_media_payloads(spark, sf_dir)
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            video_frame_ahash,
         )
-    )
+
+        sig = D._persist(
+            video_frame_ahash(
+                consistent_media_payloads(spark, sf_dir)
+            )
+        )
+    else:
+        sig = video_sig_frame(spark, sf_dir).select(
+            "doc_id", "h_hi", "h_lo"
+        )
     pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
     return D.dedup_keep_one(sig.select("doc_id"), pairs)
 
@@ -140,15 +223,21 @@ def x191_video_neardup_recall(spark, sf_dir):
     driver-hashed regression canary alongside the image (x176) and ANN
     (x142) canaries."""
     from .operators.dedup import _pair_combinations
-    from .operators.multimodal import (
-        video_frame_ahash,
-    )
 
-    sig = D._persist(
-        video_frame_ahash(
-            consistent_media_payloads(spark, sf_dir)
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            video_frame_ahash,
         )
-    )
+
+        sig = D._persist(
+            video_frame_ahash(
+                consistent_media_payloads(spark, sf_dir)
+            )
+        )
+    else:
+        sig = video_sig_frame(spark, sf_dir).select(
+            "doc_id", "h_hi", "h_lo"
+        )
     banded = image_neardup_pairs(sig).select(
         "doc_a", "doc_b", F.lit(1).alias("__b")
     )
@@ -697,15 +786,20 @@ def x199_audio_neardup_keep_one(spark, sf_dir):
     Scale: pair generation is capped posting lists over 4×16-bit bands
     (never clip×clip); the CC pays only for clips with edges; one Arrow
     decode pass total."""
-    from .operators.multimodal import (
-        audio_energy_fingerprint,
-    )
-
-    sig = D._persist(
-        audio_energy_fingerprint(
-            consistent_media_payloads(spark, sf_dir, kind="wav")
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            audio_energy_fingerprint,
         )
-    )
+
+        sig = D._persist(
+            audio_energy_fingerprint(
+                consistent_media_payloads(spark, sf_dir, kind="wav")
+            )
+        )
+    else:
+        sig = audio_sig_frame(spark, sf_dir).select(
+            "doc_id", "h_hi", "h_lo"
+        )
     pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
     return D.dedup_keep_one(sig.select("doc_id"), pairs)
 
@@ -750,15 +844,21 @@ def x200_audio_neardup_recall(spark, sf_dir):
     every similarity tier in the engine carries a measured-quality
     regression gate."""
     from .operators.dedup import _pair_combinations
-    from .operators.multimodal import (
-        audio_energy_fingerprint,
-    )
 
-    sig = D._persist(
-        audio_energy_fingerprint(
-            consistent_media_payloads(spark, sf_dir, kind="wav")
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            audio_energy_fingerprint,
         )
-    )
+
+        sig = D._persist(
+            audio_energy_fingerprint(
+                consistent_media_payloads(spark, sf_dir, kind="wav")
+            )
+        )
+    else:
+        sig = audio_sig_frame(spark, sf_dir).select(
+            "doc_id", "h_hi", "h_lo"
+        )
     banded = image_neardup_pairs(sig).select(
         "doc_a", "doc_b", F.lit(1).alias("__b")
     )
@@ -1249,15 +1349,20 @@ def x205_incremental_audio_dedup(spark, sf_dir):
     side is a DISTINCT ~16-byte signature index; the probe is one
     equi-join on the two halves, broadcastable at any batch size. Oracle
     shares the _audio_sig_ctes closed form with x199."""
-    from .operators.multimodal import (
-        audio_energy_fingerprint,
-    )
-
-    sig = D._persist(
-        audio_energy_fingerprint(
-            consistent_media_payloads(spark, sf_dir, kind="wav")
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            audio_energy_fingerprint,
         )
-    )
+
+        sig = D._persist(
+            audio_energy_fingerprint(
+                consistent_media_payloads(spark, sf_dir, kind="wav")
+            )
+        )
+    else:
+        sig = audio_sig_frame(spark, sf_dir).select(
+            "doc_id", "h_hi", "h_lo"
+        )
     old = (
         sig.filter(F.col("doc_id") % 10 < 8).select("h_hi", "h_lo").distinct()
     )
@@ -1491,12 +1596,17 @@ def x208_audio_delta_fingerprint(spark, sf_dir):
     aHash/dHash pairing. Output (doc_id, h_hi, h_lo); oracle packs the
     63 strict delta comparisons from the intro-window closed form (spw
     cancels). One Arrow pass, ~16 bytes/clip."""
-    from .operators.multimodal import (
-        audio_delta_fingerprint,
-    )
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            audio_delta_fingerprint,
+        )
 
-    return audio_delta_fingerprint(
-        consistent_media_payloads(spark, sf_dir, kind="wav")
+        return audio_delta_fingerprint(
+            consistent_media_payloads(spark, sf_dir, kind="wav")
+        )
+    # d_hi/d_lo carry audio_delta_fingerprint's bits byte-identical
+    return audio_sig_frame(spark, sf_dir).select(
+        "doc_id", F.col("d_hi").alias("h_hi"), F.col("d_lo").alias("h_lo")
     )
 
 
@@ -1531,15 +1641,18 @@ def x209_audio_dualhash_pairs(spark, sf_dir):
     BOTH signatures ride ONE Arrow decode pass
     (:func:`operators.multimodal.audio_dual_fingerprints` — the PCM
     decoded and the envelope computed once)."""
-    from .operators.multimodal import (
-        audio_dual_fingerprints,
-    )
-
-    ds = D._persist(
-        audio_dual_fingerprints(
-            consistent_media_payloads(spark, sf_dir, kind="wav")
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            audio_dual_fingerprints,
         )
-    )
+
+        ds = D._persist(
+            audio_dual_fingerprints(
+                consistent_media_payloads(spark, sf_dir, kind="wav")
+            )
+        )
+    else:
+        ds = audio_sig_frame(spark, sf_dir)
     pairs = image_neardup_pairs(
         ds.select("doc_id", "h_hi", "h_lo")
     ).withColumnRenamed("hamming", "ham_e")
@@ -1717,13 +1830,16 @@ def x211_video_lastframe_ahash(spark, sf_dir):
     form at frame nfe−1 (byte window offset f0 = nfe−1, rowsL block
     rows). One Arrow pass decoding both keyframes; ~16 bytes emitted
     per video here."""
-    from .operators.multimodal import (
-        video_keyframe_ahashes,
-    )
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            video_keyframe_ahashes,
+        )
 
-    ks = video_keyframe_ahashes(
-        consistent_media_payloads(spark, sf_dir)
-    )
+        ks = video_keyframe_ahashes(
+            consistent_media_payloads(spark, sf_dir)
+        )
+    else:
+        ks = video_sig_frame(spark, sf_dir)
     return ks.select(
         "doc_id", F.col("l_hi").alias("h_hi"), F.col("l_lo").alias("h_lo")
     )
@@ -1759,15 +1875,18 @@ def x212_video_dualframe_pairs(spark, sf_dir):
     (:func:`operators.multimodal.video_keyframe_ahashes` — the payload
     is parsed once); past the x190 pair plan this adds only two doc_id
     equi-joins against a ~32-byte/video frame."""
-    from .operators.multimodal import (
-        video_keyframe_ahashes,
-    )
-
-    ks = D._persist(
-        video_keyframe_ahashes(
-            consistent_media_payloads(spark, sf_dir)
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            video_keyframe_ahashes,
         )
-    )
+
+        ks = D._persist(
+            video_keyframe_ahashes(
+                consistent_media_payloads(spark, sf_dir)
+            )
+        )
+    else:
+        ks = video_sig_frame(spark, sf_dir)
     pairs = image_neardup_pairs(
         ks.select("doc_id", "h_hi", "h_lo")
     ).withColumnRenamed("hamming", "ham_0")
@@ -1923,15 +2042,18 @@ def x214_video_dualverified_keep_one(spark, sf_dir):
     only for videos with CONFIRMED edges (strictly fewer than x190's).
     One Arrow decode pass for both signatures
     (:func:`operators.multimodal.video_keyframe_ahashes`)."""
-    from .operators.multimodal import (
-        video_keyframe_ahashes,
-    )
-
-    ks = D._persist(
-        video_keyframe_ahashes(
-            consistent_media_payloads(spark, sf_dir)
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            video_keyframe_ahashes,
         )
-    )
+
+        ks = D._persist(
+            video_keyframe_ahashes(
+                consistent_media_payloads(spark, sf_dir)
+            )
+        )
+    else:
+        ks = video_sig_frame(spark, sf_dir)
     pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
     a = ks.select(
         F.col("doc_id").alias("doc_a"),
@@ -1992,15 +2114,18 @@ def x215_audio_dualverified_keep_one(spark, sf_dir):
     (:func:`operators.multimodal.audio_dual_fingerprints`); past the
     x199 pair plan this adds two doc_id equi-joins and the CC pays only
     for clips with CONFIRMED edges."""
-    from .operators.multimodal import (
-        audio_dual_fingerprints,
-    )
-
-    ds = D._persist(
-        audio_dual_fingerprints(
-            consistent_media_payloads(spark, sf_dir, kind="wav")
+    if _sig_memo_off():
+        from .operators.multimodal import (
+            audio_dual_fingerprints,
         )
-    )
+
+        ds = D._persist(
+            audio_dual_fingerprints(
+                consistent_media_payloads(spark, sf_dir, kind="wav")
+            )
+        )
+    else:
+        ds = audio_sig_frame(spark, sf_dir)
     pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
     a = ds.select(
         F.col("doc_id").alias("doc_a"),
