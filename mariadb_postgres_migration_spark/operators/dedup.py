@@ -60,10 +60,57 @@ HEX = "0123456789abcdef"
 #: (ADVICE r1).
 _PERSISTED: list[DataFrame] = []
 
+#: Epoch counter bumped by :func:`release_cached_intermediates` — the
+#: staleness signal for :func:`materialize_shared`: after a release, every
+#: shared frame's cache is empty again, so the next access must re-run the
+#: eager materialization pass.
+_PERSIST_EPOCH: int = 0
+
+#: (memo key) → epoch at which the frame was last eagerly materialized.
+_MATERIALIZED_AT: dict = {}
+
 
 def _persist(df: DataFrame) -> DataFrame:
     df = df.persist()
     _PERSISTED.append(df)
+    return df
+
+
+def materialize_shared(df: DataFrame, key) -> DataFrame:
+    """Eagerly materialize a persisted SHARED frame (one noop pass) so that
+    the concurrent jobs AQE schedules against it — broadcast-exchange builds
+    in particular — read the populated cache instead of RACING to recompute
+    the expensive subtree. A lazily-persisted frame referenced by several
+    broadcast subqueries is computed once PER concurrent job until some job
+    populates the cache (measured on x218: six 5-10 CPU-second duplicate
+    decode stages per action; cache-hit builds cost ~0.04s). Keyed +
+    epoch-guarded so one row's repeated accesses pay a single pass, while
+    the between-rows release (which empties the cache) re-arms it — every
+    timed bench row still computes the frame from the parquet inputs.
+    ``MPS_EAGER_MEMO_OFF=1`` restores lazy materialization for A/Bs."""
+    import os
+
+    if os.environ.get("MPS_EAGER_MEMO_OFF"):
+        return df
+    if _MATERIALIZED_AT.get(key) != _PERSIST_EPOCH:
+        for stale in [k for k, v in _MATERIALIZED_AT.items() if v != _PERSIST_EPOCH]:
+            del _MATERIALIZED_AT[stale]
+        df.write.format("noop").mode("overwrite").save()
+        _MATERIALIZED_AT[key] = _PERSIST_EPOCH
+    return df
+
+
+def persist_now(df: DataFrame) -> DataFrame:
+    """Persist + materialize immediately — :func:`materialize_shared` for a
+    frame built fresh per call (no memo key, so no epoch guard needed): the
+    expensive subtree is computed exactly once by this pass, and every
+    concurrent consumer job reads the cache. Same ``MPS_EAGER_MEMO_OFF``
+    bypass."""
+    import os
+
+    df = _persist(df)
+    if not os.environ.get("MPS_EAGER_MEMO_OFF"):
+        df.write.format("noop").mode("overwrite").save()
     return df
 
 
@@ -81,6 +128,8 @@ def release_cached_intermediates(since: int = 0) -> int:
     only those appended after ``since`` (a :func:`persist_pool_mark`
     snapshot); returns how many were released. Call after the consuming
     action completes."""
+    global _PERSIST_EPOCH
+    _PERSIST_EPOCH += 1
     n = max(len(_PERSISTED) - since, 0)
     while len(_PERSISTED) > since:
         _PERSISTED.pop().unpersist(blocking=False)

@@ -423,6 +423,76 @@ def x156_r10b_ops_suite(spark, sf_dir):
 # funded by consolidating the x27/x28 standalones into d4_cc_term_suite.
 # ===========================================================================
 
+#: Memoized image signature / pair frames (r12 optimization round) — the
+#: video/audio sig+pairs memo contract applied to the BMP modality: seven
+#: rows (x157, x158, x163, x167, x169, x176, x172-via-sig) each rebuilt
+#: `image_ahash(attach_consistent_bmp_payload(documents))` and five of
+#: them its `image_neardup_pairs` output, so the m3/m4/m16 consolidation
+#: rows paid the signature kernel and the band/posting-list pass once PER
+#: member. Same contract as r12's _SIG_FRAME_CACHE: keyed on
+#: applicationId + sf_dir, foreign-session eviction, re-persist +
+#: eager-materialize on access (operators/dedup.materialize_shared),
+#: released between bench rows — every timed row still computes from
+#: parquet. MPS_IMG_MEMO_OFF=1 restores the per-consumer builds for A/Bs.
+#: c9 and the GIF/JPEG signature rows keep their own builds (different
+#: payload inputs).
+_IMG_FRAME_CACHE: dict = {}
+
+
+def _img_memo_off() -> bool:
+    import os
+
+    return bool(os.environ.get("MPS_IMG_MEMO_OFF"))
+
+
+def _memo_img_frame(spark, key, build):
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _IMG_FRAME_CACHE if k[0] != app]:
+        del _IMG_FRAME_CACHE[stale]
+    key = (app,) + key
+    df = _IMG_FRAME_CACHE.get(key)
+    if df is None:
+        df = build()
+        _IMG_FRAME_CACHE[key] = df
+    return D.materialize_shared(D._persist(df), ("img",) + key)
+
+
+def image_sig_frame(spark, sf_dir):
+    """The memoized persisted aHash signature frame (doc_id, h_hi, h_lo)
+    over the consistent-BMP payloads."""
+    from .operators.multimodal import attach_consistent_bmp_payload, image_ahash
+
+    return _memo_img_frame(
+        spark, (sf_dir, "ahash"),
+        lambda: image_ahash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+def image_dsig_frame(spark, sf_dir):
+    """The memoized persisted dHash signature frame (x164's kernel) over
+    the same consistent-BMP payloads (x164 + x167's re-score side)."""
+    from .operators.multimodal import attach_consistent_bmp_payload, image_dhash
+
+    return _memo_img_frame(
+        spark, (sf_dir, "dhash"),
+        lambda: image_dhash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+def image_pairs_frame(spark, sf_dir):
+    """The memoized banded near-dup pair frame (doc_a, doc_b, hamming ≤ 3)
+    over :func:`image_sig_frame` (consumers x158/x163/x167/x169?/x176)."""
+    from .operators.multimodal import image_neardup_pairs
+
+    return _memo_img_frame(
+        spark, (sf_dir, "pairs"),
+        lambda: image_neardup_pairs(image_sig_frame(spark, sf_dir)),
+    )
+
 
 def _x157_sql() -> str:
     from .extension_queries import _CONSISTENT_DIMS_CTES
@@ -443,9 +513,11 @@ def x157_image_ahash(spark, sf_dir):
     the x04 SimHash row."""
     from .operators.multimodal import attach_consistent_bmp_payload, image_ahash
 
-    return image_ahash(
-        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
-    )
+    if _img_memo_off():
+        return image_ahash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        )
+    return image_sig_frame(spark, sf_dir)
 
 
 def _x158_sql() -> str:
@@ -474,10 +546,12 @@ def x158_image_neardup(spark, sf_dir):
         image_neardup_pairs,
     )
 
-    sig = image_ahash(
-        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
-    )
-    return image_neardup_pairs(sig)
+    if _img_memo_off():
+        sig = image_ahash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        )
+        return image_neardup_pairs(sig)
+    return image_pairs_frame(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -740,12 +814,16 @@ def x163_image_dedup_keep_one(spark, sf_dir):
         image_neardup_pairs,
     )
 
-    sig = D._persist(
-        image_ahash(
-            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    if _img_memo_off():
+        sig = D._persist(
+            image_ahash(
+                attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+            )
         )
-    )
-    pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+        pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+    else:
+        sig = image_sig_frame(spark, sf_dir)
+        pairs = image_pairs_frame(spark, sf_dir).select("doc_a", "doc_b")
     return D.dedup_keep_one(sig.select("doc_id"), pairs)
 
 
@@ -766,9 +844,11 @@ def x164_image_dhash(spark, sf_dir):
     recomputes identical bits from the consistent-BMP closed form."""
     from .operators.multimodal import attach_consistent_bmp_payload, image_dhash
 
-    return image_dhash(
-        attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
-    )
+    if _img_memo_off():
+        return image_dhash(
+            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        )
+    return image_dsig_frame(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -944,11 +1024,17 @@ def x167_dualhash_pairs(spark, sf_dir):
         image_neardup_pairs,
     )
 
-    mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
-    pairs = image_neardup_pairs(image_ahash(mm)).withColumnRenamed(
-        "hamming", "ham_a"
-    )
-    dsig = D._persist(image_dhash(mm))
+    if _img_memo_off():
+        mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        pairs = image_neardup_pairs(image_ahash(mm)).withColumnRenamed(
+            "hamming", "ham_a"
+        )
+        dsig = D._persist(image_dhash(mm))
+    else:
+        pairs = image_pairs_frame(spark, sf_dir).withColumnRenamed(
+            "hamming", "ham_a"
+        )
+        dsig = image_dsig_frame(spark, sf_dir)
     a = dsig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("h_hi").alias("a_hi"),
@@ -1090,11 +1176,14 @@ def x169_incremental_image_dedup(spark, sf_dir):
     at any batch size."""
     from .operators.multimodal import attach_consistent_bmp_payload, image_ahash
 
-    sig = D._persist(
-        image_ahash(
-            attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+    if _img_memo_off():
+        sig = D._persist(
+            image_ahash(
+                attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+            )
         )
-    )
+    else:
+        sig = image_sig_frame(spark, sf_dir)
     old = (
         sig.filter(F.col("doc_id") % 10 < 8).select("h_hi", "h_lo").distinct()
     )

@@ -80,7 +80,11 @@ def consistent_media_payloads(spark, sf_dir, kind="avi", silent_mod=None):
         else:
             mm = attach_consistent_wav_payload(docs, silent_mod=silent_mod)
         _PAYLOAD_FRAME_CACHE[key] = mm
-    return D._persist(mm)
+    # eager: the fixture-assembly pass is the most expensive subtree in the
+    # media family (~56 CPU-seconds at sf0.1) — materialize it once per
+    # access epoch so AQE's concurrent broadcast builds read the cache
+    # instead of racing to re-assemble it (operators/dedup.materialize_shared)
+    return D.materialize_shared(D._persist(mm), ("payload",) + key)
 
 
 # ---------------------------------------------------------------------------
@@ -358,11 +362,19 @@ def x176_image_neardup_recall(spark, sf_dir):
     driver hash turns image-dedup recall into a regression canary."""
     from .operators.dedup import _pair_combinations
 
-    mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
-    sig = D._persist(image_ahash(mm))
-    banded = image_neardup_pairs(sig).select(
-        "doc_a", "doc_b", F.lit(1).alias("__b")
-    )
+    from .r10_queries import _img_memo_off, image_pairs_frame, image_sig_frame
+
+    if _img_memo_off():
+        mm = attach_consistent_bmp_payload(_t(spark, sf_dir, "documents"))
+        sig = D._persist(image_ahash(mm))
+        banded = image_neardup_pairs(sig).select(
+            "doc_a", "doc_b", F.lit(1).alias("__b")
+        )
+    else:
+        sig = image_sig_frame(spark, sf_dir)
+        banded = image_pairs_frame(spark, sf_dir).select(
+            "doc_a", "doc_b", F.lit(1).alias("__b")
+        )
     panel = sig.filter(
         (F.col("doc_id") < 1024)
         & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")

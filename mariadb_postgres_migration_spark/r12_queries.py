@@ -86,7 +86,11 @@ def _memo_sig_frame(spark, key, build):
     if df is None:
         df = build()
         _SIG_FRAME_CACHE[key] = df
-    return D._persist(df)
+    # eager per access epoch: the dual-signature decode is the second most
+    # expensive media subtree (~8-10 CPU-seconds per duplicate evaluation at
+    # sf0.1) and every sheet/suite row references it from several broadcast
+    # subqueries (operators/dedup.materialize_shared)
+    return D.materialize_shared(D._persist(df), ("sig",) + key)
 
 
 def video_sig_frame(spark, sf_dir):
@@ -116,6 +120,38 @@ def audio_sig_frame(spark, sf_dir):
         spark, (sf_dir, "wav"),
         lambda: audio_dual_fingerprints(
             consistent_media_payloads(spark, sf_dir, kind="wav")
+        ),
+    )
+
+
+def _pairs_memo_off() -> bool:
+    return bool(os.environ.get("MPS_PAIRS_MEMO_OFF")) or _sig_memo_off()
+
+
+def video_pairs_frame(spark, sf_dir):
+    """The memoized banded near-dup pair frame (doc_a, doc_b, hamming ≤ 3)
+    over the shared frame-0 video signatures — x190 (CC seed), x191
+    (recall flag), x212 (re-score) and x214 (confirm) all consume the
+    IDENTICAL image_neardup_pairs output, so a composed row (x192, x218,
+    x220 — and the m-suites nesting them) otherwise pays the band
+    explode + posting-list shuffle + verify join once PER member. Same
+    memo contract as the sig frames (one level up); MPS_PAIRS_MEMO_OFF=1
+    restores the per-consumer pair generation for A/Bs."""
+    return _memo_sig_frame(
+        spark, (sf_dir, "avi", "pairs"),
+        lambda: image_neardup_pairs(
+            video_sig_frame(spark, sf_dir).select("doc_id", "h_hi", "h_lo")
+        ),
+    )
+
+
+def audio_pairs_frame(spark, sf_dir):
+    """The memoized envelope-banded pair frame — video_pairs_frame on the
+    audio modality (consumers x199/x200/x209/x215)."""
+    return _memo_sig_frame(
+        spark, (sf_dir, "wav", "pairs"),
+        lambda: image_neardup_pairs(
+            audio_sig_frame(spark, sf_dir).select("doc_id", "h_hi", "h_lo")
         ),
     )
 
@@ -175,7 +211,11 @@ def x190_video_neardup_keep_one(spark, sf_dir):
         sig = video_sig_frame(spark, sf_dir).select(
             "doc_id", "h_hi", "h_lo"
         )
-    pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+    raw = (
+        image_neardup_pairs(sig) if _pairs_memo_off()
+        else video_pairs_frame(spark, sf_dir)
+    )
+    pairs = raw.select("doc_a", "doc_b")
     return D.dedup_keep_one(sig.select("doc_id"), pairs)
 
 
@@ -238,9 +278,10 @@ def x191_video_neardup_recall(spark, sf_dir):
         sig = video_sig_frame(spark, sf_dir).select(
             "doc_id", "h_hi", "h_lo"
         )
-    banded = image_neardup_pairs(sig).select(
-        "doc_a", "doc_b", F.lit(1).alias("__b")
-    )
+    banded = (
+        image_neardup_pairs(sig) if _pairs_memo_off()
+        else video_pairs_frame(spark, sf_dir)
+    ).select("doc_a", "doc_b", F.lit(1).alias("__b"))
     panel = sig.filter(
         (F.col("doc_id") < 1024)
         & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
@@ -800,7 +841,11 @@ def x199_audio_neardup_keep_one(spark, sf_dir):
         sig = audio_sig_frame(spark, sf_dir).select(
             "doc_id", "h_hi", "h_lo"
         )
-    pairs = image_neardup_pairs(sig).select("doc_a", "doc_b")
+    raw = (
+        image_neardup_pairs(sig) if _pairs_memo_off()
+        else audio_pairs_frame(spark, sf_dir)
+    )
+    pairs = raw.select("doc_a", "doc_b")
     return D.dedup_keep_one(sig.select("doc_id"), pairs)
 
 
@@ -859,9 +904,10 @@ def x200_audio_neardup_recall(spark, sf_dir):
         sig = audio_sig_frame(spark, sf_dir).select(
             "doc_id", "h_hi", "h_lo"
         )
-    banded = image_neardup_pairs(sig).select(
-        "doc_a", "doc_b", F.lit(1).alias("__b")
-    )
+    banded = (
+        image_neardup_pairs(sig) if _pairs_memo_off()
+        else audio_pairs_frame(spark, sf_dir)
+    ).select("doc_a", "doc_b", F.lit(1).alias("__b"))
     panel = sig.filter(
         (F.col("doc_id") < 1024)
         & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
@@ -1653,8 +1699,9 @@ def x209_audio_dualhash_pairs(spark, sf_dir):
         )
     else:
         ds = audio_sig_frame(spark, sf_dir)
-    pairs = image_neardup_pairs(
-        ds.select("doc_id", "h_hi", "h_lo")
+    pairs = (
+        image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
+        if _pairs_memo_off() else audio_pairs_frame(spark, sf_dir)
     ).withColumnRenamed("hamming", "ham_e")
     a = ds.select(
         F.col("doc_id").alias("doc_a"),
@@ -1887,8 +1934,9 @@ def x212_video_dualframe_pairs(spark, sf_dir):
         )
     else:
         ks = video_sig_frame(spark, sf_dir)
-    pairs = image_neardup_pairs(
-        ks.select("doc_id", "h_hi", "h_lo")
+    pairs = (
+        image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
+        if _pairs_memo_off() else video_pairs_frame(spark, sf_dir)
     ).withColumnRenamed("hamming", "ham_0")
     a = ks.select(
         F.col("doc_id").alias("doc_a"),
@@ -2054,7 +2102,10 @@ def x214_video_dualverified_keep_one(spark, sf_dir):
         )
     else:
         ks = video_sig_frame(spark, sf_dir)
-    pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
+    pairs = (
+        image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
+        if _pairs_memo_off() else video_pairs_frame(spark, sf_dir)
+    ).select("doc_a", "doc_b")
     a = ks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("l_hi").alias("a_hi"),
@@ -2126,7 +2177,10 @@ def x215_audio_dualverified_keep_one(spark, sf_dir):
         )
     else:
         ds = audio_sig_frame(spark, sf_dir)
-    pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
+    pairs = (
+        image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
+        if _pairs_memo_off() else audio_pairs_frame(spark, sf_dir)
+    ).select("doc_a", "doc_b")
     a = ds.select(
         F.col("doc_id").alias("doc_a"),
         F.col("d_hi").alias("a_hi"),
@@ -2301,7 +2355,10 @@ def c12_video_dual_pipeline(spark, sf_dir):
         F.concat(F.unhex(F.lit("0000")), F.col("payload")),
     ).otherwise(F.col("payload"))
     mm = mm.select("doc_id", corrupted.alias("payload"))
-    ks = D._persist(video_keyframe_ahashes(mm, with_meta=True))
+    # persist_now: c12's corruption-gated decode is its own frame (NOT the
+    # shared sig memo — different payload input); materialize it eagerly so
+    # the downstream broadcast builds read the cache (dedup.persist_now)
+    ks = D.persist_now(video_keyframe_ahashes(mm, with_meta=True))
     pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
     a = ks.select(
         F.col("doc_id").alias("doc_a"),
@@ -2398,7 +2455,8 @@ def c13_audio_dual_pipeline(spark, sf_dir):
     mm = mm.select("doc_id", corrupted.alias("payload"))
     # gate + both signatures + meta in ONE Arrow pass; the VAD gate is a
     # row-local filter on the carried sum_sq
-    ds = D._persist(
+    # persist_now — the c12 rationale on the audio modality
+    ds = D.persist_now(
         audio_dual_fingerprints(mm, with_meta=True).filter(
             F.col("sum_sq") > 0
         )
