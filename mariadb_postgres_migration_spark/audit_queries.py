@@ -843,14 +843,22 @@ def x65_health_suite(spark, sf_dir):
         R.table_checksum(tgt_slim, F.col("key"), F.col("dg"), n_buckets=CHECKSUM_BUCKETS),
     )
     diff = R.snapshot_diff(src_slim, tgt_slim, "key", F.col("dg"))
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x61, __m_x62, __m_x68, __m_x69 = D.overlap(
+        lambda: x61_expectations_audit(spark, sf_dir),
+        lambda: x62_scd2_intervals(spark, sf_dir),
+        lambda: x68_pagerank(spark, sf_dir),
+        lambda: x69_incremental_agg_maintenance(spark, sf_dir),
+    )
     return (
         _suite_shape(
-            x61_expectations_audit(spark, sf_dir), "audit",
+            __m_x61, "audit",
             v1=F.col("violations"), v2=F.col("total"), v3=F.col("ok"),
             s1=F.col("check_name"),
         )
         .unionAll(_suite_shape(
-            x62_scd2_intervals(spark, sf_dir), "scd2",
+            __m_x62, "scd2",
             id1=F.col("user_id"), id2=F.col("version"),
             v1=F.col("valid_from_us"), v2=F.coalesce("valid_to_us", F.lit(-1)),
             s1=F.col("event_type"),
@@ -874,11 +882,11 @@ def x65_health_suite(spark, sf_dir):
             id1=F.col("key"), s1=F.col("change"),
         ))
         .unionAll(_suite_shape(
-            x68_pagerank(spark, sf_dir), "pr",
+            __m_x68, "pr",
             id1=F.col("node"), v1=F.col("score_q"),
         ))
         .unionAll(_suite_shape(
-            x69_incremental_agg_maintenance(spark, sf_dir), "ivm",
+            __m_x69, "ivm",
             v1=F.col("n"), v2=F.col("sum_v"), v3=F.col("mn_v"),
             d1=F.col("mx_v"),
             s1=F.concat_ws("|", "o_orderstatus", "o_orderpriority"),
@@ -960,46 +968,58 @@ def x76_retrieval_suite(spark, sf_dir):
     MPS_SUITE_UNION=1 still flips the form for that A/B."""
     from functools import reduce
 
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x54, __m_x55, __m_x58, __m_x60, __m_x72, __m_x56, __m_x78, __m_x115 = D.overlap(
+        lambda: x54_pq_encode(spark, sf_dir),
+        lambda: x55_knn_ivfpq(spark, sf_dir),
+        lambda: x58_pq_train_codebooks(spark, sf_dir),
+        lambda: x60_multimodal_pixel_stats(spark, sf_dir),
+        lambda: x72_bloom_incremental_dedup(spark, sf_dir),
+        lambda: x56_substring_dedup_spans(spark, sf_dir),
+        lambda: x78_gif_pixel_stats(spark, sf_dir),
+        lambda: x115_jpeg_pixel_stats(spark, sf_dir),
+    )
     members = [
         _suite_shape(
-            x54_pq_encode(spark, sf_dir), "pq",
+            __m_x54, "pq",
             id1=F.col("v_id"), d1=F.col("err2"), s1=F.col("codes"),
         ),
         _suite_shape(
-            x55_knn_ivfpq(spark, sf_dir), "ivfpq",
+            __m_x55, "ivfpq",
             id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
             d1=F.col("adist"),
         ),
         _suite_shape(
-            x58_pq_train_codebooks(spark, sf_dir), "pqtrain",
+            __m_x58, "pqtrain",
             id1=F.col("m"), id2=F.col("code"), v1=F.col("pos"),
             v2=F.col("n_members"), d1=F.col("val"),
         ),
         _suite_shape(
-            x60_multimodal_pixel_stats(spark, sf_dir), "pix",
+            __m_x60, "pix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),
         ),
         _suite_shape(
-            x72_bloom_incremental_dedup(spark, sf_dir), "bloom",
+            __m_x72, "bloom",
             id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
             s1=F.col("source"),
         ),
         _suite_shape(
-            x56_substring_dedup_spans(spark, sf_dir), "spans",
+            __m_x56, "spans",
             id1=F.col("doc_id"), id2=F.col("span_start"),
             v1=F.col("span_end"), v2=F.col("n_windows"),
         ),
         _suite_shape(
-            x78_gif_pixel_stats(spark, sf_dir), "gifpix",
+            __m_x78, "gifpix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),
         ),
         # r7: the baseline-JPEG decode path (the last codec stub, closed)
         _suite_shape(
-            x115_jpeg_pixel_stats(spark, sf_dir), "jpgpix",
+            __m_x115, "jpgpix",
             id1=F.col("doc_id"), id2=F.col("width"), v1=F.col("height"),
             v2=F.col("px_min"), v3=F.col("px_max"),
             d1=F.col("px_sum").cast("double"),
@@ -1063,12 +1083,35 @@ def x77_behavioral_suite(spark, sf_dir):
     from .operators.dedup import persist_pool_mark
 
     pool_mark = persist_pool_mark()
-    members = [
-        _suite_materialize(_suite_shape(
+    # the four BATCH members' checkpoint-materializations overlapped
+    # (guide §2.6) — four concurrent member actions, not the all-members
+    # union concurrency the r7 thrash diagnosis retired; the three
+    # streaming members (session-conf-mutating availableNow replays)
+    # stay sequential below
+    m_funnel, m_anom, m_er, m_cur = D.overlap(
+        lambda: _suite_materialize(_suite_shape(
             x71_funnel_stages(spark, sf_dir), "funnel",
             id1=F.col("user_id"), id2=F.col("stage"), v1=F.col("t1_us"),
             v2=F.col("t2_us"), v3=F.col("t3_us"),
         )),
+        lambda: _suite_materialize(_suite_shape(
+            x75_rolling_anomaly(spark, sf_dir), "anom",
+            id1=F.col("event_id"), id2=F.col("user_id"), v1=F.col("n"),
+            v2=F.col("anomaly").cast("long"),
+        )),
+        lambda: _suite_materialize(_suite_shape(
+            c3_entity_resolution(spark, sf_dir), "er",
+            id1=F.col("rec_id"), id2=F.col("canonical_id"),
+            v1=F.col("keep").cast("long"),
+        )),
+        lambda: _suite_materialize(_suite_shape(
+            c2_curation_pipeline_lsh(spark, sf_dir), "cur",
+            id1=F.col("doc_id"), v1=F.col("n_tokens"),
+            d1=F.col("quality"), s1=F.col("lang_pred"),
+        )),
+    )
+    members = [
+        m_funnel,
         _suite_materialize(_suite_shape(
             x73_stream_funnel(spark, sf_dir), "sfunnel",
             id1=F.col("user_id"), id2=F.col("stage"), v1=F.col("t1_us"),
@@ -1079,27 +1122,15 @@ def x77_behavioral_suite(spark, sf_dir):
             id1=F.col("window_start_us"), id2=F.col("rk"),
             v1=F.col("item"), v2=F.col("n"),
         )),
-        _suite_materialize(_suite_shape(
-            x75_rolling_anomaly(spark, sf_dir), "anom",
-            id1=F.col("event_id"), id2=F.col("user_id"), v1=F.col("n"),
-            v2=F.col("anomaly").cast("long"),
-        )),
-        _suite_materialize(_suite_shape(
-            c3_entity_resolution(spark, sf_dir), "er",
-            id1=F.col("rec_id"), id2=F.col("canonical_id"),
-            v1=F.col("keep").cast("long"),
-        )),
+        m_anom,
+        m_er,
         _suite_materialize(_suite_shape(
             x57_stream_incremental_dedup(spark, sf_dir), "sdedup",
             id1=F.col("doc_id"),
             v1=F.col("is_dup_of_corpus").cast("long"),
             s1=F.col("source"),
         )),
-        _suite_materialize(_suite_shape(
-            c2_curation_pipeline_lsh(spark, sf_dir), "cur",
-            id1=F.col("doc_id"), v1=F.col("n_tokens"),
-            d1=F.col("quality"), s1=F.col("lang_pred"),
-        )),
+        m_cur,
     ]
     # every member is materialized — their persisted intermediates are
     # dead weight now; drop them (and ONLY them — entries appended since
@@ -1712,19 +1743,20 @@ def _x85_edges(spark, sf_dir):
     """The recurring co-purchase edge list shared by the graph kernels
     x85 (triangles), x94 (BFS) and x100 (k-core peel): support-thresholded
     part pairs sharing an order."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    edges = _X85_EDGE_CACHE.get(key)
-    if edges is None:
+    app = spark.sparkContext.applicationId
+
+    def _build():
         pairs = B.cooccurrence_pairs(
             _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
         )
-        edges = (
+        return (
             pairs.groupBy("a", "b")
             .agg(F.count("*").alias("__c"))
             .filter(F.col("__c") >= X85_MIN_SUPPORT)
             .select("a", "b")
         )
-        _X85_EDGE_CACHE[key] = edges
+
+    edges = D.memo_get_or_build(_X85_EDGE_CACHE, app, (app, sf_dir), _build)
     return D._persist(edges)
 
 
@@ -2355,6 +2387,24 @@ def x84a_sketch_stream_suite(spark, sf_dir):
     # (37.8s vs r7's union 31.5s). x77 is the opposite case (7 heavy
     # members that thrash memory when concurrent) and keeps the
     # sequential form; see _suite_materialize's docstring and SCALE.md.
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x87, __m_x89, __m_x92, __m_x93, __m_x95, __m_x97, __m_x99, __m_x102, __m_x106, __m_x108, __m_x111, __m_x112, __m_x113, __m_x114 = D.overlap(
+        lambda: x87_kmv_distinct_sketch(spark, sf_dir),
+        lambda: x89_cms_point_frequency(spark, sf_dir),
+        lambda: x92_exact_quantiles(spark, sf_dir),
+        lambda: x93_weighted_sample(spark, sf_dir),
+        lambda: x95_bigram_logprob(spark, sf_dir),
+        lambda: x97_char_entropy(spark, sf_dir),
+        lambda: x99_kmv_set_relations(spark, sf_dir),
+        lambda: x102_equidepth_histogram(spark, sf_dir),
+        lambda: x106_table_profile(spark, sf_dir),
+        lambda: x108_bitmap_set_relations(spark, sf_dir),
+        lambda: x111_percentile_rank(spark, sf_dir),
+        lambda: x112_decayed_value(spark, sf_dir),
+        lambda: x113_mad_robust(spark, sf_dir),
+        lambda: x114_frequent_trigrams(spark, sf_dir),
+    )
     members = [
         _suite_shape(
             T.bpe_merges_output(spark, _bpe_merges, _bpe_vocab), "bpetrain",
@@ -2370,13 +2420,13 @@ def x84a_sketch_stream_suite(spark, sf_dir):
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("sym"),
         ),
         _suite_shape(
-            x87_kmv_distinct_sketch(spark, sf_dir), "kmv",
+            __m_x87, "kmv",
             id1=F.col("exact_distinct"), v1=F.col("k_used"),
             v2=F.col("kth_hash"), v3=F.col("est_distinct"),
             s1=F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus")),
         ),
         _suite_shape(
-            x89_cms_point_frequency(spark, sf_dir), "cms",
+            __m_x89, "cms",
             v1=F.col("est_count"), v2=F.col("exact_count"),
             s1=F.col("term"),
         ),
@@ -2385,25 +2435,25 @@ def x84a_sketch_stream_suite(spark, sf_dir):
             id1=F.col("j"), id2=F.col("bucket"), v1=F.col("cnt"),
         ),
         _suite_shape(
-            x92_exact_quantiles(spark, sf_dir), "quant",
+            __m_x92, "quant",
             id1=F.col("q_pct"), id2=F.col("rank"), v1=F.col("value"),
         ),
         _suite_shape(
-            x93_weighted_sample(spark, sf_dir), "wsamp",
+            __m_x93, "wsamp",
             id1=F.col("doc_id"), id2=F.col("rk"), v1=F.col("weight"),
             v2=F.col("pri"), s1=F.col("lang"),
         ),
         _suite_shape(
-            x95_bigram_logprob(spark, sf_dir), "bigram",
+            __m_x95, "bigram",
             id1=F.col("doc_id"), v1=F.col("n_bigram"), d1=F.col("avg_logp"),
         ),
         _suite_shape(
-            x97_char_entropy(spark, sf_dir), "entropy",
+            __m_x97, "entropy",
             id1=F.col("doc_id"), v1=F.col("n_chars"),
             v2=F.col("n_distinct_chars"), d1=F.col("entropy"),
         ),
         _suite_shape(
-            x99_kmv_set_relations(spark, sf_dir), "kmvset",
+            __m_x99, "kmvset",
             id1=F.col("k_used"), id2=F.col("shared_k"),
             v1=F.col("union_est"), v2=F.col("inter_est"),
             v3=F.col("jaccard_milli"),
@@ -2416,12 +2466,12 @@ def x84a_sketch_stream_suite(spark, sf_dir):
             v2=F.col("est_distinct"), s1=F.col("lang"),
         ),
         _suite_shape(
-            x102_equidepth_histogram(spark, sf_dir), "histo",
+            __m_x102, "histo",
             id1=F.col("bucket"), v1=F.col("n_rows"), v2=F.col("sum_v"),
             v3=F.col("min_v"), d1=F.col("max_v"),
         ),
         _suite_shape(
-            x106_table_profile(spark, sf_dir), "prof",
+            __m_x106, "prof",
             id1=F.col("n_rows"), id2=F.col("n_null"), v1=F.col("n_distinct"),
             s1=F.concat_ws(
                 "|", F.col("column_name"),
@@ -2430,26 +2480,26 @@ def x84a_sketch_stream_suite(spark, sf_dir):
             ),
         ),
         _suite_shape(
-            x108_bitmap_set_relations(spark, sf_dir), "bitmap",
+            __m_x108, "bitmap",
             id1=F.col("n_a"), id2=F.col("n_b"), v1=F.col("n_inter"),
             v2=F.col("n_union"), v3=F.col("jaccard_milli"),
             s1=F.concat_ws("|", F.col("g1"), F.col("g2")),
         ),
         _suite_shape(
-            x111_percentile_rank(spark, sf_dir), "prank",
+            __m_x111, "prank",
             id1=F.col("doc_id"), v1=F.col("n_chars"), v2=F.col("pr_milli"),
         ),
         _suite_shape(
-            x112_decayed_value(spark, sf_dir), "decay",
+            __m_x112, "decay",
             id1=F.col("user_id"), id2=F.col("n_events"),
             v1=F.col("raw_cents"), v2=F.col("decayed_cents"),
         ),
         _suite_shape(
-            x113_mad_robust(spark, sf_dir), "mad",
+            __m_x113, "mad",
             id1=F.col("n"), v1=F.col("median"), v2=F.col("mad"),
         ),
         _suite_shape(
-            x114_frequent_trigrams(spark, sf_dir), "trigram",
+            __m_x114, "trigram",
             id1=F.col("rk"), v1=F.col("n"), s1=F.col("trigram"),
         ),
     ]
@@ -2546,9 +2596,29 @@ def x84b_graph_pipeline_suite(spark, sf_dir):
     graph kernels (x85/x94/x100/x105) share ONE memoized persisted
     edge frame (_x85_edges), so the lineitem self-join pays out once
     per suite evaluation."""
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_c4, __m_x83, __m_x85, __m_x86, __m_x88, __m_x90, __m_x94, __m_x96, __m_x100, __m_x103, __m_x104, __m_x105, __m_x107, __m_x109, __m_x110, __m_c6 = D.overlap(
+        lambda: c4_migration_repair(spark, sf_dir),
+        lambda: x83_incremental_neardup(spark, sf_dir),
+        lambda: x85_triangle_counts(spark, sf_dir),
+        lambda: x86_audio_pcm_stats(spark, sf_dir),
+        lambda: x88_prefix_filter_neardup(spark, sf_dir),
+        lambda: x90_association_lift(spark, sf_dir),
+        lambda: x94_bfs_hops(spark, sf_dir),
+        lambda: x96_skyline_pareto(spark, sf_dir),
+        lambda: x100_kcore_peel(spark, sf_dir),
+        lambda: x103_ols_trend(spark, sf_dir),
+        lambda: x104_editdist1_join(spark, sf_dir),
+        lambda: x105_random_walks(spark, sf_dir),
+        lambda: x107_cohort_retention(spark, sf_dir),
+        lambda: x109_markov_transitions(spark, sf_dir),
+        lambda: x110_cheapest_paths(spark, sf_dir),
+        lambda: c6_funnel_latency(spark, sf_dir),
+    )
     return (
         _suite_shape(
-            c4_migration_repair(spark, sf_dir), "cdc",
+            __m_c4, "cdc",
             id1=F.col("k"), v1=F.col("n1"), v2=F.col("n2"), v3=F.col("ok"),
             s1=F.concat_ws("|", F.col("kind"), F.coalesce(F.col("s"), F.lit("~"))),
         )
@@ -2558,73 +2628,73 @@ def x84b_graph_pipeline_suite(spark, sf_dir):
             v2=F.col("anomaly").cast("long"),
         ))
         .unionAll(_suite_shape(
-            x83_incremental_neardup(spark, sf_dir), "incnd",
+            __m_x83, "incnd",
             id1=F.col("doc_id"), id2=F.col("dup_of"),
             v1=F.col("is_neardup").cast("long"), d1=F.col("jaccard"),
         ))
         .unionAll(_suite_shape(
-            x85_triangle_counts(spark, sf_dir), "tri",
+            __m_x85, "tri",
             id1=F.col("node"), v1=F.col("n_tri"),
         ))
         .unionAll(_suite_shape(
-            x86_audio_pcm_stats(spark, sf_dir), "wav",
+            __m_x86, "wav",
             id1=F.col("doc_id"), v1=F.col("n_samples"),
             v2=F.col("sample_rate"), v3=F.col("duration_us"),
             d1=F.col("amp_sum"), d2=F.col("amp_max"),
         ))
         .unionAll(_suite_shape(
-            x88_prefix_filter_neardup(spark, sf_dir), "ppj",
+            __m_x88, "ppj",
             id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("inter"),
             v2=F.col("n_a"), v3=F.col("n_b"), d1=F.col("jaccard"),
         ))
         .unionAll(_suite_shape(
-            x90_association_lift(spark, sf_dir), "lift",
+            __m_x90, "lift",
             id1=F.col("item_a"), id2=F.col("item_b"), v1=F.col("c_ab"),
             v2=F.col("c_a"), v3=F.col("c_b"), d1=F.col("lift"),
             d2=F.col("n_baskets").cast("double"),
         ))
         .unionAll(_suite_shape(
-            x94_bfs_hops(spark, sf_dir), "bfs",
+            __m_x94, "bfs",
             id1=F.col("node"), v1=F.col("hop"),
         ))
         .unionAll(_suite_shape(
-            x96_skyline_pareto(spark, sf_dir), "sky",
+            __m_x96, "sky",
             id1=F.col("p_partkey"), v1=F.col("sz"), v2=F.col("pc"),
             s1=F.col("p_brand"),
         ))
         .unionAll(_suite_shape(
-            x100_kcore_peel(spark, sf_dir), "kcore",
+            __m_x100, "kcore",
             id1=F.col("node"), v1=F.col("deg"),
         ))
         .unionAll(_suite_shape(
-            x103_ols_trend(spark, sf_dir), "ols",
+            __m_x103, "ols",
             id1=F.col("user_id"), v1=F.col("n"),
             d1=F.col("slope"), d2=F.col("intercept"),
         ))
         .unionAll(_suite_shape(
-            x104_editdist1_join(spark, sf_dir), "ed1",
+            __m_x104, "ed1",
             id1=F.col("id_a"), id2=F.col("id_b"), v1=F.col("dist"),
         ))
         .unionAll(_suite_shape(
-            x105_random_walks(spark, sf_dir), "walk",
+            __m_x105, "walk",
             id1=F.col("seed"), id2=F.col("step"), v1=F.col("node"),
         ))
         .unionAll(_suite_shape(
-            x107_cohort_retention(spark, sf_dir), "cohort",
+            __m_x107, "cohort",
             id1=F.col("cohort_week"), id2=F.col("week_offset"),
             v1=F.col("n_users"),
         ))
         .unionAll(_suite_shape(
-            x109_markov_transitions(spark, sf_dir), "markov",
+            __m_x109, "markov",
             id1=F.col("n"), id2=F.col("p_milli"),
             s1=F.concat_ws("|", F.col("from_type"), F.col("to_type")),
         ))
         .unionAll(_suite_shape(
-            x110_cheapest_paths(spark, sf_dir), "bford",
+            __m_x110, "bford",
             id1=F.col("node"), v1=F.col("cost"),
         ))
         .unionAll(_suite_shape(
-            c6_funnel_latency(spark, sf_dir), "c6",
+            __m_c6, "c6",
             id1=F.col("cohort_week"), id2=F.col("n_conv"),
             v1=F.col("median_latency_us"),
         ))

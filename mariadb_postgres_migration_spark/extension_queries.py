@@ -2036,6 +2036,12 @@ def x49_dedup_quality_suite(spark, sf_dir):
     comp = D.connected_components_star(pairs)
     toked = T._with_tokens(docs, "doc_id", "text")
     scored = toked.select("doc_id", T._quality_cols(F.col("__toks"), "text")[2])
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x45, __m_x46 = D.overlap(
+        lambda: x45_incremental_dedup(spark, sf_dir),
+        lambda: x46_best_per_source(spark, sf_dir),
+    )
     return (
         _suite_shape(
             D.dedup_keep_one(docs, pairs, algorithm="star", components=comp),
@@ -2043,12 +2049,12 @@ def x49_dedup_quality_suite(spark, sf_dir):
             id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep"),
         )
         .unionAll(_suite_shape(
-            x45_incremental_dedup(spark, sf_dir), "incr",
+            __m_x45, "incr",
             id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus"),
             s1=F.col("source"),
         ))
         .unionAll(_suite_shape(
-            x46_best_per_source(spark, sf_dir), "best",
+            __m_x46, "best",
             id1=F.col("doc_id"), id2=F.col("rk"), d1=F.col("quality"),
             s1=F.col("source"),
         ))
@@ -2133,6 +2139,14 @@ def x50_scale_analysis_suite(spark, sf_dir):
             extra=["text", "lang", "source"],
         )
     )
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x34, __m_x38, __m_x48, __m_x51 = D.overlap(
+        lambda: x34_ivf_train_kmeans(spark, sf_dir),
+        lambda: x38_embedding_quantize_int8(spark, sf_dir),
+        lambda: x48_knn_multiprobe_lsh(spark, sf_dir),
+        lambda: x51_semdedup(spark, sf_dir),
+    )
     return (
         _suite_shape(
             x32_gopher_repetition(spark, sf_dir, docs=toked), "gopher",
@@ -2146,12 +2160,12 @@ def x50_scale_analysis_suite(spark, sf_dir):
             s1=F.concat_ws("|", "lang", "source"),
         ))
         .unionAll(_suite_shape(
-            x34_ivf_train_kmeans(spark, sf_dir), "kmeans",
+            __m_x34, "kmeans",
             id1=F.col("cell"), id2=F.col("pos"), v1=F.col("n_members"),
             d1=F.col("val"),
         ))
         .unionAll(_suite_shape(
-            x38_embedding_quantize_int8(spark, sf_dir), "quant",
+            __m_x38, "quant",
             id1=F.col("vec_id"), d1=F.col("max_abs"), d2=F.col("mse"),
             s1=F.expr("array_join(transform(qvec, x -> cast(x as string)), ',')"),
         ))
@@ -2160,12 +2174,12 @@ def x50_scale_analysis_suite(spark, sf_dir):
             v1=F.col("n"), v2=F.col("rk"), s1=F.col("pair"),
         ))
         .unionAll(_suite_shape(
-            x48_knn_multiprobe_lsh(spark, sf_dir), "mplsh",
+            __m_x48, "mplsh",
             id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
             d1=F.col("score"),
         ))
         .unionAll(_suite_shape(
-            x51_semdedup(spark, sf_dir), "semded",
+            __m_x51, "semded",
             id1=F.col("vec_id"), id2=F.col("cell"), v1=F.col("keep"),
             v2=F.coalesce("dup_of", F.lit(-1)),
         ))

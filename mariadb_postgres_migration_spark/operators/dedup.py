@@ -69,6 +69,99 @@ _PERSIST_EPOCH: int = 0
 #: (memo key) → epoch at which the frame was last eagerly materialized.
 _MATERIALIZED_AT: dict = {}
 
+#: Per-key re-entrant locks guarding memo get-or-build sections and shared
+#: eager materializations, so :func:`overlap` threads never build (or
+#: noop-materialize) the same frame twice. Lock nesting follows the memo
+#: dependency DAG (pairs→sig→payload, c9/c10/c11→c7→c1), which is acyclic,
+#: so no lock-order cycle exists.
+_MEMO_LOCKS: dict = {}
+_MEMO_LOCKS_GUARD = None  # initialized lazily to avoid import-time threading
+
+
+def memo_lock(key):
+    """The re-entrant lock for one memo key (created on first use)."""
+    import threading
+
+    global _MEMO_LOCKS_GUARD
+    if _MEMO_LOCKS_GUARD is None:
+        _MEMO_LOCKS_GUARD = threading.Lock()
+    with _MEMO_LOCKS_GUARD:
+        return _MEMO_LOCKS.setdefault(key, threading.RLock())
+
+
+def overlap(*thunks):
+    """Run independent frame-building thunks on concurrent driver threads
+    and return their results in order (guide §2.6 — overlap independent
+    jobs). Spark happily runs several jobs at once inside one application;
+    query functions only serialize their construction-time actions (CC
+    convergence probes, eager memo materializations, Arrow decode passes)
+    because the driver calls them sequentially. For rows composing
+    independent chains (x206's three modality pipelines, the dual-sheet
+    rows' two keep-one tiers, c12/c13's media chain vs c7 layout chain)
+    the chains' scheduler-bound rounds back-fill each other's idle cores.
+
+    Shared sub-frames stay computed exactly once: every memo get-or-build
+    and shared materialization is guarded by :func:`memo_lock`, so the
+    first thread to need a shared dependency builds it while the others
+    block on that key, then proceed concurrently past it.
+
+    ``MPS_OVERLAP_OFF=1`` restores sequential construction for A/Bs.
+    Exceptions propagate to the caller (first one wins); results are
+    positionally ordered so call sites read naturally."""
+    import os
+
+    if len(thunks) < 2 or os.environ.get("MPS_OVERLAP_OFF"):
+        return [t() for t in thunks]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list = []
+
+    def _run(i, t):
+        try:
+            results[i] = t()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [
+        InheritableThread(target=_run, args=(i, t))
+        for i, t in enumerate(thunks)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
+def memo_get_or_build(cache: dict, app: str, key, build):
+    """Locked get-or-build for the per-session memo dicts (the
+    _C1/_C7/_C8/_C9/_C10/_C11/payload/sig/img frame caches), so
+    :func:`overlap` threads sharing a dependency build it exactly once:
+    the first thread to need the key builds under that key's lock while
+    the others block, then every later access is a lock-free-fast hit.
+    Foreign-session eviction (the established memo contract) happens
+    under the cache's dict lock so concurrent evictors never race the
+    iteration. Different keys of one cache (e.g. the video and audio sig
+    frames) build concurrently — only dict bookkeeping serializes."""
+    dict_lock = memo_lock((id(cache), "dict"))
+    with dict_lock:
+        for stale in [k for k in cache if k[0] != app]:
+            del cache[stale]
+        hit = cache.get(key)
+    if hit is not None:
+        return hit
+    with memo_lock((id(cache), key)):
+        with dict_lock:
+            hit = cache.get(key)
+        if hit is None:
+            hit = build()
+            with dict_lock:
+                cache[key] = hit
+        return hit
+
 
 def _persist(df: DataFrame) -> DataFrame:
     df = df.persist()
@@ -92,11 +185,19 @@ def materialize_shared(df: DataFrame, key) -> DataFrame:
 
     if os.environ.get("MPS_EAGER_MEMO_OFF"):
         return df
-    if _MATERIALIZED_AT.get(key) != _PERSIST_EPOCH:
-        for stale in [k for k, v in _MATERIALIZED_AT.items() if v != _PERSIST_EPOCH]:
-            del _MATERIALIZED_AT[stale]
-        df.write.format("noop").mode("overwrite").save()
-        _MATERIALIZED_AT[key] = _PERSIST_EPOCH
+    guard = memo_lock(("materialized-at-dict",))
+    with memo_lock(("materialize", key)):
+        with guard:  # dict snapshot/cleanup atomic vs other keys' threads
+            stale = [
+                k for k, v in _MATERIALIZED_AT.items() if v != _PERSIST_EPOCH
+            ]
+            for k in stale:
+                del _MATERIALIZED_AT[k]
+            fresh = _MATERIALIZED_AT.get(key) == _PERSIST_EPOCH
+        if not fresh:
+            df.write.format("noop").mode("overwrite").save()
+            with guard:
+                _MATERIALIZED_AT[key] = _PERSIST_EPOCH
     return df
 
 

@@ -139,9 +139,11 @@ def c8_multimodal_pipeline(spark, sf_dir):
     payload column beyond the single decode pass."""
     from .r9_queries import _c7_result
 
-    st = _c8_stage_frames(spark, sf_dir)
-    manifest = _c7_result(spark, sf_dir).select(
-        "doc_id", "split", "shard"
+    # decode chain vs c7 layout chain — independent until the final join;
+    # overlap their construction (dedup.overlap, guide §2.6)
+    st, manifest = D.overlap(
+        lambda: _c8_stage_frames(spark, sf_dir),
+        lambda: _c7_result(spark, sf_dir).select("doc_id", "split", "shard"),
     )
     return st["qual"].join(manifest, "doc_id").select(
         "doc_id", "n_bytes", "width", "height", "split", "shard"
@@ -165,11 +167,8 @@ def _c8_stage_frames(spark, sf_dir):
     on the Spark side. Returns ``{"corpus", "valid", "keep", "qual"}``;
     valid/keep persist (each feeds the next stage AND a funnel count)."""
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _C8_FRAMES_CACHE if k[0] != app]:
-        del _C8_FRAMES_CACHE[stale]
-    key = (app, sf_dir)
-    st = _C8_FRAMES_CACHE.get(key)
-    if st is None:
+
+    def _build():
         docs = _t(spark, sf_dir, "documents")
         mm = _c8_mm(docs).withColumn("pmd5", F.md5("payload"))
         dec = decode_payloads(mm, carry_cols=("pmd5",))
@@ -184,8 +183,9 @@ def _c8_stage_frames(spark, sf_dir):
         qual = keep.filter(
             (F.col("width") >= C8_MIN_DIM) & (F.col("height") >= C8_MIN_DIM)
         )
-        st = {"corpus": docs, "valid": valid, "keep": keep, "qual": qual}
-        _C8_FRAMES_CACHE[key] = st
+        return {"corpus": docs, "valid": valid, "keep": keep, "qual": qual}
+
+    st = D.memo_get_or_build(_C8_FRAMES_CACHE, app, (app, sf_dir), _build)
     D._persist(st["valid"])
     D._persist(st["keep"])
     return st
@@ -221,12 +221,16 @@ def d3_dedup_core_suite(spark, sf_dir):
     frozen r4 series."""
     from .extension_queries import x01_dedup_exact, x02_dedup_ngram_jaccard
 
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x01_dedup_exact(spark, sf_dir),
+        lambda: x02_dedup_ngram_jaccard(spark, sf_dir),
+    )
     ex = _suite_shape(
-        x01_dedup_exact(spark, sf_dir), "ex",
+        __r0, "ex",
         id1=F.col("keep_id"), v1=F.col("n_copies"), s1=F.col("text"),
     )
     jac = _suite_shape(
-        x02_dedup_ngram_jaccard(spark, sf_dir), "jac",
+        __r1, "jac",
         id1=F.col("doc_a"), id2=F.col("doc_b"), d1=F.col("jaccard"),
     )
     return ex.unionAll(jac)
@@ -366,12 +370,16 @@ def s5_embcore_suite(spark, sf_dir):
     the frozen r4 series."""
     from .extension_queries import x05_dedup_embedding_cosine, x06_knn_bruteforce
 
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x05_dedup_embedding_cosine(spark, sf_dir),
+        lambda: x06_knn_bruteforce(spark, sf_dir),
+    )
     cos = _suite_shape(
-        x05_dedup_embedding_cosine(spark, sf_dir), "cos",
+        __r0, "cos",
         id1=F.col("doc_a"), id2=F.col("doc_b"), d1=F.col("cos_sim"),
     )
     knn = _suite_shape(
-        x06_knn_bruteforce(spark, sf_dir), "knn",
+        __r1, "knn",
         id1=F.col("q_id"), id2=F.col("n_id"), v1=F.col("rk"),
         d1=F.col("score"),
     )
@@ -405,12 +413,16 @@ def x156_r10b_ops_suite(spark, sf_dir):
     shape (2 small members → lazy union per the SCALE.md composition
     rule; the heavy decode/curation subtrees are shared through the
     memoized _c8_stage_frames and the c1 manifest memo)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x154_multimodal_funnel(spark, sf_dir),
+        lambda: x155_paired_profile(spark, sf_dir),
+    )
     fun = _suite_shape(
-        x154_multimodal_funnel(spark, sf_dir), "fun",
+        __r0, "fun",
         v1=F.col("n_docs"), s1=F.col("stage"),
     )
     pair = _suite_shape(
-        x155_paired_profile(spark, sf_dir), "pair",
+        __r1, "pair",
         v1=F.col("n_pairs"), v2=F.col("image_bytes"),
         v3=F.col("caption_tok"), s1=F.col("split"),
     )
@@ -447,13 +459,8 @@ def _img_memo_off() -> bool:
 
 def _memo_img_frame(spark, key, build):
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _IMG_FRAME_CACHE if k[0] != app]:
-        del _IMG_FRAME_CACHE[stale]
     key = (app,) + key
-    df = _IMG_FRAME_CACHE.get(key)
-    if df is None:
-        df = build()
-        _IMG_FRAME_CACHE[key] = df
+    df = D.memo_get_or_build(_IMG_FRAME_CACHE, app, key, build)
     return D.materialize_shared(D._persist(df), ("img",) + key)
 
 
@@ -586,12 +593,16 @@ def d4_cc_term_suite(spark, sf_dir):
         x28_term_doc_freq,
     )
 
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x27_dedup_connected_components(spark, sf_dir),
+        lambda: x28_term_doc_freq(spark, sf_dir),
+    )
     cc = _suite_shape(
-        x27_dedup_connected_components(spark, sf_dir), "cc",
+        __r0, "cc",
         id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep").cast("long"),
     )
     tdf = _suite_shape(
-        x28_term_doc_freq(spark, sf_dir), "tdf",
+        __r1, "tdf",
         id1=F.col("doc_id"), v1=F.col("tf"), v2=F.col("df"), v3=F.col("rk"),
         s1=F.col("term"),
     )
@@ -625,12 +636,16 @@ def x159_r10c_ops_suite(spark, sf_dir):
     (x157) and the banded hamming near-dup pairing (x158) — union-folded
     into the shared kind-tagged suite shape (2 small members → lazy
     union per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x157_image_ahash(spark, sf_dir),
+        lambda: x158_image_neardup(spark, sf_dir),
+    )
     ah = _suite_shape(
-        x157_image_ahash(spark, sf_dir), "ah",
+        __r0, "ah",
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
     )
     ham = _suite_shape(
-        x158_image_neardup(spark, sf_dir), "ham",
+        __r1, "ham",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
     )
     return ah.unionAll(ham)
@@ -765,12 +780,16 @@ def x162_r10d_ops_suite(spark, sf_dir):
     and curriculum phases (x161) — union-folded into the shared
     kind-tagged suite shape (2 small members → lazy union per the
     SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x160_permutation_entropy(spark, sf_dir),
+        lambda: x161_curriculum_phases(spark, sf_dir),
+    )
     pe = _suite_shape(
-        x160_permutation_entropy(spark, sf_dir), "pe",
+        __r0, "pe",
         v1=F.col("n_win"), d1=F.col("pe"), s1=F.col("event_type"),
     )
     cur = _suite_shape(
-        x161_curriculum_phases(spark, sf_dir), "cur",
+        __r1, "cur",
         id1=F.col("doc_id"), v1=F.col("phase"), d1=F.col("quality"),
     )
     return pe.unionAll(cur)
@@ -945,12 +964,16 @@ def x165_r10e_ops_suite(spark, sf_dir):
     and the dHash signature (x164) — union-folded into the shared
     kind-tagged suite shape (2 small members → lazy union per the
     SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x163_image_dedup_keep_one(spark, sf_dir),
+        lambda: x164_image_dhash(spark, sf_dir),
+    )
     keep = _suite_shape(
-        x163_image_dedup_keep_one(spark, sf_dir), "keep",
+        __r0, "keep",
         id1=F.col("doc_id"), id2=F.col("rep"), v1=F.col("keep").cast("long"),
     )
     dh = _suite_shape(
-        x164_image_dhash(spark, sf_dir), "dh",
+        __r1, "dh",
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
     )
     return keep.unionAll(dh)
@@ -1096,8 +1119,10 @@ def t3_tpch_join_agg_suite(spark, sf_dir):
             "d1", "d2", "s1",
         )
 
-    q15 = REGISTRY["q15_joins_suite"].fn(spark, sf_dir)
-    t2 = REGISTRY["t2_aggstress_suite"].fn(spark, sf_dir)
+    q15, t2 = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["q15_joins_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["t2_aggstress_suite"].fn(spark, sf_dir),
+    )
     return widen(q15, "j_").unionAll(widen(t2, "a_"))
 
 
@@ -1128,12 +1153,16 @@ def x168_r10f_ops_suite(spark, sf_dir):
     and dual-hash verified pairs (x167) — union-folded into the shared
     kind-tagged suite shape (2 small members → lazy union per the
     SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x166_gif_ahash(spark, sf_dir),
+        lambda: x167_dualhash_pairs(spark, sf_dir),
+    )
     gah = _suite_shape(
-        x166_gif_ahash(spark, sf_dir), "gah",
+        __r0, "gah",
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
     )
     dual = _suite_shape(
-        x167_dualhash_pairs(spark, sf_dir), "dual",
+        __r1, "dual",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("ham_a"),
         v2=F.col("ham_d"),
     )
@@ -1327,12 +1356,16 @@ def x171_r10g_ops_suite(spark, sf_dir):
     (x169) and the per-source image profile (x170) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union
     per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x169_incremental_image_dedup(spark, sf_dir),
+        lambda: x170_source_image_profile(spark, sf_dir),
+    )
     incr = _suite_shape(
-        x169_incremental_image_dedup(spark, sf_dir), "incr",
+        __r0, "incr",
         id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
     )
     prof = _suite_shape(
-        x170_source_image_profile(spark, sf_dir), "prof",
+        __r1, "prof",
         v1=F.col("n_images"), v2=F.col("total_bytes"),
         v3=F.col("sum_w") + F.col("sum_h"), d2=F.col("n_small"),
         s1=F.col("source"),
@@ -1541,12 +1574,16 @@ def x174_r10h_ops_suite(spark, sf_dir):
     union-folded into the shared kind-tagged suite shape (2 small
     members → lazy union per the SCALE.md composition rule; the c1/c8
     chains underneath are shared through the session memos)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x172_caption_image_corr(spark, sf_dir),
+        lambda: x173_phase_split_mix(spark, sf_dir),
+    )
     corr = _suite_shape(
-        x172_caption_image_corr(spark, sf_dir), "corr",
+        __r0, "corr",
         v1=F.col("n_pairs"), v2=F.col("sum_d2"), d1=F.col("rho"),
     )
     mix = _suite_shape(
-        x173_phase_split_mix(spark, sf_dir), "mix",
+        __r1, "mix",
         id1=F.col("phase"), v1=F.col("n_docs"), s1=F.col("split"),
     )
     return corr.unionAll(mix)

@@ -69,17 +69,15 @@ def consistent_media_payloads(spark, sf_dir, kind="avi", silent_mod=None):
         return attach_consistent_wav_payload(docs, silent_mod=silent_mod)
 
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _PAYLOAD_FRAME_CACHE if k[0] != app]:
-        del _PAYLOAD_FRAME_CACHE[stale]
     key = (app, sf_dir, kind, silent_mod)
-    mm = _PAYLOAD_FRAME_CACHE.get(key)
-    if mm is None:
+
+    def _build():
         docs = _t(spark, sf_dir, "documents")
         if kind == "avi":
-            mm = attach_consistent_avi_payload(docs)
-        else:
-            mm = attach_consistent_wav_payload(docs, silent_mod=silent_mod)
-        _PAYLOAD_FRAME_CACHE[key] = mm
+            return attach_consistent_avi_payload(docs)
+        return attach_consistent_wav_payload(docs, silent_mod=silent_mod)
+
+    mm = D.memo_get_or_build(_PAYLOAD_FRAME_CACHE, app, key, _build)
     # eager: the fixture-assembly pass is the most expensive subtree in the
     # media family (~56 CPU-seconds at sf0.1) — materialize it once per
     # access epoch so AQE's concurrent broadcast builds read the cache
@@ -179,38 +177,47 @@ def _c9_frames(spark, sf_dir):
     from .r9_queries import _c7_result
 
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _C9_FRAMES_CACHE if k[0] != app]:
-        del _C9_FRAMES_CACHE[stale]
-    key = (app, sf_dir)
-    st = _C9_FRAMES_CACHE.get(key)
-    if st is None:
+
+    def _build():
         docs = _t(spark, sf_dir, "documents")
         mm = attach_consistent_bmp_payload(docs)
         corrupted = F.when(
             F.col("doc_id") % C8_CORRUPT_MOD == 0,
             F.concat(F.unhex(F.lit("0000")), F.col("payload")),
         ).otherwise(F.col("payload"))
-        mm = mm.select("doc_id", corrupted.alias("payload"))
-        # gate + signature + dims in ONE Arrow pass: corrupted payloads
-        # fail the real decode and emit nothing
-        sig = image_ahash(mm, with_dims=True)
-        pairs = image_neardup_pairs(
-            sig.select("doc_id", "h_hi", "h_lo")
-        ).select("doc_a", "doc_b")
-        keep = (
-            D.dedup_keep_one(sig.select("doc_id"), pairs)
-            .filter(F.col("keep"))
-            .select("doc_id")
-        )
-        qual = sig.join(keep, "doc_id").filter(F.col("height") >= C9_MIN_H)
-        manifest = _c7_result(spark, sf_dir).select(
-            "doc_id", "split", "shard"
+        mmc = mm.select("doc_id", corrupted.alias("payload"))
+
+        def _media_chain():
+            # gate + signature + dims in ONE Arrow pass: corrupted
+            # payloads fail the real decode and emit nothing
+            sig = image_ahash(mmc, with_dims=True)
+            pairs = image_neardup_pairs(
+                sig.select("doc_id", "h_hi", "h_lo")
+            ).select("doc_a", "doc_b")
+            keep = (
+                D.dedup_keep_one(sig.select("doc_id"), pairs)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            qual = sig.join(keep, "doc_id").filter(
+                F.col("height") >= C9_MIN_H
+            )
+            return sig, qual
+
+        # the decode+CC chain and the c7 layout chain are independent
+        # until the final join — overlap them (dedup.overlap, §2.6)
+        (sig, qual), manifest = D.overlap(
+            _media_chain,
+            lambda: _c7_result(spark, sf_dir).select(
+                "doc_id", "split", "shard"
+            ),
         )
         result = qual.join(manifest, "doc_id").select(
             "doc_id", "width", "height", "h_hi", "h_lo", "split", "shard"
         )
-        st = {"sig": sig, "result": result}
-        _C9_FRAMES_CACHE[key] = st
+        return {"sig": sig, "result": result}
+
+    st = D.memo_get_or_build(_C9_FRAMES_CACHE, app, (app, sf_dir), _build)
     D._persist(st["sig"])
     _c7_result(spark, sf_dir)  # re-persist the embedded c7 manifest
     return st
@@ -257,8 +264,10 @@ def m3_r10bc_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    b = REGISTRY["x156_r10b_ops_suite"].fn(spark, sf_dir)
-    c = REGISTRY["x159_r10c_ops_suite"].fn(spark, sf_dir)
+    b, c = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x156_r10b_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x159_r10c_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(b, "b_").unionAll(widen(c, "c_"))
 
 
@@ -443,8 +452,10 @@ def m4_r10de_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    d = REGISTRY["x162_r10d_ops_suite"].fn(spark, sf_dir)
-    e = REGISTRY["x165_r10e_ops_suite"].fn(spark, sf_dir)
+    d, e = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x162_r10d_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x165_r10e_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(d, "d_").unionAll(widen(e, "e_"))
 
 
@@ -475,13 +486,17 @@ def x177_r11b_ops_suite(spark, sf_dir):
     (x175) and measured banded near-dup recall (x176) — union-folded
     into the shared kind-tagged suite shape (2 small members → lazy
     union per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x175_video_frame_stats(spark, sf_dir),
+        lambda: x176_image_neardup_recall(spark, sf_dir),
+    )
     vf = _suite_shape(
-        x175_video_frame_stats(spark, sf_dir), "vf",
+        __r0, "vf",
         id1=F.col("doc_id"), id2=F.col("frame_no"), v1=F.col("width"),
         v2=F.col("height"), v3=F.col("px_sum"),
     )
     rc = _suite_shape(
-        x176_image_neardup_recall(spark, sf_dir), "rc",
+        __r1, "rc",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
         v2=F.col("in_banded"),
     )
@@ -658,8 +673,10 @@ def m5_r10fg_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    f = REGISTRY["x168_r10f_ops_suite"].fn(spark, sf_dir)
-    g = REGISTRY["x171_r10g_ops_suite"].fn(spark, sf_dir)
+    f, g = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x168_r10f_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x171_r10g_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(f, "f_").unionAll(widen(g, "g_"))
 
 
@@ -690,12 +707,16 @@ def x180_r11c_ops_suite(spark, sf_dir):
     funnel (x178) and video perceptual dedup (x179) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x178_jpeg_decode_funnel(spark, sf_dir),
+        lambda: x179_video_perceptual_dedup(spark, sf_dir),
+    )
     cls = _suite_shape(
-        x178_jpeg_decode_funnel(spark, sf_dir), "cls",
+        __r0, "cls",
         id1=F.col("doc_id"), s1=F.col("decode_class"),
     )
     vdup = _suite_shape(
-        x179_video_perceptual_dedup(spark, sf_dir), "vdup",
+        __r1, "vdup",
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
         v3=F.col("keep").cast("long"),
     )
@@ -821,8 +842,10 @@ def m6_r9bc_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    b = REGISTRY["x145_r9b_ops_suite"].fn(spark, sf_dir)
-    c = REGISTRY["x148_r9c_ops_suite"].fn(spark, sf_dir)
+    b, c = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x145_r9b_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x148_r9c_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(b, "b_").unionAll(widen(c, "c_"))
 
 
@@ -853,13 +876,17 @@ def x183_r11d_ops_suite(spark, sf_dir):
     (x181) and scene-change deltas (x182) — union-folded into the
     shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x181_video_header_profile(spark, sf_dir),
+        lambda: x182_video_scene_change(spark, sf_dir),
+    )
     hdr = _suite_shape(
-        x181_video_header_profile(spark, sf_dir), "hdr",
+        __r0, "hdr",
         id1=F.col("doc_id"), v1=F.col("n_frames"), v2=F.col("us_per_frame"),
         v3=F.col("width") * 1000 + F.col("height"),
     )
     scn = _suite_shape(
-        x182_video_scene_change(spark, sf_dir), "scn",
+        __r1, "scn",
         id1=F.col("doc_id"), v1=F.col("n_sampled"), v2=F.col("delta_sum"),
     )
     return hdr.unionAll(scn)
@@ -986,8 +1013,10 @@ def m7_r9d10h_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    d = REGISTRY["x151_r9d_ops_suite"].fn(spark, sf_dir)
-    h = REGISTRY["x174_r10h_ops_suite"].fn(spark, sf_dir)
+    d, h = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x151_r9d_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x174_r10h_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(d, "d_").unionAll(widen(h, "h_"))
 
 
@@ -1018,12 +1047,16 @@ def x186_r11e_ops_suite(spark, sf_dir):
     dedup (x184) and audio energy screening (x185) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x184_incremental_video_dedup(spark, sf_dir),
+        lambda: x185_audio_energy_screen(spark, sf_dir),
+    )
     vinc = _suite_shape(
-        x184_incremental_video_dedup(spark, sf_dir), "vinc",
+        __r0, "vinc",
         id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
     )
     nrg = _suite_shape(
-        x185_audio_energy_screen(spark, sf_dir), "nrg",
+        __r1, "nrg",
         id1=F.col("doc_id"), v1=F.col("n_windows"), v2=F.col("sum_sq"),
         v3=F.col("peak_abs"),
     )
@@ -1101,34 +1134,43 @@ def _c10_frames(spark, sf_dir):
     from .r9_queries import _c7_result
 
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _C10_FRAMES_CACHE if k[0] != app]:
-        del _C10_FRAMES_CACHE[stale]
-    key = (app, sf_dir)
-    st = _C10_FRAMES_CACHE.get(key)
-    if st is None:
+
+    def _build():
         docs = _t(spark, sf_dir, "documents")
-        mm = consistent_media_payloads(spark, sf_dir)
-        corrupted = F.when(
-            F.col("doc_id") % C8_CORRUPT_MOD == 0,
-            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-        ).otherwise(F.col("payload"))
-        mm = mm.select("doc_id", corrupted.alias("payload"))
-        sig = video_frame_ahash(mm, with_meta=True)
-        keep = sig.groupBy("h_hi", "h_lo").agg(F.min("doc_id").alias("__mn"))
-        surv = (
-            sig.join(keep, ["h_hi", "h_lo"])
-            .filter(F.col("doc_id") == F.col("__mn"))
-            .drop("__mn")
-        )
-        qual = surv.filter(F.col("n_frames") >= C10_MIN_FRAMES)
-        manifest = _c7_result(spark, sf_dir).select(
-            "doc_id", "split", "shard"
+
+        def _media_chain():
+            mm = consistent_media_payloads(spark, sf_dir)
+            corrupted = F.when(
+                F.col("doc_id") % C8_CORRUPT_MOD == 0,
+                F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+            ).otherwise(F.col("payload"))
+            mmc = mm.select("doc_id", corrupted.alias("payload"))
+            sig = video_frame_ahash(mmc, with_meta=True)
+            keep = sig.groupBy("h_hi", "h_lo").agg(
+                F.min("doc_id").alias("__mn")
+            )
+            surv = (
+                sig.join(keep, ["h_hi", "h_lo"])
+                .filter(F.col("doc_id") == F.col("__mn"))
+                .drop("__mn")
+            )
+            qual = surv.filter(F.col("n_frames") >= C10_MIN_FRAMES)
+            return sig, qual
+
+        # decode chain vs c7 layout chain — independent until the final
+        # join; overlap them (dedup.overlap, §2.6)
+        (sig, qual), manifest = D.overlap(
+            _media_chain,
+            lambda: _c7_result(spark, sf_dir).select(
+                "doc_id", "split", "shard"
+            ),
         )
         result = qual.join(manifest, "doc_id").select(
             "doc_id", "n_frames", "h_hi", "h_lo", "split", "shard"
         )
-        st = {"sig": sig, "result": result}
-        _C10_FRAMES_CACHE[key] = st
+        return {"sig": sig, "result": result}
+
+    st = D.memo_get_or_build(_C10_FRAMES_CACHE, app, (app, sf_dir), _build)
     D._persist(st["sig"])
     _c7_result(spark, sf_dir)  # re-persist the embedded c7 manifest
     return st
@@ -1174,8 +1216,10 @@ def d5_dedup_agg_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    d3 = REGISTRY["d3_dedup_core_suite"].fn(spark, sf_dir)
-    d4 = REGISTRY["d4_cc_term_suite"].fn(spark, sf_dir)
+    d3, d4 = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["d3_dedup_core_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["d4_cc_term_suite"].fn(spark, sf_dir),
+    )
     return widen(d3, "3_").unionAll(widen(d4, "4_"))
 
 
@@ -1240,10 +1284,14 @@ def x187_crossmodal_pairs(spark, sf_dir):
     from .operators.dedup import persist_pool_mark, release_cached_intermediates
 
     mark = persist_pool_mark()
-    c9 = _c9_result(spark, sf_dir).select("doc_id", F.col("split").alias("s9"))
-    c10 = _c10_result(spark, sf_dir).select(
-        "doc_id", F.col("split").alias("s10")
+    # the two chains are independent past the shared c7 memo — overlap
+    # their construction (operators/dedup.overlap, guide §2.6)
+    c9r, c10r = D.overlap(
+        lambda: _c9_result(spark, sf_dir),
+        lambda: _c10_result(spark, sf_dir),
     )
+    c9 = c9r.select("doc_id", F.col("split").alias("s9"))
+    c10 = c10r.select("doc_id", F.col("split").alias("s10"))
     if os.environ.get("MPS_X187_SPLIT"):
         c9 = c9.localCheckpoint(eager=True)
         c10 = c10.localCheckpoint(eager=True)
@@ -1372,13 +1420,17 @@ def x189_r11f_ops_suite(spark, sf_dir):
     audit (x187) and the per-source video capacity profile (x188) —
     union-folded into the shared kind-tagged suite shape (2 small
     members → lazy union per the SCALE.md composition rule)."""
+    r187, r188 = D.overlap(
+        lambda: x187_crossmodal_pairs(spark, sf_dir),
+        lambda: x188_video_source_profile(spark, sf_dir),
+    )
     xm = _suite_shape(
-        x187_crossmodal_pairs(spark, sf_dir), "xm",
+        r187, "xm",
         v1=F.col("n_both"), v2=F.col("n_image_only"),
         v3=F.col("n_video_only"), s1=F.col("split"),
     )
     vsp = _suite_shape(
-        x188_video_source_profile(spark, sf_dir), "vsp",
+        r188, "vsp",
         v1=F.col("n_videos"), v2=F.col("total_frames"),
         v3=F.col("total_duration_us"), d2=F.col("n_short"),
         s1=F.col("source"),

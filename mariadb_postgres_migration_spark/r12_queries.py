@@ -79,13 +79,8 @@ def _sig_memo_off() -> bool:
 
 def _memo_sig_frame(spark, key, build):
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _SIG_FRAME_CACHE if k[0] != app]:
-        del _SIG_FRAME_CACHE[stale]
     key = (app,) + key
-    df = _SIG_FRAME_CACHE.get(key)
-    if df is None:
-        df = build()
-        _SIG_FRAME_CACHE[key] = df
+    df = D.memo_get_or_build(_SIG_FRAME_CACHE, app, key, build)
     # eager per access epoch: the dual-signature decode is the second most
     # expensive media subtree (~8-10 CPU-seconds per duplicate evaluation at
     # sf0.1) and every sheet/suite row references it from several broadcast
@@ -350,8 +345,10 @@ def m8_r11bc_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    b = REGISTRY["x177_r11b_ops_suite"].fn(spark, sf_dir)
-    c = REGISTRY["x180_r11c_ops_suite"].fn(spark, sf_dir)
+    b, c = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x177_r11b_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x180_r11c_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(b, "b_").unionAll(widen(c, "c_"))
 
 
@@ -381,13 +378,17 @@ def x192_r12a_ops_suite(spark, sf_dir):
     (x190) and measured video near-dup recall (x191) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    r190, r191 = D.overlap(
+        lambda: x190_video_neardup_keep_one(spark, sf_dir),
+        lambda: x191_video_neardup_recall(spark, sf_dir),
+    )
     vnd = _suite_shape(
-        x190_video_neardup_keep_one(spark, sf_dir), "vnd",
+        r190, "vnd",
         id1=F.col("doc_id"), id2=F.col("rep"),
         v1=F.col("keep").cast("long"),
     )
     vrc = _suite_shape(
-        x191_video_neardup_recall(spark, sf_dir), "vrc",
+        r191, "vrc",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
         v2=F.col("in_banded"),
     )
@@ -523,8 +524,10 @@ def m9_r11de_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    d = REGISTRY["x183_r11d_ops_suite"].fn(spark, sf_dir)
-    e = REGISTRY["x186_r11e_ops_suite"].fn(spark, sf_dir)
+    d, e = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x183_r11d_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x186_r11e_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(d, "d_").unionAll(widen(e, "e_"))
 
 
@@ -553,14 +556,18 @@ def x195_r12b_ops_suite(spark, sf_dir):
     (x193) and the decode funnel v2 with real progressive decode (x194)
     — union-folded into the shared kind-tagged suite shape (2 small
     members → lazy union per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x193_progressive_pixel_stats(spark, sf_dir),
+        lambda: x194_jpeg_decode_funnel_v2(spark, sf_dir),
+    )
     ppx = _suite_shape(
-        x193_progressive_pixel_stats(spark, sf_dir), "ppx",
+        __r0, "ppx",
         id1=F.col("doc_id"), v1=F.col("width"), v2=F.col("height"),
         v3=F.col("px_sum"), d1=F.col("px_min").cast("double"),
         d2=F.col("px_max").cast("double"),
     )
     fnl = _suite_shape(
-        x194_jpeg_decode_funnel_v2(spark, sf_dir), "fnl",
+        __r1, "fnl",
         id1=F.col("doc_id"), v1=F.col("px_sum"), s1=F.col("decode_class"),
     )
     return ppx.unionAll(fnl)
@@ -693,8 +700,10 @@ def m10_r8ab_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["x128_r8_ops_suite"].fn(spark, sf_dir)
-    b = REGISTRY["x133_r8b_ops_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["x128_r8_ops_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["x133_r8b_ops_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "a_").unionAll(widen(b, "b_"))
 
 
@@ -723,13 +732,17 @@ def x198_r12c_ops_suite(spark, sf_dir):
     canary (x196) and the per-source video near-dup sheet (x197) —
     union-folded into the shared kind-tagged suite shape (2 small
     members → lazy union per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x196_decode_path_parity(spark, sf_dir),
+        lambda: x197_video_neardup_source_sheet(spark, sf_dir),
+    )
     pvb = _suite_shape(
-        x196_decode_path_parity(spark, sf_dir), "pvb",
+        __r0, "pvb",
         id1=F.col("doc_id"), v1=F.col("px_sum"),
         v2=F.col("width") * 1000 + F.col("height"), v3=F.col("parity"),
     )
     vsrc = _suite_shape(
-        x197_video_neardup_source_sheet(spark, sf_dir), "vsrc",
+        __r1, "vsrc",
         v1=F.col("n_videos"), v2=F.col("n_survivors"), v3=F.col("n_dupes"),
         s1=F.col("source"),
     )
@@ -1015,13 +1028,17 @@ def x201_r12d_ops_suite(spark, sf_dir):
     (x199) and measured audio near-dup recall (x200) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x199_audio_neardup_keep_one(spark, sf_dir),
+        lambda: x200_audio_neardup_recall(spark, sf_dir),
+    )
     and_ = _suite_shape(
-        x199_audio_neardup_keep_one(spark, sf_dir), "and",
+        __r0, "and",
         id1=F.col("doc_id"), id2=F.col("rep"),
         v1=F.col("keep").cast("long"),
     )
     arc = _suite_shape(
-        x200_audio_neardup_recall(spark, sf_dir), "arc",
+        __r1, "arc",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("hamming"),
         v2=F.col("in_banded"),
     )
@@ -1121,42 +1138,51 @@ def _c11_frames(spark, sf_dir):
     from .r9_queries import _c7_result
 
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _C11_FRAMES_CACHE if k[0] != app]:
-        del _C11_FRAMES_CACHE[stale]
-    key = (app, sf_dir)
-    st = _C11_FRAMES_CACHE.get(key)
-    if st is None:
+
+    def _build():
         docs = _t(spark, sf_dir, "documents")
-        mm = consistent_media_payloads(spark, sf_dir, kind="wav", silent_mod=C11_SILENT_MOD)
-        corrupted = F.when(
-            F.col("doc_id") % C8_CORRUPT_MOD == 0,
-            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-        ).otherwise(F.col("payload"))
-        mm = mm.select("doc_id", corrupted.alias("payload"))
-        # gate + signature + meta in ONE Arrow pass; the VAD gate is a
-        # row-local filter on the carried sum_sq
-        sig = audio_energy_fingerprint(mm, with_meta=True).filter(
-            F.col("sum_sq") > 0
-        )
-        pairs = image_neardup_pairs(
-            sig.select("doc_id", "h_hi", "h_lo")
-        ).select("doc_a", "doc_b")
-        keep = (
-            D.dedup_keep_one(sig.select("doc_id"), pairs)
-            .filter(F.col("keep"))
-            .select("doc_id")
-        )
-        qual = sig.join(keep, "doc_id").filter(
-            F.col("n_samples") >= C11_MIN_SAMPLES
-        )
-        manifest = _c7_result(spark, sf_dir).select(
-            "doc_id", "split", "shard"
+
+        def _media_chain():
+            mm = consistent_media_payloads(
+                spark, sf_dir, kind="wav", silent_mod=C11_SILENT_MOD
+            )
+            corrupted = F.when(
+                F.col("doc_id") % C8_CORRUPT_MOD == 0,
+                F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+            ).otherwise(F.col("payload"))
+            mmc = mm.select("doc_id", corrupted.alias("payload"))
+            # gate + signature + meta in ONE Arrow pass; the VAD gate is
+            # a row-local filter on the carried sum_sq
+            sig = audio_energy_fingerprint(mmc, with_meta=True).filter(
+                F.col("sum_sq") > 0
+            )
+            pairs = image_neardup_pairs(
+                sig.select("doc_id", "h_hi", "h_lo")
+            ).select("doc_a", "doc_b")
+            keep = (
+                D.dedup_keep_one(sig.select("doc_id"), pairs)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            qual = sig.join(keep, "doc_id").filter(
+                F.col("n_samples") >= C11_MIN_SAMPLES
+            )
+            return sig, qual
+
+        # decode+CC chain vs c7 layout chain — independent until the
+        # final join; overlap them (dedup.overlap, §2.6)
+        (sig, qual), manifest = D.overlap(
+            _media_chain,
+            lambda: _c7_result(spark, sf_dir).select(
+                "doc_id", "split", "shard"
+            ),
         )
         result = qual.join(manifest, "doc_id").select(
             "doc_id", "n_samples", "h_hi", "h_lo", "split", "shard"
         )
-        st = {"sig": sig, "result": result}
-        _C11_FRAMES_CACHE[key] = st
+        return {"sig": sig, "result": result}
+
+    st = D.memo_get_or_build(_C11_FRAMES_CACHE, app, (app, sf_dir), _build)
     D._persist(st["sig"])
     _c7_result(spark, sf_dir)  # re-persist the embedded c7 manifest
     return st
@@ -1203,8 +1229,10 @@ def m12_embsetwin_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["s5_embcore_suite"].fn(spark, sf_dir)
-    b = REGISTRY["s6_setwindow_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["s5_embcore_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["s6_setwindow_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "5_").unionAll(widen(b, "6_"))
 
 
@@ -1320,8 +1348,10 @@ def m13_joinprofile_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["t3_tpch_join_agg_suite"].fn(spark, sf_dir)
-    b = REGISTRY["t4_profile_scalar_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["t3_tpch_join_agg_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["t4_profile_scalar_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "j_").unionAll(widen(b, "p_"))
 
 
@@ -1351,12 +1381,16 @@ def x204_r12f_ops_suite(spark, sf_dir):
     and the per-source audio near-dup sheet (x203) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x202_audio_onset_screen(spark, sf_dir),
+        lambda: x203_audio_neardup_source_sheet(spark, sf_dir),
+    )
     ons = _suite_shape(
-        x202_audio_onset_screen(spark, sf_dir), "ons",
+        __r0, "ons",
         id1=F.col("doc_id"), v1=F.col("n_onsets"), v2=F.col("peak_w"),
     )
     asrc = _suite_shape(
-        x203_audio_neardup_source_sheet(spark, sf_dir), "asrc",
+        __r1, "asrc",
         v1=F.col("n_clips"), v2=F.col("n_survivors"), v3=F.col("n_dupes"),
         s1=F.col("source"),
     )
@@ -1478,13 +1512,17 @@ def x206_trimodal_pairs(spark, sf_dir):
     rows out."""
     from .r11_queries import _c9_result, _c10_result
 
-    c9 = _c9_result(spark, sf_dir).select("doc_id", F.col("split").alias("s9"))
-    c10 = _c10_result(spark, sf_dir).select(
-        "doc_id", F.col("split").alias("s10")
+    # three independent modality chains (BMP decode+CC / AVI decode+CC /
+    # WAV decode+CC) serialize only at the shared c7 memo's key lock —
+    # overlap their construction (operators/dedup.overlap, guide §2.6)
+    c9r, c10r, c11r = D.overlap(
+        lambda: _c9_result(spark, sf_dir),
+        lambda: _c10_result(spark, sf_dir),
+        lambda: _c11_result(spark, sf_dir),
     )
-    c11 = _c11_result(spark, sf_dir).select(
-        "doc_id", F.col("split").alias("s11")
-    )
+    c9 = c9r.select("doc_id", F.col("split").alias("s9"))
+    c10 = c10r.select("doc_id", F.col("split").alias("s10"))
+    c11 = c11r.select("doc_id", F.col("split").alias("s11"))
     j = (
         c9.join(c10, "doc_id", "full_outer")
         .join(c11, "doc_id", "full_outer")
@@ -1546,8 +1584,10 @@ def m14_sigmodal_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["d2_signature_suite"].fn(spark, sf_dir)
-    b = REGISTRY["m2_multimodal_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["d2_signature_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["m2_multimodal_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "d_").unionAll(widen(b, "m_"))
 
 
@@ -1581,12 +1621,16 @@ def x207_r12g_ops_suite(spark, sf_dir):
     members → lazy union per the SCALE.md composition rule; x206's
     pipeline inputs come from the session memos so the union never
     rebuilds a chain)."""
+    r205, r206 = D.overlap(
+        lambda: x205_incremental_audio_dedup(spark, sf_dir),
+        lambda: x206_trimodal_pairs(spark, sf_dir),
+    )
     ain = _suite_shape(
-        x205_incremental_audio_dedup(spark, sf_dir), "ain",
+        r205, "ain",
         id1=F.col("doc_id"), v1=F.col("is_dup_of_corpus").cast("long"),
     )
     tri = _suite_shape(
-        x206_trimodal_pairs(spark, sf_dir), "tri",
+        r206, "tri",
         id1=F.col("n_all3"), id2=F.col("n_img_vid"), v1=F.col("n_img_aud"),
         v2=F.col("n_vid_aud"), v3=F.col("n_img_only"),
         d1=F.col("n_vid_only").cast("double"),
@@ -1793,12 +1837,16 @@ def x210_r12h_ops_suite(spark, sf_dir):
     (x208) and dual-fingerprint verified pairs (x209) — union-folded
     into the shared kind-tagged suite shape (2 small members → lazy
     union per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x208_audio_delta_fingerprint(spark, sf_dir),
+        lambda: x209_audio_dualhash_pairs(spark, sf_dir),
+    )
     adf = _suite_shape(
-        x208_audio_delta_fingerprint(spark, sf_dir), "adf",
+        __r0, "adf",
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
     )
     adp = _suite_shape(
-        x209_audio_dualhash_pairs(spark, sf_dir), "adp",
+        __r1, "adp",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("ham_e"),
         v2=F.col("ham_d"),
     )
@@ -1994,8 +2042,10 @@ def m16_r10bcde_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["m3_r10bc_suite"].fn(spark, sf_dir)
-    b = REGISTRY["m4_r10de_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["m3_r10bc_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["m4_r10de_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "b_").unionAll(widen(b, "d_"))
 
 
@@ -2026,12 +2076,16 @@ def x213_r12i_ops_suite(spark, sf_dir):
     (x211) and dual-keyframe verified pairs (x212) — union-folded into
     the shared kind-tagged suite shape (2 small members → lazy union per
     the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x211_video_lastframe_ahash(spark, sf_dir),
+        lambda: x212_video_dualframe_pairs(spark, sf_dir),
+    )
     lfa = _suite_shape(
-        x211_video_lastframe_ahash(spark, sf_dir), "lfa",
+        __r0, "lfa",
         id1=F.col("doc_id"), v1=F.col("h_hi"), v2=F.col("h_lo"),
     )
     vdp = _suite_shape(
-        x212_video_dualframe_pairs(spark, sf_dir), "vdp",
+        __r1, "vdp",
         id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("ham_0"),
         v2=F.col("ham_z"),
     )
@@ -2238,8 +2292,10 @@ def m17_r10fg9bc_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["m5_r10fg_suite"].fn(spark, sf_dir)
-    b = REGISTRY["m6_r9bc_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["m5_r10fg_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["m6_r9bc_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "f_").unionAll(widen(b, "n_"))
 
 
@@ -2270,13 +2326,17 @@ def x216_r12j_ops_suite(spark, sf_dir):
     (x214) and audio (x215) dedup decisions — union-folded into the
     shared kind-tagged suite shape (2 small members → lazy union per the
     SCALE.md composition rule)."""
+    r214, r215 = D.overlap(
+        lambda: x214_video_dualverified_keep_one(spark, sf_dir),
+        lambda: x215_audio_dualverified_keep_one(spark, sf_dir),
+    )
     vdk = _suite_shape(
-        x214_video_dualverified_keep_one(spark, sf_dir), "vdk",
+        r214, "vdk",
         id1=F.col("doc_id"), id2=F.col("rep"),
         v1=F.col("keep").cast("long"),
     )
     adk = _suite_shape(
-        x215_audio_dualverified_keep_one(spark, sf_dir), "adk",
+        r215, "adk",
         id1=F.col("doc_id"), id2=F.col("rep"),
         v1=F.col("keep").cast("long"),
     )
@@ -2349,46 +2409,54 @@ def c12_video_dual_pipeline(spark, sf_dir):
     from .r9_queries import _c7_result
 
     docs = _t(spark, sf_dir, "documents")
-    mm = consistent_media_payloads(spark, sf_dir)
-    corrupted = F.when(
-        F.col("doc_id") % C8_CORRUPT_MOD == 0,
-        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-    ).otherwise(F.col("payload"))
-    mm = mm.select("doc_id", corrupted.alias("payload"))
-    # persist_now: c12's corruption-gated decode is its own frame (NOT the
-    # shared sig memo — different payload input); materialize it eagerly so
-    # the downstream broadcast builds read the cache (dedup.persist_now)
-    ks = D.persist_now(video_keyframe_ahashes(mm, with_meta=True))
-    pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
-    a = ks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("l_hi").alias("a_hi"),
-        F.col("l_lo").alias("a_lo"),
+
+    def _media_chain():
+        mm = consistent_media_payloads(spark, sf_dir)
+        corrupted = F.when(
+            F.col("doc_id") % C8_CORRUPT_MOD == 0,
+            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+        ).otherwise(F.col("payload"))
+        mmc = mm.select("doc_id", corrupted.alias("payload"))
+        # persist_now: c12's corruption-gated decode is its own frame (NOT
+        # the shared sig memo — different payload input); materialize it
+        # eagerly so the downstream broadcast builds read the cache
+        ks = D.persist_now(video_keyframe_ahashes(mmc, with_meta=True))
+        pairs = image_neardup_pairs(ks.select("doc_id", "h_hi", "h_lo"))
+        a = ks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("l_hi").alias("a_hi"),
+            F.col("l_lo").alias("a_lo"),
+        )
+        b = ks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("l_hi").alias("b_hi"),
+            F.col("l_lo").alias("b_lo"),
+        )
+        ham_z = (
+            F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+            + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+        ).cast("long")
+        confirmed = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .where(ham_z <= F.lit(3))
+            .select("doc_a", "doc_b")
+        )
+        keep = (
+            D.dedup_keep_one(ks.select("doc_id"), confirmed)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        return ks.join(keep, "doc_id").filter(
+            F.col("n_frames") >= C10_MIN_FRAMES
+        )
+
+    # the decode+confirm+CC chain and the c7 layout chain are independent
+    # until the final join — overlap them (operators/dedup.overlap, §2.6)
+    qual, manifest = D.overlap(
+        _media_chain,
+        lambda: _c7_result(spark, sf_dir).select("doc_id", "split", "shard"),
     )
-    b = ks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("l_hi").alias("b_hi"),
-        F.col("l_lo").alias("b_lo"),
-    )
-    ham_z = (
-        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
-        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
-    ).cast("long")
-    confirmed = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(ham_z <= F.lit(3))
-        .select("doc_a", "doc_b")
-    )
-    keep = (
-        D.dedup_keep_one(ks.select("doc_id"), confirmed)
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    qual = ks.join(keep, "doc_id").filter(
-        F.col("n_frames") >= C10_MIN_FRAMES
-    )
-    manifest = _c7_result(spark, sf_dir).select("doc_id", "split", "shard")
     return qual.join(manifest, "doc_id").select(
         "doc_id", "n_frames", "h_hi", "h_lo", "split", "shard"
     )
@@ -2447,50 +2515,60 @@ def c13_audio_dual_pipeline(spark, sf_dir):
     from .r9_queries import _c7_result
 
     docs = _t(spark, sf_dir, "documents")
-    mm = consistent_media_payloads(spark, sf_dir, kind="wav", silent_mod=C11_SILENT_MOD)
-    corrupted = F.when(
-        F.col("doc_id") % C8_CORRUPT_MOD == 0,
-        F.concat(F.unhex(F.lit("0000")), F.col("payload")),
-    ).otherwise(F.col("payload"))
-    mm = mm.select("doc_id", corrupted.alias("payload"))
-    # gate + both signatures + meta in ONE Arrow pass; the VAD gate is a
-    # row-local filter on the carried sum_sq
-    # persist_now — the c12 rationale on the audio modality
-    ds = D.persist_now(
-        audio_dual_fingerprints(mm, with_meta=True).filter(
-            F.col("sum_sq") > 0
+
+    def _media_chain():
+        mm = consistent_media_payloads(
+            spark, sf_dir, kind="wav", silent_mod=C11_SILENT_MOD
         )
+        corrupted = F.when(
+            F.col("doc_id") % C8_CORRUPT_MOD == 0,
+            F.concat(F.unhex(F.lit("0000")), F.col("payload")),
+        ).otherwise(F.col("payload"))
+        mmc = mm.select("doc_id", corrupted.alias("payload"))
+        # gate + both signatures + meta in ONE Arrow pass; the VAD gate is
+        # a row-local filter on the carried sum_sq
+        # persist_now — the c12 rationale on the audio modality
+        ds = D.persist_now(
+            audio_dual_fingerprints(mmc, with_meta=True).filter(
+                F.col("sum_sq") > 0
+            )
+        )
+        pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
+        a = ds.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("d_hi").alias("a_hi"),
+            F.col("d_lo").alias("a_lo"),
+        )
+        b = ds.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("d_hi").alias("b_hi"),
+            F.col("d_lo").alias("b_lo"),
+        )
+        ham_d = (
+            F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+            + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+        ).cast("long")
+        confirmed = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .where(ham_d <= F.lit(3))
+            .select("doc_a", "doc_b")
+        )
+        keep = (
+            D.dedup_keep_one(ds.select("doc_id"), confirmed)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        return ds.join(keep, "doc_id").filter(
+            F.col("n_samples") >= C11_MIN_SAMPLES
+        )
+
+    # the decode+confirm+CC chain and the c7 layout chain are independent
+    # until the final join — overlap them (operators/dedup.overlap, §2.6)
+    qual, manifest = D.overlap(
+        _media_chain,
+        lambda: _c7_result(spark, sf_dir).select("doc_id", "split", "shard"),
     )
-    pairs = image_neardup_pairs(ds.select("doc_id", "h_hi", "h_lo"))
-    a = ds.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("d_hi").alias("a_hi"),
-        F.col("d_lo").alias("a_lo"),
-    )
-    b = ds.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("d_hi").alias("b_hi"),
-        F.col("d_lo").alias("b_lo"),
-    )
-    ham_d = (
-        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
-        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
-    ).cast("long")
-    confirmed = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(ham_d <= F.lit(3))
-        .select("doc_a", "doc_b")
-    )
-    keep = (
-        D.dedup_keep_one(ds.select("doc_id"), confirmed)
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    qual = ds.join(keep, "doc_id").filter(
-        F.col("n_samples") >= C11_MIN_SAMPLES
-    )
-    manifest = _c7_result(spark, sf_dir).select("doc_id", "split", "shard")
     return qual.join(manifest, "doc_id").select(
         "doc_id", "n_samples", "h_hi", "h_lo", "split", "shard"
     )
@@ -2529,8 +2607,10 @@ def m18_r9d10h11bc_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["m7_r9d10h_suite"].fn(spark, sf_dir)
-    b = REGISTRY["m8_r11bc_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["m7_r9d10h_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["m8_r11bc_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "p_").unionAll(widen(b, "v_"))
 
 
@@ -2560,13 +2640,17 @@ def x217_r12k_ops_suite(spark, sf_dir):
     into the shared kind-tagged suite shape (2 members → lazy union per
     the SCALE.md composition rule; the embedded c7 manifest comes from
     the session memo so the union builds it once)."""
+    r12v, r13a = D.overlap(
+        lambda: c12_video_dual_pipeline(spark, sf_dir),
+        lambda: c13_audio_dual_pipeline(spark, sf_dir),
+    )
     c12 = _suite_shape(
-        c12_video_dual_pipeline(spark, sf_dir), "c12",
+        r12v, "c12",
         id1=F.col("doc_id"), id2=F.col("shard"), v1=F.col("h_hi"),
         v2=F.col("h_lo"), v3=F.col("n_frames"), s1=F.col("split"),
     )
     c13 = _suite_shape(
-        c13_audio_dual_pipeline(spark, sf_dir), "c13",
+        r13a, "c13",
         id1=F.col("doc_id"), id2=F.col("shard"), v1=F.col("h_hi"),
         v2=F.col("h_lo"), v3=F.col("n_samples"), s1=F.col("split"),
     )
@@ -2603,12 +2687,16 @@ GROUP BY d.source"""
 
 def _dual_sheet(spark, sf_dir, single_fn, dual_fn, n_col: str):
     docs = _t(spark, sf_dir, "documents")
-    ks = single_fn(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_s")
+    # the two keep-one tiers share the sig/pairs memo frames (built once
+    # under their key locks) but run independent CC convergence loops —
+    # overlap their construction so the loops' scheduler-bound rounds
+    # back-fill each other (operators/dedup.overlap, guide §2.6)
+    ks_raw, kd_raw = D.overlap(
+        lambda: single_fn(spark, sf_dir),
+        lambda: dual_fn(spark, sf_dir),
     )
-    kd = dual_fn(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_d")
-    )
+    ks = ks_raw.select("doc_id", F.col("keep").alias("keep_s"))
+    kd = kd_raw.select("doc_id", F.col("keep").alias("keep_d"))
     return (
         ks.join(kd, "doc_id")
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -2701,8 +2789,10 @@ def m19_r8ab11de_suite(spark, sf_dir):
             "id1", "id2", "v1", "v2", "v3", "d1", "d2", "s1",
         )
 
-    a = REGISTRY["m9_r11de_suite"].fn(spark, sf_dir)
-    b = REGISTRY["m10_r8ab_suite"].fn(spark, sf_dir)
+    a, b = D.overlap(  # guide §2.6: member construction overlapped
+        lambda: REGISTRY["m9_r11de_suite"].fn(spark, sf_dir),
+        lambda: REGISTRY["m10_r8ab_suite"].fn(spark, sf_dir),
+    )
     return widen(a, "d_").unionAll(widen(b, "a_"))
 
 
@@ -2733,14 +2823,18 @@ def x220_r12l_ops_suite(spark, sf_dir):
     capacity sheets on video (x218) and audio (x219) — union-folded
     into the shared kind-tagged suite shape (2 small members → lazy
     union per the SCALE.md composition rule)."""
+    r218, r219 = D.overlap(
+        lambda: x218_video_dual_source_sheet(spark, sf_dir),
+        lambda: x219_audio_dual_source_sheet(spark, sf_dir),
+    )
     vds = _suite_shape(
-        x218_video_dual_source_sheet(spark, sf_dir), "vds",
+        r218, "vds",
         id1=F.col("n_videos"), v1=F.col("n_survivors_single"),
         v2=F.col("n_survivors_dual"), v3=F.col("n_protected"),
         s1=F.col("source"),
     )
     ads = _suite_shape(
-        x219_audio_dual_source_sheet(spark, sf_dir), "ads",
+        r219, "ads",
         id1=F.col("n_clips"), v1=F.col("n_survivors_single"),
         v2=F.col("n_survivors_dual"), v3=F.col("n_protected"),
         s1=F.col("source"),

@@ -299,31 +299,41 @@ def x123_r7_ops_suite(spark, sf_dir):
     driver-hashed row), PMI/lift collocations (x120) and TF-IDF cosine
     near-dup pairs (x122), union-folded into the shared kind-tagged
     suite shape."""
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x116, __m_x117, __m_x118, __m_x119, __m_x120, __m_x122 = D.overlap(
+        lambda: x116_sessionize(spark, sf_dir),
+        lambda: x117_autocorr_daily(spark, sf_dir),
+        lambda: x118_benford_audit(spark, sf_dir),
+        lambda: x119_hll_distinct(spark, sf_dir),
+        lambda: x120_pmi_collocations(spark, sf_dir),
+        lambda: x122_tfidf_cosine(spark, sf_dir),
+    )
     return (
         _suite_shape(
-            x116_sessionize(spark, sf_dir), "sess",
+            __m_x116, "sess",
             id1=F.col("user_id"), id2=F.col("session_idx"),
             v1=F.col("n_events"), v2=F.col("start_us"),
             v3=F.col("duration_us"),
         )
         .unionAll(_suite_shape(
-            x117_autocorr_daily(spark, sf_dir), "acorr",
+            __m_x117, "acorr",
             id1=F.col("lag"), id2=F.col("n_pairs"), d1=F.col("r"),
         ))
         .unionAll(_suite_shape(
-            x118_benford_audit(spark, sf_dir), "benford",
+            __m_x118, "benford",
             id1=F.col("digit"), id2=F.col("n"), v1=F.col("n_total"),
             v2=F.col("obs_ppm"), v3=F.col("exp_ppm"),
             d1=F.col("dev_ppm").cast("double"),
         ))
         .unionAll(_suite_shape(
-            x119_hll_distinct(spark, sf_dir), "hll",
+            __m_x119, "hll",
             id1=F.col("n_zero"), id2=F.col("z27"),
             v1=F.col("est_distinct"), v2=F.col("exact_distinct"),
             s1=F.col("o_orderpriority"),
         ))
         .unionAll(_suite_shape(
-            x120_pmi_collocations(spark, sf_dir), "pmi",
+            __m_x120, "pmi",
             id1=F.col("rk"), id2=F.col("c12"), d1=F.col("lift"),
             s1=F.concat_ws("|", "w1", "w2"),
         ))
@@ -332,7 +342,7 @@ def x123_r7_ops_suite(spark, sf_dir):
             id1=F.col("bucket"), id2=F.col("r"), s1=F.col("lang"),
         ))
         .unionAll(_suite_shape(
-            x122_tfidf_cosine(spark, sf_dir), "tfidf",
+            __m_x122, "tfidf",
             id1=F.col("doc_a"), id2=F.col("doc_b"), v1=F.col("dot"),
             d1=F.col("cosine"),
         ))

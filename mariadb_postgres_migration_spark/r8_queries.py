@@ -218,22 +218,30 @@ def x128_r8_ops_suite(spark, sf_dir):
     SCALE.md composition rule; r8 A/B: union 4.3-4.9s vs sequential
     5.2-5.6s warm — the stage concurrency wins here exactly as it did
     for x84a)."""
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x124, __m_x125, __m_x126, __m_x127 = D.overlap(
+        lambda: x124_cusum_changepoint(spark, sf_dir),
+        lambda: x125_label_propagation(spark, sf_dir),
+        lambda: x126_spearman_daily(spark, sf_dir),
+        lambda: x127_ks_source_drift(spark, sf_dir),
+    )
     members = [
         _suite_shape(
-            x124_cusum_changepoint(spark, sf_dir), "cusum",
+            __m_x124, "cusum",
             id1=F.col("cp_day"), v1=F.col("s_abs"), v2=F.col("n_days"),
             v3=F.col("total"), s1=F.col("event_type"),
         ),
         _suite_shape(
-            x125_label_propagation(spark, sf_dir), "lp",
+            __m_x125, "lp",
             id1=F.col("node"), id2=F.col("lbl"),
         ),
         _suite_shape(
-            x126_spearman_daily(spark, sf_dir), "rho",
+            __m_x126, "rho",
             id1=F.col("n_days"), id2=F.col("sum_d2"), d1=F.col("rho"),
         ),
         _suite_shape(
-            x127_ks_source_drift(spark, sf_dir), "ks",
+            __m_x127, "ks",
             id1=F.col("d_scaled"), id2=F.col("at_value"),
             v1=F.col("n_docs"), v2=F.col("n_total"), v3=F.col("d_ppm"),
             s1=F.col("source"),
@@ -417,24 +425,32 @@ def x133_r8b_ops_suite(spark, sf_dir):
     vocabulary-richness profile (x132), union-folded into the shared
     kind-tagged suite shape (4 small members → lazy union per the
     SCALE.md suite-composition rule)."""
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x129, __m_x130, __m_x131, __m_x132 = D.overlap(
+        lambda: x129_mann_kendall(spark, sf_dir),
+        lambda: x130_theil_sen(spark, sf_dir),
+        lambda: x131_gini_concentration(spark, sf_dir),
+        lambda: x132_vocab_richness(spark, sf_dir),
+    )
     return (
         _suite_shape(
-            x129_mann_kendall(spark, sf_dir), "mk",
+            __m_x129, "mk",
             id1=F.col("n_days"), id2=F.col("s_stat"), v1=F.col("var18"),
             d1=F.col("z"),
         )
         .unionAll(_suite_shape(
-            x130_theil_sen(spark, sf_dir), "tsen",
+            __m_x130, "tsen",
             id1=F.col("n_days"), id2=F.col("n_pairs"),
             v1=F.col("slope_milli"),
         ))
         .unionAll(_suite_shape(
-            x131_gini_concentration(spark, sf_dir), "gini",
+            __m_x131, "gini",
             id1=F.col("n_members"), v1=F.col("total_cents"),
             d1=F.col("gini"), s1=F.col("n_name"),
         ))
         .unionAll(_suite_shape(
-            x132_vocab_richness(spark, sf_dir), "vocab",
+            __m_x132, "vocab",
             id1=F.col("n_terms"), id2=F.col("n_types"), v1=F.col("n_hapax"),
             v2=F.col("ttr_ppm"), v3=F.col("hapax_ppm"), s1=F.col("source"),
         ))
@@ -596,19 +612,26 @@ def x137_r8c_ops_suite(spark, sf_dir):
     x134's persisted intermediates stay alive until the caller's consuming
     action completes (the lazy-union contract); the caller releases them,
     as bench.run() does."""
+    # batch members' construction overlapped (guide §2.6); streaming
+    # members (session-conf-mutating replays) stay sequential below
+    __m_x134, __m_x135, __m_x136 = D.overlap(
+        lambda: x134_cluster_size_histogram(spark, sf_dir),
+        lambda: x135_interarrival_burstiness(spark, sf_dir),
+        lambda: x136_zipf_profile(spark, sf_dir),
+    )
     out = (
         _suite_shape(
-            x134_cluster_size_histogram(spark, sf_dir), "csize",
+            __m_x134, "csize",
             id1=F.col("cluster_size"), id2=F.col("n_clusters"),
             v1=F.col("n_docs"),
         )
         .unionAll(_suite_shape(
-            x135_interarrival_burstiness(spark, sf_dir), "burst",
+            __m_x135, "burst",
             id1=F.col("user_id"), id2=F.col("n_gaps"), v1=F.col("sum_g"),
             v2=F.col("sum_g2"), v3=F.coalesce(F.col("cv2_milli"), F.lit(-1)),
         ))
         .unionAll(_suite_shape(
-            x136_zipf_profile(spark, sf_dir), "zipf",
+            __m_x136, "zipf",
             id1=F.col("rk"), id2=F.col("f_r"), v1=F.col("f_2r"),
             v2=F.col("ratio_milli"), s1=F.col("term"),
         ))

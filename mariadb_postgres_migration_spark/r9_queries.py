@@ -259,13 +259,10 @@ def _c1_result(spark, sf_dir):
     from .extension_queries import c1_curation_pipeline
 
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _C1_MANIFEST_CACHE if k[0] != app]:
-        del _C1_MANIFEST_CACHE[stale]
-    key = (app, sf_dir)
-    m = _C1_MANIFEST_CACHE.get(key)
-    if m is None:
-        m = c1_curation_pipeline(spark, sf_dir)
-        _C1_MANIFEST_CACHE[key] = m
+    m = D.memo_get_or_build(
+        _C1_MANIFEST_CACHE, app, (app, sf_dir),
+        lambda: c1_curation_pipeline(spark, sf_dir),
+    )
     return D._persist(m)
 
 
@@ -352,13 +349,10 @@ def _c7_result(spark, sf_dir):
     every training-layout consumer shares ONE persisted manifest instead
     of re-running split/shard/pack per consumer."""
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _C7_MANIFEST_CACHE if k[0] != app]:
-        del _C7_MANIFEST_CACHE[stale]
-    key = (app, sf_dir)
-    m = _C7_MANIFEST_CACHE.get(key)
-    if m is None:
-        m = c7_pretraining_pipeline(spark, sf_dir)
-        _C7_MANIFEST_CACHE[key] = m
+    m = D.memo_get_or_build(
+        _C7_MANIFEST_CACHE, app, (app, sf_dir),
+        lambda: c7_pretraining_pipeline(spark, sf_dir),
+    )
     # the memoized c7 DAG embeds the memoized c1 frame — re-persist it too
     # (construction did this via c7_pretraining_pipeline → _c1_manifest;
     # memo hits must keep the same contract)
@@ -508,14 +502,18 @@ def x145_r9b_ops_suite(spark, sf_dir):
     the cross-split leakage screen (x144), the audit half of the c7
     endgame — union-folded into the shared kind-tagged suite shape
     (2 small members → lazy union per the SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x143_pack_utilization(spark, sf_dir),
+        lambda: x144_split_leakage(spark, sf_dir),
+    )
     u = _suite_shape(
-        x143_pack_utilization(spark, sf_dir), "util",
+        __r0, "util",
         id1=F.col("shard"), v1=F.col("n_docs"), v2=F.col("total_tok"),
         v3=F.col("n_packs"), d1=F.col("fill_permille"),
         d2=F.col("n_straddlers"), s1=F.col("split"),
     )
     l = _suite_shape(
-        x144_split_leakage(spark, sf_dir), "leak",
+        __r1, "leak",
         v1=F.col("n_shared_sh"), v2=F.col("n_sh_a"), v3=F.col("n_sh_b"),
         d1=F.col("containment_permille"), d2=F.col("n_dup_fp"),
         s1=F.concat_ws("|", "split_a", "split_b"),
@@ -635,13 +633,17 @@ def x148_r9c_ops_suite(spark, sf_dir):
     sequence-length histogram (x147) — union-folded into the shared
     kind-tagged suite shape (2 small members → lazy union per the
     SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x146_shingle_novelty(spark, sf_dir),
+        lambda: x147_seqlen_histogram(spark, sf_dir),
+    )
     n = _suite_shape(
-        x146_shingle_novelty(spark, sf_dir), "nov",
+        __r0, "nov",
         id1=F.col("doc_id"), v1=F.col("n_sh"), v2=F.col("n_novel"),
         v3=F.col("novelty_permille"),
     )
     s = _suite_shape(
-        x147_seqlen_histogram(spark, sf_dir), "slen",
+        __r1, "slen",
         id1=F.col("len_bucket"), v1=F.col("n_docs"), v2=F.col("total_tok"),
         s1=F.col("source"),
     )
@@ -718,12 +720,16 @@ def d2_signature_suite(spark, sf_dir):
     series."""
     from .extension_queries import x03_dedup_minhash_lsh, x04_dedup_simhash
 
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x03_dedup_minhash_lsh(spark, sf_dir),
+        lambda: x04_dedup_simhash(spark, sf_dir),
+    )
     mh = _suite_shape(
-        x03_dedup_minhash_lsh(spark, sf_dir), "mh",
+        __r0, "mh",
         id1=F.col("doc_a"), id2=F.col("doc_b"), d1=F.col("jaccard"),
     )
     sh = _suite_shape(
-        x04_dedup_simhash(spark, sf_dir), "sh",
+        __r1, "sh",
         id1=F.col("doc_id"), v1=F.col("simhash"),
     )
     return mh.unionAll(sh)
@@ -754,13 +760,17 @@ def x151_r9d_ops_suite(spark, sf_dir):
     ordinal-pattern histogram (x150) — union-folded into the shared
     kind-tagged suite shape (2 small members → lazy union per the
     SCALE.md composition rule)."""
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x149_runs_test(spark, sf_dir),
+        lambda: x150_ordinal_patterns(spark, sf_dir),
+    )
     r = _suite_shape(
-        x149_runs_test(spark, sf_dir), "runs",
+        __r0, "runs",
         v1=F.col("n1"), v2=F.col("n2"), v3=F.col("runs"),
         d1=F.col("z"), s1=F.col("event_type"),
     )
     o = _suite_shape(
-        x150_ordinal_patterns(spark, sf_dir), "opat",
+        __r1, "opat",
         id1=F.col("pattern"), v1=F.col("n_windows"),
         s1=F.col("event_type"),
     )
@@ -868,13 +878,17 @@ def m2_multimodal_suite(spark, sf_dir):
     from .extension_queries import x14_multimodal_decode, x26_multimodal_features
     from .operators.multimodal import N_FEATURES
 
+    __r0, __r1 = D.overlap(  # guide §2.6
+        lambda: x14_multimodal_decode(spark, sf_dir),
+        lambda: x26_multimodal_features(spark, sf_dir),
+    )
     h = _suite_shape(
-        x14_multimodal_decode(spark, sf_dir), "hdr",
+        __r0, "hdr",
         id1=F.col("doc_id"), v1=F.col("n_bytes"), v2=F.col("width"),
         v3=F.col("height"), s1=F.col("mime"),
     )
     f = _suite_shape(
-        x26_multimodal_features(spark, sf_dir), "feat",
+        __r1, "feat",
         id1=F.col("doc_id"),
         s1=F.concat_ws(
             "|", *[F.col(f"f{i}").cast("long").cast("string") for i in range(N_FEATURES)]

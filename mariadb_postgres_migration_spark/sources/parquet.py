@@ -40,6 +40,20 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_mps_pkg_shipped", False):
         return
+    # concurrent driver threads (operators/dedup.overlap) reach here on
+    # their first table read; one zip build + addPyFile is enough, and the
+    # pid-keyed tmp path below is shared within a process, so the whole
+    # ship step is serialized behind one lock (first thread ships, the
+    # rest see _mps_pkg_shipped or the finished zip)
+    from ..operators.dedup import memo_lock
+
+    with memo_lock(("pkg-ship", id(sc))):
+        if getattr(sc, "_mps_pkg_shipped", False):
+            return
+        _ship_package(sc)
+
+
+def _ship_package(sc) -> None:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sources = []
     for root, _dirs, files in os.walk(pkg_dir):
