@@ -854,6 +854,12 @@ def main() -> int:
             }
         )
     )
+    # The final line elides the FASTEST rows to fit the tail budget, which
+    # in r12 hid 80 of 123 rows and made the round-over-round comparator
+    # misread improved rows as dropped ones. Persist the FULL roster +
+    # warm/cold maps to a committed per-round file (the members_r{N}.json
+    # pattern) so the complete map is always a repo artifact.
+    _write_per_query_artifact(headline, timings, cold, sf=sf, cpus=cpus)
     print(
         compact_final_line(
             timings,
@@ -902,6 +908,34 @@ def _write_member_artifact(member_timings: dict[str, dict[str, float]]) -> None:
     with open(path, "w") as f:
         json.dump({"suites": member_timings}, f, indent=1, sort_keys=True)
     print(f"suite member timings written to {path}")
+
+
+def _write_per_query_artifact(
+    roster: list[str],
+    timings: dict[str, float],
+    cold: dict[str, float],
+    *,
+    sf: float,
+    cpus: int,
+) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    bdir = os.path.join(here, ".benchmarks")
+    os.makedirs(bdir, exist_ok=True)
+    path = os.path.join(bdir, f"per_query_r{_current_round():02d}.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "roster": list(roster),
+                "warm": timings,
+                "cold": cold,
+                "sf": sf,
+                "cpus": cpus,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"per-query timings written to {path}")
 
 
 def _host_calibration(spark, jvm_only: bool = False) -> dict[str, float]:

@@ -39,6 +39,8 @@ Python UDFs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,18 +77,43 @@ _MATERIALIZED_AT: dict = {}
 #: dependency DAG (pairs→sig→payload, c9/c10/c11→c7→c1), which is acyclic,
 #: so no lock-order cycle exists.
 _MEMO_LOCKS: dict = {}
-_MEMO_LOCKS_GUARD = None  # initialized lazily to avoid import-time threading
+#: Created at import (ADVICE r12): a lazily-initialized guard can be
+#: instantiated twice by racing overlap threads, leaving two threads each
+#: holding a different "guard" — correctness then rests on CPython dict
+#: atomicity instead of the lock.
+_MEMO_LOCKS_GUARD = threading.Lock()
 
 
 def memo_lock(key):
     """The re-entrant lock for one memo key (created on first use)."""
-    import threading
-
-    global _MEMO_LOCKS_GUARD
-    if _MEMO_LOCKS_GUARD is None:
-        _MEMO_LOCKS_GUARD = threading.Lock()
     with _MEMO_LOCKS_GUARD:
         return _MEMO_LOCKS.setdefault(key, threading.RLock())
+
+
+def _evict_memo_locks(stale_apps: set) -> None:
+    """Drop locks whose key (recursively) embeds a foreign applicationId —
+    called alongside the memo caches' foreign-session eviction so a
+    long-lived process spanning many Spark sessions (pytest) does not leak
+    an RLock per key per session (ADVICE r12). Only foreign-app keys are
+    evicted, so a lock object currently held by this session's overlap
+    threads is never replaced out from under them."""
+
+    def contains(t, values) -> bool:
+        for x in t:
+            if isinstance(x, tuple):
+                if contains(x, values):
+                    return True
+            elif x in values:
+                return True
+        return False
+
+    with _MEMO_LOCKS_GUARD:
+        for lk in [
+            lk
+            for lk in _MEMO_LOCKS
+            if isinstance(lk, tuple) and contains(lk, stale_apps)
+        ]:
+            del _MEMO_LOCKS[lk]
 
 
 def overlap(*thunks):
@@ -148,8 +175,11 @@ def memo_get_or_build(cache: dict, app: str, key, build):
     frames) build concurrently — only dict bookkeeping serializes."""
     dict_lock = memo_lock((id(cache), "dict"))
     with dict_lock:
-        for stale in [k for k in cache if k[0] != app]:
-            del cache[stale]
+        stale = [k for k in cache if k[0] != app]
+        for k in stale:
+            del cache[k]
+        if stale:
+            _evict_memo_locks({k[0] for k in stale})
         hit = cache.get(key)
     if hit is not None:
         return hit
@@ -228,7 +258,17 @@ def release_cached_intermediates(since: int = 0) -> int:
     """Unpersist intermediates cached by dedup operators — all of them, or
     only those appended after ``since`` (a :func:`persist_pool_mark`
     snapshot); returns how many were released. Call after the consuming
-    action completes."""
+    action completes.
+
+    No-op off the main driver thread (ADVICE r12): a release from inside an
+    :func:`overlap` worker pops pool entries that concurrent SIBLING threads
+    appended after the mark, and its epoch bump races their in-flight
+    :func:`materialize_shared` passes — which can record an unpersisted
+    frame as materialized and silently recompute the expensive subtree the
+    cache exists to prevent. The owning action's main-thread release drains
+    the pool; skipping the worker-thread one is pure hygiene deferral."""
+    if threading.current_thread() is not threading.main_thread():
+        return 0
     global _PERSIST_EPOCH
     _PERSIST_EPOCH += 1
     n = max(len(_PERSISTED) - since, 0)

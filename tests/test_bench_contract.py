@@ -17,6 +17,9 @@ def test_bench_emits_valid_compact_final_line():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_QUERIES="q1_pricing_summary,op19_max_id",
+        # pin the artifact round so the test never clobbers a real
+        # .benchmarks/per_query_r{N}.json recording
+        SPARK_GRAFT_ROUND="99",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -37,8 +40,21 @@ def test_bench_emits_valid_compact_final_line():
     assert b["sf"] == 0.001 and b["cpus"] == 4
     assert b["n_queries"] == 2 and b["n_elided"] == 0
     # full per-query detail (incl. cold) lives on the preceding line
-    detail = json.loads(lines[-2])
+    detail = json.loads(lines[-3])
     assert set(detail["cold_queries"]) == set(detail["queries"]) == set(b["queries"])
+    # ... and in a committed per-round artifact (r13: the final line elides
+    # the fastest rows, so the full warm/cold map must live in the repo)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, ".benchmarks", "per_query_r99.json")
+    assert os.path.exists(path), "bench.py must write .benchmarks/per_query_r{N}.json"
+    try:
+        with open(path) as f:
+            art = json.load(f)
+        assert art["roster"] == ["q1_pricing_summary", "op19_max_id"]
+        assert set(art["warm"]) == set(art["cold"]) == set(b["queries"])
+        assert art["sf"] == 0.001 and art["cpus"] == 4
+    finally:
+        os.remove(path)
 
 
 def test_final_line_bounded_for_full_headline_suite():

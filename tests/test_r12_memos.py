@@ -107,3 +107,55 @@ def test_materialize_shared_env_bypass(spark, monkeypatch):
     df = D._persist(spark.range(5))
     D.materialize_shared(df, ("t2", "k"))
     assert ("t2", "k") not in D._MATERIALIZED_AT
+
+
+def test_release_is_noop_off_main_thread(spark):
+    """ADVICE r12 (medium): a scoped release from an overlap() worker must
+    not pop pool entries concurrent sibling threads appended, nor bump the
+    epoch under their in-flight materialize_shared passes. Off the main
+    driver thread the release is a no-op; the owning action's main-thread
+    release drains the pool."""
+    import threading
+
+    release_cached_intermediates()
+    D._persist(spark.range(3))
+    epoch = D._PERSIST_EPOCH
+    n_pool = len(D._PERSISTED)
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.setdefault("n", release_cached_intermediates())
+    )
+    t.start()
+    t.join()
+    assert out["n"] == 0
+    assert D._PERSIST_EPOCH == epoch
+    assert len(D._PERSISTED) == n_pool
+    assert release_cached_intermediates() == n_pool  # main thread drains
+    assert len(D._PERSISTED) == 0
+
+
+def test_memo_locks_evicted_with_foreign_sessions():
+    """ADVICE r12 (low): lock keys embedding a dead session's
+    applicationId are pruned alongside the memo caches' foreign-session
+    eviction, so multi-session processes (pytest) don't leak an RLock per
+    key per session; the live session's locks survive."""
+    cache: dict = {}
+    dead_lock_key = (id(cache), ("dead-app-lockleak", "x"))
+    live_lock_key = (id(cache), ("live-app-lockleak", "x"))
+    D.memo_lock(dead_lock_key)
+    D.memo_lock(live_lock_key)
+    cache[("dead-app-lockleak", "x")] = object()
+    D.memo_get_or_build(
+        cache, "live-app-lockleak", ("live-app-lockleak", "x"), object
+    )
+
+    def contains(t, v):
+        return any(
+            contains(x, v) if isinstance(x, tuple) else x == v for x in t
+        )
+
+    assert not any(
+        isinstance(k, tuple) and contains(k, "dead-app-lockleak")
+        for k in D._MEMO_LOCKS
+    )
+    assert live_lock_key in D._MEMO_LOCKS

@@ -6,8 +6,8 @@ Usage:
     python tools/qbench.py QUERY [QUERY...] [--runs N] [--explain TAG]
         [--sf DIR] [--cpus N] [--interleave]
 
---explain TAG writes plans/r12/<query>_<TAG>.txt (explain formatted) and
-skips timing. --interleave times the queries round-robin (A/B/A/B...) so
+--explain TAG writes plans/$MPS_PLANS_DIR/<query>_<TAG>.txt (explain
+formatted; default plans/r13) and skips timing. --interleave times the queries round-robin (A/B/A/B...) so
 host drift hits both arms equally; default times each query's runs
 back-to-back.
 """
@@ -93,7 +93,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.explain:
-        outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+        outdir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+            os.environ.get("MPS_PLANS_DIR", "r13"),
+        )
         os.makedirs(outdir, exist_ok=True)
         from mariadb_postgres_migration_spark.plans.inspect import formatted_plan
 
