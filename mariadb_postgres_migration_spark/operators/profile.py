@@ -62,6 +62,18 @@ def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
     max_s)`` per (name, kind) in ``cols``. min/max are aggregated typed
     and canonicalized afterward; n_distinct counts canonical non-null
     values."""
+    import os
+
+    if not os.environ.get("MPS_PROFILE_FLOOR_OFF"):
+        # r13 (guide §2.1/§2.6, the x104 device): a one-row-group fixture
+        # scan runs the whole Expand × canon-expression × partial-distinct
+        # pass as ONE task (profiled at sf0.1: 3.57 CPU-s single-task, the
+        # entire x106 stage budget). The round-robin spread is trivially
+        # small next to the per-row Expand work; at 100 TB scans arrive as
+        # thousands of splits and this is a no-op.
+        from .dedup import ensure_min_parallelism
+
+        df = ensure_min_parallelism(df)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for name, kind in cols:
         c = F.col(name)

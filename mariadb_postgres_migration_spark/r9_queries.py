@@ -114,6 +114,12 @@ def x142_ann_recall(spark, sf_dir):
     panel = _x142_panel(emb)
     cb16 = emb.filter(F.col("vec_id") < 16)
     cents = emb.filter(F.col("vec_id") < 80)
+    # r13 NEGATIVE RESULT: persist_now on brute/assigned/enc (the profile
+    # showed twin ~8-12 CPU-s stages of concurrent broadcast builds racing
+    # the lazy persists) A/B'd neutral-to-worse twice — 7.81/9.35 eager vs
+    # 7.43/9.07 lazy medians (4- and 6-run interleaved series): the
+    # duplicate builds fill otherwise-idle cores while the eager noop
+    # passes serialize the critical path. Stays lazy.
     brute = D._persist(S.knn_bruteforce(emb, panel, k=5).select("q_id", "n_id"))
     if os.environ.get("MPS_X142_SHARE_OFF"):
         # A/B bypass: the pre-r12 form — every tier computes its own
@@ -419,7 +425,11 @@ def x144_split_leakage(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # surv feeds two subtrees (split+fingerprints, shingles) — persist so
     # the c1 chain upstream is computed once (the oracle's MATERIALIZED
-    # surv CTE); the manifest itself is the memoized _c1_manifest
+    # surv CTE); the manifest itself is the memoized _c1_manifest.
+    # r13 NEGATIVE RESULT: persist_now here (the profile showed twin
+    # broadcast-build stage pairs racing the lazy persist) A/B'd NEUTRAL
+    # (7.97 eager vs 7.90 lazy median) — the duplicate builds run on idle
+    # cores while the eager pass adds a sequential action; stays lazy.
     surv = D._persist(
         docs.join(_c1_manifest(spark, sf_dir), "doc_id", "left_semi").select(
             "doc_id", "text"
@@ -823,6 +833,11 @@ def x152_curation_funnel(spark, sf_dir):
     rows at any corpus scale."""
     from .extension_queries import _c1_stage_frames
 
+    # r13 NEGATIVE RESULT: eager=True (materialize the chain's persisted
+    # frames before the five stage aggregates fan out) A/B'd WORSE —
+    # 8.37 eager vs 7.92 lazy median over 4 interleaved runs; the racing
+    # duplicate builds the profile showed run on otherwise-idle cores,
+    # while the eager passes serialize. Stays lazy.
     st = _c1_stage_frames(spark, sf_dir)
     src = D._persist(st["corpus"].select("doc_id", "source"))
     stages = [
